@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, Similarity}
+
+/** LLM training-data pipeline surface: dedup family, similarity search,
+  * text analysis. Thresholds chosen from the measured similarity
+  * distribution of the synthetic corpus (near-dup pairs sit at
+  * jaccard >= 0.9 with the next pair at 0.07, cosine tops out ~0.55),
+  * so LSH recall is exact on this data and oracle-checkable.
+  */
+object QueriesLlm {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles). */
+  private val JaccardOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+        FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b,
+        round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+      FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+      WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5"""
+
+  /** DuckDB exact cosine over the embeddings table. */
+  private def cosineSql(body: String): String =
+    s"""WITH sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+          AS cos_sim
+      FROM embeddings a JOIN embeddings b ON $body)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact dedup on a 128-bit content hash; input deliberately contains
+    // one duplicate of every doc (id+100000) so the collapse is visible.
+    QueryDef("llm_dedup_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dup = docs.withColumn("doc_id", col("doc_id") + 100000L)
+        Dedup.exact(docs.unionByName(dup), "text", "doc_id")
+      },
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents) u
+        GROUP BY md5(text)""")),
+
+    // exact pairwise n-gram jaccard — the small-scale baseline and the
+    // verify stage of the LSH path.
+    QueryDef("llm_dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5),
+      Some(JaccardOracle)),
+
+    // MinHash+LSH: same final pairs as the exact jaccard (the corpus'
+    // similarity gap makes 16x4 bands lossless here), so the exact oracle
+    // doubles as the LSH recall check.
+    QueryDef("llm_dedup_minhash",
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5),
+      Some(JaccardOracle)),
+
+    // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.
+    // Hamming-over-simhash is a genuinely different similarity measure than
+    // jaccard (measured on this corpus: true near-dup pairs span hamming
+    // 0-7 while unrelated pairs start at 2), and the signature needs 64-bit
+    // wrapping arithmetic ANSI SQL can't express -> rows-only check here;
+    // recall/precision vs the exact jaccard set is asserted in DedupSpec.
+    QueryDef("llm_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b")),
+      None),
+
+    // embedding near-dup pairs above a cosine threshold (exact).
+    QueryDef("llm_dedup_embedding",
+      (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.4),
+      Some(cosineSql("a.vec_id < b.vec_id") +
+        """ SELECT vec_id AS id_a, neighbor_id AS id_b, cos_sim
+          FROM sims WHERE cos_sim >= 0.4""")),
+
+    // brute-force cosine top-k — the ANN correctness baseline.
+    QueryDef("llm_ann_topk",
+      (s, dir) => Similarity.bruteKnn(t(s, dir, "embeddings"), k = 3)
+        .withColumnRenamed("rank", "knn_rank"),
+      Some(cosineSql("a.vec_id <> b.vec_id") +
+        """ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
+          SELECT vec_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id)
+              AS knn_rank
+          FROM sims) r WHERE knn_rank <= 3""")),
+
+    // LSH-bucketed ANN — approximate by construction; recall vs the brute
+    // baseline is asserted in SimilaritySpec, not hash-matched.
+    QueryDef("llm_ann_lsh",
+      (s, dir) => Similarity.lshKnn(t(s, dir, "embeddings"), k = 3, bits = 8, probeBits = 1)
+        .withColumnRenamed("rank", "knn_rank"),
+      None),
+
+    // text statistics: counts, ratios, and the rolling-hash fingerprint.
+    QueryDef("llm_text_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.lexTokenCount(col("text")).as("n_lex_tokens"),
+          round(length(col("text")).cast("double") /
+            TextFunctions.tokenCount(col("text")).cast("double"), 6).as("chars_per_token"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint")),
+      Some(s"""SELECT doc_id, length(text) AS n_chars,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '${TextFunctions.LexTokenPattern}')) AS INT) AS n_lex_tokens,
+        round(CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6) AS chars_per_token,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        FROM documents""")),
+
+    // heuristic language ID: CJK ratio then stopword votes, tie-broken
+    // en > de > fr > es. The oracle replicates the heuristic verbatim.
+    QueryDef("llm_langid",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n")),
+      Some {
+        def hits(words: Seq[String]): String =
+          words.map(w =>
+            s"len(regexp_extract_all(' ' || lower(text) || ' ', '(^|[^a-z])$w($$|[^a-z])'))")
+            .mkString(" + ")
+        s"""WITH scored AS (SELECT doc_id, length(text) AS n_chars,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+          ${hits(TextFunctions.StopwordsEn)} AS s_en,
+          ${hits(TextFunctions.StopwordsDe)} AS s_de,
+          ${hits(TextFunctions.StopwordsFr)} AS s_fr,
+          ${hits(TextFunctions.StopwordsEs)} AS s_es
+          FROM documents),
+        pred AS (SELECT doc_id,
+          CASE WHEN n_chars > 0 AND cjk * 4 >= n_chars THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+          FROM scored)
+        SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred"""
+      }),
+
+    // composite quality score; oracle replicates the exact arithmetic
+    // (same operation order => identical doubles).
+    QueryDef("llm_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+      Some {
+        val stopHits = TextFunctions.StopwordsEn.map(w =>
+          s"len(regexp_extract_all(' ' || lower(text) || ' ', '(^|[^a-z])$w($$|[^a-z])'))")
+          .mkString(" + ")
+        """WITH m AS (SELECT doc_id,
+          CAST(length(text) AS DOUBLE) AS n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+          CAST(""" + stopHits + """ AS DOUBLE) AS stop
+          FROM documents)
+        SELECT doc_id, round(
+          least(n_chars / 200.0, 1.0) * 0.25
+          + (CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha / n_chars END) * 0.25
+          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / n_chars END) * 10.0, 1.0)) * 0.2
+          + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 3.0
+                AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 10.0
+              THEN 1.0 ELSE 0.5 END) * 0.15
+          + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
+          6) AS quality
+        FROM m"""
+      })
+  )
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Compressor, Routing, Throttler, Transforms}
+
+/** Flow-actor capability surface (SURVEY §2.1-2.4): every reference
+  * operator rendered as a relational query over the driver tables so the
+  * DuckDB oracle can check it. The streaming renderings of the same
+  * operators live in graft.streaming.
+  */
+object QueriesOps {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents as flow events: body = text bytes, meta = {lang, source}. */
+  private def docEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("body"),
+      map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // x/encoder_base64.go + x/decoder_base64.go round trip over the event
+    // model: encode body, decode it back, emit the b64 form and the
+    // recovered length. Narrow ops only — no shuffle.
+    QueryDef("op_base64_roundtrip",
+      (s, dir) => {
+        val enc = Transforms.encodeBase64(docEvents(s, dir))
+        val dec = Transforms.decodeBase64(enc)
+        dec.select(col("doc_id"),
+          col("status"),
+          length(col("body").cast("string")).as("decoded_len"))
+      },
+      Some("""SELECT doc_id, 'DONE' AS status, length(text) AS decoded_len FROM documents""")),
+
+    // decoder rejection path: feed it garbage that is not valid base64 —
+    // rows must surface status INVALID with null body (dead-letter), the
+    // Spark rendering of "message rejected" (x/decoder_base64.go:58-76).
+    QueryDef("op_base64_reject",
+      (s, dir) => {
+        val bad = docEvents(s, dir)
+          .withColumn("body",
+            concat(lit("!!!not-base64@@@ "), col("body").cast("string")).cast("binary"))
+        Transforms.decodeBase64(bad)
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'INVALID' AS status, COUNT(*) AS n FROM documents""")),
+
+    // x/meta_parser.go:72-88: parse "k=v&k2=v2 <payload>" prefix into meta.
+    // Round-trip oracle: parsing concat(type=..&uid=.. props) must recover
+    // the original columns exactly.
+    QueryDef("op_meta_parser",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          concat(lit("type="), col("event_type"), lit("&uid="), col("user_id"),
+            lit(" "), col("props")).cast("binary").as("body"),
+          map().cast("map<string,string>").as("meta"))
+        Transforms.parseMeta(ev)
+          .select(col("event_id"),
+            col("meta").getItem("type").as("m_type"),
+            col("meta").getItem("uid").as("m_uid"),
+            col("body").cast("string").as("body_str"))
+      },
+      Some("""SELECT event_id, event_type AS m_type, CAST(user_id AS VARCHAR) AS m_uid,
+        props AS body_str FROM events""")),
+
+    // core.router (router.go:67-76): route on meta key; unknown -> the
+    // UNROUTABLE dead-letter branch. Routes stay disjoint and complete.
+    QueryDef("op_router",
+      (s, dir) => {
+        val routes = Seq("click", "view", "purchase")
+        val ev = t(s, dir, "events")
+        Routing.annotateRoutes(ev, routes, col("event_type"))
+          .groupBy(coalesce(col("route"), lit("__unroutable__")).as("route"), col("status"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT CASE WHEN event_type IN ('click','view','purchase') THEN event_type
+          ELSE '__unroutable__' END AS route,
+        CASE WHEN event_type IN ('click','view','purchase') THEN 'DONE'
+          ELSE 'UNROUTABLE' END AS status,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2""")),
+
+    // core.mux (mux.go:18-58): many-to-one fan-in = unionByName; arrival
+    // order carries no meaning (tests compare unordered, SURVEY §2.6.4).
+    QueryDef("op_mux",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.filter(col("event_type") === "click").withColumn("src", lit("clicks"))
+        val b = ev.filter(col("event_type") === "error").withColumn("src", lit("errors"))
+        Routing.mux(Seq(a, b)).select(col("src"), col("event_id"), col("user_id"))
+      },
+      Some("""SELECT 'clicks' AS src, event_id, user_id FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'errors' AS src, event_id, user_id FROM events WHERE event_type = 'error'""")),
+
+    // core.replicator mode `each` (replicator.go:93-95): copy to all peers.
+    QueryDef("op_replicator_each",
+      (s, dir) => Routing.replicateEach(t(s, dir, "documents").select(col("doc_id")), 3)
+        .select(col("doc_id"), col("copy_id").cast("long").as("copy_id")),
+      Some("""SELECT doc_id, copy_id FROM documents, range(3) t(copy_id)""")),
+
+    // core.replicator mode `fanout` (replicator.go:72-83): round-robin.
+    // The operator rotates per-partition (order-free, scale-safe); for the
+    // oracle we pin a single sorted partition so the rotation is the
+    // classic deterministic row_number % k.
+    QueryDef("op_replicator_fanout",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+        Routing.replicateFanout(docs, 3)
+          .select(col("doc_id"), col("copy_id").cast("long").as("copy_id"))
+      },
+      Some("""SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1) % 3 AS copy_id
+        FROM documents""")),
+
+    // core.replicator mode `ncopy` — jump-consistent-hash replica
+    // placement (the mode the reference declares but panics on,
+    // replicator.go:89-91; intent at README.md:215-218). Not ANSI-SQL
+    // expressible (iterative hash) -> rows-only check here; the exact
+    // placement properties are asserted in ReplicatorSpec.
+    QueryDef("op_replicator_ncopy",
+      (s, dir) => Routing.replicateNcopy(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), 2, 8)
+        .select(col("doc_id"), col("copy_id")),
+      None),
+
+    // core.throttler (throttler.go:31-148) batch rendering: per-key
+    // per-day admission quota; over-quota rows marked THROTTLED.
+    QueryDef("op_throttler",
+      (s, dir) => Throttler.throttleByWindow(
+        t(s, dir, "events"), col("user_id"), col("ts"), "1 day", 5,
+        Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("status")),
+      Some("""SELECT event_id, user_id,
+        CASE WHEN row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+            ORDER BY ts, event_id) <= 5
+          THEN 'DONE' ELSE 'THROTTLED' END AS status
+        FROM events""")),
+
+    // core.compressor (compressor.go:92-171): every codec must round-trip
+    // the body; n_match < n_docs means a codec corrupted data. Oracle
+    // asserts the lossless property (compressed form is impl-specific and
+    // deliberately not part of the contract).
+    QueryDef("op_compressor_roundtrip",
+      (s, dir) => {
+        val docs = docEvents(s, dir)
+        val perCodec = Compressor.Codecs.map { codec =>
+          val c = Compressor.compress(docs, codec)
+          val d = Compressor.decompress(c, codec)
+          d.select(lit(codec).as("codec"),
+            col("body").cast("string").as("roundtrip"), col("doc_id"))
+        }
+        val docsText = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        perCodec.reduce(_ unionByName _)
+          .join(docsText, "doc_id")
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("roundtrip") === col("text"), 1L).otherwise(0L)).as("n_match"),
+            sum(length(col("text")).cast("long")).as("total_chars"))
+      },
+      Some("""SELECT codec, COUNT(*) AS n_docs, COUNT(*) AS n_match,
+        SUM(length(text)) AS total_chars
+        FROM (VALUES ('gzip'),('flate'),('zlib'),('zstd'),('snappy'),('lz4')) c(codec),
+          documents
+        GROUP BY codec"""))
+  )
+}

@@ -1,0 +1,527 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.{dsum, DSum}
+
+/** Relational / analytical capability surface (SURVEY §2.5): scans,
+  * joins of every type, aggregation, grouping sets, windows, sort/limit,
+  * set ops, scalar function families, and windowed time aggregation.
+  *
+  * Scale notes are per query in comments: joins broadcast the dimension
+  * side; aggregations rely on partial (map-side) aggregation; every filter
+  * and projection is expressed declaratively so Catalyst pushes it into
+  * the parquet scan.
+  */
+object QueriesRelational {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation ----------------------------------------------------
+    QueryDef("q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+              .as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q02_minmax_by_brand",
+      (s, dir) => t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"),
+          min(col("p_size")).as("min_size"),
+          max(col("p_size")).as("max_size"),
+          count(lit(1)).as("n_parts")),
+      Some("""SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        min(p_size) AS min_size, max(p_size) AS max_size, COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand""")),
+
+    // ---- joins ----------------------------------------------------------
+    // Dims (customer) broadcast; fact-fact join (orders-lineitem) shuffles
+    // on the shared key once.
+    QueryDef("q03_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    QueryDef("q04_semi_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val bigLi = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        o.join(bigLi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""")),
+
+    // Five-way star join: region/nation/supplier broadcast, orders-lineitem
+    // co-shuffle on orderkey; classic TPC-H Q5 shape.
+    QueryDef("q05_local_supplier_volume",
+      (s, dir) => {
+        val r = t(s, dir, "region")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val li = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name""")),
+
+    QueryDef("q06_revenue_forecast",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    QueryDef("q07_left_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    QueryDef("q08_right_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        val su = t(s, dir, "supplier")
+        li.join(su, col("l_suppkey") === col("s_suppkey"), "right")
+          .groupBy(col("s_suppkey"))
+          .agg(count(col("l_orderkey")).as("n_items"),
+            coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_qty"))
+      },
+      Some("""SELECT s_suppkey, COUNT(l_orderkey) AS n_items,
+        COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_qty
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 30) li
+        RIGHT JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey""")),
+
+    QueryDef("q09_full_outer_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey2"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("nationkey") === col("nationkey2"), "full")
+          .select(coalesce(col("nationkey"), col("nationkey2")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+      },
+      Some("""SELECT COALESCE(c.nationkey, s.nationkey2) AS nationkey, n_cust, n_supp
+        FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN (SELECT s_nationkey AS nationkey2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.nationkey = s.nationkey2""")),
+
+    QueryDef("q10_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")),
+
+    // Equi + range predicate: sort-merge join on user_id with the time
+    // band applied as a join residual — no cross product at any scale.
+    QueryDef("q11_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val e1 = e.filter(col("event_id") % 7 === 0)
+          .select(col("event_id").as("anchor_id"), col("user_id").as("u1"), col("ts").as("ts1"))
+        e1.join(e,
+            col("u1") === col("user_id") && col("ts") > col("ts1") &&
+              col("ts") <= col("ts1") + expr("INTERVAL 6 HOURS"))
+          .groupBy(col("anchor_id"))
+          .agg(count(lit(1)).as("n_following"))
+      },
+      Some("""SELECT e1.event_id AS anchor_id, COUNT(*) AS n_following
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 6 HOUR
+        WHERE e1.event_id % 7 = 0
+        GROUP BY e1.event_id""")),
+
+    QueryDef("q12_count_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum_distinct(col("value").cast("decimal(18,2)")).cast("double").as("sum_distinct_value")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        CAST(SUM(DISTINCT CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_value
+        FROM events GROUP BY event_type""")),
+
+    // ---- grouping sets / rollup / cube ----------------------------------
+    QueryDef("q13_rollup",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      },
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""")),
+
+    QueryDef("q14_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    QueryDef("q15_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
+    // ---- window functions ----------------------------------------------
+    QueryDef("q16_window_rank",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val bucket = floor(col("c_acctbal") / 1000)
+        val wDet = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wTies = Window.partitionBy(col("c_nationkey")).orderBy(bucket.desc)
+        c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            row_number().over(wDet).as("rn"),
+            rank().over(wTies).as("rnk"),
+            dense_rank().over(wTies).as("drnk"))
+          .filter(col("rn") <= 10)
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, drnk FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000) DESC) AS rnk,
+          dense_rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000) DESC) AS drnk
+        FROM customer) x WHERE rn <= 10""")),
+
+    QueryDef("q17_window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            (col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0))).as("delta"))
+      },
+      Some("""SELECT event_id, user_id, value,
+        lag(value, 1) OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        value - COALESCE(lag(value, 1) OVER w, 0.0) AS delta
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    QueryDef("q18_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"),
+            count(lit(1)).over(w).as("running_n"))
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+        COUNT(*) OVER w AS running_n
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    QueryDef("q19_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, rn FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x WHERE rn <= 3""")),
+
+    // ---- sort / limit ---------------------------------------------------
+    QueryDef("q20_sort_limit",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")),
+
+    // ---- set operations -------------------------------------------------
+    QueryDef("q21_set_ops",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val both = cn.intersect(sn).withColumn("op", lit("intersect"))
+        val onlyC = cn.distinct().except(sn).withColumn("op", lit("except"))
+        val uni = cn.union(sn).distinct().withColumn("op", lit("union"))
+        both.unionByName(onlyC).unionByName(uni).select(col("op"), col("nationkey"))
+      },
+      Some("""SELECT 'intersect' AS op, nationkey FROM
+          (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) b
+        UNION ALL
+        SELECT 'union' AS op, nationkey FROM
+          (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier) c""")),
+
+    // ---- scalar function families --------------------------------------
+    QueryDef("q22_scalar_string",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          split_part(col("p_brand"), lit("#"), lit(2)).as("brand_num"),
+          reverse(col("p_type")).as("rev_type"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          instr(col("p_name"), "a").as("first_a")),
+      Some("""SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        substring(p_name, 1, 5) AS prefix5, length(p_name) AS name_len,
+        concat_ws('-', p_brand, p_type) AS brand_type,
+        split_part(p_brand, '#', 2) AS brand_num,
+        reverse(p_type) AS rev_type,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        instr(p_name, 'a') AS first_a
+        FROM part""")),
+
+    QueryDef("q23_scalar_date",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end")),
+      Some("""SELECT o_orderkey,
+        CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+        CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+        date_trunc('month', o_orderdate) AS month_start,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        o_orderdate + INTERVAL 90 DAY AS due_date,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        FROM orders""")),
+
+    QueryDef("q24_scalar_math",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") / 7, 2).as("div_round"),
+          abs(col("l_discount") - 0.05).as("abs_diff"),
+          ceil(col("l_quantity") / 3).as("ceil_q"),
+          floor(col("l_quantity") / 3).as("floor_q"),
+          sqrt(col("l_quantity")).as("sqrt_q"),
+          (col("l_quantity") * col("l_quantity")).as("q_sq"),
+          pmod(col("l_orderkey"), lit(7)).as("mod7"),
+          signum(col("l_discount") - 0.05).as("sign_d"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice / 7, 2) AS div_round,
+        abs(l_discount - 0.05) AS abs_diff,
+        CAST(ceil(l_quantity / 3) AS BIGINT) AS ceil_q,
+        CAST(floor(l_quantity / 3) AS BIGINT) AS floor_q,
+        sqrt(l_quantity) AS sqrt_q,
+        l_quantity * l_quantity AS q_sq,
+        l_orderkey % 7 AS mod7,
+        CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+        greatest(l_discount, l_tax) AS max_rate,
+        least(l_discount, l_tax) AS min_rate
+        FROM lineitem WHERE l_orderkey % 100 = 0""")),
+
+    QueryDef("q25_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("k_val")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, COUNT(*) AS n
+        FROM events GROUP BY 1""")),
+
+    QueryDef("q26_array_ops",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct"),
+            array_contains(toks, "data").as("has_data"),
+            element_at(sort_array(toks), 1).as("first_sorted"),
+            concat_ws(" ", slice(toks, 1, 3)).as("first3"))
+      },
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        list_contains(string_split(text, ' '), 'data') AS has_data,
+        list_sort(string_split(text, ' '))[1] AS first_sorted,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
+        FROM documents""")),
+
+    QueryDef("q27_case_coalesce",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("bal_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"))
+        .groupBy(col("bal_class"), col("seg")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+          WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_class,
+        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2""")),
+
+    // approximate — excluded from hash oracle by design (SURVEY §5.3);
+    // the driver records a rows-only check.
+    QueryDef("q28_approx_count_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n")),
+      None),
+
+    // ---- time-windowed aggregation (batch form of the streaming ops) ----
+    QueryDef("q29_tumbling_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    QueryDef("q30_sliding_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"), col("n"), col("sum_value")),
+      Some("""WITH starts AS (
+          SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, value FROM events
+          UNION ALL
+          SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300 AS window_start, value FROM events)
+        SELECT window_start, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM starts GROUP BY 1""")),
+
+    QueryDef("q31_session_window",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+          col("n_events"), col("sum_value")),
+      Some("""WITH x AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        SELECT user_id, epoch_us(min(ts)) AS session_start, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM y GROUP BY user_id, sid"""))
+  )
+}

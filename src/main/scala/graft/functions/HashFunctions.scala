@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hashing utilities: jump consistent hash (replica placement), MinHash,
+  * SimHash, and random-hyperplane LSH.
+  *
+  * Jump hash implements the Lamping–Veach algorithm ("A Fast, Minimal
+  * Memory, Consistent Hash Algorithm", arXiv:1406.2294) which the reference
+  * exposes at pkg/util/hash/jump_hash.go:6-17 for its (unimplemented)
+  * `ncopy` replicator mode.
+  *
+  * MinHash / SimHash / hyperplane signatures are single-pass Scala UDFs
+  * over already-tokenized arrays: one traversal computes the whole
+  * signature. (The pure-Column alternative needs k independent `aggregate`
+  * folds, which re-traverses the array k times and blows past the JIT/
+  * codegen method-size limits for k=64 — measured slower. A custom Catalyst
+  * Expression with doGenCode is the future optimization if these become a
+  * bench bottleneck.) Signatures use an internal splitmix64 mixer, so they
+  * are deterministic across executors/runs with zero broadcast state.
+  */
+object HashFunctions {
+
+  /** splitmix64 finalizer — fast, well-mixed 64-bit hash step. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic 64-bit hash of a string with a salt. */
+  def hashString(s: String, salt: Long): Long = {
+    var h = mix64(salt)
+    var i = 0
+    while (i < s.length) {
+      h = mix64(h ^ s.charAt(i).toLong)
+      i += 1
+    }
+    h
+  }
+
+  /** Pure-JVM jump consistent hash: maps key to a bucket in [0, n). */
+  def jumpHash(key: Long, numBuckets: Int): Int = {
+    require(numBuckets > 0)
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < numBuckets) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      // (b+1) * (2^31 / (highest 31 bits of k + 1))
+      j = ((b + 1) * (0x80000000L.toDouble / ((k >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
+
+  /** `n` distinct replica buckets for a key over `numBuckets` slots:
+    * successive salted jump hashes, de-duplicated — deterministic placement
+    * for the replicator's `ncopy` mode. */
+  def replicaBuckets(key: Long, n: Int, numBuckets: Int): Seq[Int] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var salt = 0L
+    val want = math.min(n, numBuckets)
+    while (out.size < want) {
+      out += jumpHash(mix64(key ^ mix64(salt)), numBuckets)
+      salt += 1
+    }
+    out.toSeq
+  }
+
+  /** Column form of jumpHash (key: long column). */
+  def jumpHashCol(key: Column, numBuckets: Int): Column =
+    udf((k: Long) => jumpHash(k, numBuckets)).apply(key)
+
+  def replicaBucketsCol(key: Column, n: Int, numBuckets: Int): Column =
+    udf((k: Long) => replicaBuckets(k, n, numBuckets)).apply(key)
+
+  /** MinHash signature: k permutation minima computed in ONE pass over the
+    * shingle array. Returns array<long> of length k. */
+  def minhashSig(k: Int, seed: Long = 7L): Column => Column = {
+    val f = udf { (shingles: Seq[String]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val base = hashString(s, seed)
+        var i = 0
+        while (i < k) {
+          val h = mix64(base ^ mix64(i.toLong))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+    (c: Column) => f(c)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each contiguous band
+    * of `rowsPerBand` signature entries → array<long> of numBands keys. */
+  def bandKeys(numBands: Int, rowsPerBand: Int): Column => Column = {
+    val f = udf { (sig: Seq[Long]) =>
+      (0 until numBands).map { b =>
+        var h = mix64(b.toLong + 0x5151L)
+        var i = b * rowsPerBand
+        val end = math.min(i + rowsPerBand, sig.length)
+        while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+        h
+      }
+    }
+    (c: Column) => f(c)
+  }
+
+  /** 64-bit SimHash over a token array (token multiplicity = weight),
+    * single pass. */
+  def simhashUdf(seed: Long = 11L): Column => Column = {
+    val f = udf { (tokens: Seq[String]) =>
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = hashString(t, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    (c: Column) => f(c)
+  }
+
+  /** Random-hyperplane signature of an embedding: `bits` sign bits packed
+    * into a long; hyperplane components are deterministic +-1 from
+    * splitmix64(seed, bit, dim). Single pass per row. */
+  def hyperplaneSig(bits: Int, seed: Long = 42L): Column => Column = {
+    require(bits >= 1 && bits <= 64)
+    val f = udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var proj = 0.0
+        var j = 0
+        while (j < vec.length) {
+          val sign = if ((mix64(seed ^ mix64(b.toLong * 131071L + j)) & 1L) == 0L) 1.0 else -1.0
+          proj += vec(j) * sign
+          j += 1
+        }
+        if (proj >= 0.0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    (c: Column) => f(c)
+  }
+
+  /** Hamming distance between two long signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID heuristics, quality scoring,
+  * token counting, and document fingerprinting.
+  *
+  * All pure `Column` expressions (codegen'd) — no UDFs in the hot path, so
+  * these scale linearly with executor count and stay inside
+  * WholeStageCodegen spans.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish lexical token count: words / numbers / single punctuation.
+    * Pattern kept RE2-compatible so external engines can reproduce it. */
+  val LexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LexTokenPattern), lit(0)))
+
+  /** Distinct word n-gram shingles as array<string>; docs shorter than n
+    * words yield the whole token sequence joined (single shingle). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val ngrams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(ngrams)
+  }
+
+  /** Polynomial rolling hash fingerprint: fold over unicode code points of
+    * the string, h = (h*31 + cp) mod 1e9+7. Deterministic, order-sensitive,
+    * reproducible in ANSI SQL via a reduce over the char array. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, cp) => pmod(h * 31L + cp, lit(1000000007L)))
+
+  /** Count of occurrences of a literal word with word-ish boundaries. */
+  private def wordHits(text: Column, words: Seq[String]): Column = {
+    val lowered = concat(lit(" "), lower(text), lit(" "))
+    words.map { w =>
+      // non-overlapping occurrences of " w " style tokens
+      val pat = "(^|[^a-z])" + w + "($|[^a-z])"
+      regexp_count(lowered, lit(pat))
+    }.reduce(_ + _)
+  }
+
+  // Tiny embedded stopword lists per language for the heuristic language ID.
+  val StopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "nicht")
+  val StopwordsFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+  val StopwordsEs = Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "para", "que")
+
+  /** Heuristic language ID: CJK codepoint ratio first, then stopword votes.
+    * Returns one of en/de/fr/es/zh/unknown. */
+  def langId(text: Column): Column = {
+    val nChars = length(text)
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val en = wordHits(text, StopwordsEn)
+    val de = wordHits(text, StopwordsDe)
+    val fr = wordHits(text, StopwordsFr)
+    val es = wordHits(text, StopwordsEs)
+    val top = greatest(en, de, fr, es)
+    when(nChars > 0 && cjk * 4 >= nChars, lit("zh"))
+      .when(top === 0, lit("unknown"))
+      .when(en === top, lit("en"))   // deterministic tie-break order
+      .when(de === top, lit("de"))
+      .when(fr === top, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, alpha ratio,
+    * punctuation ratio, mean word length band, and stopword presence.
+    * Deterministic closed-form arithmetic (reproducible in SQL). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val alpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double")
+    val stop = wordHits(text, StopwordsEn).cast("double")
+    val lengthScore = least(nChars / 200.0, lit(1.0))
+    val alphaRatio = when(nChars === 0, 0.0).otherwise(alpha / nChars)
+    val punctRatio = when(nChars === 0, 0.0).otherwise(punct / nChars)
+    val punctScore = lit(1.0) - least(punctRatio * 10.0, lit(1.0))
+    val meanWordLen = when(nTok === 0, 0.0).otherwise(nChars / nTok)
+    val wordLenScore = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0).otherwise(0.5)
+    val stopScore = least(when(nTok === 0, 0.0).otherwise(stop / nTok) * 4.0, lit(1.0))
+    round(
+      lengthScore * 0.25 + alphaRatio * 0.25 + punctScore * 0.2 +
+        wordLenScore * 0.15 + stopScore * 0.15,
+      6)
+  }
+}
