@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, VectorFunctions}
+import graft.functions.{CosineSimFloat, HashFunctions}
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -29,7 +29,7 @@ object Similarity {
     a.crossJoin(broadcast(b))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
-        round(VectorFunctions.cosine(col("embedding"), col("emb_b")), 6))
+        round(CosineSimFloat(col("embedding"), col("emb_b")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
@@ -41,7 +41,7 @@ object Similarity {
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos_sim", round(CosineSimFloat(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
@@ -70,7 +70,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("neighbor_id"), col("emb_b"))
       .distinct()
       .withColumn("cos_sim",
-        round(VectorFunctions.cosine(col("embedding"), col("emb_b")), 6))
+        round(CosineSimFloat(col("embedding"), col("emb_b")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
