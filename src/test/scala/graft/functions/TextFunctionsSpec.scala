@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokenCount handles empty, single and multi-token strings") {
+    val cases = Seq("" -> 0, "one" -> 1, "a b c" -> 3, "  padded   out  " -> 2)
+    cases.foreach { case (s, want) =>
+      val got = one(s).select(TextFunctions.tokenCount($"text")).as[Int].head()
+      assert(got == want, s"'$s' -> $got, want $want")
+    }
+  }
+
+  test("lexTokenCount splits words, numbers and punctuation") {
+    val got = one("ab12 cd, x!").select(TextFunctions.lexTokenCount($"text")).as[Int].head()
+    // ab, 12, cd, ',', x, '!'
+    assert(got == 6)
+  }
+
+  test("wordShingles produces distinct n-grams; short docs yield one shingle") {
+    val got = one("a b c d").select(TextFunctions.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextFunctions.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+    val repeated = one("x y x y x y x y").select(TextFunctions.wordShingles($"text", 2))
+      .as[Seq[String]].head()
+    assert(repeated.toSet == Set("x y", "y x"))
+  }
+
+  test("fingerprint is deterministic, order-sensitive, and matches a reference fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => Math.floorMod(h * 31 + c.toLong, 1000000007L))
+    Seq("", "a", "ab", "ba", "the quick brown fox").foreach { s =>
+      val got = one(s).select(TextFunctions.fingerprint($"text")).as[Long].head()
+      assert(got == ref(s), s"'$s'")
+    }
+    assert(ref("ab") != ref("ba"))
+  }
+
+  test("langId picks the language with most stopword hits, zh by CJK ratio") {
+    val cases = Seq(
+      "the cat and the dog is in the house" -> "en",
+      "der hund und die katze ist nicht hier" -> "de",
+      "le chat est dans la maison pour le moment" -> "fr",
+      "el gato es una mascota en la casa" -> "es",
+      "qqq zzz www" -> "unknown")
+    cases.foreach { case (s, want) =>
+      val got = one(s).select(TextFunctions.langId($"text")).as[String].head()
+      assert(got == want, s"'$s' -> $got")
+    }
+  }
+
+  test("qualityScore is in [0,1] and ranks clean text above junk") {
+    val clean = "The quick brown fox jumps over the lazy dog and runs to the forest with great speed today."
+    val junk = "!!!! ???? ,,,, ;;;; x !!!! ???? ,,,, x ;;;;"
+    val scores = Seq(clean, junk).map(s =>
+      one(s).select(TextFunctions.qualityScore($"text")).as[Double].head())
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0))
+    assert(scores.head > scores(1))
+  }
+}
