@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Compressor, FlowEventModel, Routing, Throttler, Transforms}
+import graft.streaming.Streams
+
+/** Compiles a PipelineConfig into DataFrame dataflow and runs it — the
+  * Spark rendering of the reference's pipeline assembly
+  * (pkg/corev1alpha1/pipeline/pipeline.go:21-50: buildActors via module
+  * factory dispatch, buildTopology wiring `connect` edges; factories at
+  * pipeline/actor_factory.go:13-22).
+  *
+  * Semantic mapping:
+  *  - fan-in (many upstreams) = unionByName (core.mux is implicit at any
+  *    multi-upstream node, as in the reference where any actor can take
+  *    multiple inbound connects);
+  *  - fan-out (many downstreams) = the same upstream DF feeding every
+  *    branch (LinkTo/replicate-to-all semantics, README.md:177-181);
+  *    core.router restricts each downstream branch to its route
+  *    (RouteTo/at-most-one semantics) with an implicit dead-letter;
+  *  - sinks write parquet/console/memory; in streaming mode each sink
+  *    branch becomes one foreachBatch query over the shared source.
+  *
+  * The per-node DataFrame is memoized so a diamond topology evaluates
+  * each upstream once per action (and Catalyst reuses the scan across
+  * branches of the same query).
+  */
+class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
+
+  /** Build the DataFrame flowing OUT of `name` toward `forDownstream`
+    * (router branches differ per downstream; everything else is
+    * downstream-agnostic). */
+  private val memo = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
+  private def inputOf(name: String): DataFrame = {
+    val ups = cfg.upstream(name)
+    require(ups.nonEmpty, s"$name has no upstream")
+    Routing.mux(ups.map(u => outputOf(u, name)))
+  }
+
+  def outputOf(name: String, forDownstream: String = ""): DataFrame = {
+    val a = cfg.actors(name)
+    // router and replicator emit a DIFFERENT branch per downstream; all
+    // other actors are downstream-agnostic and share one memo entry
+    val routeSensitive = a.module == "core.router" || a.module == "core.replicator"
+    val key = (name, if (routeSensitive) forDownstream else "")
+    memo.getOrElseUpdate(key, build(a, forDownstream))
+  }
+
+  private def p(a: ActorDef, k: String): Option[String] =
+    a.params.get(k).map(_.toString)
+
+  private def build(a: ActorDef, forDownstream: String): DataFrame = a.module match {
+    case "core.receiver" =>
+      val path = p(a, "path").getOrElse(sys.error(s"${a.name}: receiver needs path"))
+      val format = p(a, "format").getOrElse("parquet")
+      spark.read.format(format).load(path)
+
+    case "core.mux" => inputOf(a.name) // fan-in is implicit; node is a no-op marker
+
+    case "core.router" =>
+      // route rows whose `key` column equals the downstream actor's
+      // declared route; unroutable rows only flow to the dead_letter
+      // downstream if declared (router.go:67-76)
+      val keyCol = col(p(a, "key").getOrElse("route"))
+      val routes = a.params.get("routes") match {
+        case Some(l: java.util.List[_]) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map(_.toString).toSeq
+        case _ => cfg.downstream(a.name).filterNot(_ == p(a, "dead_letter").getOrElse(""))
+      }
+      val annotated = Routing.annotateRoutes(inputOf(a.name), routes, keyCol)
+      if (p(a, "dead_letter").contains(forDownstream))
+        annotated.filter(col("route").isNull)
+      else annotated.filter(col("route") === forDownstream)
+
+    case "core.replicator" =>
+      val k = cfg.downstream(a.name).size.max(1)
+      p(a, "mode").getOrElse("each") match {
+        case "each" => inputOf(a.name) // every downstream sees the full DF
+        case "fanout" =>
+          val idx = cfg.downstream(a.name).sorted.indexOf(forDownstream).max(0)
+          Routing.replicateFanout(inputOf(a.name), k).filter(col("copy_id") === idx)
+        case "rand" =>
+          val idx = cfg.downstream(a.name).sorted.indexOf(forDownstream).max(0)
+          Routing.replicateRand(inputOf(a.name), k).filter(col("copy_id") === idx)
+        case other => sys.error(s"${a.name}: unknown replicator mode $other")
+      }
+
+    case "core.throttler" =>
+      val quota = p(a, "quota").map(_.toInt).getOrElse(1000)
+      val win = p(a, "window").getOrElse("1 minute")
+      val keyCol = col(p(a, "key").getOrElse(sys.error(s"${a.name}: throttler needs key")))
+      val tsCol = col(p(a, "ts").getOrElse("ts"))
+      val order = Seq(tsCol)
+      Throttler.throttleByWindow(inputOf(a.name), keyCol, tsCol, win, quota, order)
+        .filter(col("status") =!= FlowEventModel.StatusThrottled)
+
+    case "core.compressor" =>
+      Compressor.compress(inputOf(a.name), p(a, "codec").getOrElse("gzip"),
+        p(a, "level").map(_.toInt).getOrElse(6), p(a, "column").getOrElse("body"))
+
+    case "core.decompressor" =>
+      Compressor.decompress(inputOf(a.name), p(a, "codec").getOrElse("gzip"),
+        p(a, "column").getOrElse("body"))
+
+    case "core.encoder_base64" =>
+      Transforms.encodeBase64(inputOf(a.name), p(a, "column").getOrElse("body"))
+
+    case "core.decoder_base64" =>
+      Transforms.decodeBase64(inputOf(a.name), p(a, "column").getOrElse("body"))
+
+    case "core.meta_parser" =>
+      Transforms.parseMeta(inputOf(a.name), p(a, "column").getOrElse("body"),
+        p(a, "meta").getOrElse("meta"))
+
+    case "core.sink" => inputOf(a.name) // materialization handled by run()
+
+    case other => sys.error(s"${a.name}: unknown module $other")
+  }
+
+  /** Batch run: writes every sink; returns sink name -> row count. */
+  def runBatch(): Map[String, Long] =
+    cfg.sinks.map { s =>
+      val a = cfg.actors(s)
+      require(a.module == "core.sink", s"terminal actor $s must be core.sink")
+      val df = outputOf(s)
+      p(a, "format").getOrElse("memory") match {
+        case "parquet" | "json" | "csv" =>
+          val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
+          df.write.mode(p(a, "mode").getOrElse("overwrite"))
+            .format(p(a, "format").get).save(path)
+          s -> spark.read.format(p(a, "format").get).load(path).count()
+        case "console" =>
+          df.show(p(a, "rows").map(_.toInt).getOrElse(20), truncate = false)
+          s -> df.count()
+        case "memory" =>
+          df.createOrReplaceTempView(s)
+          s -> df.count()
+        case "noop" =>
+          df.write.format("noop").mode("overwrite").save()
+          s -> df.count()
+        case other => sys.error(s"$s: unknown sink format $other")
+      }
+    }.toMap
+
+  /** Streaming run: the receiver becomes a file-drop stream; each sink
+    * branch runs as one foreachBatch query with Trigger.AvailableNow
+    * (start/stop discipline per SURVEY §2.6.5 is inherent: queries are
+    * started per sink and awaited before returns). */
+  def runStreamingOnce(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType])
+      : Map[String, Long] = {
+    val streamCompiler = new PipelineCompiler(spark, cfg) {
+      override def outputOf(name: String, forDownstream: String): DataFrame = {
+        val a = cfg.actors(name)
+        if (a.module == "core.receiver") {
+          val path = a.params("path").toString
+          Streams.fileSource(spark, path, receiverSchemas(name),
+            a.params.getOrElse("format", "parquet").toString)
+        } else super.outputOf(name, forDownstream)
+      }
+    }
+    cfg.sinks.map { s =>
+      val df = streamCompiler.outputOf(s)
+      var n = 0L
+      Streams.runForeachBatch(df, (batch, _) => n += batch.count())
+      s -> n
+    }.toMap
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Exact GCRA ("generic cell rate algorithm") rate limiter as a Spark
+  * keyed-state operator — the streaming rendering of core.throttler
+  * (reference: pkg/corev1alpha1/actor/throttler.go:126-148, the
+  * "theoretical arrival time" CAS loop; params at :32-38: cost =
+  * 1e9/rps ns per message, burst = 1s - cost).
+  *
+  * State per key: the TAT (theoretical arrival time, ns). On arrival at
+  * event time t: admit iff TAT - t <= burst, then TAT = max(TAT, t) + cost;
+  * over-limit events are emitted with admitted=false and do NOT advance TAT
+  * (the reference completes them Throttled without queueing).
+  *
+  * Ordering: Spark gives no within-batch order, so each micro-batch's
+  * events per key are processed in (eventTimeNs, id) order — deterministic
+  * given deterministic batching. Cross-batch order follows watermark
+  * discipline, as in any event-time streaming operator.
+  *
+  * Scale: state is 8 bytes per active key, partitioned by key hash —
+  * the same shuffle the downstream keyed sink needs anyway. No skew issue:
+  * a hot key is a single 8-byte register updated sequentially, which is
+  * semantically unavoidable for per-key rate limiting.
+  */
+object GcraThrottler {
+
+  case class Event(key: String, eventTimeNs: Long, id: Long)
+  case class Result(key: String, eventTimeNs: Long, id: Long, admitted: Boolean)
+
+  def throttle(events: Dataset[Event], rps: Double,
+               timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[Result] = {
+    val costNs = (1e9 / rps).toLong
+    val burstNs = math.max(0L, 1000000000L - costNs) // throttler.go:37-38
+    implicit val resEnc = Encoders.product[Result]
+    implicit val keyEnc = Encoders.STRING
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (key: String, it: Iterator[Event], state: GroupState[Long]) =>
+          var tat = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.eventTimeNs, e.id)).map { e =>
+            val t = e.eventTimeNs
+            val admitted = tat == Long.MinValue || tat - t <= burstNs
+            if (admitted) tat = math.max(tat, t) + costNs
+            Result(key, t, e.id, admitted)
+          }
+          state.update(tat)
+          out.iterator
+      }
+  }
+}

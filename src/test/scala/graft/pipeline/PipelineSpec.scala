@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvents(dir: String): Unit =
+    Seq(
+      (1L, "click", "payload-1"), (2L, "view", "payload-2"), (3L, "click", "payload-3"),
+      (4L, "bogus", "payload-4"), (5L, "purchase", "payload-5"))
+      .toDF("id", "kind", "body")
+      .write.mode("overwrite").parquet(dir)
+
+  test("parse validates structure, rejects cycles and unknown actors") {
+    val cyclic =
+      """actors:
+        |  a: {module: core.mux}
+        |  b: {module: core.mux}
+        |pipeline:
+        |  a: {connect: [b]}
+        |  b: {connect: [a]}
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(cyclic))
+    assert(e.getMessage.contains("cycle") || e.getMessage.contains("receiver"))
+
+    val unknown =
+      """actors:
+        |  a: {module: core.mux}
+        |pipeline:
+        |  a: {connect: [ghost]}
+        |""".stripMargin
+    assert(intercept[IllegalArgumentException](PipelineConfig.parse(unknown))
+      .getMessage.contains("ghost"))
+  }
+
+  test("toposort puts receivers before sinks; DOT render includes all nodes") {
+    val yaml =
+      """actors:
+        |  src:  {module: core.receiver, params: {path: /tmp/x}}
+        |  enc:  {module: core.encoder_base64}
+        |  out:  {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    assert(PipelineConfig.toposort(cfg) == Seq("src", "enc", "out"))
+    assert(cfg.receivers == Seq("src") && cfg.sinks == Seq("out"))
+    val dot = PipelineConfig.toDot(cfg)
+    Seq("src", "enc", "out", "->").foreach(s => assert(dot.contains(s)))
+  }
+
+  test("end-to-end batch: receiver -> router -> per-route sinks with dead letter") {
+    val in = Files.createTempDirectory("graft-pipe-in-").toString
+    writeEvents(in)
+    // route names equal downstream actor names (router.go Connect wiring)
+    val yaml2 =
+      s"""actors:
+        |  src:      {module: core.receiver, params: {path: "$in"}}
+        |  route:    {module: core.router, params: {key: kind, dead_letter: dlq}}
+        |  click:    {module: core.sink, params: {format: memory}}
+        |  view:     {module: core.sink, params: {format: memory}}
+        |  dlq:      {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src:   {connect: [route]}
+        |  route: {connect: [click, view, dlq]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml2)
+    val counts = new PipelineCompiler(spark, cfg).runBatch()
+    assert(counts == Map("click" -> 2L, "view" -> 1L, "dlq" -> 2L))
+    // memory sinks registered as views; dead letter carries UNROUTABLE
+    assert(spark.table("dlq").select($"kind").as[String].collect().toSet ==
+      Set("bogus", "purchase"))
+  }
+
+  test("end-to-end batch: transform chain compresses and encodes bodies losslessly") {
+    val in = Files.createTempDirectory("graft-pipe-in2-").toString
+    val out = Files.createTempDirectory("graft-pipe-out-").toString + "/result"
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  gz:   {module: core.compressor, params: {codec: zstd, column: body}}
+        |  gunz: {module: core.decompressor, params: {codec: zstd, column: body}}
+        |  b64:  {module: core.encoder_base64, params: {column: body}}
+        |  deb:  {module: core.decoder_base64, params: {column: body}}
+        |  out:  {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  src:  {connect: [gz]}
+        |  gz:   {connect: [gunz]}
+        |  gunz: {connect: [b64]}
+        |  b64:  {connect: [deb]}
+        |  deb:  {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    val counts = new PipelineCompiler(spark, cfg).runBatch()
+    assert(counts("out") == 5L)
+    val bodies = spark.read.parquet(out)
+      .select($"body".cast("string")).as[String].collect().toSet
+    assert(bodies == (1 to 5).map(i => s"payload-$i").toSet)
+  }
+
+  test("end-to-end streaming: same pipeline over a file stream drains all rows") {
+    val in = Files.createTempDirectory("graft-pipe-sin-").toString
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  enc: {module: core.encoder_base64, params: {column: body}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    val schema = spark.read.parquet(in).schema
+    val counts = new PipelineCompiler(spark, cfg)
+      .runStreamingOnce(Map("src" -> schema))
+    assert(counts("out") == 5L)
+  }
+
+  test("replicator fanout pipeline splits rows across sinks without loss") {
+    val in = Files.createTempDirectory("graft-pipe-fan-").toString
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  rep:  {module: core.replicator, params: {mode: fanout}}
+        |  s1:   {module: core.sink, params: {format: memory}}
+        |  s2:   {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [rep]}
+        |  rep: {connect: [s1, s2]}
+        |""".stripMargin
+    val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    assert(counts.values.sum == 5L, s"fanout must not duplicate or drop: $counts")
+  }
+}

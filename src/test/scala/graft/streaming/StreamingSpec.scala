@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsOf(s: String) = Timestamp.valueOf(s)
+
+  test("gcra throttler admits at the configured rate and marks overflow") {
+    // rps=1 -> cost 1s, burst 0s(-ish): a 5-burst at t=0..0.1s admits ~1+burst
+    val base = 1700000000000000000L // ns
+    val events = (0L until 10L).map { i =>
+      // two keys; key "a" bursts 5 events in 100ms then 5 spaced 2s apart
+      val t = if (i < 5) base + i * 20000000L else base + (i - 4) * 2000000000L
+      GcraThrottler.Event("a", t, i)
+    } ++ (0L until 3L).map(i => GcraThrottler.Event("b", base + i * 2000000000L, 100 + i))
+    val out = GcraThrottler.throttle(events.toDS(), rps = 1.0)
+      .collect().map(r => r.id -> r.admitted).toMap
+    // key a: first event admitted; burst window ~1s allows the 4 close
+    // followers to be throttled or admitted per TAT; spaced events pass
+    assert(out(0L))
+    assert(!out(1L) && !out(2L) && !out(3L) && !out(4L), s"burst must throttle: $out")
+    assert(out(5L) && out(6L) && out(7L) && out(8L) && out(9L))
+    // key b independent: all spaced 2s at rps 1 -> all admitted
+    assert(out(100L) && out(101L) && out(102L))
+  }
+
+  test("gcra throttler in a streaming query maintains TAT across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GcraThrottler.Event]
+    val base = 1700000000000000000L
+    val q = GcraThrottler.throttle(mem.toDS(), rps = 1.0)
+      .writeStream.format("memory").queryName("gcra_out")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    // batch 1: one admitted event at t=0
+    mem.addData(GcraThrottler.Event("k", base, 1))
+    q.processAllAvailable()
+    // batch 2: an event 100ms later must be throttled by state from batch 1
+    mem.addData(GcraThrottler.Event("k", base + 100000000L, 2))
+    q.processAllAvailable()
+    // batch 3: an event 5s later passes
+    mem.addData(GcraThrottler.Event("k", base + 5000000000L, 3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("gcra_out").as[GcraThrottler.Result]
+      .collect().map(r => r.id -> r.admitted).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("windowed streaming aggregation equals the batch aggregation") {
+    val dir = Files.createTempDirectory("graft-stream-in-").toString
+    val rows = Seq(
+      ("u1", tsOf("2024-01-01 00:01:00"), 1.0), ("u1", tsOf("2024-01-01 00:02:00"), 2.0),
+      ("u2", tsOf("2024-01-01 00:06:00"), 3.0), ("u1", tsOf("2024-01-01 00:07:30"), 4.0),
+      ("u2", tsOf("2024-01-01 00:11:00"), 5.0))
+    val batchDf = rows.toDF("user", "ts", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.fileSource(spark, dir, batchDf.schema)
+    val agg = Streams.windowedCounts(stream, col("ts"), "10 minutes", "5 minutes",
+      keys = Seq(col("user")),
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("sum_v")))
+      .select($"window.start".as("ws"), $"user", $"n", $"sum_v")
+    // complete mode: the tiny fixture never advances the watermark past
+    // any window end, so append mode would (correctly) emit nothing
+    val got = Streams.runToMemory(spark, agg, "win_out", outputMode = "complete")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+
+    val want = batchDf.groupBy(window($"ts", "5 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
+      .select($"window.start".as("ws"), $"user", $"n", $"sum_v")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("dropDuplicatesWithinWatermark removes event-time dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val dedup = Streams.dedupWithinWatermark(
+      mem.toDF().toDF("id", "ts"), col("ts"), "10 minutes", Seq("id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    mem.addData((1L, tsOf("2024-01-01 00:00:00")), (2L, tsOf("2024-01-01 00:00:30")))
+    q.processAllAvailable()
+    mem.addData((1L, tsOf("2024-01-01 00:01:00"))) // dup within watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select($"id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("reliable sink retries transient failures then succeeds") {
+    var attempts = 0
+    var dead = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fn = ReliableSink.withRetry(
+      (df, _) => { attempts += 1; if (attempts < 3) throw new RuntimeException("flaky") },
+      (_, _, _) => dead += 1,
+      ReliableSink.RetryPolicy(maxAttempts = 16, minBackoffMs = 50, maxBackoffMs = 5000),
+      sleep = sleeps.append(_))
+    fn(spark.range(1).toDF(), 0L)
+    assert(attempts == 3 && dead == 0)
+    assert(sleeps.toSeq == Seq(50L, 100L)) // exponential from 50ms
+  }
+
+  test("reliable sink dead-letters after exhausting attempts (buffer.go:12 = 16)") {
+    var attempts = 0
+    var dead = 0
+    val fn = ReliableSink.withRetry(
+      (_, _) => { attempts += 1; throw new RuntimeException("always down") },
+      (_, _, e) => { dead += 1; assert(e.getMessage == "always down") },
+      ReliableSink.RetryPolicy(maxAttempts = 16, minBackoffMs = 1, maxBackoffMs = 2),
+      sleep = _ => ())
+    fn(spark.range(1).toDF(), 0L)
+    assert(attempts == 16 && dead == 1)
+  }
+}
