@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextFunctions
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Multimodal, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -152,6 +152,76 @@ object QueriesLlm {
           FROM scored)
         SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred"""
       }),
+
+    // ---- multimodal (binary media columns; decode stage stubbed but
+    // deterministic, so the full pipeline stays oracle-checkable) -------
+    QueryDef("mm_image_meta",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(col("media_type") === "image")
+          .withColumn("image_meta", Multimodal.decodeImageMeta(col("bytes")))
+        media.select(col("media_id"),
+          col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"),
+          col("image_meta.channels").as("channels"),
+          length(col("bytes")).as("n_bytes"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        16 + (length(text) * 31 + unicode(substring(text, 1, 1))) % 240 AS width,
+        16 + (length(text) * 17 + unicode(substring(text, length(text), 1))) % 240 AS height,
+        1 + length(text) % 3 AS channels,
+        length(text) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0""")),
+
+    QueryDef("mm_resize",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(col("media_type") === "image")
+          .withColumn("image_meta", Multimodal.decodeImageMeta(col("bytes")))
+        Multimodal.resizeImages(media, maxSide = 128)
+          .select(col("media_id"), col("resized_width"), col("resized_height"),
+            length(col("resized_bytes")).as("payload_len"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+          16 + (length(text) * 31 + unicode(substring(text, 1, 1))) % 240 AS w,
+          16 + (length(text) * 17 + unicode(substring(text, length(text), 1))) % 240 AS h,
+          length(text) AS n
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT media_id,
+          CAST(floor(w * least(1.0, CAST(128 AS DOUBLE) / greatest(w, h))) AS INT) AS resized_width,
+          CAST(floor(h * least(1.0, CAST(128 AS DOUBLE) / greatest(w, h))) AS INT) AS resized_height,
+          least(n, 64) AS payload_len
+        FROM m""")),
+
+    QueryDef("mm_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(col("media_type") === "video")
+        Multimodal.sampleFrames(media, n = 4)
+          .select(col("media_id"), col("frame_idx"), col("frame_len"))
+      },
+      Some("""SELECT doc_id AS media_id, frame_idx,
+        greatest(length(text) // 4, 1) AS frame_len
+        FROM documents, (SELECT unnest(range(4)) AS frame_idx) f
+        WHERE doc_id % 3 = 2""")),
+
+    QueryDef("mm_audio_stats",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(col("media_type") === "audio")
+          .withColumn("audio_meta", Multimodal.decodeAudioMeta(col("bytes")))
+        media.select(col("media_id"),
+          round(col("audio_meta.duration_sec"), 6).as("duration_sec"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          round(col("audio_meta.mean_level"), 6).as("mean_level"))
+      },
+      Some("""SELECT doc_id AS media_id,
+        round(CAST(length(text) AS DOUBLE) / 16000.0, 6) AS duration_sec,
+        16000 AS sample_rate,
+        round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+          (a, b) -> a + b) AS DOUBLE) / length(text), 6) AS mean_level
+        FROM documents WHERE doc_id % 3 = 1""")),
 
     // composite quality score; oracle replicates the exact arithmetic
     // (same operation order => identical doubles).

@@ -507,6 +507,41 @@ object QueriesRelational {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM starts GROUP BY 1""")),
 
+    QueryDef("q32_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("median_value"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value")),
+      Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS median_value,
+        round(quantile_cont(value, 0.9), 6) AS p90_value,
+        min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY event_type""")),
+
+    // variance/stddev computed from decimal-exact power sums: engine
+    // built-ins use order-dependent streaming formulas (Welford) that
+    // aren't cross-engine reproducible on doubles; the closed form over
+    // exact sums is.
+    QueryDef("q33_variance",
+      (s, dir) => {
+        val v = col("value").cast("decimal(18,2)")
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(v).cast("double").as("s1"),
+            sum(v * v).cast("double").as("s2"))
+          .select(col("user_id"), col("n"),
+            round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+              .as("var_value"))
+      },
+      Some("""WITH sums AS (SELECT user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY user_id)
+        SELECT user_id, n, round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value
+        FROM sums""")),
+
     QueryDef("q31_session_window",
       (s, dir) => t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
