@@ -71,3 +71,57 @@ object CosineSimFloat {
     GraftBridge.column(
       CosineSimFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
+
+/** Plain dot product over two `array<float>` columns (codegen'd,
+  * sequential double accumulation). Pair it with precomputed L2 norms:
+  * on an N x M scoring join the norms are O(N+M) instead of O(N*M),
+  * cutting the per-pair flops ~3x vs the fused CosineSimFloat while
+  * producing bit-identical cosine values (sqrt of the same sequential
+  * sum-of-squares). */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        float[] $x = $a.toFloatArray();
+        float[] $y = $b.toFloatArray();
+        int $n = java.lang.Math.min($x.length, $y.length);
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $x[$i] * (double) $y[$i];
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductFloat {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** L2 norm as sqrt of the self dot product — bitwise equal to the norm
+    * the fused cosine computes. */
+  def norm2(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(apply(a, a))
+}

@@ -96,6 +96,55 @@ object HashFunctions {
     (c: Column) => f(c)
   }
 
+  /** Distinct hashed word n-gram shingles straight from a token array:
+    * each token is hashed once, then an n-window rolling combine yields
+    * the shingle identity — no shingle strings are ever materialized.
+    * (The Column-expression shingle path allocates slice+concat per
+    * shingle in interpreted HOFs; measured as the LSH dedup bottleneck.)
+    * Shorter-than-n docs hash their full token sequence (parity with
+    * TextFunctions.wordShingles). */
+  def shingleHashes(n: Int, seed: Long = 7L): Column => Column = {
+    val f = udf { (tokens: Seq[String]) =>
+      val th = tokens.map(t => hashString(t, seed)).toArray
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      if (th.length < n) {
+        var h = mix64(seed + 0x5eedL)
+        th.foreach(t => h = mix64(h ^ t))
+        out += h
+      } else {
+        var i = 0
+        while (i + n <= th.length) {
+          var h = mix64(seed + 0x5eedL)
+          var j = i
+          while (j < i + n) { h = mix64(h ^ th(j)); j += 1 }
+          out += h
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+    (c: Column) => f(c)
+  }
+
+  /** MinHash signature over PRE-HASHED shingles (array<long>, e.g. from
+    * xxhash64): k permutation minima in one pass, no string hashing. */
+  def minhashSigLongs(k: Int, seed: Long = 7L): Column => Column = {
+    val f = udf { (shingles: Seq[Long]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val base = mix64(s ^ mix64(seed))
+        var i = 0
+        while (i < k) {
+          val h = mix64(base ^ mix64(i.toLong))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+    (c: Column) => f(c)
+  }
+
   /** LSH band keys from a minhash signature: hash of each contiguous band
     * of `rowsPerBand` signature entries → array<long> of numBands keys. */
   def bandKeys(numBands: Int, rowsPerBand: Int): Column => Column = {

@@ -62,15 +62,23 @@ object Dedup {
     * numBands * rowsPerBand = signature length. With the default 16x4 the
     * probability a pair at jaccard j becomes a candidate is
     * 1-(1-j^4)^16 (~0.99998 at j=0.7, ~0.04 at j=0.2).
+    *
+    * Shingles are 64-bit-hashed up front (codegen'd xxhash64) so every
+    * later stage — signature, band keys, exact verify — works on long
+    * arrays instead of strings: one narrow pass per doc, one band-key
+    * shuffle for candidates, one broadcast join for the verify. Collision
+    * risk at 64 bits is ~(total shingles)^2 / 2^64, negligible against
+    * the LSH's own false-negative rate.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
                       numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = numBands * rowsPerBand
-    val withShingles = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
-    val sigs = withShingles
-      .withColumn("sig", HashFunctions.minhashSig(k)(col("shingles")))
+    val hashed = df.select(col(idCol).as("id"),
+        HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"))
+      .cache()
+    val sigs = hashed
+      .withColumn("sig", HashFunctions.minhashSigLongs(k)(col("sh")))
       .select(col("id"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
       .select(col("id"), col("pos").as("band_idx"), col("col").as("band_key"))
     // candidates: same band index + band key; dedup pairs across bands
@@ -79,13 +87,14 @@ object Dedup {
           col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verify on the candidate set only
-    val idx = shingleIndex(df, textCol, idCol, shingleN)
-    val counts = idx.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val setsA = idx.groupBy(col("id")).agg(collect_set(col("shingle")).as("sh"))
-    cands
-      .join(setsA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(setsA.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // exact verify on the candidate set only, over the hashed shingle
+    // sets; the candidate side is the small one -> broadcast it, keeping
+    // the corpus-side scan partition-parallel at any corpus size
+    val withA = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(cands), "id_a")
+    val verify = hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "id_b")
+    verify
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
