@@ -507,6 +507,29 @@ object QueriesRelational {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM starts GROUP BY 1""")),
 
+    QueryDef("q34_from_json",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_val"),
+          get_json_object(col("props"), "$.k").isNotNull.as("has_k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        json_extract_string(props, '$.k') IS NOT NULL AS has_k FROM events""")),
+
+    // str_to_map round trip: format a k/v string from columns, parse it
+    // back — parse(format(x)) = x is the oracle property.
+    QueryDef("q35_str_to_map",
+      (s, dir) => {
+        val m = str_to_map(
+          concat(lit("brand="), col("p_brand"), lit("&size="), col("p_size")),
+          lit("&"), lit("="))
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            m.getItem("brand").as("brand"), m.getItem("size").as("size"))
+      },
+      Some("""SELECT p_partkey, p_brand AS brand, CAST(p_size AS VARCHAR) AS size
+        FROM part""")),
+
     QueryDef("q32_percentiles",
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"))
