@@ -153,6 +153,49 @@ object QueriesLlm {
         SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred"""
       }),
 
+    // normalized dedup: case/punct/whitespace-insensitive content hash —
+    // catches formatting-only duplicates exact dedup misses.
+    QueryDef("llm_dedup_normalized",
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val docs = t(s, dir, "documents").select(col("doc_id"), norm.as("text"))
+        val shouting = docs.select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text"))
+        // re-normalize the mutated copies inside the op under test
+        Dedup.exact(
+          docs.unionByName(shouting).select(col("doc_id"),
+            trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+              " +", " ")).as("text")),
+          "text", "doc_id")
+      },
+      Some("""WITH n AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g')) AS t
+        FROM documents)
+        SELECT md5(t) AS content_hash, min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, t FROM n UNION ALL SELECT doc_id + 100000, t FROM n) u
+        GROUP BY md5(t)""")),
+
+    // stopword-removal text cleaning — a standard pre-tokenization pass.
+    QueryDef("llm_text_clean",
+      (s, dir) => {
+        val stops = array(TextFunctions.StopwordsEn.map(lit): _*)
+        val toks = split(lower(col("text")), " ")
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", filter(toks, t => !array_contains(stops, t))).as("cleaned"),
+          size(filter(toks, t => array_contains(stops, t))).as("n_removed"))
+      },
+      Some {
+        val stopList = TextFunctions.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+          array_to_string(list_filter(string_split(lower(text), ' '),
+            t -> NOT list_contains($stopList, t)), ' ') AS cleaned,
+          len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains($stopList, t))) AS n_removed
+          FROM documents"""
+      }),
+
     // ---- multimodal (binary media columns; decode stage stubbed but
     // deterministic, so the full pipeline stays oracle-checkable) -------
     QueryDef("mm_image_meta",

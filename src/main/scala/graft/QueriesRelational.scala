@@ -565,6 +565,59 @@ object QueriesRelational {
         SELECT user_id, n, round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value
         FROM sums""")),
 
+    QueryDef("q36_array_hof",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents").select(col("doc_id"),
+          size(filter(toks, t => length(t) > 5)).as("n_long"),
+          exists(toks, t => length(t) < 3).as("has_short"),
+          concat_ws(" ", transform(slice(toks, 1, 3), t => upper(t))).as("first3_upper"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("total_chars"))
+      },
+      Some("""SELECT doc_id,
+        len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS n_long,
+        len(list_filter(string_split(text, ' '), t -> length(t) < 3)) > 0 AS has_short,
+        array_to_string(list_transform(string_split(text, ' ')[1:3], t -> upper(t)), ' ')
+          AS first3_upper,
+        list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+          t -> CAST(length(t) AS INT))), (a, b) -> a + b) AS total_chars
+        FROM documents""")),
+
+    // the same tumbling aggregation as q29, but executed through
+    // Structured Streaming (file source -> watermark -> windowed agg ->
+    // memory sink, Trigger.AvailableNow) — the batch/stream duality
+    // SURVEY §1.2 commits to, inside the correctness gate itself.
+    QueryDef("stream_tumbling_window",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val raw = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // the file streaming source monitors a DIRECTORY; expose the single
+        // table file through a temp dir symlink (the usual layout is a
+        // drop-zone directory of part files)
+        val dropZone = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+        java.nio.file.Files.createSymbolicLink(
+          dropZone.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val src = graft.streaming.Streams
+          .fileSource(s, dropZone.toString, raw)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = src.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("w.start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+        graft.streaming.Streams.runToMemory(s, agg,
+          s"stream_tumbling_${System.nanoTime()}", outputMode = "complete")
+      },
+      Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
     QueryDef("q31_session_window",
       (s, dir) => t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
