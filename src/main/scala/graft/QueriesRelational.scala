@@ -333,6 +333,21 @@ object QueriesRelational {
           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) x WHERE rn <= 3""")),
 
+    // same result as q19 but through the custom TopKPerKey operator
+    // (LogicalPlan + Strategy + two-phase exec with map-side capping) —
+    // proving the custom-operator stack against the same oracle as the
+    // declarative window form.
+    QueryDef("q37_topk_operator",
+      (s, dir) => graft.plans.TopKPerKey(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        keys = Seq(col("o_orderstatus")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3, rankName = "rn"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, rn FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x WHERE rn <= 3""")),
+
     // ---- sort / limit ---------------------------------------------------
     QueryDef("q20_sort_limit",
       (s, dir) => t(s, dir, "lineitem")

@@ -10,4 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column -> Catalyst Expression conversion (the plain
+    * `expression` wraps lazily in a ColumnNodeExpression, which neither
+    * pattern-matches concrete expression types nor serializes). */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session. */
+  def addStrategy(spark: SparkSession,
+                  strategy: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }
