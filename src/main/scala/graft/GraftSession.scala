@@ -26,6 +26,8 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // strategy + window-top-k rewrite + SQL function surface
+    graft.plans.GraftExtensions.install(spark)
     spark
   }
 }

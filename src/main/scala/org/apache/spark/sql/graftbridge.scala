@@ -31,4 +31,12 @@ object GraftBridge {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Idempotently add an extra optimizer rule to the session. */
+  def addOptimization(spark: SparkSession,
+                      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }
