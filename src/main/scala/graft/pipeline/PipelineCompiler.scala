@@ -58,6 +58,17 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       val format = p(a, "format").getOrElse("parquet")
       spark.read.format(format).load(path)
 
+    // network-receiver analog: the in-process push channel. Batch mode
+    // snapshots what has been pushed so far; the streaming runner
+    // overrides this with the DSv2 stream.
+    case "core.push_receiver" =>
+      val channel = p(a, "channel").getOrElse("default")
+      val msgs = graft.sources.PushReceiver.snapshot(channel)
+        .map(m => graft.operators.FlowEvent(m.body, m.meta,
+          new java.sql.Timestamp(m.tsMicros / 1000L)))
+      import spark.implicits._
+      msgs.toDF("body", "meta", "ingest_ts")
+
     case "core.mux" => inputOf(a.name) // fan-in is implicit; node is a no-op marker
 
     case "core.router" =>
@@ -129,8 +140,20 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
           val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
-          df.write.mode(p(a, "mode").getOrElse("overwrite"))
-            .format(p(a, "format").get).save(path)
+          val w = df.write.mode(p(a, "mode").getOrElse("overwrite"))
+            .format(p(a, "format").get)
+          // demux-to-directories: the batch rendering of content routing
+          // (SURVEY §2.3 maps router's partitioned delivery to
+          // df.write.partitionBy)
+          val partitioned = a.params.get("partition_by") match {
+            case Some(l: java.util.List[_]) =>
+              w.partitionBy(
+                scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+                  .map(_.toString).toSeq: _*)
+            case Some(c) => w.partitionBy(c.toString)
+            case None => w
+          }
+          partitioned.save(path)
           s -> spark.read.format(p(a, "format").get).load(path).count()
         case "console" =>
           df.show(p(a, "rows").map(_.toInt).getOrElse(20), truncate = false)
@@ -154,11 +177,19 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
     val streamCompiler = new PipelineCompiler(spark, cfg) {
       override def outputOf(name: String, forDownstream: String): DataFrame = {
         val a = cfg.actors(name)
-        if (a.module == "core.receiver") {
-          val path = a.params("path").toString
-          Streams.fileSource(spark, path, receiverSchemas(name),
-            a.params.getOrElse("format", "parquet").toString)
-        } else super.outputOf(name, forDownstream)
+        a.module match {
+          case "core.receiver" =>
+            Streams.fileSource(spark, a.params("path").toString, receiverSchemas(name),
+              a.params.getOrElse("format", "parquet").toString)
+          case "core.push_receiver" =>
+            val reader = spark.readStream
+              .format(classOf[graft.sources.PushReceiverProvider].getName)
+              .option("channel", a.params.getOrElse("channel", "default").toString)
+            a.params.get("maxMsgsPerTrigger")
+              .foreach(m => reader.option("maxMsgsPerTrigger", m.toString))
+            reader.load()
+          case _ => super.outputOf(name, forDownstream)
+        }
       }
     }
     cfg.sinks.map { s =>

@@ -53,6 +53,9 @@ object PushReceiver {
 
   def size(channel: String): Long = { val b = buf(channel); b.synchronized(b.size.toLong) }
 
+  /** Snapshot of everything pushed so far (batch-mode consumption). */
+  def snapshot(channel: String): Seq[Msg] = slice(channel, 0L, size(channel))
+
   private[sources] def slice(channel: String, from: Long, until: Long): Seq[Msg] = {
     val b = buf(channel)
     b.synchronized(b.slice(from.toInt, until.toInt).toVector)

@@ -122,6 +122,42 @@ class PipelineSpec extends SparkSpec {
     assert(counts("out") == 5L)
   }
 
+  test("partitioned parquet sink demuxes rows into per-key directories") {
+    val in = Files.createTempDirectory("graft-pipe-part-in-").toString
+    val out = Files.createTempDirectory("graft-pipe-part-out-").toString + "/demux"
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out", partition_by: [kind]}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    assert(counts("out") == 5L)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("kind=click", "kind=view", "kind=bogus", "kind=purchase"))
+  }
+
+  test("push-receiver pipeline streams pushed messages through transforms to a sink") {
+    val ch = "pipe-push"
+    graft.sources.PushReceiver.clear(ch)
+    Seq("alpha", "beta").foreach(s =>
+      graft.sources.PushReceiver.push(ch, s.getBytes("UTF-8")))
+    val yaml =
+      s"""actors:
+        |  src: {module: core.push_receiver, params: {channel: "$ch"}}
+        |  enc: {module: core.encoder_base64, params: {column: body}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    val counts = new PipelineCompiler(spark, cfg).runStreamingOnce(Map.empty)
+    assert(counts("out") == 2L)
+  }
+
   test("replicator fanout pipeline splits rows across sinks without loss") {
     val in = Files.createTempDirectory("graft-pipe-fan-").toString
     writeEvents(in)
