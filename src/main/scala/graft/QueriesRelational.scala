@@ -333,6 +333,46 @@ object QueriesRelational {
           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) x WHERE rn <= 3""")),
 
+    // as-of join: every event matched to the user's most recent error at
+    // or before it — oracle is DuckDB's native ASOF LEFT JOIN; ours is the
+    // union + carry-forward composition (one shuffle on the key).
+    QueryDef("q38_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+        graft.operators.AsofJoin.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          errors.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          payload = Map("event_id" -> "last_error_id", "value" -> "last_error_value"),
+          rightOrder = "event_id")
+          .select(col("event_id"), col("user_id"),
+            col("last_error_id"), col("last_error_value"))
+      },
+      Some("""SELECT l.event_id, l.user_id, r.event_id AS last_error_id,
+        r.value AS last_error_value
+        FROM events l ASOF LEFT JOIN
+          (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
+    QueryDef("q39_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val pivoted = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        pivoted.select(col("user_id") +:
+          types.map(ty => coalesce(col(ty), lit(0L)).as(s"n_$ty")): _*)
+      },
+      Some("""SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS n_click,
+        COUNT(*) FILTER (event_type = 'view') AS n_view,
+        COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        COUNT(*) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY user_id""")),
+
     // same result as q19 but through the custom TopKPerKey operator
     // (LogicalPlan + Strategy + two-phase exec with map-side capping) —
     // proving the custom-operator stack against the same oracle as the
