@@ -196,6 +196,39 @@ object QueriesLlm {
           FROM documents"""
       }),
 
+    // corpus term statistics: top-5 terms per source via the custom
+    // TopKPerKey operator (map-side capping; an LLM-ops consumer of the
+    // §2.5 custom-operator stack).
+    QueryDef("llm_top_terms",
+      (s, dir) => {
+        val termCounts = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n"))
+        graft.plans.TopKPerKey(termCounts,
+          keys = Seq(col("source")),
+          order = Seq(col("n").desc, col("term").asc),
+          k = 5, rankName = "rnk")
+      },
+      Some("""SELECT source, term, n, rnk FROM (
+        SELECT source, term, n,
+          row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk
+        FROM (SELECT source, term, COUNT(*) AS n
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) x
+          GROUP BY source, term) c) r
+        WHERE rnk <= 5""")),
+
+    // PII-style redaction pass: mask number runs and long tokens — the
+    // shape of a scrubbing stage (regex families identical cross-engine).
+    QueryDef("llm_redact",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_masked")),
+      Some("""SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_masked
+        FROM documents""")),
+
     // ---- multimodal (binary media columns; decode stage stubbed but
     // deterministic, so the full pipeline stays oracle-checkable) -------
     QueryDef("mm_image_meta",

@@ -47,6 +47,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // precision exact by verify-stage; recall from the gap
   }
 
+  test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20000).toDF("id")
+      .withColumn("v", pmod(col("id") * 2654435761L, lit(7919L)))
+    val exact = df.select(countDistinct(col("v"))).head().getLong(0)
+    // rsd=0.01 => HLL++ with ~1% relative error; assert a 5x margin
+    val approx = df.select(approx_count_distinct(col("v"), 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("simhash finds planted near-dups with high recall and is deterministic") {
     val got = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
