@@ -196,6 +196,35 @@ object QueriesLlm {
           FROM documents"""
       }),
 
+    // dedup decision layer: connected components over the verified
+    // near-dup graph + keep-best; oracle computes the same components
+    // with a recursive transitive-closure CTE.
+    QueryDef("llm_dedup_clusters",
+      (s, dir) => Dedup.resolveClusters(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5),
+      Some("""WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+          FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT ia, ib FROM inter
+          JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+          WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5),
+        edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
+        ranked AS (SELECT d.doc_id, r.cluster_root,
+            row_number() OVER (PARTITION BY r.cluster_root
+              ORDER BY length(d.text) DESC, d.doc_id) AS rn
+          FROM documents d JOIN root r ON d.doc_id = r.doc_id)
+        SELECT doc_id, cluster_root, rn = 1 AS keep FROM ranked""")),
+
     // corpus term statistics: top-5 terms per source via the custom
     // TopKPerKey operator (map-side capping; an LLM-ops consumer of the
     // §2.5 custom-operator stack).

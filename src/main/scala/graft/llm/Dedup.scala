@@ -102,6 +102,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cluster resolution over the near-dup pair graph: connected
+    * components (cluster_root = min doc id in the component) plus
+    * keep-best selection (longest text, ties to the smallest id) — the
+    * step that turns pairwise similarity into an actual dedup decision.
+    *
+    * The component computation runs union-find on the COLLECTED pair
+    * list: candidate pairs are O(#duplicates), orders of magnitude
+    * smaller than the corpus, so the driver-side pass is bounded by dedup
+    * yield, not data size (at extreme pair counts the standard
+    * large-star/small-star map-reduce CC replaces this step; the
+    * surrounding dataflow is unchanged). Cluster assignment rejoins via
+    * broadcast.
+    *
+    * Output: doc_id, cluster_root, keep.
+    */
+  def resolveClusters(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashLshPairs(df, textCol, idCol, shingleN, threshold)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    // union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val roots = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+      .map(id => id -> find(id)).filter { case (id, r) => id != r }
+    val rootDf = roots.toSeq.toDF(idCol, "cluster_root")
+    val withRoot = df.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(broadcast(rootDf), Seq(idCol), "left")
+      .withColumn("cluster_root", coalesce(col("cluster_root"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_root"))
+      .orderBy(col("__len").desc, col(idCol).asc)
+    withRoot
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_root"), col("keep"))
+  }
+
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxDist.
     * Candidate generation: split the 64-bit signature into
     * `maxDist+1` chunks — any pair within maxDist shares at least one exact
