@@ -27,4 +27,16 @@ object Tables {
   /** Register every table as a temp view named after itself (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Persist a table bucketed (and sorted) by join keys: co-locates both
+    * sides of repeated equi-joins so they plan without a shuffle — the
+    * pre-partitioning story for fact-fact joins at warehouse scale.
+    * Buckets land in the session warehouse under `tableName`. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, tableName: String,
+                    buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
 }
