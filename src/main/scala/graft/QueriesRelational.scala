@@ -333,6 +333,37 @@ object QueriesRelational {
           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) x WHERE rn <= 3""")),
 
+    QueryDef("q40_first_last_value",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            first(col("value")).over(w).as("first_value"),
+            last(col("value")).over(w).as("last_value"),
+            nth_value(col("value"), 2).over(w).as("second_value"))
+      },
+      Some("""SELECT event_id, user_id,
+        first_value(value) OVER w AS first_value,
+        last_value(value) OVER w AS last_value,
+        nth_value(value, 2) OVER w AS second_value
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    QueryDef("q41_string_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        val n = t(s, dir, "nation")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("rich_customers"),
+            count(lit(1)).as("n_rich"))
+      },
+      Some("""SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS rich_customers,
+        COUNT(*) AS n_rich
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000 GROUP BY n_name""")),
+
     // as-of join: every event matched to the user's most recent error at
     // or before it — oracle is DuckDB's native ASOF LEFT JOIN; ours is the
     // union + carry-forward composition (one shuffle on the key).

@@ -82,6 +82,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming session windows group gap-separated bursts per key") {
+    val dir = Files.createTempDirectory("graft-sess-in-").toString
+    val rows = Seq(
+      // u1: burst of 3 within 5 min, then a separate event 2h later
+      ("u1", tsOf("2024-01-01 00:00:00"), 1.0), ("u1", tsOf("2024-01-01 00:03:00"), 2.0),
+      ("u1", tsOf("2024-01-01 00:06:00"), 3.0), ("u1", tsOf("2024-01-01 02:00:00"), 4.0),
+      ("u2", tsOf("2024-01-01 01:00:00"), 5.0))
+    val batchDf = rows.toDF("user", "ts", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val agg = Streams.sessionAgg(
+      Streams.fileSource(spark, dir, batchDf.schema),
+      col("ts"), watermark = "10 minutes", gap = "30 minutes",
+      keys = Seq(col("user")),
+      aggs = Seq(count(lit(1)).as("n"), sum($"value").as("sum_v")))
+      .select($"user", $"session_window.start".as("start"), $"n", $"sum_v")
+    val got = Streams.runToMemory(spark, agg, "sess_out", outputMode = "complete")
+      .as[(String, Timestamp, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("u1", tsOf("2024-01-01 00:00:00"), 3L, 6.0),
+      ("u1", tsOf("2024-01-01 02:00:00"), 1L, 4.0),
+      ("u2", tsOf("2024-01-01 01:00:00"), 1L, 5.0)))
+  }
+
   test("dropDuplicatesWithinWatermark removes event-time dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
