@@ -123,6 +123,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches clicks to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "1 hour")
+    val clk = clicks.toDF().toDF("click_ad", "click_ts").withWatermark("click_ts", "1 hour")
+    val joined = imp.join(clk,
+      col("ad_id") === col("click_ad") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    impressions.addData((1L, tsOf("2024-01-01 00:00:00")), (2L, tsOf("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    clicks.addData(
+      (1L, tsOf("2024-01-01 00:05:00")),  // within window -> match
+      (2L, tsOf("2024-01-01 00:30:00")),  // too late -> no match
+      (3L, tsOf("2024-01-01 00:01:00")))  // no impression -> no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").select($"ad_id", $"click_ts")
+      .as[(Long, Timestamp)].collect().toSet
+    assert(got == Set((1L, tsOf("2024-01-01 00:05:00"))))
+  }
+
   test("reliable sink retries transient failures then succeeds") {
     var attempts = 0
     var dead = 0
