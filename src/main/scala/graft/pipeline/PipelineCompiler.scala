@@ -56,7 +56,15 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
     case "core.receiver" =>
       val path = p(a, "path").getOrElse(sys.error(s"${a.name}: receiver needs path"))
       val format = p(a, "format").getOrElse("parquet")
-      spark.read.format(format).load(path)
+      // parquet TIMESTAMP(NANOS) columns have no native Spark type: read
+      // them as longs and truncate to micro timestamps on request
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.format(format).load(path)
+      p(a, "ts_nanos_to_micros").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Array.empty[String])
+        .foldLeft(raw) { (df, c) =>
+          df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        }
 
     // network-receiver analog: the in-process push channel. Batch mode
     // snapshots what has been pushed so far; the streaming runner

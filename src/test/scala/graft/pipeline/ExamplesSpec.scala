@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Runs every shipped example pipeline end-to-end (the reference ships
+  * runnable example configs; so do we, and CI executes them). */
+class ExamplesSpec extends SparkSpec {
+
+  private def run(name: String): Map[String, Long] = {
+    val yaml = Files.readString(Paths.get(s"examples/$name"))
+    val cfg = PipelineConfig.parse(yaml)
+    new PipelineCompiler(spark, cfg).runBatch()
+  }
+
+  test("events_router example partitions all events across routes + dead letter") {
+    val counts = run("events_router.yml")
+    assert(counts.values.sum == spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").count())
+    assert(counts.keySet == Set("click", "view", "purchase", "dlq"))
+    assert(counts("dlq") > 0) // signup + error land in the dead letter
+  }
+
+  test("transform_chain example round-trips documents losslessly") {
+    val counts = run("transform_chain.yml")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(counts("out") == docs.count())
+    val out = spark.read.parquet("/tmp/graft-example-out/transform_chain")
+    import spark.implicits._
+    val want = docs.select($"text".cast("string")).as[String].collect().toSet
+    val got = out.select($"text".cast("string")).as[String].collect().toSet
+    assert(got == want)
+  }
+
+  test("throttled_fanout example admits quota and splits across workers") {
+    val counts = run("throttled_fanout.yml")
+    val total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(counts("w1") + counts("w2") <= total) // throttler dropped overflow
+    assert(counts("w1") + counts("w2") > 0)
+  }
+
+  test("demux_partitioned example writes one directory per event type") {
+    val counts = run("demux_partitioned.yml")
+    assert(counts("out") == spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet").count())
+    val dirs = new java.io.File("/tmp/graft-example-out/demux")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=")))
+  }
+}
