@@ -105,6 +105,13 @@ object QueriesLlm {
         .withColumnRenamed("rank", "knn_rank"),
       None),
 
+    // IVF ANN — k-means coarse quantizer + nprobe cell search; approximate
+    // (recall asserted in SimilaritySpec), rows-only check here.
+    QueryDef("llm_ann_ivf",
+      (s, dir) => Similarity.ivfKnn(t(s, dir, "embeddings"), k = 3, nlist = 16, nprobe = 4)
+        .withColumnRenamed("rank", "knn_rank"),
+      None),
+
     // text statistics: counts, ratios, and the rolling-hash fingerprint.
     QueryDef("llm_text_stats",
       (s, dir) => t(s, dir, "documents")

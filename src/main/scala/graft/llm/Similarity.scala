@@ -125,6 +125,77 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query scores only the
+    * vectors in its `nprobe` nearest cells. The standard ANN scale path
+    * when hyperplane LSH recall is too data-dependent.
+    *
+    * Training runs seeded Lloyd iterations on the driver over a collected
+    * sample (quantizer training is tiny and inherently centralized — at
+    * 100 TB you train on a sample exactly like this); assignment and
+    * search are distributed: assignment is a narrow map, search is a
+    * cell-key join + codegen'd dot products + the TopKPerKey operator.
+    */
+  def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+             iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(sample.nonEmpty)
+    val d = sample.head._2.length
+    // seeded kmeans++ -ish init: spread starts deterministically
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.toVector).take(nlist).map(_._2.map(_.toDouble).toArray)
+    def nearest(v: Seq[Float], cs: Vector[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dist = 0.0; var i = 0
+        while (i < d) { val diff = v(i) - cs(c)(i); dist += diff * diff; i += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](d))
+      val counts = new Array[Long](nlist)
+      sample.foreach { case (_, v) =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Vector.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearest(v, bcCentroids.value))
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val cs = bcCentroids.value
+      cs.indices.map { c =>
+        var dist = 0.0; var i = 0
+        while (i < d) { val diff = v(i) - cs(c)(i); dist += diff * diff; i += 1 }
+        c -> dist
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val assigned = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
+      .withColumn("cell", assignUdf(col("emb_b")))
+    val queries = withNorm(emb, "vec_id", "embedding", "norm_a")
+      .withColumn("cell", explode(probeUdf(col("embedding"))))
+    val scored = queries.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("vec_id")),
+      order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+      k = k, rankName = "rank")
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: score only pairs sharing a hyperplane
     * bucket (plus multi-probe neighbors within `probeBits` bit flips).
     * Returns the same shape as bruteKnn; rows may be missing when no

@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 85, s"recall@1 $hits/100")
   }
 
+  test("ivfKnn achieves high recall@1 vs brute force on clustered data") {
+    val brute = Similarity.bruteKnn(emb, 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfKnn(emb, 1, nlist = 8, nprobe = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (v, n) => ivf.get(v).contains(n) }
+    assert(hits >= 90, s"recall@1 $hits/100")
+  }
+
+  test("ivfKnn is deterministic across runs") {
+    val a = Similarity.ivfKnn(emb, 2, nlist = 8, nprobe = 2)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val b = Similarity.ivfKnn(emb, 2, nlist = 8, nprobe = 2)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(a == b)
+  }
+
   test("nearDupPairs is symmetric-free (id_a < id_b) and thresholded") {
     val out = Similarity.nearDupPairs(emb, 0.9)
     assert(out.filter($"id_a" >= $"id_b").count() == 0)
