@@ -74,6 +74,9 @@ object QueriesRelational {
             .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
+          // timestamp_ntz: parquet writes naive timestamps, matching the
+          // oracle's (tz-less) timestamps byte-for-byte for the comparator
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
       },
       Some("""SELECT o_orderkey, o_orderdate,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -478,10 +481,10 @@ object QueriesRelational {
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
           dayofyear(col("o_orderdate")).as("doy"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
-          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
-          last_day(col("o_orderdate")).cast("timestamp").as("month_end")),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("timestamp_ntz").as("due_date"),
+          last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end")),
       Some("""SELECT o_orderkey,
         CAST(extract(year FROM o_orderdate) AS INT) AS yr,
         CAST(extract(month FROM o_orderdate) AS INT) AS mo,
