@@ -336,6 +336,60 @@ object QueriesRelational {
           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) x WHERE rn <= 3""")),
 
+    // correlated scalar subquery (decimal-exact per-nation average)
+    QueryDef("q42_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT c_custkey, c_nationkey, c_acctbal
+          FROM customer c
+          WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")),
+
+    QueryDef("q43_set_ops_all",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+          .filter(col("k") < 20)
+        val o = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        val ia = li.intersectAll(o).withColumn("op", lit("intersect_all"))
+        val ea = li.exceptAll(o).withColumn("op", lit("except_all"))
+        ia.unionByName(ea).groupBy(col("op"), col("k")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT op, k, COUNT(*) AS n FROM (
+          SELECT 'intersect_all' AS op, k FROM (
+            SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey < 20
+            INTERSECT ALL SELECT s_suppkey FROM supplier) a
+          UNION ALL
+          SELECT 'except_all' AS op, k FROM (
+            SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey < 20
+            EXCEPT ALL SELECT s_suppkey FROM supplier) b) u
+        GROUP BY op, k""")),
+
+    // value-range window frame: trailing 5-minute sum per user (RANGE
+    // frame over event-time, not row counts)
+    QueryDef("q44_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-300, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+              .as("trailing_5min_sum"),
+            count(lit(1)).over(w).as("trailing_5min_n"))
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_5min_sum,
+        COUNT(*) OVER w AS trailing_5min_n
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+          RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)""")),
+
     QueryDef("q40_first_last_value",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
