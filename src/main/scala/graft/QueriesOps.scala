@@ -141,6 +141,25 @@ object QueriesOps {
           THEN 'DONE' ELSE 'THROTTLED' END AS status
         FROM events""")),
 
+    // core.throttler's exact GCRA (streaming state op) in its batch
+    // rendering: one state pass per key over event-time-sorted events.
+    // Iterative TAT state is not ANSI-SQL expressible -> rows-only check;
+    // algorithm properties are asserted in StreamingSpec.
+    QueryDef("op_gcra_throttler",
+      (s, dir) => {
+        import s.implicits._
+        val events = t(s, dir, "events")
+          .select(col("user_id").cast("string").as("key"),
+            (unix_micros(col("ts")) * 1000L).as("eventTimeNs"),
+            col("event_id").as("id"))
+          .as[graft.streaming.GcraThrottler.Event]
+        graft.streaming.GcraThrottler.throttle(events, rps = 0.001)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+      },
+      None),
+
     // core.compressor (compressor.go:92-171): every codec must round-trip
     // the body; n_match < n_docs means a codec corrupted data. Oracle
     // asserts the lossless property (compressed form is impl-specific and
