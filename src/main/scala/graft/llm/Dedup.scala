@@ -74,7 +74,10 @@ object Dedup {
                       shingleN: Int, threshold: Double,
                       numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val k = numBands * rowsPerBand
-    val hashed = df.select(col(idCol).as("id"),
+    // spread single-file inputs across cores before the per-doc hashing
+    val hashed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"))
       .cache()
     val sigs = hashed

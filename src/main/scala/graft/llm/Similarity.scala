@@ -74,7 +74,11 @@ object Similarity {
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
         .doubleValue()
 
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    // single-file parquet inputs arrive as ONE partition: spread the
+    // query side so the kernel scan uses every core
+    emb.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val (ids, flat, norms, d) = bc.value
         val n = ids.length
