@@ -47,8 +47,13 @@ object NetReceivers {
             val out = sock.getOutputStream
             var line = in.readLine()
             while (line != null) {
-              PushReceiver.push(channel, line.getBytes(StandardCharsets.UTF_8))
-              if (!silent) { out.write("OK\r\n".getBytes(StandardCharsets.UTF_8)); out.flush() }
+              val off = PushReceiver.push(channel, line.getBytes(StandardCharsets.UTF_8))
+              if (!silent) {
+                // per-record status reply (receiver_tcp.go:25-43): accepted
+                // -> OK; channel at capacity -> THROTTLED
+                val reply = if (off >= 0) "OK\r\n" else "THROTTLED\r\n"
+                out.write(reply.getBytes(StandardCharsets.UTF_8)); out.flush()
+              }
               line = in.readLine()
             }
             sock.close()

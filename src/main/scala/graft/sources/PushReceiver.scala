@@ -38,17 +38,32 @@ import graft.operators.FlowEventModel
 object PushReceiver {
   final case class Msg(body: Array[Byte], meta: Map[String, String], tsMicros: Long)
 
+  /** Default channel capacity — the reference's buffer bound
+    * (buffer.go:11: 65,536 messages). */
+  val DefaultCapacity: Int = 65536
+
   private val channels = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
+  private val capacities = new ConcurrentHashMap[String, Integer]()
 
   private def buf(channel: String): ArrayBuffer[Msg] =
     channels.computeIfAbsent(channel, _ => ArrayBuffer.empty[Msg])
 
-  /** Push one message; returns its offset in the channel. */
+  /** Bound a channel's buffer; pushes beyond it are rejected (the
+    * backpressure edge: listeners surface it as THROTTLED). */
+  def configure(channel: String, capacity: Int): Unit =
+    capacities.put(channel, capacity)
+
+  /** Push one message; returns its offset in the channel, or -1 if the
+    * channel is at capacity (rejected, reference buffer-full path). */
   def push(channel: String, body: Array[Byte],
            meta: Map[String, String] = Map.empty,
            tsMicros: Long = System.currentTimeMillis() * 1000L): Long = {
     val b = buf(channel)
-    b.synchronized { b += Msg(body, meta, tsMicros); b.size.toLong }
+    val cap = Option(capacities.get(channel)).map(_.intValue).getOrElse(DefaultCapacity)
+    b.synchronized {
+      if (b.size >= cap) -1L
+      else { b += Msg(body, meta, tsMicros); b.size.toLong }
+    }
   }
 
   def size(channel: String): Long = { val b = buf(channel); b.synchronized(b.size.toLong) }

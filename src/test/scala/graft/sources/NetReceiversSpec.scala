@@ -42,6 +42,28 @@ class NetReceiversSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("channel capacity rejects overflow; tcp replies THROTTLED") {
+    val ch = "net-cap"
+    PushReceiver.clear(ch)
+    PushReceiver.configure(ch, 2)
+    try {
+      val h = NetReceivers.startTcp(ch)
+      try {
+        val sock = new Socket(loop, h.port)
+        val out = sock.getOutputStream
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
+        out.write("a\r\nb\r\nc\r\n".getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        assert(in.readLine() == "OK")
+        assert(in.readLine() == "OK")
+        assert(in.readLine() == "THROTTLED") // buffer at capacity (buffer.go:11 analog)
+        sock.close()
+        assert(PushReceiver.size(ch) == 2)
+        assert(PushReceiver.push(ch, "direct".getBytes) == -1L)
+      } finally h.close()
+    } finally PushReceiver.configure(ch, PushReceiver.DefaultCapacity)
+  }
+
   test("udp listener ingests datagrams fire-and-forget") {
     val ch = "net-udp"
     PushReceiver.clear(ch)
