@@ -139,9 +139,8 @@ object QueriesLlm {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n")),
       Some {
         def hits(words: Seq[String]): String =
-          words.map(w =>
-            s"len(regexp_extract_all(' ' || lower(text) || ' ', '(^|[^a-z])$w($$|[^a-z])'))")
-            .mkString(" + ")
+          s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
+            s"'${TextFunctions.wordHitsPattern(words)}'))"
         s"""WITH scored AS (SELECT doc_id, length(text) AS n_chars,
           len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
           ${hits(TextFunctions.StopwordsEn)} AS s_en,
@@ -341,9 +340,9 @@ object QueriesLlm {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
       Some {
-        val stopHits = TextFunctions.StopwordsEn.map(w =>
-          s"len(regexp_extract_all(' ' || lower(text) || ' ', '(^|[^a-z])$w($$|[^a-z])'))")
-          .mkString(" + ")
+        val stopHits =
+          s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
+            s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
         """WITH m AS (SELECT doc_id,
           CAST(length(text) AS DOUBLE) AS n_chars,
           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,

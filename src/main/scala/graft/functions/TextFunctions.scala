@@ -44,15 +44,17 @@ object TextFunctions {
       lit(0L),
       (h, cp) => pmod(h * 31L + cp, lit(1000000007L)))
 
-  /** Count of occurrences of a literal word with word-ish boundaries. */
-  private def wordHits(text: Column, words: Seq[String]): Column = {
-    val lowered = concat(lit(" "), lower(text), lit(" "))
-    words.map { w =>
-      // non-overlapping occurrences of " w " style tokens
-      val pat = "(^|[^a-z])" + w + "($|[^a-z])"
-      regexp_count(lowered, lit(pat))
-    }.reduce(_ + _)
-  }
+  /** Count of occurrences of any of the literal words with word-ish
+    * boundaries — ONE alternation regexp per word list (a per-word sum
+    * builds a 10x bigger expression tree that trips plan-size limits;
+    * alternation is a single scan. Both Java regex and RE2 use
+    * leftmost-first alternation, so the count is engine-portable). */
+  private[graft] def wordHitsPattern(words: Seq[String]): String =
+    "(^|[^a-z])(" + words.mkString("|") + ")($|[^a-z])"
+
+  private def wordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(concat(lit(" "), lower(text), lit(" ")),
+      lit(wordHitsPattern(words)))
 
   // Tiny embedded stopword lists per language for the heuristic language ID.
   val StopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
