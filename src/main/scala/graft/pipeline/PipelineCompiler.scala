@@ -134,6 +134,32 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       Transforms.parseMeta(inputOf(a.name), p(a, "column").getOrElse("body"),
         p(a, "meta").getOrElse("meta"))
 
+    // analytics actor: per-key top-k through the custom operator
+    // (params: keys: [col], order: ["col desc", "col"], k)
+    case "core.topk" =>
+      val keys = a.params.get("keys") match {
+        case Some(l: java.util.List[_]) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+            .map(n => col(n.toString)).toSeq
+        case Some(one) => Seq(col(one.toString))
+        case None => Nil
+      }
+      val order = a.params.get("order") match {
+        case Some(l: java.util.List[_]) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map { o =>
+            o.toString.trim.split("\\s+") match {
+              case Array(c, d) if d.equalsIgnoreCase("desc") => col(c).desc
+              case Array(c, _) => col(c).asc
+              case Array(c) => col(c).asc
+              case _ => sys.error(s"${a.name}: bad order spec '$o'")
+            }
+          }.toSeq
+        case _ => sys.error(s"${a.name}: topk needs order")
+      }
+      val k = p(a, "k").map(_.toInt).getOrElse(10)
+      graft.plans.TopKPerKey(inputOf(a.name), keys, order, k,
+        p(a, "rank_name").getOrElse("rank"))
+
     case "core.sink" => inputOf(a.name) // materialization handled by run()
 
     case other => sys.error(s"${a.name}: unknown module $other")

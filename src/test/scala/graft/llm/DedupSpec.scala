@@ -47,6 +47,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // precision exact by verify-stage; recall from the gap
   }
 
+  test("jaccard pipeline matches an independent in-memory reference on random corpora") {
+    // independent reference: plain Scala shingle sets + pairwise jaccard
+    def refPairs(docs: Seq[(Long, String)], n: Int, th: Double): Set[(Long, Long)] = {
+      val sets = docs.map { case (id, text) =>
+        val toks = text.split(" ")
+        val sh: Set[String] =
+          if (toks.length < n) Set(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toSet
+        id -> sh
+      }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= th
+      } yield (a, b)).toSet
+    }
+    (0 until 3).foreach { trial =>
+      val trialRng = new scala.util.Random(100 + trial)
+      val docs = (0L until 30L).map { i =>
+        (i, Seq.fill(20 + trialRng.nextInt(30))(
+          vocab(trialRng.nextInt(6))).mkString(" ")) // tiny vocab -> real overlaps
+      }
+      val want = refPairs(docs, 3, 0.5)
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.5)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(exact == want, s"trial $trial: exact pipeline diverged")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")

@@ -158,6 +158,25 @@ class PipelineSpec extends SparkSpec {
     assert(counts("out") == 2L)
   }
 
+  test("topk actor ranks per key through the custom operator in YAML pipelines") {
+    val in = Files.createTempDirectory("graft-pipe-topk-").toString
+    Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "b", 5))
+      .toDF("id", "grp", "score").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  top:  {module: core.topk, params: {keys: [grp], order: ["score desc", id], k: 2}}
+        |  out:  {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [top]}
+        |  top: {connect: [out]}
+        |""".stripMargin
+    val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    assert(counts("out") == 3L) // a: top-2 of 3; b: 1
+    val got = spark.table("out").select($"id", $"rank").as[(Long, Int)].collect().toSet
+    assert(got == Set((2L, 1), (3L, 2), (4L, 1)))
+  }
+
   test("replicator fanout pipeline splits rows across sinks without loss") {
     val in = Files.createTempDirectory("graft-pipe-fan-").toString
     writeEvents(in)
