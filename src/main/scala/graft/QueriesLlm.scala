@@ -231,6 +231,70 @@ object QueriesLlm {
           FROM documents d JOIN root r ON d.doc_id = r.doc_id)
         SELECT doc_id, cluster_root, rn = 1 AS keep FROM ranked""")),
 
+    // capstone composition — the actual curation pipeline a training-data
+    // user runs: quality-filter the corpus, resolve near-dup clusters on
+    // the survivors, keep the best of each cluster, report corpus stats.
+    // Every stage is one of the verified operators; the oracle composes
+    // the same verified SQL pieces.
+    QueryDef("llm_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .filter(col("quality") >= 0.5)
+        val kept = Dedup.resolveClusters(docs, "text", "doc_id", shingleN = 3,
+            threshold = 0.5)
+          .filter(col("keep"))
+        kept.join(docs, "doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(col("quality").cast("decimal(10,6)")).cast("double").as("sum_quality"))
+      },
+      Some {
+        val stopHits =
+          s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
+            s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
+        """WITH RECURSIVE m AS (SELECT doc_id, text,
+          CAST(length(text) AS DOUBLE) AS n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+          CAST(""" + stopHits + """ AS DOUBLE) AS stop
+          FROM documents),
+        q AS (SELECT doc_id, text, n_tok, round(
+          least(n_chars / 200.0, 1.0) * 0.25
+          + (CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha / n_chars END) * 0.25
+          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / n_chars END) * 10.0, 1.0)) * 0.2
+          + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 3.0
+                AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 10.0
+              THEN 1.0 ELSE 0.5 END) * 0.15
+          + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
+          6) AS quality FROM m),
+        fdocs AS (SELECT doc_id, text, n_tok, quality FROM q WHERE quality >= 0.5),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM fdocs),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+          FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT ia, ib FROM inter
+          JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+          WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5),
+        edges AS (SELECT ia AS a, ib AS b FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM fdocs
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
+        ranked AS (SELECT d.doc_id, d.n_tok, d.quality,
+            row_number() OVER (PARTITION BY r.cluster_root
+              ORDER BY length(d.text) DESC, d.doc_id) AS rn
+          FROM fdocs d JOIN root r ON d.doc_id = r.doc_id)
+        SELECT COUNT(*) AS n_kept,
+          SUM(CAST(n_tok AS BIGINT)) AS total_tokens,
+          CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
+        FROM ranked WHERE rn = 1"""
+      }),
+
     // corpus term statistics: top-5 terms per source via the custom
     // TopKPerKey operator (map-side capping; an LLM-ops consumer of the
     // §2.5 custom-operator stack).
