@@ -336,6 +336,37 @@ object QueriesRelational {
           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) x WHERE rn <= 3""")),
 
+    QueryDef("q45_like_predicates",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_name").like("%a%").as("has_a"),
+          col("p_name").ilike("%A%").as("has_a_ci"),
+          col("p_brand").startsWith("Brand#1").as("brand1x"),
+          col("p_type").endsWith("M").as("ends_m"),
+          col("p_name").rlike("^[a-m]").as("first_half_alpha")),
+      Some("""SELECT p_partkey,
+        p_name LIKE '%a%' AS has_a,
+        p_name ILIKE '%A%' AS has_a_ci,
+        starts_with(p_brand, 'Brand#1') AS brand1x,
+        ends_with(p_type, 'M') AS ends_m,
+        regexp_matches(p_name, '^[a-m]') AS first_half_alpha
+        FROM part""")),
+
+    QueryDef("q46_json_keys",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          concat_ws(",", sort_array(map_keys(
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.IntegerType))))).as("keys_csv"),
+          size(map_values(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))).as("n_vals")),
+      Some("""SELECT event_id,
+        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        len(json_keys(props)) AS n_vals
+        FROM events""")),
+
     // correlated scalar subquery (decimal-exact per-nation average)
     QueryDef("q42_correlated_subquery",
       (s, dir) => {
