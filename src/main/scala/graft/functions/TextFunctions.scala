@@ -35,14 +35,11 @@ object TextFunctions {
     array_distinct(ngrams)
   }
 
-  /** Polynomial rolling hash fingerprint: fold over unicode code points of
-    * the string, h = (h*31 + cp) mod 1e9+7. Deterministic, order-sensitive,
-    * reproducible in ANSI SQL via a reduce over the char array. */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (h, cp) => pmod(h * 31L + cp, lit(1000000007L)))
+  /** Polynomial rolling hash fingerprint: fold over code units of the
+    * string, h = (h*31 + c) mod 1e9+7. Deterministic, order-sensitive,
+    * reproducible in ANSI SQL via a reduce over the char array. One
+    * codegen'd pass per row (RollingHash expression). */
+  def fingerprint(text: Column): Column = RollingHash(text)
 
   /** Count of occurrences of any of the literal words with word-ish
     * boundaries — ONE alternation regexp per word list (a per-word sum
