@@ -40,6 +40,14 @@ class ExamplesSpec extends SparkSpec {
     assert(counts("w1") + counts("w2") > 0)
   }
 
+  test("top_spenders example ranks top-3 orders per status via the custom operator") {
+    val counts = run("top_spenders.yml")
+    assert(counts("out") == 9L) // 3 statuses x top-3
+    import spark.implicits._
+    val ranks = spark.table("out").select($"rn").as[Int].collect().sorted.toSeq
+    assert(ranks == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3))
+  }
+
   test("demux_partitioned example writes one directory per event type") {
     val counts = run("demux_partitioned.yml")
     assert(counts("out") == spark.read
