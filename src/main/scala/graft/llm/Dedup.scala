@@ -31,6 +31,17 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup: drops documents whose content hash was seen
+    * within the watermark horizon — the streaming rendering of `exact`
+    * (state = one 128-bit hash per distinct doc inside the horizon,
+    * evicted by watermark; unbounded-horizon dedup at 100 TB instead
+    * uses the batch groupBy over the accumulated corpus). */
+  def streamingExact(df: DataFrame, textCol: String, tsCol: String,
+                     watermark: String): DataFrame =
+    df.withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Distinct (id, shingle) pairs — inverted-index input for jaccard. */
   private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),

@@ -150,6 +150,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, tsOf("2024-01-01 00:05:00"))))
   }
 
+  test("streaming exact dedup drops same-content docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val dedup = graft.llm.Dedup.streamingExact(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    mem.addData((1L, "same content", tsOf("2024-01-01 00:00:00")),
+      (2L, "other content", tsOf("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    mem.addData((3L, "same content", tsOf("2024-01-01 00:01:00"))) // dup content
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup_out").select($"doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("reliable sink retries transient failures then succeeds") {
     var attempts = 0
     var dead = 0
