@@ -15,6 +15,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimFloat].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSimFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProductFloat].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => graft.functions.DotProductFloat(exprs(0), exprs(1))))
   }
 }
 
