@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.StructType
   * Every operator in the engine is a DataFrame->DataFrame function, so the
   * same transformations compose under spark.read (batch) and
   * spark.readStream (these helpers) — the batch/streaming duality SURVEY
-  * §1.2 commits to.
+  * §1.2 commits to, and the core design argument of the Structured
+  * Streaming model (Armbrust et al., "Structured Streaming: A Declarative
+  * API for Real-Time Applications in Apache Spark", SIGMOD 2018):
+  * incrementalize declarative queries instead of exposing a separate
+  * stream-operator vocabulary.
   */
 object Streams {
 
