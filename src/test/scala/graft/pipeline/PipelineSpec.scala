@@ -36,6 +36,45 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("ghost"))
   }
 
+  test("unknown module and missing sink path fail loudly at build/run time") {
+    val in = Files.createTempDirectory("graft-pipe-err-").toString
+    writeEvents(in)
+    val unknownModule =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  bad: {module: core.frobnicator}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [bad]}
+        |  bad: {connect: [out]}
+        |""".stripMargin
+    val e1 = intercept[RuntimeException](
+      new PipelineCompiler(spark, PipelineConfig.parse(unknownModule)).runBatch())
+    assert(e1.getMessage.contains("frobnicator"))
+
+    val noPath =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {format: parquet}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    val e2 = intercept[RuntimeException](
+      new PipelineCompiler(spark, PipelineConfig.parse(noPath)).runBatch())
+    assert(e2.getMessage.contains("path"))
+  }
+
+  test("empty and malformed configs are rejected at parse time") {
+    assert(intercept[IllegalArgumentException](PipelineConfig.parse(""))
+      .getMessage.nonEmpty)
+    assert(intercept[IllegalArgumentException](PipelineConfig.parse("actors: {}"))
+      .getMessage.contains("no actors"))
+    // actor without a module
+    assert(intercept[IllegalArgumentException](
+      PipelineConfig.parse("actors:\n  a: {params: {}}\n"))
+      .getMessage.contains("module"))
+  }
+
   test("toposort puts receivers before sinks; DOT render includes all nodes") {
     val yaml =
       """actors:
