@@ -29,6 +29,34 @@ object QueriesLlm {
       FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
       WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5"""
 
+  /** DuckDB twin of Dedup.resolveClusters: near-dup pairs (word 3-gram
+    * jaccard >= 0.5) → transitive closure (recursive CTE) → min-id root →
+    * keep-best. Shared by the driver-union-find and map-reduce-CC query
+    * variants, which must both hash-match it. */
+  private val clustersOracle =
+    """WITH RECURSIVE
+      toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+        FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT ia, ib FROM inter
+        JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+        WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5),
+      edges AS (SELECT ia AS a, ib AS b FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
+      ranked AS (SELECT d.doc_id, r.cluster_root,
+          row_number() OVER (PARTITION BY r.cluster_root
+            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+        FROM documents d JOIN root r ON d.doc_id = r.doc_id)
+      SELECT doc_id, cluster_root, rn = 1 AS keep FROM ranked"""
+
   /** DuckDB exact cosine over the embeddings table. */
   private def cosineSql(body: String): String =
     s"""WITH sims AS (
@@ -60,6 +88,37 @@ object QueriesLlm {
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         n = 3, threshold = 0.5),
       Some(JaccardOracle)),
+
+    // edit-distance near-dup: levenshtein <= maxDist with length-banded
+    // blocking. |len_a - len_b| <= 10 forces floor(len/16) bands to differ
+    // by at most 1, so the probe side emits 3 band keys and the join stays
+    // an equi-join (shuffle by band, never a cross product); recall is
+    // exact by the band-width/threshold relation. The oracle runs the
+    // unblocked quadratic form — same result, which PROVES the blocking
+    // lossless at this threshold.
+    QueryDef("llm_dedup_levenshtein",
+      (s, dir) => {
+        val maxD = 10
+        val bandW = 16 // > maxD so adjacent bands cover every legal pair
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .withColumn("b0", floor(col("len") / bandW))
+        val probe = docs.withColumn("band",
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        val build = docs.withColumn("band", col("b0"))
+        probe.as("a").join(build.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.len") - col("b.len")) <= maxD)
+          .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+          .filter(col("dist") <= maxD)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          levenshtein(a.text, b.text) AS dist
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 10
+        WHERE levenshtein(a.text, b.text) <= 10""")),
 
     // MinHash+LSH: same final pairs as the exact jaccard (the corpus'
     // similarity gap makes 16x4 bands lossless here), so the exact oracle
@@ -111,6 +170,27 @@ object QueriesLlm {
       (s, dir) => Similarity.ivfKnn(t(s, dir, "embeddings"), k = 3, nlist = 16, nprobe = 4)
         .withColumnRenamed("rank", "knn_rank"),
       None),
+
+    // distributed per-label centroids — the cluster-side rendering of the
+    // IVF quantizer's training step (element-wise mean vector per group):
+    // posexplode → one groupBy keyed (label, dim), map-side partial agg,
+    // 64*labels output rows regardless of corpus size. Decimal-exact sum
+    // then ONE double division keeps the result order-independent and
+    // hash-identical across engines.
+    QueryDef("llm_embedding_centroids",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(
+          (sum(col("e").cast("double").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))), 6).as("centroid")),
+      Some("""WITH x AS (SELECT label,
+          unnest(generate_series(1, len(embedding))) AS ord, embedding
+        FROM embeddings)
+        SELECT label, ord - 1 AS dim,
+          round(CAST(SUM(CAST(CAST(embedding[ord] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+            / COUNT(*), 6) AS centroid
+        FROM x GROUP BY label, dim""")),
 
     // text statistics: counts, ratios, and the rolling-hash fingerprint.
     QueryDef("llm_text_stats",
@@ -208,28 +288,16 @@ object QueriesLlm {
     QueryDef("llm_dedup_clusters",
       (s, dir) => Dedup.resolveClusters(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, threshold = 0.5),
-      Some("""WITH RECURSIVE
-        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
-          FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
-        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        pairs AS (SELECT ia, ib FROM inter
-          JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
-          WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5),
-        edges AS (SELECT ia AS a, ib AS b FROM pairs
-          UNION ALL SELECT ib, ia FROM pairs),
-        reach(a, b) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
-        ranked AS (SELECT d.doc_id, r.cluster_root,
-            row_number() OVER (PARTITION BY r.cluster_root
-              ORDER BY length(d.text) DESC, d.doc_id) AS rn
-          FROM documents d JOIN root r ON d.doc_id = r.doc_id)
-        SELECT doc_id, cluster_root, rn = 1 AS keep FROM ranked""")),
+      Some(clustersOracle)),
+
+    // same contract computed by the DISTRIBUTED component path
+    // (large-star/small-star map-reduce CC instead of driver union-find)
+    // — both hash-match the identical recursive-CTE oracle, proving the
+    // scale path interchangeable with the small-scale one.
+    QueryDef("llm_dedup_clusters_mr",
+      (s, dir) => Dedup.resolveClusters(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5, distributed = true),
+      Some(clustersOracle)),
 
     // capstone composition — the actual curation pipeline a training-data
     // user runs: quality-filter the corpus, resolve near-dup clusters on
@@ -290,7 +358,7 @@ object QueriesLlm {
               ORDER BY length(d.text) DESC, d.doc_id) AS rn
           FROM fdocs d JOIN root r ON d.doc_id = r.doc_id)
         SELECT COUNT(*) AS n_kept,
-          SUM(CAST(n_tok AS BIGINT)) AS total_tokens,
+          CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
           CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) AS sum_quality
         FROM ranked WHERE rn = 1"""
       }),

@@ -182,7 +182,7 @@ object QueriesOps {
             sum(length(col("text")).cast("long")).as("total_chars"))
       },
       Some("""SELECT codec, COUNT(*) AS n_docs, COUNT(*) AS n_match,
-        SUM(length(text)) AS total_chars
+        CAST(SUM(length(text)) AS BIGINT) AS total_chars
         FROM (VALUES ('gzip'),('flate'),('zlib'),('zstd'),('snappy'),('lz4')) c(codec),
           documents
         GROUP BY codec"""))

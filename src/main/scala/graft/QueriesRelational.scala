@@ -807,6 +807,106 @@ object QueriesRelational {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
         SELECT user_id, epoch_us(min(ts)) AS session_start, COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM y GROUP BY user_id, sid"""))
+        FROM y GROUP BY user_id, sid""")),
+
+    // distribution window functions (ntile / percent_rank / cume_dist)
+    // over a fully deterministic order: rank arithmetic is exact small-int
+    // rationals, identical in any engine.
+    QueryDef("q45_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""")),
+
+    // ---- subqueries -----------------------------------------------------
+    // The SQL subquery surface (EXISTS / NOT EXISTS / IN / correlated and
+    // uncorrelated scalar). Catalyst decorrelates each into a join —
+    // EXISTS/IN → left-semi, NOT EXISTS → left-anti, correlated scalar →
+    // aggregate + left-outer — so at scale these run as ordinary shuffled
+    // or broadcast joins, never per-row re-execution.
+
+    // TPC-H Q4 pattern: orders with at least one late-shipping lineitem.
+    QueryDef("q40_exists_subquery",
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+          WHERE EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 80 DAYS)
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+        GROUP BY o_orderpriority""")),
+
+    // orders none of whose lineitems reach quantity 45 (anti-join form).
+    QueryDef("q41_not_exists_subquery",
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          GROUP BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        GROUP BY o_orderstatus""")),
+
+    // IN over a filtered dimension (semi-join; the customer side is the
+    // small one and broadcasts).
+    QueryDef("q42_in_subquery",
+      (s, dir) => {
+        Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+          WHERE o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority""")),
+
+    // correlated scalar subquery (TPC-H Q17 shape): customers richer than
+    // every supplier in their nation. MAX is comparison-only — no float
+    // arithmetic — so the result is exact in both engines.
+    QueryDef("q43_scalar_subquery_corr",
+      (s, dir) => {
+        Seq("customer", "supplier").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier s
+            WHERE s.s_nationkey = c.c_nationkey)""")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier s
+          WHERE s.s_nationkey = c.c_nationkey)""")),
+
+    // uncorrelated scalar subqueries: parts above the mean retail price,
+    // phrased as the EXACT cross-multiplied decimal comparison
+    // (price * n > sum) so no engine-specific AVG rounding is involved.
+    QueryDef("q44_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT p_brand, COUNT(*) AS n FROM part
+          WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part)
+            > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM part)
+          GROUP BY p_brand""")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n FROM part
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part)
+          > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM part)
+        GROUP BY p_brand"""))
   )
 }

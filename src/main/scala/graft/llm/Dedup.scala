@@ -121,36 +121,47 @@ object Dedup {
     * keep-best selection (longest text, ties to the smallest id) — the
     * step that turns pairwise similarity into an actual dedup decision.
     *
-    * The component computation runs union-find on the COLLECTED pair
-    * list: candidate pairs are O(#duplicates), orders of magnitude
-    * smaller than the corpus, so the driver-side pass is bounded by dedup
-    * yield, not data size (at extreme pair counts the standard
-    * large-star/small-star map-reduce CC replaces this step; the
-    * surrounding dataflow is unchanged). Cluster assignment rejoins via
-    * broadcast.
+    * Two component strategies, same contract (root = min id):
+    *  - `distributed = false`: union-find on the COLLECTED pair list —
+    *    candidate pairs are O(#duplicates), orders of magnitude smaller
+    *    than the corpus, so the driver pass is bounded by dedup yield.
+    *  - `distributed = true`: [[ConnectedComponents]] alternating
+    *    large-star/small-star map-reduce — the 100-TB path where the pair
+    *    set itself is too big to collect. The surrounding dataflow is
+    *    unchanged; cluster assignment rejoins via broadcast either way
+    *    (the root map is #non-root-duplicates rows; if even that outgrows
+    *    broadcast, drop the hint and let AQE pick a shuffle join).
     *
     * Output: doc_id, cluster_root, keep.
     */
   def resolveClusters(df: DataFrame, textCol: String, idCol: String,
-                      shingleN: Int, threshold: Double): DataFrame = {
+                      shingleN: Int, threshold: Double,
+                      distributed: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = minhashLshPairs(df, textCol, idCol, shingleN, threshold)
-      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
-    // union-find with path compression
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
-    }
-    val roots = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
-      .map(id => id -> find(id)).filter { case (id, r) => id != r }
-    val rootDf = roots.toSeq.toDF(idCol, "cluster_root")
+    val pairDf = minhashLshPairs(df, textCol, idCol, shingleN, threshold)
+    val rootDf =
+      if (distributed)
+        ConnectedComponents.run(pairDf, "id_a", "id_b")
+          .withColumnRenamed("id", idCol)
+      else {
+        val pairs = pairDf.select(col("id_a"), col("id_b"))
+          .as[(Long, Long)].collect()
+        // union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+        }
+        (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+          .map(id => id -> find(id)).filter { case (id, r) => id != r }
+          .toSeq.toDF(idCol, "cluster_root")
+      }
     val withRoot = df.select(col(idCol), length(col(textCol)).as("__len"))
       .join(broadcast(rootDf), Seq(idCol), "left")
       .withColumn("cluster_root", coalesce(col("cluster_root"), col(idCol)))

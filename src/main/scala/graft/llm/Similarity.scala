@@ -141,10 +141,16 @@ object Similarity {
     * cell-key join + codegen'd dot products + the TopKPerKey operator.
     */
   def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 10, seed: Long = 42L): DataFrame = {
+             iters: Int = 10, seed: Long = 42L,
+             maxTrain: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // bounded, deterministic training set: sort+limit compiles to
+    // TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    // never collects the corpus, so the quantizer trains on <= maxTrain
+    // vectors regardless of corpus size
     val sample = emb.select(col("vec_id"), col("embedding"))
+      .sort(col("vec_id")).limit(maxTrain)
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(sample.nonEmpty)
     val d = sample.head._2.length

@@ -107,6 +107,18 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
         case other => sys.error(s"${a.name}: unknown replicator mode $other")
       }
 
+    // exact GCRA form (reference throttler.go semantics): params
+    // key, ts, rps — admits at the configured rate per key, message
+    // passes through unreshaped. Works in batch AND streaming pipelines
+    // (keyed TAT state carries across micro-batches).
+    case "core.throttler" if p(a, "algo").contains("gcra") =>
+      val keyC = p(a, "key").getOrElse(sys.error(s"${a.name}: throttler needs key"))
+      val tsC = p(a, "ts").getOrElse("ts")
+      val rps = p(a, "rps").map(_.toDouble).getOrElse(1.0)
+      graft.streaming.GcraThrottler
+        .throttleRows(inputOf(a.name), keyC, tsC, rps)
+        .filter(col("admitted")).drop("admitted")
+
     case "core.throttler" =>
       val quota = p(a, "quota").map(_.toInt).getOrElse(1000)
       val win = p(a, "window").getOrElse("1 minute")
@@ -159,6 +171,39 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       val k = p(a, "k").map(_.toInt).getOrElse(10)
       graft.plans.TopKPerKey(inputOf(a.name), keys, order, k,
         p(a, "rank_name").getOrElse("rank"))
+
+    // ---- LLM-curation actors (flowspark extension namespace) ----------
+    // quality gate: score text, keep rows >= min_quality
+    // (params: column, min_quality, score_column)
+    case "llm.quality_filter" =>
+      val c = p(a, "column").getOrElse("text")
+      val minQ = p(a, "min_quality").map(_.toDouble).getOrElse(0.5)
+      val scoreCol = p(a, "score_column").getOrElse("quality")
+      inputOf(a.name)
+        .withColumn(scoreCol, graft.functions.TextFunctions.qualityScore(col(c)))
+        .filter(col(scoreCol) >= minQ)
+
+    // language annotate/gate (params: column, lang_column, keep: optional
+    // comma-separated allowlist — absent = annotate only)
+    case "llm.langid" =>
+      val c = p(a, "column").getOrElse("text")
+      val langCol = p(a, "lang_column").getOrElse("lang")
+      val annotated = inputOf(a.name)
+        .withColumn(langCol, graft.functions.TextFunctions.langId(col(c)))
+      p(a, "keep") match {
+        case Some(keep) =>
+          annotated.filter(col(langCol).isin(keep.split(",").map(_.trim): _*))
+        case None => annotated
+      }
+
+    // exact content dedup: keep the min-id row per distinct text
+    // (params: column, id)
+    case "llm.dedup_exact" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val in = inputOf(a.name)
+      val keep = graft.llm.Dedup.exact(in, c, idc).select(col(idc))
+      in.join(keep, idc) // semi-shaped: keep-list is tiny vs corpus post-shuffle
 
     case "core.sink" => inputOf(a.name) // materialization handled by run()
 

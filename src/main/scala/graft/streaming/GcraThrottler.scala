@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{BooleanType, StructType}
 
 /** Exact GCRA ("generic cell rate algorithm") rate limiter as a Spark
   * keyed-state operator — the streaming rendering of core.throttler
@@ -50,5 +51,50 @@ object GcraThrottler {
           state.update(tat)
           out.iterator
       }
+  }
+
+  /** Schema-generic GCRA: same admission algorithm over arbitrary rows —
+    * the pipeline-actor form, where the message must flow through with
+    * ALL its columns (reference: the throttler actor passes the message
+    * along, it never reshapes it). Appends a boolean `admitted` column;
+    * callers filter and drop it. Works identically over batch and
+    * streaming inputs (flatMapGroupsWithState runs stateless-per-group on
+    * batch, keyed-state across micro-batches on streams).
+    *
+    * Within-batch order is (event time ns, xxhash of the row's string
+    * form) — deterministic for distinct-timestamp workloads and stable
+    * under retries either way.
+    */
+  def throttleRows(df: DataFrame, keyCol: String, tsCol: String, rps: Double,
+                   timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : DataFrame = {
+    val costNs = (1e9 / rps).toLong
+    val burstNs = math.max(0L, 1000000000L - costNs)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val outSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("admitted", BooleanType, nullable = false))
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.scalaLong
+    def tsNs(r: Row): Long = {
+      val i = r.getTimestamp(tsIdx).toInstant
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (_: String, it: Iterator[Row], state: GroupState[Long]) =>
+          var tat = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq
+            .sortBy(r => (tsNs(r), r.mkString("").hashCode))
+            .map { r =>
+              val t = tsNs(r)
+              val admitted = tat == Long.MinValue || tat - t <= burstNs
+              if (admitted) tat = math.max(tat, t) + costNs
+              Row.fromSeq(r.toSeq :+ admitted)
+            }
+          state.update(tat)
+          out.iterator
+      }(stateEnc, outEnc)
   }
 }

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find reference: id -> component root (min id). */
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(id => id -> find(id)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val out = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // non-root nodes come back; roots map to themselves implicitly
+    val all = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    all.map(id => id -> out.getOrElse(id, id)).toMap
+  }
+
+  test("chain collapses to one component rooted at min") {
+    val edges = (1L until 20L).map(i => (i, i + 1))
+    assert(run(edges) == edges.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 1L).toMap)
+  }
+
+  test("star, already-rooted and reversed orientations") {
+    val star = (2L to 8L).map(i => (1L, i))
+    assert(run(star).values.toSet == Set(1L))
+    assert(run(star.map(_.swap)).values.toSet == Set(1L))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
+    val got = run(edges)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 3L && got(4L) == 3L)
+  }
+
+  test("empty edge set yields empty mapping") {
+    val out = ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(out.isEmpty)
+  }
+
+  test("fuzz: random graphs match union-find reference") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + rng.nextInt(50)
+      val m = 20 + rng.nextInt(80)
+      val edges = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val expect = reference(edges)
+      assert(run(edges) == expect, s"trial $trial, n=$n, m=$m")
+    }
+  }
+
+  test("resolveClusters distributed path matches driver union-find path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different words entirely unrelated to anything else at all"),
+      (5L, "some other corpus text that shares nothing with the fox sentences")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val a = canon(Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5))
+    val b = canon(Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5,
+      distributed = true))
+    assert(a == b)
+    assert(a.count(_._3) < 5) // the near-dup trio collapsed
+  }
+}

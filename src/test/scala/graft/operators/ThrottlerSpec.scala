@@ -40,4 +40,43 @@ class ThrottlerSpec extends SparkSpec {
     assert(out.filter($"key" === "hot" && $"status" === FlowEventModel.StatusDone).count() == 5)
     assert(out.filter($"status" === FlowEventModel.StatusThrottled).count() == 15)
   }
+
+  test("row-generic GCRA preserves all columns and admits at the rate") {
+    // rps=1: events 100ms apart -> only the first admitted per burst;
+    // 2s apart -> admitted. Extra payload column must flow through.
+    val rows = Seq(
+      ("a", ts(0, 0), 1L, "p1"), ("a", ts(0, 2), 2L, "p2"), ("a", ts(0, 4), 3L, "p3"),
+      ("b", ts(0, 0), 4L, "p4"))
+      .toDF("key", "ts", "id", "payload")
+    val out = graft.streaming.GcraThrottler.throttleRows(rows, "key", "ts", rps = 1.0)
+    assert(out.columns.toSeq == Seq("key", "ts", "id", "payload", "admitted"))
+    val admitted = out.filter($"admitted").select($"id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L, 4L)) // 2s spacing at 1 rps: all pass
+    val burst = Seq(("a", ts(0, 0), 1L, "x"), ("a", Timestamp.valueOf("2024-01-01 00:00:00.1"), 2L, "y"))
+      .toDF("key", "ts", "id", "payload")
+    val burstOut = graft.streaming.GcraThrottler.throttleRows(burst, "key", "ts", rps = 1.0)
+      .filter($"admitted").select($"id").as[Long].collect().toSet
+    assert(burstOut == Set(1L)) // second event inside the burst window is rejected
+  }
+
+  test("gcra pipeline actor filters over-rate rows in a YAML pipeline") {
+    val in = java.nio.file.Files.createTempDirectory("graft-gcra-pipe-").toString
+    Seq(
+      ("u1", ts(0, 0), 1L), ("u1", Timestamp.valueOf("2024-01-01 00:00:00.05"), 2L),
+      ("u1", ts(0, 5), 3L), ("u2", ts(0, 1), 4L))
+      .toDF("user", "ts", "id").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  gate: {module: core.throttler, params: {algo: gcra, key: user, ts: ts, rps: "1.0"}}
+        |  gcra_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [gate]}
+        |  gate: {connect: [gcra_pipe_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    val ids = spark.table("gcra_pipe_out").select($"id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L)) // id 2 is 50ms after id 1 -> throttled out
+  }
 }

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The llm.* pipeline actors: a YAML-configured curation flow
+  * (quality gate → language gate → exact dedup) over a documents-shaped
+  * input, end to end through the compiler. */
+class LlmModulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    "The committee published its findings on Tuesday, noting that the " +
+    "results were consistent with earlier work and that further review " +
+    "would follow in the coming months before any decision is made."
+
+  private def writeDocs(dir: String): Unit =
+    Seq(
+      (1L, good),                       // keeper
+      (2L, good),                       // exact dup of 1 -> dropped
+      (3L, "%%% ??? !!! ### $$$ @@@"),  // junk -> quality-filtered
+      (4L, good + " It also said more data was needed for the analysis."),
+      (5L, "el informe fue publicado el martes por la comision y los " +
+           "resultados fueron consistentes con los estudios anteriores " +
+           "segun las personas que estaban cerca del proceso de revision"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+
+  test("llm curation pipeline: quality gate, langid gate, exact dedup") {
+    val in = Files.createTempDirectory("graft-llm-pipe-").toString
+    writeDocs(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  quality: {module: llm.quality_filter, params: {column: text, min_quality: "0.5"}}
+        |  lang: {module: llm.langid, params: {column: text, keep: en}}
+        |  dedup: {module: llm.dedup_exact, params: {column: text, id: doc_id}}
+        |  llm_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [quality]}
+        |  quality: {connect: [lang]}
+        |  lang: {connect: [dedup]}
+        |  dedup: {connect: [llm_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("llm_pipe_out")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L)) // 2 deduped, 3 junk, 5 non-English
+    assert(out.columns.contains("quality") && out.columns.contains("lang"))
+  }
+
+  test("langid without keep only annotates") {
+    val in = Files.createTempDirectory("graft-llm-pipe2-").toString
+    writeDocs(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  lang: {module: llm.langid, params: {column: text}}
+        |  llm_pipe_ann: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [lang]}
+        |  lang: {connect: [llm_pipe_ann]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("llm_pipe_ann")
+    assert(out.count() == 5)
+    val langs = out.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en" && langs(5L) == "es")
+  }
+}
