@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -191,6 +192,59 @@ object QueriesLlm {
           round(CAST(SUM(CAST(CAST(embedding[ord] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
             / COUNT(*), 6) AS centroid
         FROM x GROUP BY label, dim""")),
+
+    // document chunking: fixed-size token windows with overlap (stride =
+    // chunk - overlap) — the standard pre-tokenization split for long
+    // documents. Pure narrow ops (split → explode → slice), so it
+    // parallelizes per input split with no shuffle at any corpus size.
+    QueryDef("llm_chunking",
+      (s, dir) => {
+        val chunk = 50; val overlap = 10; val stride = chunk - overlap
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+          .withColumn("start", explode(sequence(lit(0),
+            greatest(size(col("tk")) - overlap - 1, lit(0)), lit(stride))))
+          .select(col("doc_id"), col("start"),
+            array_join(slice(col("tk"), col("start") + 1, lit(chunk)), " ").as("chunk_text"),
+            least(size(col("tk")) - col("start"), lit(chunk)).as("n_tokens"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        chunks AS (SELECT doc_id,
+          unnest(range(0, greatest(len(tk) - 10, 1), 40)) AS start, tk FROM toks)
+        SELECT doc_id, start,
+          array_to_string(tk[start+1:start+50], ' ') AS chunk_text,
+          least(len(tk) - start, 50) AS n_tokens
+        FROM chunks""")),
+
+    // deterministic corpus shuffle + sharding for training: shard = first
+    // md5 hex digit of the id (16 uniform shards, engine-portable), pack
+    // order within the shard = md5 order. Everything is per-shard — the
+    // only shuffle is the shard partitioning itself, and no global sort
+    // exists anywhere, so the op scales linearly with executors.
+    QueryDef("llm_shard_pack",
+      (s, dir) => {
+        val hx = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), hx.as("hx"), substring(hx, 1, 1).as("shard"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""SELECT doc_id, shard,
+          row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+        FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard FROM documents) h""")),
+
+    // deterministic stratified sampling: keep a doc iff its md5 prefix
+    // falls under the rate threshold — reproducible across engines, runs
+    // and cluster sizes (no RNG state), filter pushes to the scan.
+    QueryDef("llm_sample_deterministic",
+      (s, dir) => t(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 8) < "40000000") // rate = 0.25
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled")),
+      Some("""SELECT source, COUNT(*) AS n_sampled FROM documents
+        WHERE substr(md5(text), 1, 8) < '40000000' GROUP BY source""")),
 
     // text statistics: counts, ratios, and the rolling-hash fingerprint.
     QueryDef("llm_text_stats",
