@@ -207,6 +207,11 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
 
     case "core.sink" => inputOf(a.name) // materialization handled by run()
 
+    // extension point: module "plugin:<fqcn>" resolves a user class from
+    // the classpath (the Spark analog of the reference's Go .so plugins)
+    case p if p.startsWith(ActorPlugin.Prefix) =>
+      ActorPlugin.load(p).transform(spark, inputOf(a.name), a.params.toMap)
+
     case other => sys.error(s"${a.name}: unknown module $other")
   }
 

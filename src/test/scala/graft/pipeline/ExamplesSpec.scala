@@ -48,6 +48,18 @@ class ExamplesSpec extends SparkSpec {
     assert(ranks == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3))
   }
 
+  test("llm_curation example filters, gates and dedups the documents table") {
+    val counts = run("llm_curation.yml")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(counts("out") > 0 && counts("out") <= docs.count())
+    val out = spark.table("out")
+    import spark.implicits._
+    assert(out.select($"lang").distinct().as[String].collect().toSeq == Seq("en"))
+    assert(out.filter($"quality" < 0.5).count() == 0)
+    // exact dedup kept one row per distinct text
+    assert(out.select($"text").distinct().count() == out.count())
+  }
+
   test("demux_partitioned example writes one directory per event type") {
     val counts = run("demux_partitioned.yml")
     assert(counts("out") == spark.read
