@@ -27,7 +27,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    runOne(Headline.head) // warmup: JIT + codegen + FS caches
+    // warmup pass over EVERY headline query: each query pays its own
+    // whole-stage-codegen compile + JIT on first execution, so a q01-only
+    // warmup leaves that cost inside the first timed run of the others
+    Headline.foreach(runOne)
 
     // best-of-2: single-shot numbers swing ~20% from GC/JIT noise in
     // local mode; min is the stable cross-round comparator

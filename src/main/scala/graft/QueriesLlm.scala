@@ -101,18 +101,25 @@ object QueriesLlm {
       (s, dir) => {
         val maxD = 10
         val bandW = 16 // > maxD so adjacent bands cover every legal pair
+        // repartition: candidate generation must not inherit the source
+        // file's partitioning (a single parquet file would otherwise put
+        // EVERY levenshtein on one core)
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("b0", floor(col("len") / bandW))
         val probe = docs.withColumn("band",
           explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
         val build = docs.withColumn("band", col("b0"))
+        // bounded levenshtein: banded O(len * maxD) DP with early exit,
+        // exact for distances <= maxD (−1 beyond) — ~len/(2·maxD)× less
+        // work per pair than the full matrix
         probe.as("a").join(build.as("b"),
             col("a.band") === col("b.band") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.len") - col("b.len")) <= maxD)
-          .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
-          .filter(col("dist") <= maxD)
+          .withColumn("dist", levenshtein(col("a.text"), col("b.text"), maxD))
+          .filter(col("dist") >= 0)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
       },
       Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,

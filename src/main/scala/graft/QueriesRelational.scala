@@ -810,8 +810,11 @@ object QueriesRelational {
         FROM y GROUP BY user_id, sid""")),
 
     // distribution window functions (ntile / percent_rank / cume_dist)
-    // over a fully deterministic order: rank arithmetic is exact small-int
-    // rationals, identical in any engine.
+    // over a fully deterministic order. Compared as floor(x * 1e6)
+    // integers: k/n can land EXACTLY on a half at the 6th decimal when
+    // the partition size is 2^a*5^b, and there round() diverges across
+    // engines (decimal-string HALF_UP vs scaled-double rounding); floor
+    // over the identical IEEE doubles is bit-deterministic.
     QueryDef("q45_window_distribution",
       (s, dir) => {
         val w = Window.partitionBy(col("c_nationkey"))
@@ -819,13 +822,13 @@ object QueriesRelational {
         t(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            floor(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_ppm"),
+            floor(cume_dist().over(w) * 1000000).cast("long").as("cume_ppm"))
       },
       Some("""SELECT c_custkey, c_nationkey,
           ntile(4) OVER w AS quartile,
-          round(percent_rank() OVER w, 6) AS pct_rank,
-          round(cume_dist() OVER w, 6) AS cume
+          CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+          CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""")),
 
