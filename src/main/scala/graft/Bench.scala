@@ -16,6 +16,13 @@ object Bench {
     "q31_session_window", "llm_dedup_minhash", "llm_ann_topk",
     "op_throttler")
 
+  // round-2 operators, measured and reported alongside but NOT in the
+  // headline total (the total stays comparable across rounds)
+  val Extended: Seq[String] = Seq(
+    "llm_dedup_levenshtein", "llm_chunking", "llm_shard_pack",
+    "llm_sample_deterministic", "llm_embedding_centroids",
+    "llm_dedup_clusters_mr", "q40_exists_subquery", "q45_window_distribution")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -38,7 +45,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Extended.foreach(runOne) // warmup
+    val ext = Extended.map(n => n -> math.min(runOne(n), runOne(n)))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
