@@ -71,18 +71,22 @@ object Compressor {
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
-  def compressCol(codec: String, level: Int = 6): Column => Column = {
-    val f = udf(compressBytes(codec, level) _)
-    (c: Column) => f(c.cast("binary"))
-  }
+  /** Static-forwarder entry points for the codegen expressions (called
+    * from generated Java as graft.operators.Compressor.compressStatic). */
+  def compressStatic(data: Array[Byte], codec: String, level: Int): Array[Byte] =
+    compressBytes(codec, level)(data)
 
-  def decompressCol(codec: String): Column => Column = {
-    val fn = decompressBytes(codec) _
-    val f = udf { (b: Array[Byte]) =>
-      try fn(b) catch { case _: Exception => null }
-    }
-    (c: Column) => f(c)
-  }
+  def decompressStatic(data: Array[Byte], codec: String): Array[Byte] =
+    decompressBytes(codec)(data)
+
+  // codegen'd Catalyst expressions (graft.functions.CompressCodec):
+  // keeps the codec call inside WholeStageCodegen instead of paying a
+  // ScalaUDF boundary per message
+  def compressCol(codec: String, level: Int = 6): Column => Column =
+    (c: Column) => graft.functions.CompressCodec(c, codec, level)
+
+  def decompressCol(codec: String): Column => Column =
+    (c: Column) => graft.functions.DecompressCodec(c, codec)
 
   /** Event-model form: body := compress(body). */
   def compress(df: DataFrame, codec: String, level: Int = 6, bodyCol: String = "body"): DataFrame =

@@ -47,4 +47,19 @@ class CompressorSpec extends SparkSpec {
     assert(row.getString(0) == FlowEventModel.StatusInvalid)
     assert(row.get(1) == null)
   }
+
+  test("compression runs as a codegen expression, not a ScalaUDF boundary") {
+    // a file-backed scan: a local relation would be constant-folded by
+    // ConvertToLocalRelation (which also only works for non-UDF
+    // expressions, but leaves no codegen span to inspect)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumnRenamed("text", "body")
+    val df = Compressor.compress(docs, "gzip")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    // the custom expression sits inside a whole-stage-codegen'd Project
+    // (rendered as the "*(n)" stage marker)
+    assert(plan.contains("*(1) Project"), plan.take(2000))
+    assert(plan.contains("compresscodec"), plan.take(2000))
+  }
 }
