@@ -53,6 +53,47 @@ object GcraThrottler {
       }
   }
 
+  /** [[throttle]] on Spark 4's `transformWithState` — same TAT algorithm
+    * and results, state held in a RocksDB-backed ValueState (off-heap,
+    * spillable: the modern home for keyed operator state at scale).
+    * TimeMode.None because GCRA is driven by EVENT time carried in the
+    * data, not processing-time timers — so no housekeeping batches and
+    * drain-based harnesses work unchanged.
+    */
+  class GcraProcessor(costNs: Long, burstNs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, Result] {
+    @transient private var tatState:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tatState = getHandle.getValueState[Long]("tat", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, it: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Result] = {
+      var tat = if (tatState.exists()) tatState.get() else Long.MinValue
+      val out = it.toSeq.sortBy(e => (e.eventTimeNs, e.id)).map { e =>
+        val t = e.eventTimeNs
+        val admitted = tat == Long.MinValue || tat - t <= burstNs
+        if (admitted) tat = math.max(tat, t) + costNs
+        Result(key, t, e.id, admitted)
+      }
+      tatState.update(tat)
+      out.iterator
+    }
+  }
+
+  def throttleTws(events: Dataset[Event], rps: Double): Dataset[Result] = {
+    val costNs = (1e9 / rps).toLong
+    val burstNs = math.max(0L, 1000000000L - costNs)
+    implicit val resEnc = Encoders.product[Result]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(_.key)
+      .transformWithState(new GcraProcessor(costNs, burstNs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Schema-generic GCRA: same admission algorithm over arbitrary rows —
     * the pipeline-actor form, where the message must flow through with
     * ALL its columns (reference: the throttler actor passes the message

@@ -44,6 +44,34 @@ class TtlDedupSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState GCRA matches the flatMapGroupsWithState GCRA") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1700000000000000000L
+      val events = Seq(
+        GcraThrottler.Event("k", base, 1),
+        GcraThrottler.Event("k", base + 100000000L, 2), // +100ms: throttled at 1 rps
+        GcraThrottler.Event("k", base + 5000000000L, 3), // +5s: admitted
+        GcraThrottler.Event("other", base, 4))
+      val mem = MemoryStream[GcraThrottler.Event]
+      val q = GcraThrottler.throttleTws(mem.toDS(), rps = 1.0)
+        .writeStream.format("memory").queryName("gcra_tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", Streams.newCheckpointDir())
+        .start()
+      mem.addData(events.take(2): _*); q.processAllAvailable()
+      mem.addData(events.drop(2): _*); q.processAllAvailable()
+      q.stop()
+      val tws = spark.table("gcra_tws_out").as[GcraThrottler.Result]
+        .collect().map(r => r.id -> r.admitted).toMap
+      assert(tws == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+      // exact parity with the classic operator on the same input
+      val classic = GcraThrottler.throttle(events.toDS(), rps = 1.0)
+        .collect().map(r => r.id -> r.admitted).toMap
+      assert(tws == classic)
+    }
+  }
+
   test("ttl variant analyzes and starts in ProcessingTime mode") {
     // the TTL path needs continuous housekeeping batches (unsuitable for
     // drain-and-stop harnesses) — assert it constructs, analyzes, and
