@@ -242,6 +242,42 @@ object QueriesLlm {
         FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard FROM documents) h""")),
 
+    // sequence packing for training batches: group documents into
+    // fixed-token-budget bins (next-fit on the deterministic shard/pack
+    // order — a doc starts a new bin when the running total crosses the
+    // budget). Same per-shard windows as llm_shard_pack, so the op is
+    // embarrassingly parallel across shards; `div` keeps bin assignment
+    // exact integer arithmetic in both engines.
+    QueryDef("llm_pack_sequences",
+      (s, dir) => {
+        val budget = 512
+        val hx = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("hx"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+            hx.as("hx"), substring(hx, 1, 1).as("shard"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("bin_tokens"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS hx,
+          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents),
+        c AS (SELECT doc_id, shard, n_tok,
+          SUM(n_tok) OVER (PARTITION BY shard ORDER BY hx, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h)
+        SELECT shard, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY shard, bin""")),
+
     // deterministic stratified sampling: keep a doc iff its md5 prefix
     // falls under the rate threshold — reproducible across engines, runs
     // and cluster sizes (no RNG state), filter pushes to the scan.
