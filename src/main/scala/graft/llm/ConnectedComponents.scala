@@ -28,6 +28,13 @@ object ConnectedComponents {
     * `(id, cluster_root)` for every NON-ROOT node that appears in an
     * edge; root = min id of the component. Callers left-join and
     * coalesce to cover isolated nodes, exactly like the union-find path.
+    *
+    * Caveat: if `edges` is a union of heterogeneous scans (e.g. a
+    * streaming micro-batch ∪ a parquet read), pass a clean rebuild
+    * (`spark.createDataFrame(edges.rdd, edges.schema)`): checkpointing
+    * such a plan keeps origin constraints with foreign attribute ids and
+    * the rounds' unions then fail Catalyst constraint rewriting — see
+    * [[graft.streaming.StreamingCC.mergeBatch]].
     */
   def run(edges: DataFrame, uCol: String, vCol: String,
           maxIter: Int = 50): DataFrame = {

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingCCSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mapping(stateDir: String): Map[Long, Long] =
+    StreamingCC.currentMapping(spark, stateDir)
+      .as[(Long, Long)].collect().toMap
+
+  test("incremental CC merges components across batches, matches batch CC") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("scc_state").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingCC.sink(mem.toDF().toDF("u", "v"), "u", "v", stateDir)
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    // batch 1: two separate components {1,2} and {3,4}
+    mem.addData((1L, 2L), (3L, 4L))
+    q.processAllAvailable()
+    assert(mapping(stateDir) == Map(2L -> 1L, 4L -> 3L))
+    // batch 2: a bridging edge merges them into {1,2,3,4}
+    mem.addData((2L, 3L))
+    q.processAllAvailable()
+    assert(mapping(stateDir) == Map(2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // batch 3: an unrelated new component + a redundant edge (no-op)
+    mem.addData((10L, 11L), (1L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val incremental = mapping(stateDir)
+    assert(incremental == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 11L -> 10L))
+    // parity: batch CC over the full edge history gives the same mapping
+    val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (1L, 4L))
+      .toDF("u", "v")
+    val batch = graft.llm.ConnectedComponents.run(all, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(incremental == batch)
+  }
+
+  test("mergeBatch is idempotent per batch id (restart replay)") {
+    val stateDir = Files.createTempDirectory("scc_replay").toString
+    val b0 = Seq((1L, 2L)).toDF("u", "v")
+    StreamingCC.mergeBatch(b0, "u", "v", stateDir, batchId = 0L)
+    val after0 = mapping(stateDir)
+    // replaying batch 0 — even with different (corrupt) content — is a no-op
+    StreamingCC.mergeBatch(Seq((7L, 8L)).toDF("u", "v"), "u", "v", stateDir, 0L)
+    assert(mapping(stateDir) == after0)
+    // the next batch id applies normally
+    StreamingCC.mergeBatch(Seq((7L, 8L)).toDF("u", "v"), "u", "v", stateDir, 1L)
+    assert(mapping(stateDir) == Map(2L -> 1L, 8L -> 7L))
+  }
+
+  test("old state versions are pruned") {
+    val stateDir = Files.createTempDirectory("scc_prune").toString
+    (0L to 5L).foreach { i =>
+      StreamingCC.mergeBatch(Seq((i * 2, i * 2 + 1)).toDF("u", "v"),
+        "u", "v", stateDir, batchId = i, keepVersions = 2)
+    }
+    val kept = new java.io.File(stateDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(kept == Seq("v=4", "v=5"))
+    // and the forest still carries the FULL history despite pruning
+    assert(mapping(stateDir) ==
+      (0L to 5L).map(i => (i * 2 + 1) -> i * 2).toMap)
+  }
+}
