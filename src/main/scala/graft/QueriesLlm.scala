@@ -289,6 +289,57 @@ object QueriesLlm {
       Some("""SELECT source, COUNT(*) AS n_sampled FROM documents
         WHERE substr(md5(text), 1, 8) < '40000000' GROUP BY source""")),
 
+    // repetition quality signals (the Gopher/MassiveText repetition
+    // filters, Rae et al. 2021 §A1.1): duplicate word / 2-gram / 3-gram
+    // fractions and the most-frequent-2-gram share, all as exact ppm
+    // integers (k*1e6 div n — cross-engine-safe, no float rounding).
+    // The per-row fractions are one narrow codegen pass over the token
+    // array; the top-gram share is the only shuffle (explode + partial
+    // agg on (doc_id, gram)).
+    QueryDef("llm_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks"),
+            TextFunctions.wordNgrams(col("text"), 2).as("g2"),
+            TextFunctions.wordNgrams(col("text"), 3).as("g3"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            expr("cast(size(toks) - size(array_distinct(toks)) as bigint)" +
+              " * 1000000 div size(toks)").as("dup_word_ppm"),
+            expr("cast(size(g2) - size(array_distinct(g2)) as bigint)" +
+              " * 1000000 div size(g2)").as("dup_2gram_ppm"),
+            expr("cast(size(g3) - size(array_distinct(g3)) as bigint)" +
+              " * 1000000 div size(g3)").as("dup_3gram_ppm"))
+        val topg = docs.select(col("doc_id"),
+            explode(TextFunctions.wordNgrams(col("text"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(expr("max(c) * 1000000 div sum(c)").as("top_2gram_ppm"))
+        base.join(topg, "doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+        g AS (SELECT doc_id, toks,
+          list_transform(range(0, greatest(len(toks)-2,0)+1),
+            i -> array_to_string(toks[i+1:i+2], ' ')) AS g2,
+          list_transform(range(0, greatest(len(toks)-3,0)+1),
+            i -> array_to_string(toks[i+1:i+3], ' ')) AS g3
+          FROM base),
+        flat AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+        cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+        topg AS (SELECT doc_id,
+          CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_2gram_ppm
+          FROM cnt GROUP BY doc_id)
+        SELECT g.doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST((len(toks) - len(list_distinct(toks))) * 1000000 // len(toks) AS BIGINT) AS dup_word_ppm,
+          CAST((len(g2) - len(list_distinct(g2))) * 1000000 // len(g2) AS BIGINT) AS dup_2gram_ppm,
+          CAST((len(g3) - len(list_distinct(g3))) * 1000000 // len(g3) AS BIGINT) AS dup_3gram_ppm,
+          topg.top_2gram_ppm
+        FROM g JOIN topg USING (doc_id)""")),
+
     // text statistics: counts, ratios, and the rolling-hash fingerprint.
     QueryDef("llm_text_stats",
       (s, dir) => t(s, dir, "documents")

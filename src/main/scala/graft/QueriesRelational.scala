@@ -910,6 +910,58 @@ object QueriesRelational {
       Some("""SELECT p_brand, COUNT(*) AS n FROM part
         WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part)
           > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM part)
-        GROUP BY p_brand"""))
+        GROUP BY p_brand""")),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): generate the order-date
+    // month calendar by recursion (1995-01 .. 2001-12, integer-step so
+    // both engines recurse identically), left-join monthly order
+    // aggregates onto it — months with no orders stay visible as zeros.
+    // Recursion depth 84 « the engine's recursion limit; the join side
+    // aggregates BEFORE joining, so the recursion never re-scans orders.
+    QueryDef("q47_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""WITH RECURSIVE r(n) AS (
+            SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 83
+          ),
+          m AS (SELECT CAST(make_date(1995 + n div 12, 1 + n % 12, 1) AS TIMESTAMP) AS month_start FROM r),
+          o AS (SELECT date_trunc('MONTH', o_orderdate) AS mo,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+                FROM orders GROUP BY 1)
+          SELECT month_start, COALESCE(n_orders, 0) AS n_orders,
+            COALESCE(total_price, CAST(0.0 AS DOUBLE)) AS total_price
+          FROM m LEFT JOIN o ON o.mo = m.month_start""")
+      },
+      Some("""WITH RECURSIVE r(n) AS (
+          SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 83
+        ),
+        m AS (SELECT CAST(make_date(1995 + n // 12, 1 + n % 12, 1) AS TIMESTAMP) AS month_start FROM r),
+        o AS (SELECT date_trunc('month', o_orderdate) AS mo,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+              FROM orders GROUP BY 1)
+        SELECT month_start, COALESCE(n_orders, 0) AS n_orders,
+          COALESCE(total_price, 0.0) AS total_price
+        FROM m LEFT JOIN o ON o.mo = m.month_start""")),
+
+    // LATERAL correlated subquery: top-2 customers by balance per
+    // nation. Catalyst plans the lateral as a decorrelated join +
+    // per-group top-k (same shape RewriteWindowTopK targets); ties are
+    // broken by c_custkey so both engines pick identical rows.
+    QueryDef("q48_lateral_topk",
+      (s, dir) => {
+        Seq("nation", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT n_name, c.c_custkey, c.c_acctbal
+          FROM nation n JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+      },
+      Some("""SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c"""))
   )
 }

@@ -25,15 +25,19 @@ object TextFunctions {
   def lexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(LexTokenPattern), lit(0)))
 
-  /** Distinct word n-gram shingles as array<string>; docs shorter than n
-    * words yield the whole token sequence joined (single shingle). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** All word n-grams in order (with repeats) as array<string>; docs
+    * shorter than n words yield the whole token sequence joined. */
+  def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val ngrams = transform(
+    transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(ngrams)
   }
+
+  /** Distinct word n-gram shingles as array<string>; docs shorter than n
+    * words yield the whole token sequence joined (single shingle). */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(text, n))
 
   /** Polynomial rolling hash fingerprint: fold over code units of the
     * string, h = (h*31 + c) mod 1e9+7. Deterministic, order-sensitive,

@@ -33,6 +33,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(repeated.toSet == Set("x y", "y x"))
   }
 
+  test("wordNgrams keeps repeats in order; repetition ppm math is exact") {
+    val got = one("x y x y z").select(TextFunctions.wordNgrams($"text", 2))
+      .as[Seq[String]].head()
+    assert(got == Seq("x y", "y x", "x y", "y z"))
+    // dup fraction of those 2-grams: 4 grams, 3 distinct -> 250000 ppm
+    val ppm = one("x y x y z")
+      .select(TextFunctions.wordNgrams($"text", 2).as("g2"))
+      .select(expr("cast(size(g2) - size(array_distinct(g2)) as bigint)" +
+        " * 1000000 div size(g2)"))
+      .as[Long].head()
+    assert(ppm == 250000L)
+  }
+
   test("fingerprint is deterministic, order-sensitive, and matches a reference fold") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => Math.floorMod(h * 31 + c.toLong, 1000000007L))
