@@ -21,7 +21,52 @@ object Bench {
   val Extended: Seq[String] = Seq(
     "llm_dedup_levenshtein", "llm_chunking", "llm_shard_pack",
     "llm_sample_deterministic", "llm_embedding_centroids",
-    "llm_dedup_clusters_mr", "q40_exists_subquery", "q45_window_distribution")
+    "llm_dedup_clusters_mr", "q40_exists_subquery", "q45_window_distribution",
+    "llm_repetition", "q47_recursive_cte", "q48_lateral_topk")
+
+  /** The two skew answers measured head-to-head on the SAME deliberately
+    * skewed shuffled join (~90% of lineitem on one hot key, broadcast
+    * disabled, merge-join hinted so the skew actually lands on sort-merge
+    * reducers): AQE runtime skew-split vs. no mitigation vs. the manual
+    * salted join ([[operators.SkewTools.saltedEquiJoin]]). Reported as a
+    * JSON object; the headline total is unaffected. */
+  private def skewComparison(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    // amplify x8 so the hot key is several million rows — at bench SFs
+    // the raw table joins in well under a second and every strategy ties
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .crossJoin(spark.range(8))
+      .select(when(col("l_orderkey") % 100 < 90, 0L)
+        .otherwise(col("l_orderkey") % 1000).as("k"),
+        col("l_quantity"))
+      // spread the amplified map side over all cores so the measured
+      // difference is the REDUCER-side hot partition, not the scan
+      .repartition(64)
+    val dim = spark.range(1000).select(col("id").as("dk"),
+      (col("id") * 7 % 13).as("w"))
+    def measure(skewJoinOn: Boolean, salted: Boolean): Double = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn.toString)
+      try {
+        val joined =
+          if (salted) operators.SkewTools.saltedEquiJoin(
+            li, dim.hint("merge"), col("k"), col("dk"), saltBuckets = 32)
+          else li.join(dim.hint("merge"), col("k") === col("dk"))
+        val agg = joined.groupBy().agg(count(lit(1)), sum(col("l_quantity") * col("w")))
+        val t0 = System.nanoTime()
+        agg.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      }
+    }
+    measure(skewJoinOn = true, salted = false) // warmup
+    val aqe = math.min(measure(true, false), measure(true, false))
+    val none = math.min(measure(false, false), measure(false, false))
+    val salt = math.min(measure(false, true), measure(false, true))
+    f"""{"aqe_skew_join":$aqe%.3f,"no_mitigation":$none%.3f,"salted_32":$salt%.3f}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +94,8 @@ object Bench {
     val ext = Extended.map(n => n -> math.min(runOne(n), runOne(n)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"sf":"$sfDir"}""")
+    val skew = skewComparison(spark, sfDir)
+    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -298,21 +298,32 @@ object QueriesLlm {
     // agg on (doc_id, gram)).
     QueryDef("llm_repetition",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val base = docs.select(col("doc_id"),
-            TextFunctions.tokens(col("text")).as("toks"),
-            TextFunctions.wordNgrams(col("text"), 2).as("g2"),
-            TextFunctions.wordNgrams(col("text"), 3).as("g3"))
-          .select(col("doc_id"),
-            size(col("toks")).cast("long").as("n_tokens"),
-            expr("cast(size(toks) - size(array_distinct(toks)) as bigint)" +
-              " * 1000000 div size(toks)").as("dup_word_ppm"),
-            expr("cast(size(g2) - size(array_distinct(g2)) as bigint)" +
-              " * 1000000 div size(g2)").as("dup_2gram_ppm"),
-            expr("cast(size(g3) - size(array_distinct(g3)) as bigint)" +
-              " * 1000000 div size(g3)").as("dup_3gram_ppm"))
-        val topg = docs.select(col("doc_id"),
-            explode(TextFunctions.wordNgrams(col("text"), 2)).as("g"))
+        // tokenize ONCE and materialize the token array across a
+        // repartition: higher-order-function lambdas are interpreted (no
+        // codegen), so (a) building n-grams from `text` would re-run the
+        // regex split per n-gram ELEMENT once projections collapse —
+        // O(len^2) interpreted regex per row, the levenshtein incident
+        // shape — and (b) a single-file scan would run that kernel on one
+        // core. The shuffle fixes both; grams become cheap slices of the
+        // materialized array, and the two consumers below reuse the
+        // exchange.
+        val toksed = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .repartition(s.sparkContext.defaultParallelism)
+        def gramsSql(n: Int) =
+          s"transform(sequence(0, greatest(size(toks)-$n, 0))," +
+            s" i -> concat_ws(' ', slice(toks, i+1, $n)))"
+        def dupPpmSql(arr: String) =
+          s"cast(size($arr) - size(array_distinct($arr)) as bigint)" +
+            s" * 1000000 div size($arr)"
+        val base = toksed.selectExpr(
+          "doc_id",
+          "cast(size(toks) as bigint) AS n_tokens",
+          s"${dupPpmSql("toks")} AS dup_word_ppm",
+          s"${dupPpmSql(gramsSql(2))} AS dup_2gram_ppm",
+          s"${dupPpmSql(gramsSql(3))} AS dup_3gram_ppm")
+        val topg = toksed
+          .select(col("doc_id"), explode(expr(gramsSql(2))).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(expr("max(c) * 1000000 div sum(c)").as("top_2gram_ppm"))
