@@ -289,6 +289,48 @@ object QueriesLlm {
       Some("""SELECT source, COUNT(*) AS n_sampled FROM documents
         WHERE substr(md5(text), 1, 8) < '40000000' GROUP BY source""")),
 
+    // source-mixing weights: per-language sampling rate that equalizes
+    // the character budget across languages (down-sample every language
+    // to the smallest one's volume) — the standard knob for retargeting
+    // a corpus mix before training. Exact integer ppm; the per-group
+    // totals are one partial-agg shuffle and the global min broadcasts.
+    QueryDef("llm_mix_weights",
+      (s, dir) => {
+        val totals = t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("lang_chars"))
+        totals.crossJoin(
+            totals.agg(min(col("lang_chars")).as("mn")))
+          .select(col("lang"), col("n_docs"), col("lang_chars"),
+            expr("mn * 1000000 div lang_chars").as("rate_ppm"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+          FROM documents GROUP BY lang)
+        SELECT lang, n_docs, lang_chars,
+          CAST((SELECT MIN(lang_chars) FROM c) * 1000000 // lang_chars AS BIGINT) AS rate_ppm
+        FROM c""")),
+
+    // corpus token-frequency spectrum (the Zipf curve as count-of-counts
+    // in exact log2 buckets — length(bin(c)) = floor(log2)+1, integer on
+    // both engines, no float log). Two-level aggregation: term counts
+    // shuffle by token (uniformly distributed keys), the spectrum is a
+    // ~60-row second agg. The canonical "vocabulary profile" job.
+    QueryDef("llm_zipf_spectrum",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(length(bin(col("c"))).as("freq_bucket"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("long").as("n_occurrences")),
+      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents),
+        c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok)
+        SELECT CAST(length(bin(c)) AS INT) AS freq_bucket,
+          COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_occurrences
+        FROM c GROUP BY 1""")),
+
     // repetition quality signals (the Gopher/MassiveText repetition
     // filters, Rae et al. 2021 §A1.1): duplicate word / 2-gram / 3-gram
     // fractions and the most-frequent-2-gram share, all as exact ppm
