@@ -56,4 +56,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
     assert(plan.contains("Generate"), plan.take(2000))
   }
+
+  test("recursive CTE plans a union-loop, and the join side pre-aggregates") {
+    val df = SparkEntry.queries("q47_recursive_cte")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the recursion executes as a dedicated physical loop operator, and
+    // orders is aggregated BEFORE joining the 84-row calendar (the
+    // recursion must never re-scan the fact table)
+    assert(plan.contains("UnionLoop"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("lateral LIMIT subquery decorrelates to a join + per-group top-k") {
+    val df = SparkEntry.queries("q48_lateral_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000))
+    // the per-nation LIMIT becomes a rank-style window/top-k, evaluated
+    // distributed — not a per-outer-row re-execution
+    assert(plan.contains("Window") || plan.contains("TopKPerKey"),
+      plan.take(3000))
+  }
+
+  test("repetition kernel spreads across partitions and reuses one exchange") {
+    val df = SparkEntry.queries("llm_repetition")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the tokenize-once projection feeds both consumers through the SAME
+    // round-robin exchange (base stats + top-gram agg), so the heavy
+    // interpreted lambda runs once per row on a spread partitioning
+    assert(plan.contains("ReusedExchange") || plan.contains("Exchange"),
+      plan.take(3000))
+    assert(plan.contains("RoundRobinPartitioning"), plan.take(3000))
+  }
 }
