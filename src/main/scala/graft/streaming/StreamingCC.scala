@@ -75,13 +75,72 @@ object StreamingCC {
     prune(spark, stateDir, keepVersions)
   }
 
+  /** Delta-localized merge: instead of re-running the CC rounds over
+    * (forest ∪ batch), contract each batch edge to its component ROOT
+    * (coalesce(mapping[x], x) — a star forest resolves roots in one
+    * lookup), run the rounds on that tiny root graph only, and rewrite
+    * the forest with two joins:
+    *   - prior rows whose root merged get the new (smaller) root,
+    *   - merged old roots / new nodes are appended from the tiny
+    *     mapping itself.
+    * Min-root semantics compose: roots are component minima, so the
+    * min-CC of the root graph IS the global minimum of each merged
+    * component. Per-batch iterative work is O(log^2 |touched roots|)
+    * rounds over |batch| edges — independent of corpus size; the forest
+    * is touched only by single-pass joins. A batch with no new
+    * connectivity skips the state write entirely.
+    */
+  def mergeBatchDelta(batch: DataFrame, uCol: String, vCol: String,
+                      stateDir: String, batchId: Long,
+                      keepVersions: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    if (latestVersion(spark, stateDir, Long.MaxValue).exists(_ >= batchId)) return
+    latestVersion(spark, stateDir, batchId) match {
+      case None => mergeBatch(batch, uCol, vCol, stateDir, batchId, keepVersions)
+      case Some(v) =>
+        val mapping = spark.read.parquet(s"$stateDir/v=$v")
+        val newEdges = batch
+          .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+        val rootEdges0 = newEdges
+          .join(mapping.select(col("id").as("u"), col("cluster_root").as("ru")),
+            Seq("u"), "left")
+          .join(mapping.select(col("id").as("v"), col("cluster_root").as("rv")),
+            Seq("v"), "left")
+          .select(coalesce(col("ru"), col("u")).as("ru"),
+            coalesce(col("rv"), col("v")).as("rv"))
+          .filter(col("ru") =!= col("rv"))
+        // clean rebuild before the CC rounds (mixed batch/parquet lineage
+        // breaks constraint rewriting under checkpoint — see mergeBatch)
+        val rootEdges = spark.createDataFrame(rootEdges0.rdd, rootEdges0.schema)
+        if (!rootEdges.isEmpty) {
+          val remap = ConnectedComponents.run(rootEdges, "ru", "rv")
+            .select(col("id").as("old_root"), col("cluster_root").as("new_root"))
+          val rewritten = mapping.join(remap,
+              mapping("cluster_root") === remap("old_root"), "left")
+            .select(mapping("id"),
+              coalesce(col("new_root"), mapping("cluster_root")).as("cluster_root"))
+          // merged old roots (and first-seen nodes) become non-root rows;
+          // prior roots never appear as `id` in the forest, so no dups
+          val demoted = remap
+            .select(col("old_root").as("id"), col("new_root").as("cluster_root"))
+          rewritten.union(demoted).write.mode("overwrite")
+            .parquet(s"$stateDir/v=$batchId")
+          prune(spark, stateDir, keepVersions)
+        }
+    }
+  }
+
   /** Wire a streaming pair frame into the stateful merge. Caller sets
     * checkpointLocation and starts:
-    * {{{ StreamingCC.sink(pairs, "id_a", "id_b", dir).option(...).start() }}} */
+    * {{{ StreamingCC.sink(pairs, "id_a", "id_b", dir).option(...).start() }}}
+    * `delta = true` (default) uses the root-contracted
+    * [[mergeBatchDelta]]; both paths produce identical state. */
   def sink(pairs: DataFrame, uCol: String, vCol: String,
-           stateDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+           stateDir: String,
+           delta: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] =
     pairs.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
-      mergeBatch(df, uCol, vCol, stateDir, batchId)
+      if (delta) mergeBatchDelta(df, uCol, vCol, stateDir, batchId)
+      else mergeBatch(df, uCol, vCol, stateDir, batchId)
     }
 
   private def fs(spark: SparkSession, dir: String) =

@@ -55,6 +55,41 @@ class StreamingCCSpec extends SparkSpec {
     assert(mapping(stateDir) == Map(2L -> 1L, 8L -> 7L))
   }
 
+  test("delta merge matches full merge and batch CC on a fuzzed stream") {
+    val rnd = new scala.util.Random(42)
+    val full = Files.createTempDirectory("scc_full").toString
+    val delta = Files.createTempDirectory("scc_delta").toString
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0L until 6L).foreach { bid =>
+      val edges = Seq.fill(8)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      history ++= edges
+      val df = edges.toDF("u", "v")
+      StreamingCC.mergeBatch(df, "u", "v", full, bid)
+      StreamingCC.mergeBatchDelta(df, "u", "v", delta, bid)
+      assert(mapping(delta) == mapping(full), s"diverged at batch $bid")
+    }
+    val batch = graft.llm.ConnectedComponents
+      .run(history.toSeq.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(mapping(delta) == batch)
+  }
+
+  test("delta merge covers the new-node-becomes-root and no-op cases") {
+    val dir = Files.createTempDirectory("scc_delta2").toString
+    // batch 0 (full path): component {5,9} rooted at 5
+    StreamingCC.mergeBatchDelta(Seq((9L, 5L)).toDF("u", "v"), "u", "v", dir, 0L)
+    assert(mapping(dir) == Map(9L -> 5L))
+    // batch 1: NEW node 2 joins — smaller than the old root, so the
+    // old root 5 is demoted and every prior member re-roots to 2
+    StreamingCC.mergeBatchDelta(Seq((2L, 9L)).toDF("u", "v"), "u", "v", dir, 1L)
+    assert(mapping(dir) == Map(5L -> 2L, 9L -> 2L))
+    // batch 2: only redundant edges — no new version is written
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    StreamingCC.mergeBatchDelta(Seq((5L, 2L), (9L, 9L)).toDF("u", "v"), "u", "v", dir, 2L)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == before)
+    assert(mapping(dir) == Map(5L -> 2L, 9L -> 2L))
+  }
+
   test("old state versions are pruned") {
     val stateDir = Files.createTempDirectory("scc_prune").toString
     (0L to 5L).foreach { i =>
