@@ -50,6 +50,38 @@ class LlmModulesSpec extends SparkSpec {
     assert(out.columns.contains("quality") && out.columns.contains("lang"))
   }
 
+  test("repetition filter and near-dedup actors curate end to end") {
+    val in = Files.createTempDirectory("graft-llm-pipe3-").toString
+    val loop = ("spam ham " * 40).trim // 50% dup 2-grams -> filtered
+    Seq(
+      (1L, good),                                        // keeper
+      (2L, good.replace("Tuesday", "Monday")),           // near-dup of 1,
+                                                         // shorter -> dropped
+      (3L, loop),                                        // repetition-filtered
+      (5L, "el informe fue publicado el martes por la comision y los " +
+           "resultados fueron consistentes con los estudios anteriores"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  rep: {module: llm.repetition_filter, params: {column: text, max_dup_ppm: "400000"}}
+        |  near: {module: llm.dedup_near, params: {column: text, id: doc_id, threshold: "0.5"}}
+        |  llm_pipe3_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [rep]}
+        |  rep: {connect: [near]}
+        |  near: {connect: [llm_pipe3_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("llm_pipe3_out")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // doc 1 survives its near-dup 2 (1 is longer); 3 repetition-gated;
+    // 5 unrelated so it survives near-dedup untouched
+    assert(ids == Set(1L, 5L))
+    assert(out.columns.contains("dup_ppm"))
+  }
+
   test("langid without keep only annotates") {
     val in = Files.createTempDirectory("graft-llm-pipe2-").toString
     writeDocs(in)
