@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.TextFunctions
+import graft.functions.{DupNgramPpm, TextFunctions}
 import graft.llm.{Dedup, Multimodal, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
@@ -340,32 +340,25 @@ object QueriesLlm {
     // agg on (doc_id, gram)).
     QueryDef("llm_repetition",
       (s, dir) => {
-        // tokenize ONCE and materialize the token array across a
-        // repartition: higher-order-function lambdas are interpreted (no
-        // codegen), so (a) building n-grams from `text` would re-run the
-        // regex split per n-gram ELEMENT once projections collapse —
-        // O(len^2) interpreted regex per row, the levenshtein incident
-        // shape — and (b) a single-file scan would run that kernel on one
-        // core. The shuffle fixes both; grams become cheap slices of the
-        // materialized array, and the two consumers below reuse the
-        // exchange.
+        // tokenize ONCE and spread across a repartition (single-file
+        // inputs scan as one partition), then compute each dup fraction
+        // with the codegen DupNgramPpm expression — one pass per row per
+        // n, inside whole-stage codegen, no interpreted lambdas. Both
+        // consumers below reuse the exchange. (An earlier HOF
+        // formulation re-ran the regex split per n-gram element on one
+        // core — the levenshtein incident shape; see ROUND2.md.)
         val toksed = t(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .repartition(s.sparkContext.defaultParallelism)
-        def gramsSql(n: Int) =
-          s"transform(sequence(0, greatest(size(toks)-$n, 0))," +
-            s" i -> concat_ws(' ', slice(toks, i+1, $n)))"
-        def dupPpmSql(arr: String) =
-          s"cast(size($arr) - size(array_distinct($arr)) as bigint)" +
-            s" * 1000000 div size($arr)"
-        val base = toksed.selectExpr(
-          "doc_id",
-          "cast(size(toks) as bigint) AS n_tokens",
-          s"${dupPpmSql("toks")} AS dup_word_ppm",
-          s"${dupPpmSql(gramsSql(2))} AS dup_2gram_ppm",
-          s"${dupPpmSql(gramsSql(3))} AS dup_3gram_ppm")
+        val base = toksed.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          DupNgramPpm(col("toks"), 1).as("dup_word_ppm"),
+          DupNgramPpm(col("toks"), 2).as("dup_2gram_ppm"),
+          DupNgramPpm(col("toks"), 3).as("dup_3gram_ppm"))
         val topg = toksed
-          .select(col("doc_id"), explode(expr(gramsSql(2))).as("g"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, greatest(size(toks)-2, 0))," +
+              " i -> concat_ws(' ', slice(toks, i+1, 2)))")).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(expr("max(c) * 1000000 div sum(c)").as("top_2gram_ppm"))

@@ -18,6 +18,9 @@ object GraftFunctions {
       exprs => CosineSimFloat(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductFloat(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dup_ngram_ppm",
+      exprs => DupNgramPpm(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
 
     spark.udf.register("graft_jump_hash",
       (key: Long, n: Int) => HashFunctions.jumpHash(key, n))

@@ -207,28 +207,19 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
 
     // repetition gate (Gopher filters): annotate dup-token/2-gram/3-gram
     // ppm and drop rows above max_dup_ppm (checked against the WORST of
-    // the three). Tokenizes once and materializes the token array across
-    // a repartition — higher-order-function lambdas are interpreted, so
-    // building grams straight from the text would re-run the regex split
-    // per n-gram element (params: column, max_dup_ppm)
+    // the three). One codegen pass per row per n (DupNgramPpm), fully
+    // narrow — no shuffle added to the pipeline
+    // (params: column, max_dup_ppm)
     case "llm.repetition_filter" =>
       val c = p(a, "column").getOrElse("text")
       val maxPpm = p(a, "max_dup_ppm").map(_.toLong).getOrElse(300000L)
-      def gramsSql(n: Int) =
-        s"transform(sequence(0, greatest(size(__toks)-$n, 0))," +
-          s" i -> concat_ws(' ', slice(__toks, i+1, $n)))"
-      def dupPpmSql(arr: String) =
-        s"cast(size($arr) - size(array_distinct($arr)) as bigint)" +
-          s" * 1000000 div size($arr)"
+      val toks = graft.functions.TextFunctions.tokens(col(c))
       inputOf(a.name)
-        .withColumn("__toks", graft.functions.TextFunctions.tokens(col(c)))
-        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("dup_ppm", greatest(
-          expr(dupPpmSql("__toks")),
-          expr(dupPpmSql(gramsSql(2))),
-          expr(dupPpmSql(gramsSql(3)))))
+          graft.functions.DupNgramPpm(toks, 1),
+          graft.functions.DupNgramPpm(toks, 2),
+          graft.functions.DupNgramPpm(toks, 3)))
         .filter(col("dup_ppm") <= maxPpm)
-        .drop("__toks")
 
     // MinHash/LSH near-dedup: resolve clusters, keep the best document
     // per cluster (longest text, then min id) — the canonical curation
