@@ -84,9 +84,11 @@ object Bench {
     // warmup leaves that cost inside the first timed run of the others
     Headline.foreach(runOne)
 
-    // best-of-2: single-shot numbers swing ~20% from GC/JIT noise in
-    // local mode; min is the stable cross-round comparator
-    val results = Headline.map(n => n -> math.min(runOne(n), runOne(n)))
+    // best-of-3: single-shot numbers swing ~20% from GC/JIT noise in
+    // local mode; min over three runs is the stable cross-round
+    // comparator (two left residual swings of ~1.5x between full runs)
+    val results = Headline.map(n =>
+      n -> Seq(runOne(n), runOne(n), runOne(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -56,7 +56,9 @@ class ExamplesSpec extends SparkSpec {
     import spark.implicits._
     assert(out.select($"lang").distinct().as[String].collect().toSeq == Seq("en"))
     assert(out.filter($"quality" < 0.5).count() == 0)
-    // exact dedup kept one row per distinct text
+    // repetition gate annotated and enforced its bound
+    assert(out.filter($"dup_ppm" > 900000L).count() == 0)
+    // exact + near dedup kept one row per distinct text
     assert(out.select($"text").distinct().count() == out.count())
   }
 
