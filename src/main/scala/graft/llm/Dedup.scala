@@ -132,6 +132,16 @@ object Dedup {
     *    (the root map is #non-root-duplicates rows; if even that outgrows
     *    broadcast, drop the hint and let AQE pick a shuffle join).
     *
+    * Exact-duplicate groups are collapsed to their min-id representative
+    * BEFORE the LSH stage: exact dups share the whole shingle set, so
+    * every member's similarity edges are identical to the
+    * representative's — the collapse is lossless for cluster content
+    * while removing the sum(group_size^2)-per-band candidate term that
+    * otherwise dominates dup-heavy corpora. Measured on a 500k-doc
+    * corpus of 100-member exact-dup groups (local[32]): the uncollapsed
+    * path died building the cluster-root broadcast after 3+ minutes of
+    * candidate generation; collapsed resolves in ~6s warm.
+    *
     * Output: doc_id, cluster_root, keep.
     */
   def resolveClusters(df: DataFrame, textCol: String, idCol: String,
@@ -139,7 +149,11 @@ object Dedup {
                       distributed: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairDf = minhashLshPairs(df, textCol, idCol, shingleN, threshold)
+    val hashed = df.select(col(idCol), length(col(textCol)).as("__len"),
+      md5(col(textCol).cast("binary")).as("__h"))
+    val groupRep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__rep"))
+    val repDf = df.join(groupRep.select(col("__rep").as(idCol)), Seq(idCol))
+    val pairDf = minhashLshPairs(repDf, textCol, idCol, shingleN, threshold)
     val rootDf =
       if (distributed)
         ConnectedComponents.run(pairDf, "id_a", "id_b")
@@ -162,9 +176,16 @@ object Dedup {
           .map(id => id -> find(id)).filter { case (id, r) => id != r }
           .toSeq.toDF(idCol, "cluster_root")
       }
-    val withRoot = df.select(col(idCol), length(col(textCol)).as("__len"))
-      .join(broadcast(rootDf), Seq(idCol), "left")
-      .withColumn("cluster_root", coalesce(col("cluster_root"), col(idCol)))
+    // expand: each representative's root (default itself) fans back out
+    // to its whole exact-dup group via the content hash. The component
+    // minimum over representatives IS the global minimum id (each rep is
+    // its group's min), so roots are unchanged by the collapse.
+    val repRoot = groupRep
+      .join(broadcast(rootDf.withColumnRenamed(idCol, "__rep")), Seq("__rep"), "left")
+      .select(col("__h"),
+        coalesce(col("cluster_root"), col("__rep")).as("__root"))
+    val withRoot = hashed.join(repRoot, Seq("__h"))
+      .select(col(idCol), col("__len"), col("__root").as("cluster_root"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_root"))
       .orderBy(col("__len").desc, col(idCol).asc)
