@@ -27,7 +27,47 @@ import graft.streaming.Streams
   * each upstream once per action (and Catalyst reuses the scan across
   * branches of the same query).
   */
+object PipelineCompiler {
+  /** Module param schemas — the analog of the reference's pkg/cast
+    * config mapper (convert-or-give-up validation of every config key
+    * against the module's schema, pkg/cast/mapper.go): a typo'd param
+    * (`treshold`, `max_dupppm`) fails loudly at compile time instead of
+    * silently falling back to the default. `plugin:<fqcn>` modules take
+    * arbitrary params and are exempt. */
+  val KnownParams: Map[String, Set[String]] = Map(
+    "core.receiver" -> Set("path", "format", "ts_nanos_to_micros"),
+    "core.push_receiver" -> Set("channel", "maxMsgsPerTrigger"),
+    "core.mux" -> Set(),
+    "core.router" -> Set("key", "routes", "dead_letter"),
+    "core.replicator" -> Set("mode"),
+    "core.throttler" -> Set("algo", "key", "ts", "rps", "quota", "window"),
+    "core.compressor" -> Set("codec", "level", "column"),
+    "core.decompressor" -> Set("codec", "column"),
+    "core.encoder_base64" -> Set("column"),
+    "core.decoder_base64" -> Set("column"),
+    "core.meta_parser" -> Set("column", "meta"),
+    "core.topk" -> Set("keys", "order", "k", "rank_name"),
+    "llm.quality_filter" -> Set("column", "min_quality", "score_column"),
+    "llm.langid" -> Set("column", "lang_column", "keep"),
+    "llm.dedup_exact" -> Set("column", "id"),
+    "llm.repetition_filter" -> Set("column", "max_dup_ppm"),
+    "llm.dedup_near" -> Set("column", "id", "shingle_n", "threshold", "distributed"),
+    "core.sink" -> Set("format", "path", "mode", "partition_by", "rows"))
+
+  def validateParams(cfg: PipelineConfig): Unit =
+    cfg.actors.values.foreach { a =>
+      KnownParams.get(a.module).foreach { known =>
+        val unknown = a.params.keySet -- known
+        require(unknown.isEmpty,
+          s"${a.name}: unknown param(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+            s" for ${a.module} (known: ${known.toSeq.sorted.mkString(", ")})")
+      }
+    }
+}
+
 class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
+
+  PipelineCompiler.validateParams(cfg)
 
   /** Build the DataFrame flowing OUT of `name` toward `forDownstream`
     * (router branches differ per downstream; everything else is

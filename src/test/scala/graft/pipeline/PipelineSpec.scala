@@ -62,6 +62,22 @@ class PipelineSpec extends SparkSpec {
     val e2 = intercept[RuntimeException](
       new PipelineCompiler(spark, PipelineConfig.parse(noPath)).runBatch())
     assert(e2.getMessage.contains("path"))
+
+    // a typo'd param fails at COMPILE time with the module's schema in
+    // the message (the pkg/cast convert-or-give-up contract), instead of
+    // silently falling back to the default
+    val typoParam =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  near: {module: llm.dedup_near, params: {column: text, treshold: "0.5"}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [near]}
+        |  near: {connect: [out]}
+        |""".stripMargin
+    val e3 = intercept[IllegalArgumentException](
+      new PipelineCompiler(spark, PipelineConfig.parse(typoParam)))
+    assert(e3.getMessage.contains("treshold") && e3.getMessage.contains("threshold"))
   }
 
   test("empty and malformed configs are rejected at parse time") {
