@@ -289,6 +289,43 @@ object QueriesLlm {
       Some("""SELECT source, COUNT(*) AS n_sampled FROM documents
         WHERE substr(md5(text), 1, 8) < '40000000' GROUP BY source""")),
 
+    // benchmark decontamination: training docs sharing 8-gram shingles
+    // with the eval set (source 'src0' stands in for the benchmark).
+    // Production shape: the eval shingle set is small and broadcasts;
+    // the training side streams through the join and aggregates per
+    // doc — the standard n-gram-overlap decontamination sweep. Shingles
+    // build from a materialized token array (interpreted-HOF lesson).
+    QueryDef("llm_decontaminate",
+      (s, dir) => {
+        val toksed = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val sh = toksed.select(col("doc_id"), col("source"),
+          explode(expr("array_distinct(transform(" +
+            "sequence(0, greatest(size(toks)-8, 0))," +
+            " i -> concat_ws(' ', slice(toks, i+1, 8))))")).as("s"))
+        val evalSet = sh.filter(col("source") === "src0")
+          .select(col("s")).distinct()
+        sh.filter(col("source") =!= "src0")
+          .join(broadcast(evalSet), "s")
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("s")).as("shared_ngrams"))
+          .withColumn("contaminated", col("shared_ngrams") >= 20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, source,
+            array_to_string(tk[i:i+7], ' ') AS s
+          FROM (SELECT doc_id, source, tk,
+                unnest(range(1, greatest(len(tk)-6, 2))) AS i FROM toks) z),
+        hits AS (SELECT t.doc_id, COUNT(DISTINCT t.s) AS shared_ngrams
+          FROM sh t JOIN sh e ON t.s = e.s AND e.source = 'src0'
+          WHERE t.source <> 'src0' GROUP BY t.doc_id)
+        SELECT doc_id, CAST(shared_ngrams AS BIGINT) AS shared_ngrams,
+          shared_ngrams >= 20 AS contaminated
+        FROM hits""")),
+
     // source-mixing weights: per-language sampling rate that equalizes
     // the character budget across languages (down-sample every language
     // to the smallest one's volume) — the standard knob for retargeting
