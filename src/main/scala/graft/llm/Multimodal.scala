@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` columns plus typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so `decode*` derive deterministic fake metadata from the byte stream
-  * (length + first/last byte arithmetic — chosen to be reproducible in
-  * ANSI SQL so the stages stay oracle-checkable). Everything AROUND the
-  * stub — schemas, binary slicing, explode-based frame fan-out,
-  * partition-parallel shape, null handling — is the real production
-  * plumbing; swapping in a real codec changes only the marked lambdas.
+  * Two decode tiers:
+  *  - REAL decoders for the formats the JDK ships codecs for —
+  *    PNG/JPEG/BMP/GIF via `javax.imageio` ([[decodeImagesReal]],
+  *    [[resizeImagesReal]]) and WAV via `javax.sound.sampled`
+  *    ([[decodeAudioReal]]) — as `mapPartitions` kernels (the
+  *    production dataflow: one codec context per partition, narrow,
+  *    malformed rows degrade to `ok = false` instead of failing the
+  *    job).
+  *  - STUBS for everything else (video codecs, mp3/flac — absent from
+  *    this container): `decode*Meta` derive deterministic fake metadata
+  *    from the byte stream, reproducible in ANSI SQL so the stages stay
+  *    oracle-checkable against DuckDB.
   *
   * Scale: all stages are narrow (no shuffle); frame sampling multiplies
-  * rows via explode which preserves input partitioning. Decoders on real
-  * data would be mapInPandas/mapPartitions batch calls — same dataflow.
+  * rows via explode which preserves input partitioning.
   */
 object Multimodal {
 
@@ -79,5 +83,105 @@ object Multimodal {
           s"greatest(length(bytes) div $n, 1))"))
       .withColumn("frame_len", length(col("frame_bytes")))
       .drop("bytes")
+  }
+
+  // ---- REAL decoders (JDK codecs; mapPartitions kernels) -------------
+
+  /** REAL image decode via `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF):
+    * (id, bytes) -> (id, width, height, channels, ok). Undecodable or
+    * malformed payloads yield `ok = false` rather than failing the job —
+    * at corpus scale some fraction of media is always broken. */
+  def decodeImagesReal(df: DataFrame, idCol: String = "media_id",
+                       bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, 0, 0, 0, false)
+            else (id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, true)
+          } catch { case _: Exception => (id, 0, 0, 0, false) }
+        }
+      }
+      .toDF(idCol, "width", "height", "channels", "ok")
+  }
+
+  /** REAL resize: decode, aspect-preserving scale to `maxSide`
+    * (never upscale), re-encode PNG. Output carries the resized payload
+    * plus its dimensions; broken inputs pass through with `ok = false`
+    * and empty bytes. */
+  def resizeImagesReal(df: DataFrame, maxSide: Int,
+                       idCol: String = "media_id",
+                       bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, Array.empty[Byte], 0, 0, false)
+            else {
+              val scale = math.min(1.0,
+                maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, bos.toByteArray, w, h, true)
+            }
+          } catch { case _: Exception => (id, Array.empty[Byte], 0, 0, false) }
+        }
+      }
+      .toDF(idCol, "resized_bytes", "resized_width", "resized_height", "ok")
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU):
+    * (id, bytes) -> (id, duration_sec, sample_rate, channels, rms, ok).
+    * RMS is computed over the 16-bit PCM samples — the loudness feature
+    * the stub fakes with a byte mean. */
+  def decodeAudioReal(df: DataFrame, idCol: String = "media_id",
+                      bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val duration = frames.toDouble / fmt.getFrameRate
+            val pcm = ais.readAllBytes()
+            var sumSq = 0.0; var i = 0; var n = 0
+            val bigEndian = fmt.isBigEndian
+            while (i + 1 < pcm.length) {
+              val s = if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+                      else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+              sumSq += s.toDouble * s.toDouble; n += 1; i += 2
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+            (id, duration, fmt.getSampleRate.toInt, fmt.getChannels, rms, true)
+          } catch { case _: Exception => (id, 0.0, 0, 0, 0.0, false) }
+        }
+      }
+      .toDF(idCol, "duration_sec", "sample_rate", "channels", "rms", "ok")
   }
 }

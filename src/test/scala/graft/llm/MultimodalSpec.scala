@@ -44,6 +44,84 @@ class MultimodalSpec extends SparkSpec {
     assert(lens.forall(_._2 >= 1))
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 7 + y * 13) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(rateHz: Int, seconds: Double, freqHz: Double): Array[Byte] = {
+    val n = (rateHz * seconds).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (math.sin(2 * math.Pi * freqHz * i / rateHz) * 16000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL image decode reads PNG and JPEG dims; broken payloads degrade") {
+    val media = Seq(
+      (1L, pngBytes(100, 40)),
+      (2L, jpegBytes(30, 60)),
+      (3L, "not an image at all".getBytes)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeImagesReal(media)
+      .select($"media_id", $"width", $"height", $"channels", $"ok")
+      .as[(Long, Int, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 100, 40, 3, true)))
+    assert(out(1) == ((2L, 30, 60, 3, true)))
+    assert(out(2)._5 == false)
+  }
+
+  test("REAL resize scales aspect-preserving, re-encodes decodable PNG") {
+    val media = Seq((1L, pngBytes(200, 100)), (2L, pngBytes(20, 10)))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.resizeImagesReal(media, maxSide = 64)
+    val rows = out.select($"media_id", $"resized_bytes", $"resized_width",
+        $"resized_height", $"ok")
+      .as[(Long, Array[Byte], Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(rows(0)._3 == 64 && rows(0)._4 == 32 && rows(0)._5)
+    assert(rows(1)._3 == 20 && rows(1)._4 == 10) // never upscaled
+    // the resized payload is itself a decodable image with those dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(0)._2))
+    assert(round.getWidth == 64 && round.getHeight == 32)
+  }
+
+  test("REAL audio decode parses WAV duration, rate and RMS of a sine") {
+    val media = Seq(
+      (1L, wavBytes(16000, 0.5, 440.0)),
+      (2L, "junk".getBytes)).toDF("media_id", "bytes")
+    val out = Multimodal.decodeAudioReal(media)
+      .select($"media_id", $"duration_sec", $"sample_rate", $"channels",
+        $"rms", $"ok")
+      .as[(Long, Double, Int, Int, Double, Boolean)].collect().sortBy(_._1)
+    val (_, dur, rate, ch, rms, ok) = out(0)
+    assert(ok && rate == 16000 && ch == 1)
+    assert(math.abs(dur - 0.5) < 1e-6)
+    // a full-scale-0.5 sine has RMS ~ 0.5/sqrt(2) ~ 0.345
+    assert(math.abs(rms - 16000.0 / 32768 / math.sqrt(2)) < 0.01)
+    assert(!out(1)._6)
+  }
+
   test("audio decode stub computes duration and mean level deterministically") {
     val auds = Multimodal.mediaFromDocuments(docs).filter($"media_type" === "audio")
       .withColumn("m", Multimodal.decodeAudioMeta($"bytes"))
