@@ -326,6 +326,39 @@ object QueriesLlm {
           shared_ngrams >= 20 AS contaminated
         FROM hits""")),
 
+    // document novelty: fraction of a doc's distinct 3-gram shingles
+    // that appear NOWHERE else in the corpus (df = 1), as exact ppm.
+    // The inverse of the repetition signals: how much new information a
+    // doc contributes vs the corpus. Shape: shingle explode -> df count
+    // (shuffle on uniformly-hashed shingles) -> join back -> per-doc agg.
+    QueryDef("llm_novelty",
+      (s, dir) => {
+        val toksed = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val sh = toksed.select(col("doc_id"),
+          explode(expr("array_distinct(transform(" +
+            "sequence(0, greatest(size(toks)-3, 0))," +
+            " i -> concat_ws(' ', slice(toks, i+1, 3))))")).as("s"))
+        val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        sh.join(dfreq, "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_shingles"))
+          .withColumn("novel_ppm",
+            expr("unique_shingles * 1000000 div n_shingles"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+          FROM (SELECT doc_id, tk,
+                unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks) z),
+        dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_shingles,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novel_ppm
+        FROM sh JOIN dfreq ON sh.s = dfreq.s GROUP BY sh.doc_id""")),
+
     // source-mixing weights: per-language sampling rate that equalizes
     // the character budget across languages (down-sample every language
     // to the smallest one's volume) — the standard knob for retargeting
