@@ -52,6 +52,8 @@ object PipelineCompiler {
     "llm.dedup_exact" -> Set("column", "id"),
     "llm.repetition_filter" -> Set("column", "max_dup_ppm"),
     "llm.dedup_near" -> Set("column", "id", "shingle_n", "threshold", "distributed"),
+    "llm.decontaminate" -> Set("column", "id", "source_column", "eval_value",
+      "ngram_n", "min_shared"),
     "core.sink" -> Set("format", "path", "mode", "partition_by", "rows"))
 
   def validateParams(cfg: PipelineConfig): Unit =
@@ -275,6 +277,36 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
         .resolveClusters(in, c, idc, shingleN, th, distributed = dist)
         .filter(col("keep")).select(col(idc))
       in.join(keep, idc)
+
+    // benchmark decontamination gate: drop rows sharing >= min_shared
+    // distinct n-gram shingles with the eval subset (rows whose
+    // source_column equals eval_value). Eval shingles broadcast —
+    // benchmarks are small; the corpus side streams through the join
+    // (params: column, id, source_column, eval_value, ngram_n, min_shared)
+    case "llm.decontaminate" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val srcCol = p(a, "source_column").getOrElse("source")
+      val evalV = p(a, "eval_value")
+        .getOrElse(sys.error(s"${a.name}: decontaminate needs eval_value"))
+      val n = p(a, "ngram_n").map(_.toInt).getOrElse(8)
+      val minShared = p(a, "min_shared").map(_.toLong).getOrElse(20L)
+      val in = inputOf(a.name)
+      val sh = in
+        .select(col(idc), col(srcCol),
+          graft.functions.TextFunctions.tokens(col(c)).as("__toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col(idc), col(srcCol),
+          explode(expr("array_distinct(transform(" +
+            s"sequence(0, greatest(size(__toks)-$n, 0))," +
+            s" i -> concat_ws(' ', slice(__toks, i+1, $n))))")).as("__s"))
+      val evalSh = sh.filter(col(srcCol) === evalV).select(col("__s")).distinct()
+      val contaminated = sh.filter(col(srcCol) =!= evalV)
+        .join(broadcast(evalSh), "__s")
+        .groupBy(col(idc)).agg(count_distinct(col("__s")).as("__shared"))
+        .filter(col("__shared") >= minShared).select(col(idc))
+      in.filter(col(srcCol) =!= evalV)
+        .join(contaminated, Seq(idc), "left_anti")
 
     case "core.sink" => inputOf(a.name) // materialization handled by run()
 

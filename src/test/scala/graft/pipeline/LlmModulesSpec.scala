@@ -82,6 +82,32 @@ class LlmModulesSpec extends SparkSpec {
     assert(out.columns.contains("dup_ppm"))
   }
 
+  test("decontaminate actor drops train docs overlapping the eval subset") {
+    val in = Files.createTempDirectory("graft-llm-pipe4-").toString
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, evalDoc, "eval"),                           // the benchmark row
+      (2L, "prefix words then " + evalDoc, "train"),   // contains the eval 10-gram
+      (3L, good, "train"))                             // clean
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  decon: {module: llm.decontaminate, params: {column: text, id: doc_id,
+        |    eval_value: eval, ngram_n: "5", min_shared: "2"}}
+        |  llm_pipe4_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [decon]}
+        |  decon: {connect: [llm_pipe4_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val ids = spark.table("llm_pipe4_out").select("doc_id").as[Long].collect().toSet
+    // doc 2 shares >= 2 distinct 5-grams with the eval doc -> dropped;
+    // the eval row itself is excluded from the training output
+    assert(ids == Set(3L))
+  }
+
   test("langid without keep only annotates") {
     val in = Files.createTempDirectory("graft-llm-pipe2-").toString
     writeDocs(in)
