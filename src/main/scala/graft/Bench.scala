@@ -22,7 +22,8 @@ object Bench {
     "llm_dedup_levenshtein", "llm_chunking", "llm_shard_pack",
     "llm_sample_deterministic", "llm_embedding_centroids",
     "llm_dedup_clusters_mr", "q40_exists_subquery", "q45_window_distribution",
-    "llm_repetition", "q47_recursive_cte", "q48_lateral_topk")
+    "llm_repetition", "q47_recursive_cte", "q48_lateral_topk",
+    "llm_mix_weights", "llm_zipf_spectrum", "llm_decontaminate", "llm_novelty")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
