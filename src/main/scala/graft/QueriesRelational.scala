@@ -962,6 +962,31 @@ object QueriesRelational {
         FROM nation n, LATERAL (
           SELECT c_custkey, c_acctbal FROM customer
           WHERE c_nationkey = n.n_nationkey
-          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c"""))
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")),
+
+    // UNPIVOT (Spark 4 Dataset.unpivot / SQL melt): widen per-flag
+    // aggregates then fold the measure columns into (measure, value)
+    // rows — the long-form reshape feeding metric stores. All measures
+    // cast to DOUBLE through exact decimal sums so values hash-match.
+    QueryDef("q49_unpivot",
+      (s, dir) => {
+        val wide = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).cast("double").as("n_rows"))
+        wide.unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+      },
+      Some("""WITH wide AS (SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+        UNPIVOT wide ON sum_qty, sum_price, n_rows
+        INTO NAME measure VALUE value"""))
   )
 }
