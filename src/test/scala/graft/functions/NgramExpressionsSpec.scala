@@ -41,6 +41,25 @@ class NgramExpressionsSpec extends SparkSpec {
     assert(rep.select(DupNgramPpm(col("toks"), 1)).as[Long].head() == 750000L)
   }
 
+  test("DupNgramPpm matches a plain Scala reference on fuzzed arrays") {
+    def ref(toks: Seq[String], n: Int): Long = {
+      if (toks.isEmpty) return 0L
+      val total = if (toks.length > n) toks.length - n + 1 else 1
+      val grams = (0 until total).map(i => toks.slice(i, i + n).mkString(" "))
+      (total - grams.distinct.size).toLong * 1000000L / total
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "cc", "dd", "e1", "f2", "gg3")
+    val cases = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val df = cases.map(Tuple1(_)).toDF("toks")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val got = df.select(DupNgramPpm(col("toks"), n)).as[Long].collect().toSeq
+      val want = cases.map(ref(_, n))
+      assert(got == want, s"n=$n mismatch")
+    }
+  }
+
   test("registered SQL function works and stays codegen (no ScalaUDF)") {
     GraftFunctions.registerAll(spark)
     val df = Seq("x y x y z").toDF("text")
