@@ -78,6 +78,25 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("decontamination broadcasts the eval shingle set") {
+    val df = SparkEntry.queries("llm_decontaminate")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the benchmark side must be the broadcast build side; the corpus
+    // side must stream through the join (no shuffle of the eval set,
+    // no cartesian anything)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("mix weights reduce to one partial agg plus a broadcast global min") {
+    val df = SparkEntry.queries("llm_mix_weights")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cross join against the single-row global min must be a
+    // broadcast nested loop over ONE row, never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("repetition kernel spreads across partitions and reuses one exchange") {
     val df = SparkEntry.queries("llm_repetition")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
