@@ -463,8 +463,12 @@ object QueriesLlm {
           length(col("text")).as("n_chars"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
           TextFunctions.lexTokenCount(col("text")).as("n_lex_tokens"),
-          round(length(col("text")).cast("double") /
-            TextFunctions.tokenCount(col("text")).cast("double"), 6).as("chars_per_token"),
+          // NULL for token-less docs: ANSI mode throws DIVIDE_BY_ZERO
+          // even for double division
+          when(TextFunctions.tokenCount(col("text")) === 0, lit(null))
+            .otherwise(round(length(col("text")).cast("double") /
+              TextFunctions.tokenCount(col("text")).cast("double"), 6))
+            .as("chars_per_token"),
           TextFunctions.fingerprint(col("text")).as("fingerprint")),
       Some(s"""SELECT doc_id, length(text) AS n_chars,
         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
