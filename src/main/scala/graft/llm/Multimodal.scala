@@ -55,9 +55,11 @@ object Multimodal {
       (n.cast("double") / 16000.0).as("duration_sec"),
       lit(16000).as("sample_rate"),
       // mean byte value as a stand-in loudness feature: a sequential
-      // fold over code points (real: RMS over PCM samples)
-      (aggregate(transform(filter(split(bytes.cast("string"), ""), c => c =!= ""),
-        c => ascii(c).cast("long")), lit(0L), (acc, x) => acc + x).cast("double") / n)
+      // fold over code points (real: RMS over PCM samples). Guarded for
+      // empty payloads — ANSI mode throws DIVIDE_BY_ZERO even on doubles
+      when(n === 0, lit(0.0)).otherwise(
+        aggregate(transform(filter(split(bytes.cast("string"), ""), c => c =!= ""),
+          c => ascii(c).cast("long")), lit(0L), (acc, x) => acc + x).cast("double") / n)
         .as("mean_level"))
   }
 

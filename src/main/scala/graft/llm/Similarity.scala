@@ -54,7 +54,9 @@ object Similarity {
     import spark.implicits._
     val corpus = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    require(corpus.nonEmpty, "empty embedding corpus")
+    if (corpus.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("vec_id", "neighbor_id", "cos_sim", "rank")
     val n = corpus.length
     val d = corpus.head._2.length
     val ids = corpus.map(_._1)
