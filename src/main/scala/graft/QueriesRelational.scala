@@ -271,6 +271,22 @@ object QueriesRelational {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
 
+    // GROUPING()/GROUPING_ID(): distinguish rollup subtotal rows from
+    // genuine NULL group values — the flags that make rollup output
+    // machine-consumable.
+    QueryDef("q50_grouping_id",
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          grouping_id().cast("long").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
     // ---- window functions ----------------------------------------------
     QueryDef("q16_window_rank",
       (s, dir) => {
