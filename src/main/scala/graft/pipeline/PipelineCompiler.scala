@@ -35,7 +35,8 @@ object PipelineCompiler {
     * silently falling back to the default. `plugin:<fqcn>` modules take
     * arbitrary params and are exempt. */
   val KnownParams: Map[String, Set[String]] = Map(
-    "core.receiver" -> Set("path", "format", "ts_nanos_to_micros"),
+    "core.receiver" -> Set("path", "format", "ts_nanos_to_micros",
+      "schema_from"), // schema_from: streaming schema inference (Flowd --stream)
     "core.push_receiver" -> Set("channel", "maxMsgsPerTrigger"),
     "core.mux" -> Set(),
     "core.router" -> Set("key", "routes", "dead_letter"),

@@ -78,6 +78,17 @@ class PipelineSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       new PipelineCompiler(spark, PipelineConfig.parse(typoParam)))
     assert(e3.getMessage.contains("treshold") && e3.getMessage.contains("threshold"))
+
+    // the stream-only schema_from receiver param must stay accepted
+    // (Flowd --stream uses it for schema inference)
+    val streamParam =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in", schema_from: "$in"}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(streamParam)) // must not throw
   }
 
   test("empty and malformed configs are rejected at parse time") {
