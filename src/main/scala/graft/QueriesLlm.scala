@@ -17,9 +17,10 @@ object QueriesLlm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles). */
-  private val JaccardOracle =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles) over
+    * an arbitrary (doc_id, text) relation. */
+  private def jaccardOracleOver(src: String) =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
       sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
         FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -29,6 +30,17 @@ object QueriesLlm {
         round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
       FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
       WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5"""
+
+  private val JaccardOracle = jaccardOracleOver("documents")
+
+  /** Exact-dup representatives (min id per distinct text) of the
+    * documents corpus unioned with a full shifted copy of itself — the
+    * collapsed-pairs oracle input. */
+  private val DupHeavyReps =
+    """(SELECT min(doc_id) AS doc_id, text
+       FROM (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 100000, text FROM documents) u
+       GROUP BY text) reps"""
 
   /** DuckDB twin of Dedup.resolveClusters: near-dup pairs (word 3-gram
     * jaccard >= 0.5) → transitive closure (recursive CTE) → min-id root →
@@ -135,6 +147,22 @@ object QueriesLlm {
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, threshold = 0.5),
       Some(JaccardOracle)),
+
+    // collapsed pair yield: the input is the corpus plus a full exact
+    // duplicate of itself (every doc in a >=2-member exact-dup group),
+    // and collapseExact=true must return pairs between the min-id
+    // representatives only — the oracle computes representatives in SQL
+    // and runs the same jaccard pipeline over them. This is the
+    // pairs-level API form of the collapse resolveClusters performs
+    // internally (lossless; removes the sum(group^2) candidate term).
+    QueryDef("llm_dedup_minhash_collapsed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dup = docs.withColumn("doc_id", col("doc_id") + 100000L)
+        Dedup.minhashLshPairs(docs.unionByName(dup), "text", "doc_id",
+          shingleN = 3, threshold = 0.5, collapseExact = true)
+      },
+      Some(jaccardOracleOver(DupHeavyReps))),
 
     // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.
     // Hamming-over-simhash is a genuinely different similarity measure than

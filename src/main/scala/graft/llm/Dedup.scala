@@ -42,6 +42,28 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Collapse exact-duplicate texts to their min-id representative row.
+    * Exact dups share the entire shingle set, so every member's
+    * similarity edges are identical to its representative's: computing
+    * pairs over representatives is lossless for clustering decisions
+    * while removing the sum(group_size^2)-per-bucket candidate term
+    * that dominates dup-heavy corpora (see [[resolveClusters]] for the
+    * measured blow-up). Member-level pairs are recoverable by fanning
+    * each rep pair across its two exact-dup groups via the content
+    * hash. */
+  private def exactRepresentatives(df: DataFrame, textCol: String,
+                                   idCol: String): DataFrame = {
+    val reps = df
+      .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min(col(idCol)).as("__rep"))
+      .select(col("__rep").as(idCol))
+    df.join(reps, Seq(idCol))
+  }
+
+  private def maybeCollapse(df: DataFrame, textCol: String, idCol: String,
+                            collapseExact: Boolean): DataFrame =
+    if (collapseExact) exactRepresentatives(df, textCol, idCol) else df
+
   /** Distinct (id, shingle) pairs — inverted-index input for jaccard. */
   private def shingleIndex(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
@@ -50,10 +72,13 @@ object Dedup {
 
   /** Exact pairwise n-gram jaccard >= threshold (id_a < id_b).
     * Output: id_a, id_b, jaccard (rounded to 6 dp for cross-engine
-    * comparability). */
+    * comparability). `collapseExact` emits pairs between exact-dup
+    * representatives only (see [[exactRepresentatives]]). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, textCol, idCol, n).cache()
+                        n: Int, threshold: Double,
+                        collapseExact: Boolean = false): DataFrame = {
+    val idx = shingleIndex(maybeCollapse(df, textCol, idCol, collapseExact),
+      textCol, idCol, n).cache()
     val counts = idx.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -80,13 +105,20 @@ object Dedup {
     * shuffle for candidates, one broadcast join for the verify. Collision
     * risk at 64 bits is ~(total shingles)^2 / 2^64, negligible against
     * the LSH's own false-negative rate.
+    *
+    * `collapseExact` collapses exact-dup groups to their min-id
+    * representative BEFORE the signature stage (the order the curation
+    * pipeline encodes: exact dedup before near-dup), so callers that
+    * only need rep-level pair yield skip the quadratic
+    * within-exact-group candidates entirely.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
-                      numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      numBands: Int = 16, rowsPerBand: Int = 4,
+                      collapseExact: Boolean = false): DataFrame = {
     val k = numBands * rowsPerBand
     // spread single-file inputs across cores before the per-doc hashing
-    val hashed = df
+    val hashed = maybeCollapse(df, textCol, idCol, collapseExact)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"))
@@ -152,8 +184,8 @@ object Dedup {
     val hashed = df.select(col(idCol), length(col(textCol)).as("__len"),
       md5(col(textCol).cast("binary")).as("__h"))
     val groupRep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__rep"))
-    val repDf = df.join(groupRep.select(col("__rep").as(idCol)), Seq(idCol))
-    val pairDf = minhashLshPairs(repDf, textCol, idCol, shingleN, threshold)
+    val pairDf = minhashLshPairs(df, textCol, idCol, shingleN, threshold,
+      collapseExact = true)
     val rootDf =
       if (distributed)
         ConnectedComponents.run(pairDf, "id_a", "id_b")
@@ -200,10 +232,12 @@ object Dedup {
     * chunk (pigeonhole), so recall is 100% while the join stays bucketed.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3,
+                   collapseExact: Boolean = false): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = maybeCollapse(df, textCol, idCol, collapseExact)
+      .select(col(idCol).as("id"),
       HashFunctions.simhashUdf()(TextFunctions.tokens(col(textCol))).as("sig"))
     val chunked = sigs.withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk_key",
