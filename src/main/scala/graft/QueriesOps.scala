@@ -143,8 +143,12 @@ object QueriesOps {
 
     // core.throttler's exact GCRA (streaming state op) in its batch
     // rendering: one state pass per key over event-time-sorted events.
-    // Iterative TAT state is not ANSI-SQL expressible -> rows-only check;
-    // algorithm properties are asserted in StreamingSpec.
+    // The oracle expresses the same TAT recursion as a DuckDB recursive
+    // CTE stepping one row_number per key per iteration: at rps=0.001,
+    // cost = 1e12 ns and burst = max(0, 1e9-cost) = 0, so "admitted iff
+    // TAT - t <= burst" reduces to t >= TAT, and an admit sets
+    // TAT = max(TAT, t) + cost = t + cost (t >= TAT at admit time).
+    // First event per key always admits (TAT starts at -inf).
     QueryDef("op_gcra_throttler",
       (s, dir) => {
         import s.implicits._
@@ -158,7 +162,21 @@ object QueriesOps {
           .agg(count(lit(1)).as("n"),
             sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
       },
-      None),
+      Some("""WITH RECURSIVE ev AS (
+          SELECT CAST(user_id AS VARCHAR) AS key, epoch_ns(ts) AS t, event_id AS id,
+            row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+          FROM events
+        ),
+        rec AS (
+          SELECT key, rn, TRUE AS admitted, t + 1000000000000 AS tat FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.key, e.rn, e.t >= r.tat AS admitted,
+            CASE WHEN e.t >= r.tat THEN e.t + 1000000000000 ELSE r.tat END AS tat
+          FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1
+        )
+        SELECT key, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        FROM rec GROUP BY key""")),
 
     // core.compressor (compressor.go:92-171): every codec must round-trip
     // the body; n_match < n_docs means a codec corrupted data. Oracle

@@ -940,8 +940,8 @@ object QueriesRelational {
         s.sql("""WITH RECURSIVE r(n) AS (
             SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 83
           ),
-          m AS (SELECT CAST(make_date(1995 + n div 12, 1 + n % 12, 1) AS TIMESTAMP) AS month_start FROM r),
-          o AS (SELECT date_trunc('MONTH', o_orderdate) AS mo,
+          m AS (SELECT CAST(make_date(1995 + n div 12, 1 + n % 12, 1) AS TIMESTAMP_NTZ) AS month_start FROM r),
+          o AS (SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP_NTZ) AS mo,
                   COUNT(*) AS n_orders,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
                 FROM orders GROUP BY 1)

@@ -1,5 +1,7 @@
 package graft.llm
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,52 +38,68 @@ object Similarity {
     * queries = corpus, excluding self-pairs).
     * Output: vec_id, neighbor_id, cos_sim (rounded 6 dp), rank.
     *
-    * Kernel: the corpus is broadcast once as a flat primitive float
-    * matrix and each partition scans it with a per-query bounded top-k
-    * selection — no 25M-row join materialization, no rank shuffle.
-    * (Measured 7x over the declarative BroadcastNestedLoopJoin + window
-    * form: per-pair UnsafeArrayData->float[] decoding dominated.) This is
-    * the mapPartitions-as-kernel case SURVEY §7.3 reserves for profiled
-    * hot loops. Brute force inherently requires the corpus on every
-    * executor; beyond memory, use lshKnn.
+    * Block-matrix kernel: the corpus streams through the driver one
+    * bounded block at a time (`toLocalIterator` over a distributed sort —
+    * the driver never holds more than one input partition plus one block,
+    * unlike a full `.collect()` which OOMs the driver at corpus scale);
+    * each block is broadcast as a flat primitive float matrix, every
+    * query partition scans it with a bounded per-query top-k selection,
+    * the block result (≤ queries×k rows) is materialized, and the block
+    * broadcast is dropped before the next one ships — executor footprint
+    * is one block, not the corpus. Per-block partials merge through the
+    * [[graft.plans.TopKPerKey]] operator with the same (sim desc, id asc)
+    * comparator, so the merged top-k is exactly the single-pass answer.
+    * (The flat-matrix scan itself measured 7x over the declarative
+    * BroadcastNestedLoopJoin + window form: per-pair
+    * UnsafeArrayData->float[] decoding dominated. This is the
+    * mapPartitions-as-kernel case SURVEY §7.3 reserves for profiled hot
+    * loops.) Work is inherently O(n·m) — that is brute force; beyond
+    * compute budget, use lshKnn/ivfKnn.
     *
     * Determinism: dot/norm accumulate sequentially in index order in
     * double, rounding is HALF_UP at 6 dp, ties break on neighbor_id —
-    * bit-identical to the declarative/oracle formulation.
+    * bit-identical to the declarative/oracle formulation, and invariant
+    * to `blockSize` (per-pair arithmetic never spans blocks).
     */
-  def bruteKnn(emb: DataFrame, k: Int): DataFrame = {
+  def bruteKnn(emb: DataFrame, k: Int, blockSize: Int = 1 << 16): DataFrame = {
+    require(k >= 1 && blockSize >= 1)
     val spark = emb.sparkSession
     import spark.implicits._
-    val corpus = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    if (corpus.isEmpty)
-      return Seq.empty[(Long, Long, Double, Int)]
-        .toDF("vec_id", "neighbor_id", "cos_sim", "rank")
-    val n = corpus.length
-    val d = corpus.head._2.length
-    val ids = corpus.map(_._1)
-    val flat = new Array[Float](n * d)
-    val norms = new Array[Double](n)
-    var j = 0
-    while (j < n) {
-      val v = corpus(j)._2
-      var i = 0; var ss = 0.0
-      while (i < d) { val x = v(i); flat(j * d + i) = x; ss += x.toDouble * x.toDouble; i += 1 }
-      norms(j) = math.sqrt(ss)
-      j += 1
-    }
-    val bc = spark.sparkContext.broadcast((ids, flat, norms, d))
 
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
         .doubleValue()
 
     // single-file parquet inputs arrive as ONE partition: spread the
-    // query side so the kernel scan uses every core
-    emb.select(col("vec_id"), col("embedding"))
+    // query side so the kernel scan uses every core. Cached because every
+    // corpus block re-scans it.
+    val queries = emb.select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // distributed sort; the driver pulls one partition at a time
+    val corpusIt = emb.select(col("vec_id"), col("embedding"))
+      .sort(col("vec_id"))
+      .as[(Long, Seq[Float])]
+      .toLocalIterator()
+
+    def scoreBlock(block: Seq[(Long, Seq[Float])]): DataFrame = {
+      val n = block.length
+      val d = block.head._2.length
+      val ids = block.map(_._1).toArray
+      val flat = new Array[Float](n * d)
+      val norms = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val v = block(j)._2
+        var i = 0; var ss = 0.0
+        while (i < d) { val x = v(i); flat(j * d + i) = x; ss += x.toDouble * x.toDouble; i += 1 }
+        norms(j) = math.sqrt(ss)
+        j += 1
+      }
+      val bc = spark.sparkContext.broadcast((ids, flat, norms, d))
+      val part = queries.mapPartitions { it =>
         val (ids, flat, norms, d) = bc.value
         val n = ids.length
         it.flatMap { case (qid, qv) =>
@@ -115,13 +133,49 @@ object Similarity {
             }
             j += 1
           }
-          (0 until filled).map(r => (qid, topId(r), topSim(r), r + 1))
+          (0 until filled).map(r => (qid, topId(r), topSim(r)))
         }
-      }.toDF("vec_id", "neighbor_id", "cos_sim", "rank")
+      }.toDF("vec_id", "neighbor_id", "cos_sim")
+      // materialize the bounded partial (≤ queries×k rows) so the block
+      // broadcast can be released before the next block ships; DISK-backed
+      // so eviction cannot trigger recompute against the dropped broadcast
+      val materialized = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      materialized.count()
+      bc.unpersist(blocking = false)
+      materialized
+    }
+
+    val partials = corpusIt.asScala.grouped(blockSize).map(scoreBlock).toList
+    val result =
+      if (partials.isEmpty)
+        Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor_id", "cos_sim", "rank")
+      else {
+        val merged = partials.reduce(_ union _)
+        graft.plans.TopKPerKey(merged,
+          keys = Seq(col("vec_id")),
+          order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+          k = k, rankName = "rank")
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      }
+    queries.unpersist(blocking = false)
+    result
   }
 
-  /** All pairs (id_a < id_b) with cosine >= threshold, exact. */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** All pairs (id_a < id_b) with cosine >= threshold, exact.
+    *
+    * Deliberately quadratic (it IS the exact answer and the oracle for the
+    * LSH paths), so it is size-gated: the corpus must fit `maxExactRows`
+    * or the call fails fast with the scale path spelled out, instead of
+    * broadcasting an unbounded build side and dying mid-crossJoin. Raise
+    * the bound explicitly to accept the O(n²) cost on a bigger corpus.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   maxExactRows: Long = 1L << 20): DataFrame = {
+    val n = emb.count()
+    require(n <= maxExactRows,
+      s"nearDupPairs is exact/quadratic: corpus has $n rows > maxExactRows=" +
+        s"$maxExactRows (${n * n} pairs). Use lshKnn/ivfKnn for approximate " +
+        "search at scale, or pass a larger maxExactRows to accept the cost.")
     val a = withNorm(emb, "id_a", "emb_a", "norm_a")
     val b = withNorm(emb, "id_b", "emb_b", "norm_b")
     a.crossJoin(broadcast(b))
@@ -213,14 +267,17 @@ object Similarity {
     * Returns the same shape as bruteKnn; rows may be missing when no
     * candidate shared a bucket (approximate recall). */
   def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= bits,
+      s"probeBits=$probeBits must be in [0, bits=$bits]")
     val sig = withNorm(emb, "vec_id", "embedding", "norm_a")
       .withColumn("sig", HashFunctions.hyperplaneSig(bits)(col("embedding")))
-    // multi-probe: each vector also lands in buckets within `probeBits`
-    // Hamming distance of its own (query-side only, to bound blowup)
-    val probes = (0 until bits).map(b => 1L << b)
-    val probeExpr = if (probeBits >= 1) {
-      array((lit(0L) +: probes.map(lit)): _*)
-    } else array(lit(0L))
+    // multi-probe: each vector also lands in every bucket within
+    // `probeBits` Hamming distance of its own (query-side only, to bound
+    // the blowup to sum_{h<=probeBits} C(bits, h) probes per query)
+    val probes: Seq[Long] = (0 to probeBits).flatMap(w =>
+      (0 until bits).combinations(w)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+    val probeExpr = array(probes.map(lit): _*)
     val q = sig.withColumn("probe", explode(probeExpr))
       .withColumn("bucket", col("sig").bitwiseXOR(col("probe")))
       .select(col("vec_id"), col("embedding"), col("norm_a"), col("bucket"))

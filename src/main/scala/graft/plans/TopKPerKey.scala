@@ -52,10 +52,16 @@ object TopKPerKey {
       case s: SortOrder => s
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     })
-    GraftBridge.ofRows(spark,
+    val raw = GraftBridge.ofRows(spark,
       TopKPerKey(keys.map(GraftBridge.resolvedExpression), sortOrders, k,
         AttributeReference(rankName, IntegerType, nullable = false)(),
         GraftBridge.logicalPlan(df)))
+    // top-level alias Project: DeduplicateRelations cannot regenerate
+    // attributes produced by a custom node, so a self-join over the raw
+    // result fails to resolve; aliasing every output gives the analyzer
+    // its standard Project handle for exprId renewal
+    raw.select(raw.columns.map(n => org.apache.spark.sql.functions.col(n).as(n))
+      .toIndexedSeq: _*)
   }
 }
 

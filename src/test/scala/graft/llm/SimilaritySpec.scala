@@ -56,6 +56,17 @@ class SimilaritySpec extends SparkSpec {
     assert(inCluster >= 98, s"only $inCluster/100 top-1 in-cluster")
   }
 
+  test("bruteKnn block-matrix path: tiny blockSize matches the single-block answer") {
+    // 100 vectors / blockSize=7 → 15 corpus blocks; the merged partial
+    // top-k must be row-identical to the one-block run (and the result
+    // must be blockSize-invariant by construction)
+    val one = Similarity.bruteKnn(emb, 3)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val blocked = Similarity.bruteKnn(emb, 3, blockSize = 7)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(blocked == one)
+  }
+
   test("lshKnn achieves high recall@1 vs brute force on clustered data") {
     val brute = Similarity.bruteKnn(emb, 1)
       .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
@@ -63,6 +74,32 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
     val hits = brute.count { case (v, n) => lsh.get(v).contains(n) }
     assert(hits >= 85, s"recall@1 $hits/100")
+  }
+
+  test("lshKnn probeBits=2 probes Hamming-2 buckets and recall dominates probeBits=1") {
+    val brute = Similarity.bruteKnn(emb, 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(probeBits: Int): Int = {
+      val got = Similarity.lshKnn(emb, 1, bits = 8, probeBits = probeBits)
+        .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+      brute.count { case (v, n) => got.get(v).contains(n) }
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    // Hamming-2 probing widens the candidate set strictly monotonically
+    assert(r2 >= r1, s"recall@1 probeBits=2 ($r2) < probeBits=1 ($r1)")
+    assert(r2 >= 90, s"recall@1 $r2/100 at probeBits=2")
+    // out-of-range probeBits is rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      Similarity.lshKnn(emb, 1, bits = 8, probeBits = 9)
+    }
+  }
+
+  test("nearDupPairs refuses a corpus above maxExactRows with the scale path named") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, 0.9, maxExactRows = 10)
+    }
+    assert(e.getMessage.contains("lshKnn"))
   }
 
   test("ivfKnn achieves high recall@1 vs brute force on clustered data") {
