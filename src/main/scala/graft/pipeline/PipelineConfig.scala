@@ -39,10 +39,27 @@ object PipelineConfig {
     val root = new org.yaml.snakeyaml.Yaml()
       .load[java.util.Map[String, Any]](yaml)
     require(root != null, "empty pipeline config")
-    val m = root.asScala.toMap
+    fromNested(root.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap)
+  }
 
+  /** Build from a merged dotted-key map (the [[ConfigRepository]] output:
+    * YAML + env + cli layered by weight) — re-nests and then runs the
+    * same validation as [[parse]]. */
+  def fromFlat(flat: Map[String, Any]): PipelineConfig = {
+    def nest(entries: Map[String, Any]): Map[String, Any] = {
+      val (leaves, deeper) = entries.partition(!_._1.contains('.'))
+      leaves ++ deeper.groupBy(_._1.takeWhile(_ != '.')).map { case (h, kvs) =>
+        h -> nest(kvs.map { case (k, v) => k.drop(h.length + 1) -> v })
+      }
+    }
+    fromNested(nest(flat))
+  }
+
+  private def fromNested(m: Map[String, Any]): PipelineConfig = {
     def asMap(v: Any): Map[String, Any] = v match {
       case null => Map.empty
+      case sm: Map[_, _] =>
+        sm.map { case (k, value) => k.toString -> (value: Any) }.toMap
       case j: java.util.Map[_, _] =>
         j.asScala.map { case (k, value) => k.toString -> (value: Any) }.toMap
       case other => throw new IllegalArgumentException(s"expected mapping, got $other")
@@ -63,6 +80,7 @@ object PipelineConfig {
       val conn = asMap(v).getOrElse("connect", null) match {
         case null => Nil
         case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+        case sq: Seq[_] => sq.map(_.toString)
         case s: String => Seq(s)
         case other => throw new IllegalArgumentException(s"$from.connect: $other")
       }
