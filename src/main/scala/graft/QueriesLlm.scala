@@ -17,6 +17,13 @@ object QueriesLlm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Id shift for the synthetic duplicate copy the dedup fixtures union
+    * in — shared by the Scala builders and the oracle SQL so the two
+    * cannot drift. Must stay above max(doc_id) at every bench SF
+    * (sf0.1 tops out at 5,000); shifted ids colliding with real ones
+    * would silently change the min-id representative semantics. */
+  private val DupIdOffset = 100000L
+
   /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles) over
     * an arbitrary (doc_id, text) relation. */
   private def jaccardOracleOver(src: String) =
@@ -37,9 +44,9 @@ object QueriesLlm {
     * documents corpus unioned with a full shifted copy of itself — the
     * collapsed-pairs oracle input. */
   private val DupHeavyReps =
-    """(SELECT min(doc_id) AS doc_id, text
+    s"""(SELECT min(doc_id) AS doc_id, text
        FROM (SELECT doc_id, text FROM documents
-             UNION ALL SELECT doc_id + 100000, text FROM documents) u
+             UNION ALL SELECT doc_id + $DupIdOffset, text FROM documents) u
        GROUP BY text) reps"""
 
   /** DuckDB twin of Dedup.resolveClusters: near-dup pairs (word 3-gram
@@ -83,16 +90,17 @@ object QueriesLlm {
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup on a 128-bit content hash; input deliberately contains
-    // one duplicate of every doc (id+100000) so the collapse is visible.
+    // one duplicate of every doc (id+DupIdOffset) so the collapse is
+    // visible.
     QueryDef("llm_dedup_exact",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val dup = docs.withColumn("doc_id", col("doc_id") + 100000L)
+        val dup = docs.withColumn("doc_id", col("doc_id") + DupIdOffset)
         Dedup.exact(docs.unionByName(dup), "text", "doc_id")
       },
-      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, COUNT(*) AS n_copies
+      Some(s"""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM (SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + 100000, text FROM documents) u
+              UNION ALL SELECT doc_id + $DupIdOffset, text FROM documents) u
         GROUP BY md5(text)""")),
 
     // exact pairwise n-gram jaccard — the small-scale baseline and the
@@ -158,7 +166,7 @@ object QueriesLlm {
     QueryDef("llm_dedup_minhash_collapsed",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val dup = docs.withColumn("doc_id", col("doc_id") + 100000L)
+        val dup = docs.withColumn("doc_id", col("doc_id") + DupIdOffset)
         Dedup.minhashLshPairs(docs.unionByName(dup), "text", "doc_id",
           shingleN = 3, threshold = 0.5, collapseExact = true)
       },

@@ -115,10 +115,20 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
                       numBands: Int = 16, rowsPerBand: Int = 4,
-                      collapseExact: Boolean = false): DataFrame = {
+                      collapseExact: Boolean = false): DataFrame =
+    minhashLshPairsOn(maybeCollapse(df, textCol, idCol, collapseExact),
+      textCol, idCol, shingleN, threshold, numBands, rowsPerBand)
+
+  /** [[minhashLshPairs]] body over an input whose exact-dup collapse (if
+    * any) the caller already performed — lets [[resolveClusters]] reuse
+    * its own representative computation instead of hashing the corpus a
+    * second time. */
+  private def minhashLshPairsOn(df: DataFrame, textCol: String, idCol: String,
+                                shingleN: Int, threshold: Double,
+                                numBands: Int, rowsPerBand: Int): DataFrame = {
     val k = numBands * rowsPerBand
     // spread single-file inputs across cores before the per-doc hashing
-    val hashed = maybeCollapse(df, textCol, idCol, collapseExact)
+    val hashed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"))
@@ -184,8 +194,11 @@ object Dedup {
     val hashed = df.select(col(idCol), length(col(textCol)).as("__len"),
       md5(col(textCol).cast("binary")).as("__h"))
     val groupRep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__rep"))
-    val pairDf = minhashLshPairs(df, textCol, idCol, shingleN, threshold,
-      collapseExact = true)
+    // exact-dup collapse reusing groupRep — one content-hash pass feeds
+    // both the collapse and the fan-back-out join below
+    val collapsed = df.join(groupRep.select(col("__rep").as(idCol)), Seq(idCol))
+    val pairDf = minhashLshPairsOn(collapsed, textCol, idCol, shingleN, threshold,
+      numBands = 16, rowsPerBand = 4)
     val rootDf =
       if (distributed)
         ConnectedComponents.run(pairDf, "id_a", "id_b")

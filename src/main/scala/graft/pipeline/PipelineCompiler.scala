@@ -52,7 +52,8 @@ object PipelineCompiler {
     "llm.langid" -> Set("column", "lang_column", "keep"),
     "llm.dedup_exact" -> Set("column", "id"),
     "llm.repetition_filter" -> Set("column", "max_dup_ppm"),
-    "llm.dedup_near" -> Set("column", "id", "shingle_n", "threshold", "distributed"),
+    "llm.dedup_near" -> Set("column", "id", "shingle_n", "threshold", "distributed",
+      "emit", "collapse_exact"),
     "llm.decontaminate" -> Set("column", "id", "source_column", "eval_value",
       "ngram_n", "min_shared"),
     "core.sink" -> Set("format", "path", "mode", "partition_by", "rows"))
@@ -274,10 +275,22 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       val th = p(a, "threshold").map(_.toDouble).getOrElse(0.8)
       val dist = p(a, "distributed").exists(_.toBoolean)
       val in = inputOf(a.name)
-      val keep = graft.llm.Dedup
-        .resolveClusters(in, c, idc, shingleN, th, distributed = dist)
-        .filter(col("keep")).select(col(idc))
-      in.join(keep, idc)
+      // emit=pairs surfaces the pair-level API (id_a, id_b, jaccard)
+      // instead of the dedup'd corpus; collapse_exact restricts pair
+      // yield to exact-dup representatives (the resolveClusters-internal
+      // collapse, exposed for callers consuming pairs directly)
+      p(a, "emit").getOrElse("dedup") match {
+        case "pairs" =>
+          graft.llm.Dedup.minhashLshPairs(in, c, idc, shingleN, th,
+            collapseExact = p(a, "collapse_exact").exists(_.toBoolean))
+        case "dedup" =>
+          val keep = graft.llm.Dedup
+            .resolveClusters(in, c, idc, shingleN, th, distributed = dist)
+            .filter(col("keep")).select(col(idc))
+          in.join(keep, idc)
+        case other =>
+          sys.error(s"${a.name}: emit must be 'dedup' or 'pairs', got $other")
+      }
 
     // benchmark decontamination gate: drop rows sharing >= min_shared
     // distinct n-gram shingles with the eval subset (rows whose

@@ -23,7 +23,12 @@ import com.sun.net.httpserver.HttpServer
   *  - Unix domain socket (receiver_unix.go:27-126): like TCP without
   *    replies; stale socket files unlinked on bind (:49-62).
   *  - HTTP (receiver_http.go:45-158): POST body = message body, URL query
-  *    params = meta, 200 "OK" on acceptance.
+  *    params = meta; replies follow the reference status map
+  *    (receiver_http.go:24-33) at the granularity the push edge can
+  *    observe — 200 "OK" accepted, 400 "Invalid message" on an empty
+  *    body, 429 "Message throttled" when the channel is at capacity
+  *    (the remaining statuses are delivery-time outcomes accounted
+  *    downstream per SURVEY §3.2).
   *
   * All listeners are daemon threads bound to loopback; `Handle.close()`
   * stops them. Scale note: listeners are edge processes feeding the
@@ -144,9 +149,15 @@ object NetReceivers {
               java.net.URLDecoder.decode(v, "UTF-8")
           }.toMap
         }.getOrElse(Map.empty[String, String])
-        PushReceiver.push(channel, body, meta)
-        val resp = "OK".getBytes(StandardCharsets.UTF_8)
-        exchange.sendResponseHeaders(200, resp.length)
+        // status-mapped reply (receiver_http.go:24-33): the push edge
+        // can observe accepted / invalid / throttled; delivery statuses
+        // are downstream concerns
+        val (code, text) =
+          if (body.isEmpty) (400, "Invalid message")
+          else if (PushReceiver.push(channel, body, meta) >= 0) (200, "OK")
+          else (429, "Message throttled")
+        val resp = text.getBytes(StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(code, resp.length)
         exchange.getResponseBody.write(resp)
       } else exchange.sendResponseHeaders(405, -1)
       exchange.close()

@@ -47,6 +47,33 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // precision exact by verify-stage; recall from the gap
   }
 
+  test("collapseExact yields representative-only pairs on every pair API") {
+    // corpus + full exact copy (ids shifted +1000): every doc is in a
+    // 2-member exact-dup group whose min-id representative is the
+    // original. Collapsed pair output must equal the plain output on the
+    // original corpus — for minhash, ngram-jaccard AND simhash alike.
+    val doubled = corpus.unionByName(
+      corpus.withColumn("doc_id", $"doc_id" + 1000L))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    val mhPlain = ids(Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 0.5))
+    assert(ids(Dedup.minhashLshPairs(doubled, "text", "doc_id", 3, 0.5,
+      collapseExact = true)) == mhPlain)
+
+    val njPlain = ids(Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5))
+    assert(ids(Dedup.ngramJaccardPairs(doubled, "text", "doc_id", 3, 0.5,
+      collapseExact = true)) == njPlain)
+
+    val shPlain = ids(Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 3))
+    assert(ids(Dedup.simhashPairs(doubled, "text", "doc_id", maxDist = 3,
+      collapseExact = true)) == shPlain)
+    // and without the collapse the doubled corpus DOES emit exact-dup
+    // pairs (sanity that the flag changed anything)
+    assert(ids(Dedup.simhashPairs(doubled, "text", "doc_id", maxDist = 3))
+      .exists { case (a, b) => b == a + 1000L })
+  }
+
   test("jaccard pipeline matches an independent in-memory reference on random corpora") {
     // independent reference: plain Scala shingle sets + pairwise jaccard
     def refPairs(docs: Seq[(Long, String)], n: Int, th: Double): Set[(Long, Long)] = {

@@ -82,6 +82,39 @@ class LlmModulesSpec extends SparkSpec {
     assert(out.columns.contains("dup_ppm"))
   }
 
+  test("dedup_near emit=pairs with collapse_exact yields representative pairs") {
+    val in = Files.createTempDirectory("graft-llm-pipe4-").toString
+    // 1 and 2 are near-dups; 11/12 are exact copies of them (ids +10):
+    // collapsed pair yield must be exactly the representative pair (1,2)
+    Seq(
+      (1L, good),
+      (2L, good.replace("Tuesday", "Monday")),
+      (11L, good),
+      (12L, good.replace("Tuesday", "Monday")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  near: {module: llm.dedup_near, params: {column: text, id: doc_id,
+        |    threshold: "0.5", emit: pairs, collapse_exact: "true"}}
+        |  llm_pipe4_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [near]}
+        |  near: {connect: [llm_pipe4_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("llm_pipe4_out")
+    assert(out.columns.toSet == Set("id_a", "id_b", "jaccard"))
+    val pairs = out.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // no (1,11)/(2,12) exact pairs, no fan-out
+    // unknown emit mode fails loudly
+    val bad = yaml.replace("emit: pairs", "emit: bogus")
+    intercept[RuntimeException] {
+      new PipelineCompiler(spark, PipelineConfig.parse(bad)).runBatch()
+    }
+  }
+
   test("decontaminate actor drops train docs overlapping the eval subset") {
     val in = Files.createTempDirectory("graft-llm-pipe4-").toString
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

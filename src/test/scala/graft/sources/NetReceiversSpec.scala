@@ -118,6 +118,32 @@ class NetReceiversSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("http listener maps rejection statuses: 400 invalid, 429 throttled") {
+    val ch = "net-http-status"
+    PushReceiver.clear(ch)
+    PushReceiver.configure(ch, 1)
+    val h = NetReceivers.startHttp(ch)
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${h.port}/v1alpha1").toURL
+      def post(body: String): Int = {
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+        conn.getResponseCode
+      }
+      // empty body -> 400 Invalid message (receiver_http.go:27)
+      assert(post("") == 400)
+      // capacity 1: first accepted, second throttled -> 429 (:33)
+      assert(post("one") == 200)
+      assert(post("two") == 429)
+      assert(PushReceiver.size(ch) == 1) // the throttled message was NOT enqueued
+    } finally {
+      h.close()
+      PushReceiver.configure(ch, PushReceiver.DefaultCapacity)
+    }
+  }
+
   test("tcp sink writer delivers CRLF-framed rows to a live server") {
     // loopback echo collector
     val server = new java.net.ServerSocket(0, 5, loop)
