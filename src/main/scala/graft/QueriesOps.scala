@@ -201,7 +201,7 @@ object QueriesOps {
       },
       Some("""SELECT codec, COUNT(*) AS n_docs, COUNT(*) AS n_match,
         CAST(SUM(length(text)) AS BIGINT) AS total_chars
-        FROM (VALUES ('gzip'),('flate'),('zlib'),('zstd'),('snappy'),('lz4')) c(codec),
+        FROM (VALUES ('gzip'),('flate'),('zlib'),('zstd'),('snappy'),('lz4'),('lzw')) c(codec),
           documents
         GROUP BY codec"""))
   )

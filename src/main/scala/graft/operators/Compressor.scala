@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * path is rejected (status INVALID).
   *
   * Codecs reuse the JVM/Spark-bundled native libs (java.util.zip,
-  * zstd-jni, snappy-java, lz4-java — all on the Spark classpath). UDF-based:
-  * compression is opaque byte work with no relational structure for
-  * Catalyst to optimize, so a UDF costs only the call overhead; the bytes
-  * dominate. lzw of the reference is subsumed by flate (both LZ-family;
-  * kept the reference's config surface minus the long-obsolete lzw).
+  * zstd-jni, snappy-java, lz4-java — all on the Spark classpath), plus a
+  * self-contained LZW (the one reference codec the JVM doesn't ship:
+  * compressor.go:104-127 wraps Go's compress/lzw; here the standard
+  * LSB-first variable-width rendering, 9→12-bit codes, clear-on-full).
+  * UDF-based: compression is opaque byte work with no relational
+  * structure for Catalyst to optimize, so a UDF costs only the call
+  * overhead; the bytes dominate.
   */
 object Compressor {
-  val Codecs = Seq("gzip", "flate", "zlib", "zstd", "snappy", "lz4")
+  val Codecs = Seq("gzip", "flate", "zlib", "zstd", "snappy", "lz4", "lzw")
 
   def compressBytes(codec: String, level: Int)(data: Array[Byte]): Array[Byte] = codec match {
     case "gzip" =>
@@ -45,6 +47,7 @@ object Compressor {
       out(2) = (data.length >>> 8).toByte; out(3) = data.length.toByte
       val n = c.compress(data, 0, data.length, out, 4, max)
       java.util.Arrays.copyOf(out, n + 4)
+    case "lzw" => Lzw.compress(data)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -68,6 +71,7 @@ object Compressor {
         ((data(2) & 0xff) << 8) | (data(3) & 0xff)
       val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
       d.decompress(data, 4, len)
+    case "lzw" => Lzw.decompress(data)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
