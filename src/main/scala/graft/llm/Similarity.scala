@@ -38,6 +38,11 @@ object Similarity {
     * queries = corpus, excluding self-pairs).
     * Output: vec_id, neighbor_id, cos_sim (rounded 6 dp), rank.
     *
+    * Driver memory is bounded by `blockSize` on every path: a corpus
+    * within the bound takes the one-collect fast path (single broadcast,
+    * ranks straight from the kernel, no merge shuffle); a larger corpus
+    * takes the block-matrix path below — never an unbounded collect.
+    *
     * Block-matrix kernel: the corpus streams through the driver one
     * bounded block at a time (`toLocalIterator` over a distributed sort —
     * the driver never holds more than one input partition plus one block,
@@ -70,21 +75,14 @@ object Similarity {
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
         .doubleValue()
 
-    // single-file parquet inputs arrive as ONE partition: spread the
-    // query side so the kernel scan uses every core. Cached because every
-    // corpus block re-scans it.
-    val queries = emb.select(col("vec_id"), col("embedding"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, Seq[Float])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // distributed sort; the driver pulls one partition at a time
-    val corpusIt = emb.select(col("vec_id"), col("embedding"))
-      .sort(col("vec_id"))
-      .as[(Long, Seq[Float])]
-      .toLocalIterator()
-
-    def scoreBlock(block: Seq[(Long, Seq[Float])]): DataFrame = {
+    /** Scan one corpus block per query partition with a bounded top-k
+      * selection; emits ranks when the block is the whole corpus, raw
+      * scored partials otherwise (the merge ranks them). */
+    def scoreBlock(queries: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+                   block: IndexedSeq[(Long, Seq[Float])],
+                   withRank: Boolean)
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[
+            (Array[Long], Array[Float], Array[Double], Int)]) = {
       val n = block.length
       val d = block.head._2.length
       val ids = block.map(_._1).toArray
@@ -99,7 +97,7 @@ object Similarity {
         j += 1
       }
       val bc = spark.sparkContext.broadcast((ids, flat, norms, d))
-      val part = queries.mapPartitions { it =>
+      val scored = queries.mapPartitions { it =>
         val (ids, flat, norms, d) = bc.value
         val n = ids.length
         it.flatMap { case (qid, qv) =>
@@ -133,32 +131,65 @@ object Similarity {
             }
             j += 1
           }
-          (0 until filled).map(r => (qid, topId(r), topSim(r)))
+          (0 until filled).map(r =>
+            (qid, topId(r), topSim(r), if (withRank) r + 1 else 0))
         }
-      }.toDF("vec_id", "neighbor_id", "cos_sim")
-      // materialize the bounded partial (≤ queries×k rows) so the block
-      // broadcast can be released before the next block ships; DISK-backed
-      // so eviction cannot trigger recompute against the dropped broadcast
-      val materialized = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      materialized.count()
-      bc.unpersist(blocking = false)
-      materialized
+      }.toDF("vec_id", "neighbor_id", "cos_sim", "rank")
+      (scored, bc)
     }
 
-    val partials = corpusIt.asScala.grouped(blockSize).map(scoreBlock).toList
-    val result =
-      if (partials.isEmpty)
-        Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor_id", "cos_sim", "rank")
-      else {
-        val merged = partials.reduce(_ union _)
-        graft.plans.TopKPerKey(merged,
-          keys = Seq(col("vec_id")),
-          order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
-          k = k, rankName = "rank")
-          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
-      }
-    queries.unpersist(blocking = false)
-    result
+    // single-file parquet inputs arrive as ONE partition: spread the
+    // query side so the kernel scan uses every core
+    def queriesSide = emb.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[Float])]
+
+    // probe-collect: one job that either returns the ENTIRE corpus (when
+    // it fits the blockSize driver budget — the common oracle shape) or
+    // proves it exceeds the budget by yielding blockSize+1 rows. Avoids a
+    // separate count() job on the fast path; the driver never holds more
+    // than blockSize+1 rows here.
+    val probe = emb.select(col("vec_id"), col("embedding"))
+      .limit(blockSize + 1)
+      .as[(Long, Seq[Float])].collect()
+    if (probe.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("vec_id", "neighbor_id", "cos_sim", "rank")
+
+    if (probe.length <= blockSize) {
+      // fast path: one broadcast, ranks straight from the kernel, no
+      // merge shuffle
+      scoreBlock(queriesSide, probe.sortBy(_._1).toIndexedSeq, withRank = true)._1
+    } else {
+      // block-matrix path: the corpus streams through the driver one
+      // bounded block at a time; per-block partials (≤ queries×k rows)
+      // are materialized so each block broadcast is released before the
+      // next ships — driver and executor footprint stay one block.
+      // DISK-backed persists so eviction cannot recompute against a
+      // dropped broadcast. Partials merge through TopKPerKey with the
+      // same (sim desc, id asc) comparator => exactly the one-pass answer.
+      val queries = queriesSide.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusIt = emb.select(col("vec_id"), col("embedding"))
+        .sort(col("vec_id"))
+        .as[(Long, Seq[Float])]
+        .toLocalIterator()
+      val partials = corpusIt.asScala.grouped(blockSize).map { blk =>
+        val (part, bc) = scoreBlock(queries, blk.toIndexedSeq, withRank = false)
+        val materialized = part.drop("rank")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        materialized.count()
+        bc.unpersist(blocking = false)
+        materialized
+      }.toList
+      val merged = partials.reduce(_ union _)
+      val result = graft.plans.TopKPerKey(merged,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+        k = k, rankName = "rank")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      queries.unpersist(blocking = false)
+      result
+    }
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold, exact.
