@@ -175,13 +175,50 @@ object QueriesLlm {
     // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.
     // Hamming-over-simhash is a genuinely different similarity measure than
     // jaccard (measured on this corpus: true near-dup pairs span hamming
-    // 0-7 while unrelated pairs start at 2), and the signature needs 64-bit
-    // wrapping arithmetic ANSI SQL can't express -> rows-only check here;
-    // recall/precision vs the exact jaccard set is asserted in DedupSpec.
+    // 0-7 while unrelated pairs start at 2). The oracle re-derives the
+    // signature bit-exactly in DuckDB: per-token splitmix64 string fold as
+    // a recursive CTE over character positions (wrapping 64-bit multiply
+    // split into 32-bit halves over HUGEINT), per-bit majority votes
+    // (strictly positive wins, matching the Scala tie rule), then exact
+    // all-pairs hamming via bit_count(xor) — lossless vs the Spark side's
+    // pigeonhole chunk bucketing, so the pair sets must be identical.
     QueryDef("llm_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
         .select(col("id_a"), col("id_b")),
-      None),
+      Some("""WITH RECURSIVE
+        toks AS (
+          SELECT doc_id, i, tk[i] AS tok
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents) z,
+               LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+        ),
+        hs(doc_id, i, tok, pos, h) AS (
+          SELECT doc_id, i, tok, 0, 5833679380957638813::HUGEINT FROM toks
+          UNION ALL
+          SELECT doc_id, i, tok, pos + 1, xor(kc, kc >> 31)
+          FROM (
+            SELECT doc_id, i, tok, pos, (((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(kb, kb >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kc FROM (
+              SELECT doc_id, i, tok, pos, (((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(ka, ka >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kb FROM (
+                SELECT doc_id, i, tok, pos,
+                  (xor(h, unicode(substr(tok, pos + 1, 1))::HUGEINT) + 11400714819323198485) % 18446744073709551616 AS ka
+                FROM hs WHERE pos < length(tok)
+              ) s1
+            ) s2
+          ) s3
+        ),
+        tokh AS (SELECT doc_id, i, h FROM hs WHERE pos = length(tok)),
+        bits AS (SELECT unnest(range(0, 64))::HUGEINT AS b),
+        votes AS (
+          SELECT doc_id, b,
+            SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM tokh, bits GROUP BY doc_id, b
+        ),
+        sigs AS (
+          SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)::HUGEINT AS sig
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3""")),
 
     // embedding near-dup pairs above a cosine threshold (exact).
     QueryDef("llm_dedup_embedding",

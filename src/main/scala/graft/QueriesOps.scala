@@ -119,14 +119,44 @@ object QueriesOps {
 
     // core.replicator mode `ncopy` — jump-consistent-hash replica
     // placement (the mode the reference declares but panics on,
-    // replicator.go:89-91; intent at README.md:215-218). Not ANSI-SQL
-    // expressible (iterative hash) -> rows-only check here; the exact
-    // placement properties are asserted in ReplicatorSpec.
+    // replicator.go:89-91; intent at README.md:215-218). The oracle
+    // re-derives the placement bit-exactly in DuckDB: splitmix64 staged
+    // through CTE let-bindings with 64-bit wrapping multiply split into
+    // 32-bit halves over HUGEINT (2^64*2^64 overflows HUGEINT, so a*b
+    // mod 2^64 = lo*lo + ((hi*lo + lo*hi) mod 2^32)<<32), then the
+    // Lamping-Veach jump loop as a recursive CTE (terminal row j >= n),
+    // then "first 2 distinct buckets in salt order" via windows. Salts
+    // bounded at 16: P(15 salted rehashes all collide on 8 buckets)
+    // ~ 8^-15, and a shortfall fails the row-count gate loudly.
     QueryDef("op_replicator_ncopy",
       (s, dir) => Routing.replicateNcopy(
         t(s, dir, "documents").select(col("doc_id")), col("doc_id"), 2, 8)
         .select(col("doc_id"), col("copy_id")),
-      None),
+      Some("""WITH RECURSIVE
+        salts AS (SELECT unnest(range(0, 16))::HUGEINT AS salt),
+        keys AS (SELECT doc_id, doc_id::HUGEINT AS ku FROM documents),
+        m1 AS (SELECT doc_id, ku, salt, (salt + 11400714819323198485) % 18446744073709551616 AS saa FROM keys, salts),
+        m2 AS (SELECT *, (((xor(saa, saa >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(saa, saa >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(saa, saa >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS sab FROM m1),
+        m3 AS (SELECT *, (((xor(sab, sab >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(sab, sab >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(sab, sab >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS sac FROM m2),
+        m4 AS (SELECT doc_id, ku, salt, xor(sac, sac >> 31) AS msalt FROM m3),
+        x1 AS (SELECT doc_id, salt, (xor(ku, msalt) + 11400714819323198485) % 18446744073709551616 AS ka FROM m4),
+        x2 AS (SELECT *, (((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(ka, ka >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kb FROM x1),
+        x3 AS (SELECT *, (((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(kb, kb >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kc FROM x2),
+        seeds AS (SELECT doc_id, salt, xor(kc, kc >> 31) AS seed FROM x3),
+        jump(doc_id, salt, k, b, j) AS (
+          SELECT doc_id, salt, seed, -1::HUGEINT, 0::HUGEINT FROM seeds
+          UNION ALL
+          SELECT doc_id, salt, k2, j,
+            trunc((j + 1)::DOUBLE * (2147483648.0 / ((k2 >> 33) + 1)::DOUBLE))::HUGEINT
+          FROM (SELECT doc_id, salt, ((((k) % 4294967296) * ((2862933555777941757) % 4294967296) + ((((k) // 4294967296) * ((2862933555777941757) % 4294967296) + ((k) % 4294967296) * ((2862933555777941757) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + 1) % 18446744073709551616 AS k2, b, j
+                FROM jump WHERE j < 8) s
+        ),
+        buckets AS (SELECT doc_id, salt, b::BIGINT AS bucket FROM jump WHERE j >= 8),
+        dedup AS (SELECT doc_id, salt, bucket,
+            row_number() OVER (PARTITION BY doc_id, bucket ORDER BY salt) AS occ FROM buckets),
+        firsts AS (SELECT doc_id, bucket, salt,
+            row_number() OVER (PARTITION BY doc_id ORDER BY salt) AS pick FROM dedup WHERE occ = 1)
+        SELECT doc_id, bucket::INT AS copy_id FROM firsts WHERE pick <= 2""")),
 
     // core.throttler (throttler.go:31-148) batch rendering: per-key
     // per-day admission quota; over-quota rows marked THROTTLED.
