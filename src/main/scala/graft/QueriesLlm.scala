@@ -278,12 +278,151 @@ object QueriesLlm {
           FROM scored) r
         WHERE knn_rank <= 3""")),
 
-    // IVF ANN — k-means coarse quantizer + nprobe cell search; approximate
-    // (recall asserted in SimilaritySpec), rows-only check here.
+    // IVF ANN — k-means coarse quantizer + nprobe cell search. Approximate
+    // RECALL (asserted vs brute in SimilaritySpec) but a deterministic,
+    // cross-engine-reproducible ALGORITHM: seeding is splitmix64(vec_id)
+    // order (the HUGEINT CTE machinery), per-dim means are exact
+    // DECIMAL(28,10) sums (order-independent) rounded to 6 dp, distances
+    // accumulate in index order (list_sum over list_transform mirrors the
+    // Scala fold), ties go to the lowest cell. The oracle unrolls the 10
+    // Lloyd iterations as MATERIALIZED CTE stages (inlining would expand
+    // the chain 3^10-fold) and reproduces the quantizer bit-exactly.
     QueryDef("llm_ann_ivf",
       (s, dir) => Similarity.ivfKnn(t(s, dir, "embeddings"), k = 3, nlist = 16, nprobe = 4)
         .withColumnRenamed("rank", "knn_rank"),
-      None),
+      Some("""WITH
+samp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 65536)),
+h1 AS (SELECT vec_id, e, (vec_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS ka FROM samp),
+h2 AS (SELECT *, (((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(ka, ka >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kb FROM h1),
+h3 AS (SELECT *, (((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(kb, kb >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kc FROM h2),
+hm AS (SELECT vec_id, e,
+  CASE WHEN xor(kc, kc >> 31) >= 9223372036854775808 THEN (xor(kc, kc >> 31) - 18446744073709551616)::BIGINT
+       ELSE xor(kc, kc >> 31)::BIGINT END AS m FROM h3),
+c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY m, vec_id) - 1 AS cell, e AS c
+       FROM hm ORDER BY m, vec_id LIMIT 16),
+dims AS (SELECT unnest(range(1, 65))::INT AS dim),
+a1 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c0 c) z WHERE rn = 1),
+m1 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a1 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c1 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c0 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY cell) lm
+    USING (cell)),
+a2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c1 c) z WHERE rn = 1),
+m2 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a2 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c2 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c1 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m2 GROUP BY cell) lm
+    USING (cell)),
+a3 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c2 c) z WHERE rn = 1),
+m3 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a3 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c3 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c2 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m3 GROUP BY cell) lm
+    USING (cell)),
+a4 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c3 c) z WHERE rn = 1),
+m4 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a4 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c4 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c3 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m4 GROUP BY cell) lm
+    USING (cell)),
+a5 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c4 c) z WHERE rn = 1),
+m5 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a5 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c5 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c4 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m5 GROUP BY cell) lm
+    USING (cell)),
+a6 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c5 c) z WHERE rn = 1),
+m6 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a6 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c6 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c5 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m6 GROUP BY cell) lm
+    USING (cell)),
+a7 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c6 c) z WHERE rn = 1),
+m7 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a7 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c7 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c6 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m7 GROUP BY cell) lm
+    USING (cell)),
+a8 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c7 c) z WHERE rn = 1),
+m8 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a8 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c8 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c7 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m8 GROUP BY cell) lm
+    USING (cell)),
+a9 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c8 c) z WHERE rn = 1),
+m9 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a9 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c9 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c8 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m9 GROUP BY cell) lm
+    USING (cell)),
+a10 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, c9 c) z WHERE rn = 1),
+m10 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a10 a JOIN samp s USING (vec_id), dims d GROUP BY a.cell, d.dim),
+c10 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM c9 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM m10 GROUP BY cell) lm
+    USING (cell)),
+emba AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0.0),
+probe AS (SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))), c.cell) AS rn
+    FROM emba q, c10 c) z WHERE rn <= 4),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (b.e[i] - c.c[i]) * (b.e[i] - c.c[i]))), c.cell) AS rn
+    FROM emba b, c10 c) z WHERE rn = 1),
+scored AS (
+  SELECT p.vec_id, a.neighbor_id,
+    round(list_dot_product(q.e, b.e) /
+      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+  FROM probe p JOIN assign a USING (cell)
+  JOIN emba q ON q.vec_id = p.vec_id
+  JOIN emba b ON b.vec_id = a.neighbor_id
+  WHERE p.vec_id <> a.neighbor_id)
+SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM scored) r WHERE knn_rank <= 3""")),
 
     // distributed per-label centroids — the cluster-side rendering of the
     // IVF quantizer's training step (element-wise mean vector per group):

@@ -221,15 +221,25 @@ object Similarity {
     * vectors in its `nprobe` nearest cells. The standard ANN scale path
     * when hyperplane LSH recall is too data-dependent.
     *
-    * Training runs seeded Lloyd iterations on the driver over a collected
+    * Training runs Lloyd iterations on the driver over a collected
     * sample (quantizer training is tiny and inherently centralized — at
     * 100 TB you train on a sample exactly like this); assignment and
     * search are distributed: assignment is a narrow map, search is a
     * cell-key join + codegen'd dot products + the TopKPerKey operator.
+    *
+    * Every training step is deterministic AND cross-engine reproducible
+    * (the DuckDB oracle re-derives the same quantizer):
+    *  - seeding: the `nlist` sample vectors smallest in splitmix64(id)
+    *    order — pseudo-random spread with no RNG state;
+    *  - assignment: squared-L2 accumulated sequentially in index order
+    *    in double, ties to the lowest cell;
+    *  - update: per-dim means as exact DECIMAL(28,10) sums (order-
+    *    independent) divided once in double and rounded to 6 dp — the
+    *    same discipline as llm_embedding_centroids, so iteration K's
+    *    centroids are bit-identical however the sum is ordered.
     */
   def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 10, seed: Long = 42L,
-             maxTrain: Int = 65536): DataFrame = {
+             iters: Int = 10, maxTrain: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // bounded, deterministic training set: sort+limit compiles to
@@ -241,9 +251,9 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
     require(sample.nonEmpty)
     val d = sample.head._2.length
-    // seeded kmeans++ -ish init: spread starts deterministically
-    val rng = new scala.util.Random(seed)
-    var centroids = rng.shuffle(sample.toVector).take(nlist).map(_._2.map(_.toDouble).toArray)
+    var centroids: Vector[Array[Double]] = sample
+      .sortBy { case (id, _) => (graft.functions.HashFunctions.mix64(id), id) }
+      .take(nlist).toVector.map(_._2.map(_.toDouble).toArray)
     def nearest(v: Seq[Float], cs: Vector[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -255,18 +265,27 @@ object Similarity {
       }
       best
     }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](d))
+      // exact decimal(28,10) per-dim sums: order-independent, so the
+      // oracle's SUM over an arbitrary row order lands on the same value
+      val sums = Array.fill(nlist)(Array.fill(d)(java.math.BigDecimal.ZERO))
       val counts = new Array[Long](nlist)
       sample.foreach { case (_, v) =>
         val c = nearest(v, centroids)
         counts(c) += 1
         var i = 0
-        while (i < d) { sums(c)(i) += v(i); i += 1 }
+        while (i < d) {
+          sums(c)(i) = sums(c)(i).add(java.math.BigDecimal.valueOf(v(i).toDouble)
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
       }
       centroids = Vector.tabulate(nlist)(c =>
         if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c)))
+        else sums(c).map(s => round6(s.doubleValue() / counts(c))))
     }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearest(v, bcCentroids.value))
