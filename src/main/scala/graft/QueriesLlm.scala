@@ -21,8 +21,21 @@ object QueriesLlm {
     * in — shared by the Scala builders and the oracle SQL so the two
     * cannot drift. Must stay above max(doc_id) at every bench SF
     * (sf0.1 tops out at 5,000); shifted ids colliding with real ones
-    * would silently change the min-id representative semantics. */
+    * would silently change the min-id representative semantics — and
+    * identically on BOTH engines, which is why [[withShiftedDup]]
+    * enforces the invariant at runtime instead of trusting the comment. */
   private val DupIdOffset = 100000L
+
+  /** The corpus unioned with a full exact copy shifted by DupIdOffset,
+    * with the no-collision invariant checked loudly. */
+  private def withShiftedDup(docs: DataFrame): DataFrame = {
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // empty corpus
+    require(maxId < DupIdOffset,
+      s"dup fixture id shift $DupIdOffset must exceed max(doc_id)=$maxId — " +
+        "collisions would silently change representative semantics")
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + DupIdOffset))
+  }
 
   /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles) over
     * an arbitrary (doc_id, text) relation. */
@@ -93,11 +106,9 @@ object QueriesLlm {
     // one duplicate of every doc (id+DupIdOffset) so the collapse is
     // visible.
     QueryDef("llm_dedup_exact",
-      (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val dup = docs.withColumn("doc_id", col("doc_id") + DupIdOffset)
-        Dedup.exact(docs.unionByName(dup), "text", "doc_id")
-      },
+      (s, dir) => Dedup.exact(
+        withShiftedDup(t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "text", "doc_id"),
       Some(s"""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM (SELECT doc_id, text FROM documents
               UNION ALL SELECT doc_id + $DupIdOffset, text FROM documents) u
@@ -164,12 +175,9 @@ object QueriesLlm {
     // pairs-level API form of the collapse resolveClusters performs
     // internally (lossless; removes the sum(group^2) candidate term).
     QueryDef("llm_dedup_minhash_collapsed",
-      (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val dup = docs.withColumn("doc_id", col("doc_id") + DupIdOffset)
-        Dedup.minhashLshPairs(docs.unionByName(dup), "text", "doc_id",
-          shingleN = 3, threshold = 0.5, collapseExact = true)
-      },
+      (s, dir) => Dedup.minhashLshPairs(
+        withShiftedDup(t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "text", "doc_id", shingleN = 3, threshold = 0.5, collapseExact = true),
       Some(jaccardOracleOver(DupHeavyReps))),
 
     // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.

@@ -30,13 +30,18 @@ object HashFunctions {
     x ^ (x >>> 31)
   }
 
-  /** Deterministic 64-bit hash of a string with a salt. */
+  /** Deterministic 64-bit hash of a string with a salt. Folds UNICODE
+    * CODE POINTS, not UTF-16 code units — external engines index strings
+    * by code point (DuckDB substr/unicode), so the SQL oracles reproduce
+    * this fold exactly even for supplementary-plane characters, which a
+    * per-char fold would hash as two surrogates. */
   def hashString(s: String, salt: Long): Long = {
     var h = mix64(salt)
     var i = 0
     while (i < s.length) {
-      h = mix64(h ^ s.charAt(i).toLong)
-      i += 1
+      val cp = s.codePointAt(i)
+      h = mix64(h ^ cp.toLong)
+      i += Character.charCount(cp)
     }
     h
   }

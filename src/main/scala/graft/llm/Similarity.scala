@@ -187,7 +187,14 @@ object Similarity {
         order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
         k = k, rankName = "rank")
         .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the final top-k (m·k rows) so every intermediate
+      // cache — the query side and all per-block partials — can be
+      // released now instead of leaking for the session lifetime; the
+      // caller holds only the small persisted result
+      result.count()
       queries.unpersist(blocking = false)
+      partials.foreach(_.unpersist(blocking = false))
       result
     }
   }

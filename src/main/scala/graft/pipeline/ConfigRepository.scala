@@ -80,8 +80,8 @@ object YamlConfigProvider {
     m.flatMap {
       case (k, v: java.util.Map[_, _]) =>
         flatten(v.asScala.map { case (ck, cv) => ck.toString -> (cv: Any) }.toMap,
-          s"$prefix$k.")
-      case (k, v) => Map(s"$prefix$k" -> v)
+          s"$prefix${ConfigRepository.escapeSegment(k)}.")
+      case (k, v) => Map(s"$prefix${ConfigRepository.escapeSegment(k)}" -> v)
     }
 }
 
@@ -92,9 +92,13 @@ final class CliConfigProvider(args: Seq[String],
                               val weight: Int = 30) extends ConfigProvider {
   val name = "cli"
   val entries: Map[String, Any] = {
-    val opts = args.sliding(2).collect {
-      case Seq("-o", kv) => kv
-    }.toSeq
+    // indexed scan, not sliding(2): a trailing `-o` with no operand is a
+    // loud error (the reference's flag package errors the same way), not
+    // a silently dropped override
+    val opts = args.zipWithIndex.collect { case ("-o", i) =>
+      require(i + 1 < args.length, "-o flag needs a key[=value] operand")
+      args(i + 1)
+    }
     opts.map { kv =>
       val chunks = kv.split("=", -1)
       require(chunks.length <= 2, s"malformed -o flag (too many `=`): $kv")
@@ -152,6 +156,16 @@ object ConfigRepository {
       new EnvConfigProvider(env),
       YamlConfigProvider.parse(yamlText),
       new CliConfigProvider(args)))
+
+  /** A literal `.` inside ONE YAML key segment (legal for plugin params
+    * like `spark.executor.memory`) is escaped to \\u0001 during flatten so
+    * dotted-path splitting cannot mangle it; [[unescapeSegment]] restores
+    * it at re-nest time. Env/cli keys can't address such params — same
+    * limitation as the reference's dot-canonicalized env keys. */
+  private[pipeline] def escapeSegment(k: String): String =
+    k.replace(".", "\u0001")
+  private[pipeline] def unescapeSegment(k: String): String =
+    k.replace("\u0001", ".")
 
   /** Env/cli values arrive as strings; coerce scalars to the narrowest
     * matching of Boolean/Long/Double so they merge type-compatibly with

@@ -278,12 +278,20 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       // emit=pairs surfaces the pair-level API (id_a, id_b, jaccard)
       // instead of the dedup'd corpus; collapse_exact restricts pair
       // yield to exact-dup representatives (the resolveClusters-internal
-      // collapse, exposed for callers consuming pairs directly)
+      // collapse, exposed for callers consuming pairs directly). Params
+      // belonging to the OTHER emit mode are rejected, not silently
+      // ignored — the same fail-loudly contract as the module schemas.
       p(a, "emit").getOrElse("dedup") match {
         case "pairs" =>
+          require(p(a, "distributed").isEmpty,
+            s"${a.name}: 'distributed' applies to emit=dedup cluster " +
+              "resolution only; emit=pairs never resolves clusters")
           graft.llm.Dedup.minhashLshPairs(in, c, idc, shingleN, th,
             collapseExact = p(a, "collapse_exact").exists(_.toBoolean))
         case "dedup" =>
+          require(p(a, "collapse_exact").isEmpty,
+            s"${a.name}: 'collapse_exact' applies to emit=pairs only; " +
+              "emit=dedup always collapses exact dups internally")
           val keep = graft.llm.Dedup
             .resolveClusters(in, c, idc, shingleN, th, distributed = dist)
             .filter(col("keep")).select(col(idc))

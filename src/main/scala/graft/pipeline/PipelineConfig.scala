@@ -44,12 +44,24 @@ object PipelineConfig {
 
   /** Build from a merged dotted-key map (the [[ConfigRepository]] output:
     * YAML + env + cli layered by weight) — re-nests and then runs the
-    * same validation as [[parse]]. */
+    * same validation as [[parse]]. Key segments un-escape the literal-dot
+    * sentinel [[ConfigRepository.escapeSegment]] applied at flatten time,
+    * and a key that is simultaneously a scalar and a prefix of deeper
+    * keys (a typo'd override like FLOW_SYSTEM_MAXPROCS_X under the scalar
+    * system.maxprocs) fails loudly instead of silently shadowing either
+    * side. */
   def fromFlat(flat: Map[String, Any]): PipelineConfig = {
     def nest(entries: Map[String, Any]): Map[String, Any] = {
       val (leaves, deeper) = entries.partition(!_._1.contains('.'))
-      leaves ++ deeper.groupBy(_._1.takeWhile(_ != '.')).map { case (h, kvs) =>
+      val nested = deeper.groupBy(_._1.takeWhile(_ != '.')).map { case (h, kvs) =>
         h -> nest(kvs.map { case (k, v) => k.drop(h.length + 1) -> v })
+      }
+      val conflicts = leaves.keySet.intersect(nested.keySet)
+      require(conflicts.isEmpty,
+        s"config key(s) ${conflicts.toSeq.sorted.mkString(", ")} set both as a " +
+          "scalar and as a prefix of deeper keys — check for a typo'd override")
+      (leaves ++ nested).map { case (k, v) =>
+        ConfigRepository.unescapeSegment(k) -> v
       }
     }
     fromNested(nest(flat))

@@ -69,6 +69,37 @@ class ConfigRepositorySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       new CliConfigProvider(Seq("-o", "a=b=c")).entries
     }
+    // trailing -o with no operand is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      new CliConfigProvider(Seq("cfg.yml", "-o")).entries
+    }
+  }
+
+  test("plugin params with literal dots survive the flatten/re-nest roundtrip") {
+    val dotted =
+      """actors:
+        |  src: {module: core.receiver, params: {path: "/data/in.parquet"}}
+        |  px:  {module: "plugin:com.example.MyActor", params: {"spark.executor.memory": "4g"}}
+        |  out: {module: core.sink, params: {format: noop}}
+        |pipeline:
+        |  src: {connect: [px]}
+        |  px:  {connect: [out]}
+        |""".stripMargin
+    val cfg = ConfigRepository.forPipeline(dotted).toPipelineConfig
+    // the dotted param key arrives verbatim, exactly as PipelineConfig.parse
+    // delivers it — not exploded into nested maps
+    assert(cfg.actors("px").params == Map("spark.executor.memory" -> "4g"))
+    assert(cfg.actors("px").params ==
+      PipelineConfig.parse(dotted).actors("px").params)
+  }
+
+  test("a scalar key that is also a prefix of deeper keys fails loudly") {
+    // typo'd env override nests UNDER the scalar system.maxprocs — the
+    // merge must not silently drop either side
+    val e = intercept[IllegalArgumentException] {
+      repo(env = Map("FLOW_SYSTEM_MAXPROCS_X" -> "1")).toPipelineConfig
+    }
+    assert(e.getMessage.contains("maxprocs"))
   }
 
   test("explainAll lines carry winner and shadowed layers") {

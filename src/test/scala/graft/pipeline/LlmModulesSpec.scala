@@ -113,6 +113,16 @@ class LlmModulesSpec extends SparkSpec {
     intercept[RuntimeException] {
       new PipelineCompiler(spark, PipelineConfig.parse(bad)).runBatch()
     }
+    // params from the OTHER emit mode are rejected, not silently ignored
+    val crossed = yaml.replace("collapse_exact: \"true\"", "distributed: \"true\"")
+    intercept[IllegalArgumentException] {
+      new PipelineCompiler(spark, PipelineConfig.parse(crossed)).runBatch()
+    }
+    val dedupWithCollapse = yaml
+      .replace("emit: pairs, collapse_exact: \"true\"", "collapse_exact: \"true\"")
+    intercept[IllegalArgumentException] {
+      new PipelineCompiler(spark, PipelineConfig.parse(dedupWithCollapse)).runBatch()
+    }
   }
 
   test("decontaminate actor drops train docs overlapping the eval subset") {
