@@ -663,14 +663,85 @@ object QueriesRelational {
         COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, COUNT(*) AS n
         FROM customer GROUP BY 1, 2""")),
 
-    // approximate — excluded from hash oracle by design (SURVEY §5.3);
-    // the driver records a rows-only check.
+    // approximate: the HLL++ sketch VALUE is engine-internal (DuckDB
+    // cannot replay it), but its documented accuracy contract IS
+    // cross-engine checkable — the estimate must land within 3x the
+    // default rsd (0.05) of the exact distinct count (HLL error is
+    // ~N(0, rsd); 3 sigma). Spark's sketch is deterministic for fixed
+    // data, so the boolean is stable run-to-run; the oracle computes the
+    // exact side and asserts the bound. The bit-exact estimator rendering
+    // is q28_kmv_distinct below.
     QueryDef("q28_approx_count_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n")),
-      None),
+          countDistinct(col("l_partkey")).as("n_exact"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n_exact"), col("n"),
+          (abs(col("approx_parts").cast("double") - col("n_exact").cast("double"))
+            <= col("n_exact").cast("double") * 0.15).as("hll_within_3rsd")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
+        COUNT(*) AS n, TRUE AS hll_within_3rsd
+        FROM lineitem GROUP BY 1""")),
+
+    // KMV (bottom-k / k-minimum-values) distinct estimator — the
+    // oracle-checkable approximate-distinct rendering: the k smallest
+    // splitmix64 hashes of the key bound the hash-space density, so
+    // estimate = (k-1) / fraction-of-space-below-the-kth. Every step is
+    // deterministic and cross-engine reproducible: mix64 re-derived in
+    // HUGEINT wrapping arithmetic, the bottom-k selected in the SAME
+    // signed-biased order, and the final estimate computed with an
+    // IDENTICAL double op sequence (one add, one divide, one floor), so
+    // the estimate hash-matches bit-for-bit. At scale the bottom-k runs
+    // through the bounded TopKPerKey operator (per-partition partial
+    // selection + merge), never a full per-group sort. KMV per
+    // Bar-Yossef et al. 2002, "Counting distinct elements in a data
+    // stream".
+    QueryDef("q28_kmv_distinct",
+      (s, dir) => {
+        val k = 256
+        // mix64 is injective on longs, so distinct hashes == distinct keys
+        val hashed = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            graft.functions.HashFunctions.mix64Col(col("l_partkey")).as("h"))
+          .distinct()
+          // biased view: flipping the sign bit makes SIGNED order equal
+          // UNSIGNED hash order on both engines
+          .select(col("l_returnflag"),
+            col("h").bitwiseXOR(lit(Long.MinValue)).as("us"))
+        val bottomK = graft.plans.TopKPerKey(hashed,
+          keys = Seq(col("l_returnflag")),
+          order = Seq(col("us").asc),
+          k = k, rankName = "rn")
+        bottomK.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), max(col("us")).as("uk"))
+          .select(col("l_returnflag"),
+            when(col("cnt") < k, col("cnt"))
+              // (k-1) * 2^64 / unsigned(uk), all in double: constants are
+              // exact powers-of-two multiples, the op sequence matches the
+              // oracle literally
+              .otherwise(floor(lit(4.70391973879593566208e21) /
+                (col("uk").cast("double") + lit(9.223372036854775808e18))))
+              .cast("long").as("kmv_distinct"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        k0 AS (SELECT l_returnflag, l_partkey::HUGEINT AS ku FROM d),
+        m1 AS (SELECT l_returnflag, (ku + 11400714819323198485) % 18446744073709551616 AS saa FROM k0),
+        m2 AS (SELECT l_returnflag, (((xor(saa, saa >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(saa, saa >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(saa, saa >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS sab FROM m1),
+        m3 AS (SELECT l_returnflag, (((xor(sab, sab >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(sab, sab >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(sab, sab >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS sac FROM m2),
+        m4 AS (SELECT l_returnflag, xor(sac, sac >> 31) AS m FROM m3),
+        b AS (SELECT l_returnflag,
+          xor((CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END)::BIGINT,
+              -9223372036854775808) AS us FROM m4),
+        r AS (SELECT l_returnflag, us,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY us) AS rn FROM b),
+        t AS (SELECT l_returnflag, COUNT(*) AS cnt, MAX(us) AS uk
+          FROM r WHERE rn <= 256 GROUP BY 1)
+        SELECT l_returnflag,
+          CAST(CASE WHEN cnt < 256 THEN cnt
+            ELSE floor(4.70391973879593566208e21 / (CAST(uk AS DOUBLE) + 9.223372036854775808e18))
+            END AS BIGINT) AS kmv_distinct
+        FROM t""")),
 
     // ---- time-windowed aggregation (batch form of the streaming ops) ----
     QueryDef("q29_tumbling_window",

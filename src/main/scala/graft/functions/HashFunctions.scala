@@ -75,6 +75,12 @@ object HashFunctions {
     out.toSeq
   }
 
+  /** Column form of mix64 (key: long column). A UDF rather than Column
+    * arithmetic because the wrapping multiplies would trip ANSI overflow
+    * checking; one narrow map, no state. */
+  def mix64Col(key: Column): Column =
+    udf((k: Long) => mix64(k)).apply(key)
+
   /** Column form of jumpHash (key: long column). */
   def jumpHashCol(key: Column, numBuckets: Int): Column =
     udf((k: Long) => jumpHash(k, numBuckets)).apply(key)

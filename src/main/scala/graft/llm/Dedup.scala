@@ -171,8 +171,9 @@ object Dedup {
     *    large-star/small-star map-reduce — the 100-TB path where the pair
     *    set itself is too big to collect. The surrounding dataflow is
     *    unchanged; cluster assignment rejoins via broadcast either way
-    *    (the root map is #non-root-duplicates rows; if even that outgrows
-    *    broadcast, drop the hint and let AQE pick a shuffle join).
+    *    while the root map (#non-root-duplicates rows) fits
+    *    `broadcastRootMaxRows`, degrading to an AQE-planned join beyond
+    *    that instead of failing the broadcast build.
     *
     * Exact-duplicate groups are collapsed to their min-id representative
     * BEFORE the LSH stage: exact dups share the whole shingle set, so
@@ -188,7 +189,8 @@ object Dedup {
     */
   def resolveClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
-                      distributed: Boolean = false): DataFrame = {
+                      distributed: Boolean = false,
+                      broadcastRootMaxRows: Long = 4L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df.select(col(idCol), length(col(textCol)).as("__len"),
@@ -199,11 +201,14 @@ object Dedup {
     val collapsed = df.join(groupRep.select(col("__rep").as(idCol)), Seq(idCol))
     val pairDf = minhashLshPairsOn(collapsed, textCol, idCol, shingleN, threshold,
       numBands = 16, rowsPerBand = 4)
-    val rootDf =
-      if (distributed)
-        ConnectedComponents.run(pairDf, "id_a", "id_b")
+    // rootRows is known either way (locally, or via a cheap count over the
+    // localCheckpointed CC fixpoint) and gates the broadcast below
+    val (rootDf, rootRows) =
+      if (distributed) {
+        val cc = ConnectedComponents.run(pairDf, "id_a", "id_b")
           .withColumnRenamed("id", idCol)
-      else {
+        (cc, cc.count())
+      } else {
         val pairs = pairDf.select(col("id_a"), col("id_b"))
           .as[(Long, Long)].collect()
         // union-find with path compression
@@ -217,16 +222,23 @@ object Dedup {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
         }
-        (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+        val roots = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
           .map(id => id -> find(id)).filter { case (id, r) => id != r }
-          .toSeq.toDF(idCol, "cluster_root")
+        (roots.toSeq.toDF(idCol, "cluster_root"), roots.length.toLong)
       }
     // expand: each representative's root (default itself) fans back out
     // to its whole exact-dup group via the content hash. The component
     // minimum over representatives IS the global minimum id (each rep is
     // its group's min), so roots are unchanged by the collapse.
+    // The root map is #non-root-duplicates rows — usually tiny, so hint
+    // it broadcast; on a dup-heavy corpus where it outgrows the broadcast
+    // budget, fall back to a plain join and let AQE pick the strategy
+    // instead of failing the job mid-broadcast.
+    val rootRenamed = rootDf.withColumnRenamed(idCol, "__rep")
+    val rootJoinSide =
+      if (rootRows <= broadcastRootMaxRows) broadcast(rootRenamed) else rootRenamed
     val repRoot = groupRep
-      .join(broadcast(rootDf.withColumnRenamed(idCol, "__rep")), Seq("__rep"), "left")
+      .join(rootJoinSide, Seq("__rep"), "left")
       .select(col("__h"),
         coalesce(col("cluster_root"), col("__rep")).as("__root"))
     val withRoot = hashed.join(repRoot, Seq("__h"))

@@ -187,15 +187,16 @@ object Similarity {
         order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
         k = k, rankName = "rank")
         .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the final top-k (m·k rows) so every intermediate
-      // cache — the query side and all per-block partials — can be
-      // released now instead of leaking for the session lifetime; the
-      // caller holds only the small persisted result
-      result.count()
+      // eagerly localCheckpoint the final top-k (queries*k rows): the one
+      // materializing pass cuts the lineage, so the query-side cache and
+      // every per-block partial can be released NOW — and unlike a
+      // `.persist` (which the CacheManager pins for the session), the
+      // checkpoint blocks are freed by the ContextCleaner as soon as the
+      // caller drops the returned DataFrame
+      val out = result.localCheckpoint(eager = true)
       queries.unpersist(blocking = false)
       partials.foreach(_.unpersist(blocking = false))
-      result
+      out
     }
   }
 
@@ -294,20 +295,16 @@ object Similarity {
         if (counts(c) == 0) centroids(c)
         else sums(c).map(s => round6(s.doubleValue() / counts(c))))
     }
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => nearest(v, bcCentroids.value))
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val cs = bcCentroids.value
-      cs.indices.map { c =>
-        var dist = 0.0; var i = 0
-        while (i < d) { val diff = v(i) - cs(c)(i); dist += diff * diff; i += 1 }
-        c -> dist
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
+    // assignment + probe as ONE codegen kernel over the broadcast flat
+    // centroid matrix (NearestCellsFloat): the per-row UDF formulation
+    // (boxed Seq[Float], a sorted pair list per row) makes the assignment
+    // pass the bottleneck at production nlist. Tie-breaking and
+    // accumulation order are bit-identical to the training loop above.
+    val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
     val assigned = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
-      .withColumn("cell", assignUdf(col("emb_b")))
+      .withColumn("cell", quantizer.assign(col("emb_b")))
     val queries = withNorm(emb, "vec_id", "embedding", "norm_a")
-      .withColumn("cell", explode(probeUdf(col("embedding"))))
+      .withColumn("cell", explode(quantizer.nearestCells(col("embedding"), nprobe)))
     val scored = queries.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
@@ -322,7 +319,13 @@ object Similarity {
   /** LSH-bucketed approximate top-k: score only pairs sharing a hyperplane
     * bucket (plus multi-probe neighbors within `probeBits` bit flips).
     * Returns the same shape as bruteKnn; rows may be missing when no
-    * candidate shared a bucket (approximate recall). */
+    * candidate shared a bucket (approximate recall).
+    *
+    * Plan shape (the 100-TB concern): candidate generation runs over SLIM
+    * (id, bucket) rows — embeddings never ride the bucket-join shuffle —
+    * and a pair sharing several probe buckets is deduplicated on ids
+    * BEFORE the embeddings join back, so each unique pair is scored
+    * exactly once however many buckets it collided in. */
   def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
     require(probeBits >= 0 && probeBits <= bits,
       s"probeBits=$probeBits must be in [0, bits=$bits]")
@@ -336,17 +339,18 @@ object Similarity {
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
     val probeExpr = array(probes.map(lit): _*)
     val q = sig.withColumn("probe", explode(probeExpr))
-      .withColumn("bucket", col("sig").bitwiseXOR(col("probe")))
-      .select(col("vec_id"), col("embedding"), col("norm_a"), col("bucket"))
-    val c = sig.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("emb_b"), col("norm_a").as("norm_b"), col("sig").as("bucket"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
+      .select(col("vec_id"), col("sig").bitwiseXOR(col("probe")).as("bucket"))
+    val c = sig.select(col("vec_id").as("neighbor_id"), col("sig").as("bucket"))
+    val cand = q.join(c, Seq("bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      // dedup multi-probe hits on ids only, then score slim rows
+      .select(col("vec_id"), col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val a = withNorm(emb, "vec_id", "embedding", "norm_a")
+    val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))

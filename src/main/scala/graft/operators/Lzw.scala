@@ -123,7 +123,15 @@ object Lzw {
           suffix(next) = entry(0)
           next += 1
           // decoder bumps one entry early: its table lags the encoder's
-          // by exactly one assignment at each read
+          // by exactly one assignment at each read.
+          // END-OF-STREAM INVARIANT: when this bump lands on the FINAL
+          // data code (the table hits 2^width-1 right before Eod), the
+          // decoder reads Eod with width+1 bits while the encoder wrote
+          // it with width. That is correct if and only if compress()'s
+          // final flush pads with ZERO bits — the wide read then yields
+          // Eod's value with zero high bits, and a read that runs out of
+          // bits entirely maps to Eod in readCode(). Keep the encoder's
+          // flush zero-padded (LzwSpec pins the 511/1023/2047 boundary).
           if (next == (1 << width) - 1 && width < MaxWidth) width += 1
         }
         prevCode = code

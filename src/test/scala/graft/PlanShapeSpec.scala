@@ -97,6 +97,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("lshKnn dedups candidate pairs before any pair is scored") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("llm_ann_lsh")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, plan.toString.take(3000))
+    // a pure dedup Aggregate on exactly (vec_id, neighbor_id) sits below
+    // the ranking window, so a pair colliding in several probe buckets
+    // reaches the scorer once
+    val dedups = windows.head.child.collect {
+      case a: Aggregate
+          if a.groupingExpressions.size == 2 &&
+            a.aggregateExpressions.size == 2 => a
+    }
+    assert(dedups.nonEmpty, windows.head.child.toString.take(3000))
+    // and no PAIR dot product (two distinct arrays) is computed below the
+    // dedup — the only DotProductFloat there is the self-dot norm
+    val pairDotsBelow = dedups.head.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case d: graft.functions.DotProductFloat
+            if !d.left.semanticEquals(d.right) => d
+      })
+    }.flatten
+    assert(pairDotsBelow.isEmpty, dedups.head.toString.take(3000))
+  }
+
   test("repetition kernel spreads across partitions and reuses one exchange") {
     val df = SparkEntry.queries("llm_repetition")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -80,4 +80,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a == b)
     assert(a.count(_._3) < 5) // the near-dup trio collapsed
   }
+
+  test("resolveClusters shuffle-join fallback (root map over broadcast budget) is identical") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different words entirely unrelated to anything else at all"),
+      (5L, "some other corpus text that shares nothing with the fox sentences")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // broadcastRootMaxRows=0 forces every root map over the budget: the
+    // rejoin must degrade to a planned (non-hinted) join, same output
+    for (dist <- Seq(false, true)) {
+      val hinted = Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5,
+        distributed = dist)
+      val fallback = Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5,
+        distributed = dist, broadcastRootMaxRows = 0L)
+      assert(canon(fallback) == canon(hinted), s"distributed=$dist")
+    }
+  }
 }

@@ -36,6 +36,47 @@ class SimilaritySpec extends SparkSpec {
     assert(self(1).isNullAt(0))
   }
 
+  test("NearestCellsFloat kernel matches the naive argmin/argsort loop") {
+    val centroids = Seq.tabulate(7)(c => Array.tabulate(16)(i =>
+      math.sin(c * 17 + i).toDouble))
+    val quant = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    val rows = emb.select($"vec_id", $"embedding",
+        quant.assign($"embedding").as("cell"),
+        quant.nearestCells($"embedding", 3).as("cells"))
+      .as[(Long, Seq[Float], Int, Seq[Int])].collect()
+    assert(rows.length == 100)
+    rows.foreach { case (_, v, cell, cells) =>
+      val dists = centroids.indices.map { c =>
+        var dist = 0.0; var i = 0
+        while (i < 16) { val diff = v(i).toDouble - centroids(c)(i); dist += diff * diff; i += 1 }
+        c -> dist
+      }
+      val expected = dists.sortBy(_._2).take(3).map(_._1) // stable: ties -> lower cell
+      assert(cells == expected, s"cells=$cells expected=$expected")
+      assert(cell == expected.head)
+    }
+  }
+
+  test("NearestCellsFloat interpreted eval agrees with codegen") {
+    val centroids = Seq.tabulate(5)(c => Array.tabulate(16)(i =>
+      math.cos(c * 13 + i).toDouble))
+    val quant = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    val viaCodegen = emb.select($"vec_id", quant.nearestCells($"embedding", 2).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // force the interpreted path through a post-shuffle aggregate context
+    // is unreliable; call nullSafeEval directly instead
+    val flat = centroids.flatten.toArray
+    val bc = spark.sparkContext.broadcast(flat)
+    val exprTemplate = graft.functions.NearestCellsFloat(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), bc, 16, 5, 2)
+    emb.as[(Long, Seq[Float])].collect().foreach { case (id, v) =>
+      val arr = exprTemplate.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v.toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+      assert(arr == viaCodegen(id), s"id=$id eval=$arr codegen=${viaCodegen(id)}")
+    }
+  }
+
   test("bruteKnn returns exactly k neighbors per vector, self excluded, ranked") {
     val out = Similarity.bruteKnn(emb, 3).cache()
     assert(out.count() == 100 * 3)

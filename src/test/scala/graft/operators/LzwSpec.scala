@@ -53,6 +53,29 @@ class LzwSpec extends AnyFunSuite {
     rt((0 until 256).flatMap(b => Array.fill(b)(b.toByte)).toArray)
   }
 
+  test("final data code lands EXACTLY on the 511/1023/2047 width boundary") {
+    // the decoder's table hits 2^w - 1 on the last data code, so it reads
+    // Eod one bit wider than the encoder wrote it — only the encoder's
+    // zero-padded flush makes that read yield Eod (Lzw.scala invariant
+    // comment). All-distinct consecutive pairs make the encoder emit one
+    // code per byte and add one table entry per code, so n bytes put the
+    // decoder's table at exactly 258 + (n-1) entries after the final code.
+    for (boundary <- Seq(511, 1023, 2047)) {
+      val n = boundary - 257
+      val used = scala.collection.mutable.Set.empty[Int]
+      val bytes = new Array[Byte](n)
+      var i = 1
+      while (i < n) {
+        var b = 0
+        while (used.contains(((bytes(i - 1) & 0xff) << 8) | b)) b += 1
+        used += ((bytes(i - 1) & 0xff) << 8) | b
+        bytes(i) = b.toByte
+        i += 1
+      }
+      rt(bytes)
+    }
+  }
+
   test("corrupt stream is rejected, not silently decoded") {
     // a high code referencing far beyond any possible table state:
     // width starts at 9, so craft bits yielding code > next immediately
