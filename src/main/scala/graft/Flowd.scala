@@ -11,43 +11,59 @@ import graft.pipeline.{PipelineCompiler, PipelineConfig}
   * report.
   *
   * Usage: runMain graft.Flowd <config.yml> [--explain] [--explain-config]
-  *        [--stream] [-o key=value]...
+  *        [--stream] [--admin-port N] [-o key=value]...
   *
   * --explain prints the Graphviz DOT of the DAG (the /pipeline/describe
   * admin surface) before running; --explain-config prints every resolved
   * key with the provider that won it and the layers it shadowed (the
   * reference's repository explain surface); --stream runs each sink as an
   * availableNow streaming query (file receivers need `schema_from`
-  * params pointing at a parquet file to infer from).
+  * params pointing at a parquet file to infer from); --admin-port serves
+  * the LIVE admin surface ([[graft.streaming.AdminServer]]: /config,
+  * /pipeline/describe, /progress) on 127.0.0.1:N while the pipeline runs
+  * — the reference's embedded web/app/http.go server (0 = ephemeral; the
+  * bound address is printed).
   */
 object Flowd {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Flowd <config.yml> [--explain] [--explain-config] [--stream] [-o key=value]...")
+      "usage: Flowd <config.yml> [--explain] [--explain-config] [--stream]" +
+        " [--admin-port N] [-o key=value]...")
     val cfgPath = args(0)
     val explain = args.contains("--explain")
     val explainConfig = args.contains("--explain-config")
     val stream = args.contains("--stream")
+    val adminPort = args.zipWithIndex.collectFirst { case ("--admin-port", i) =>
+      require(i + 1 < args.length, "--admin-port needs a port operand")
+      args(i + 1).toInt
+    }
     val repo = graft.pipeline.ConfigRepository.forPipeline(
       Files.readString(Paths.get(cfgPath)), args.toSeq)
     if (explainConfig) println(repo.explainAll)
     val cfg = repo.toPipelineConfig
     if (explain) println(PipelineConfig.toDot(cfg))
     val spark = GraftSession.get()
-    val compiler = new PipelineCompiler(spark, cfg)
-    val counts =
-      if (stream) {
-        val schemas = cfg.actors.values
-          .filter(_.module == "core.receiver")
-          .map { a =>
-            val from = a.params.getOrElse("schema_from", a.params("path")).toString
-            a.name -> spark.read.parquet(from).schema
-          }.toMap
-        compiler.runStreamingOnce(schemas)
-      } else compiler.runBatch()
-    val json = counts.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"pipeline":"$cfgPath","sinks":$json}""")
-    spark.stop()
+    val admin = adminPort.map(p => new graft.streaming.AdminServer(
+      spark, () => repo.explainAll, () => PipelineConfig.toDot(cfg), p).start())
+    admin.foreach(a => println(s"""{"admin":"http://127.0.0.1:${a.boundPort}"}"""))
+    try {
+      val compiler = new PipelineCompiler(spark, cfg)
+      val counts =
+        if (stream) {
+          val schemas = cfg.actors.values
+            .filter(_.module == "core.receiver")
+            .map { a =>
+              val from = a.params.getOrElse("schema_from", a.params("path")).toString
+              a.name -> spark.read.parquet(from).schema
+            }.toMap
+          compiler.runStreamingOnce(schemas)
+        } else compiler.runBatch()
+      val json = counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""{"pipeline":"$cfgPath","sinks":$json}""")
+    } finally {
+      admin.foreach(_.stop())
+      spark.stop()
+    }
   }
 }

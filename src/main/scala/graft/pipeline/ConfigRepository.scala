@@ -41,14 +41,17 @@ object DefaultConfigProvider {
 /** `FLOW_`-prefixed environment variables (pkg/cfg/env_provider.go:16-20
   * canonise + :57-79 SetUp): prefix stripped, `_` -> `.`, but `__`
   * survives as a literal `_` (the `..` produced by the double underscore
-  * is folded back), all lowercased. `FLOW_K` with no value -> true. */
+  * is folded back), all lowercased. Values are kept as RAW strings — an
+  * intentionally-empty `FLOW_K=` stays `""`, exactly like the reference's
+  * env provider (its `true` branch only fires for environ entries lacking
+  * `=`, which real environments never produce); the typed cast happens
+  * per-key against the module schema at config load ([[ParamSchema]]). */
 final class EnvConfigProvider(env: Map[String, String],
                               val weight: Int = 10) extends ConfigProvider {
   val name = "env"
   val entries: Map[String, Any] = env.collect {
     case (k, v) if k.startsWith("FLOW_") =>
-      EnvConfigProvider.canonise(k.drop(5)) ->
-        (if (v == null || v.isEmpty) true else ConfigRepository.coerce(v))
+      EnvConfigProvider.canonise(k.drop(5)) -> ((if (v == null) "" else v): Any)
   }
 }
 
@@ -99,10 +102,13 @@ final class CliConfigProvider(args: Seq[String],
       require(i + 1 < args.length, "-o flag needs a key[=value] operand")
       args(i + 1)
     }
+    // values stay RAW strings (cli_provider.go keeps them raw; the typed
+    // cast happens per-key against the module schema at config load);
+    // a bare key with no `=` is boolean true (cli_provider.go:67-76)
     opts.map { kv =>
       val chunks = kv.split("=", -1)
       require(chunks.length <= 2, s"malformed -o flag (too many `=`): $kv")
-      if (chunks.length == 2) chunks(0) -> ConfigRepository.coerce(chunks(1))
+      if (chunks.length == 2) chunks(0) -> (chunks(1): Any)
       else kv -> (true: Any)
     }.toMap
   }
@@ -167,15 +173,4 @@ object ConfigRepository {
   private[pipeline] def unescapeSegment(k: String): String =
     k.replace("\u0001", ".")
 
-  /** Env/cli values arrive as strings; coerce scalars to the narrowest
-    * matching of Boolean/Long/Double so they merge type-compatibly with
-    * YAML-native values — the convert-or-keep behavior of the reference's
-    * cast mapper layer (pkg/cast). YAML/default values pass through
-    * untouched (snakeyaml already typed them). */
-  private[pipeline] def coerce(v: Any): Any = v match {
-    case s: String if s.equalsIgnoreCase("true") => true
-    case s: String if s.equalsIgnoreCase("false") => false
-    case s: String => s.toLongOption.orElse(s.toDoubleOption).getOrElse(s)
-    case other => other
-  }
 }

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+/** Schema-directed config typing — the Scala rendering of the reference's
+  * `cast` layer (pkg/cast/schema.go:18-73 declares the expected type per
+  * key in a trie; mapper.go:107-140 converts each supplied value or gives
+  * up with the key's expected type). Each module declares key -> type;
+  * [[ParamSchema.validate]] converts every supplied param to its declared
+  * type at CONFIG LOAD time, so a wrongly-typed value (`rps: "fast"`)
+  * fails with the actor, key and expected type in the message instead of
+  * a bare NumberFormatException at actor-construction time.
+  *
+  * Because env/cli providers keep RAW strings (like the reference's
+  * providers), this layer is also what decides when a string becomes a
+  * number: a string-typed param that happens to look numeric ("010",
+  * "1.10", "2e5") stays a string.
+  */
+sealed abstract class ParamType(val label: String) {
+  /** converted value, or None when `v` is not renderable as this type */
+  def cast(v: Any): Option[Any]
+}
+
+object ParamType {
+  case object PString extends ParamType("string") {
+    def cast(v: Any): Option[Any] = v match {
+      case s: String => Some(s)
+      case n: java.lang.Number => Some(n.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None
+    }
+  }
+  case object PLong extends ParamType("int") {
+    def cast(v: Any): Option[Any] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case s: java.lang.Short => Some(s.longValue)
+      case b: java.lang.Byte => Some(b.longValue)
+      case b: java.math.BigInteger if b.bitLength < 64 => Some(b.longValue)
+      case s: String => s.trim.toLongOption
+      case _ => None
+    }
+  }
+  case object PDouble extends ParamType("float") {
+    def cast(v: Any): Option[Any] = v match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case s: String => s.trim.toDoubleOption
+      case _ => None
+    }
+  }
+  case object PBool extends ParamType("bool") {
+    def cast(v: Any): Option[Any] = v match {
+      case b: java.lang.Boolean => Some(b.booleanValue)
+      case s: String if s.equalsIgnoreCase("true") => Some(true)
+      case s: String if s.equalsIgnoreCase("false") => Some(false)
+      case _ => None
+    }
+  }
+  /** list of strings; a plain string splits on commas — the env/cli
+    * rendering of a YAML sequence. */
+  case object PStringList extends ParamType("list<string>") {
+    def cast(v: Any): Option[Any] = v match {
+      case l: java.util.List[_] => Some(l.asScala.map(_.toString).toSeq)
+      case sq: Seq[_] => Some(sq.map(_.toString))
+      case s: String => Some(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case _ => None
+    }
+  }
+}
+
+object ParamSchema {
+  import ParamType._
+
+  /** Module param schemas — key NAME validation (a typo'd `treshold`
+    * fails loudly) plus the declared type per key. `plugin:<fqcn>`
+    * modules take arbitrary params and are exempt. */
+  val Modules: Map[String, Map[String, ParamType]] = Map(
+    "core.receiver" -> Map("path" -> PString, "format" -> PString,
+      // comma-separated column list, split by the receiver itself
+      "ts_nanos_to_micros" -> PString,
+      "schema_from" -> PString), // streaming schema inference (Flowd --stream)
+    "core.push_receiver" -> Map("channel" -> PString,
+      "maxMsgsPerTrigger" -> PLong),
+    "core.mux" -> Map.empty[String, ParamType],
+    "core.router" -> Map("key" -> PString, "routes" -> PStringList,
+      "dead_letter" -> PString),
+    "core.replicator" -> Map("mode" -> PString),
+    "core.throttler" -> Map("algo" -> PString, "key" -> PString,
+      "ts" -> PString, "rps" -> PDouble, "quota" -> PLong,
+      "window" -> PString),
+    "core.compressor" -> Map("codec" -> PString, "level" -> PLong,
+      "column" -> PString),
+    "core.decompressor" -> Map("codec" -> PString, "column" -> PString),
+    "core.encoder_base64" -> Map("column" -> PString),
+    "core.decoder_base64" -> Map("column" -> PString),
+    "core.meta_parser" -> Map("column" -> PString, "meta" -> PString),
+    "core.topk" -> Map("keys" -> PStringList, "order" -> PStringList,
+      "k" -> PLong, "rank_name" -> PString),
+    "llm.quality_filter" -> Map("column" -> PString,
+      "min_quality" -> PDouble, "score_column" -> PString),
+    "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
+      "keep" -> PString), // comma-separated allowlist
+    "llm.dedup_exact" -> Map("column" -> PString, "id" -> PString),
+    "llm.repetition_filter" -> Map("column" -> PString,
+      "max_dup_ppm" -> PLong),
+    "llm.dedup_near" -> Map("column" -> PString, "id" -> PString,
+      "shingle_n" -> PLong, "threshold" -> PDouble,
+      "distributed" -> PBool, "emit" -> PString,
+      "collapse_exact" -> PBool),
+    "llm.decontaminate" -> Map("column" -> PString, "id" -> PString,
+      "source_column" -> PString, "eval_value" -> PString,
+      "ngram_n" -> PLong, "min_shared" -> PLong),
+    "core.sink" -> Map("format" -> PString, "path" -> PString,
+      "mode" -> PString, "partition_by" -> PStringList, "rows" -> PLong))
+
+  /** Validate every actor's params against its module schema and return
+    * the config with each value CONVERTED to its declared type. Unknown
+    * keys and unconvertible values both fail here — config-load time —
+    * with the module, key and expected type named. */
+  def validate(cfg: PipelineConfig): PipelineConfig = {
+    val actors = cfg.actors.map { case (name, a) =>
+      Modules.get(a.module) match {
+        case None => name -> a // plugin:<fqcn>: arbitrary params
+        case Some(schema) =>
+          val unknown = a.params.keySet -- schema.keySet
+          require(unknown.isEmpty,
+            s"${a.name}: unknown param(s) ${unknown.toSeq.sorted.mkString(", ")}" +
+              s" for ${a.module} (known: ${schema.keys.toSeq.sorted.mkString(", ")})")
+          val typed = a.params.map { case (k, v) =>
+            val t = schema(k)
+            k -> t.cast(v).getOrElse(throw new IllegalArgumentException(
+              s"${a.name}.$k: expected ${t.label} for ${a.module}, " +
+                s"got '$v' (${v.getClass.getSimpleName})"))
+          }
+          name -> a.copy(params = typed)
+      }
+    }
+    cfg.copy(actors = actors)
+  }
+}

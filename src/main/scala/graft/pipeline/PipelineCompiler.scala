@@ -28,50 +28,26 @@ import graft.streaming.Streams
   * branches of the same query).
   */
 object PipelineCompiler {
-  /** Module param schemas — the analog of the reference's pkg/cast
-    * config mapper (convert-or-give-up validation of every config key
-    * against the module's schema, pkg/cast/mapper.go): a typo'd param
-    * (`treshold`, `max_dupppm`) fails loudly at compile time instead of
-    * silently falling back to the default. `plugin:<fqcn>` modules take
-    * arbitrary params and are exempt. */
-  val KnownParams: Map[String, Set[String]] = Map(
-    "core.receiver" -> Set("path", "format", "ts_nanos_to_micros",
-      "schema_from"), // schema_from: streaming schema inference (Flowd --stream)
-    "core.push_receiver" -> Set("channel", "maxMsgsPerTrigger"),
-    "core.mux" -> Set(),
-    "core.router" -> Set("key", "routes", "dead_letter"),
-    "core.replicator" -> Set("mode"),
-    "core.throttler" -> Set("algo", "key", "ts", "rps", "quota", "window"),
-    "core.compressor" -> Set("codec", "level", "column"),
-    "core.decompressor" -> Set("codec", "column"),
-    "core.encoder_base64" -> Set("column"),
-    "core.decoder_base64" -> Set("column"),
-    "core.meta_parser" -> Set("column", "meta"),
-    "core.topk" -> Set("keys", "order", "k", "rank_name"),
-    "llm.quality_filter" -> Set("column", "min_quality", "score_column"),
-    "llm.langid" -> Set("column", "lang_column", "keep"),
-    "llm.dedup_exact" -> Set("column", "id"),
-    "llm.repetition_filter" -> Set("column", "max_dup_ppm"),
-    "llm.dedup_near" -> Set("column", "id", "shingle_n", "threshold", "distributed",
-      "emit", "collapse_exact"),
-    "llm.decontaminate" -> Set("column", "id", "source_column", "eval_value",
-      "ngram_n", "min_shared"),
-    "core.sink" -> Set("format", "path", "mode", "partition_by", "rows"))
+  /** Module param key sets, derived from the typed [[ParamSchema]] — the
+    * analog of the reference's pkg/cast config mapper (convert-or-give-up
+    * validation of every config key against the module's schema,
+    * pkg/cast/mapper.go + schema.go:18-73): a typo'd param (`treshold`,
+    * `max_dupppm`) or a wrongly-typed value (`rps: "fast"`) fails loudly
+    * at config-load time instead of silently falling back to the default
+    * or erupting as a bare NumberFormatException mid-construction.
+    * `plugin:<fqcn>` modules take arbitrary params and are exempt. */
+  val KnownParams: Map[String, Set[String]] =
+    ParamSchema.Modules.map { case (m, s) => m -> s.keySet }
 
-  def validateParams(cfg: PipelineConfig): Unit =
-    cfg.actors.values.foreach { a =>
-      KnownParams.get(a.module).foreach { known =>
-        val unknown = a.params.keySet -- known
-        require(unknown.isEmpty,
-          s"${a.name}: unknown param(s) ${unknown.toSeq.sorted.mkString(", ")}" +
-            s" for ${a.module} (known: ${known.toSeq.sorted.mkString(", ")})")
-      }
-    }
+  /** Validate names AND convert values per [[ParamSchema]]; returns the
+    * config with typed param values. */
+  def validateParams(cfg: PipelineConfig): PipelineConfig =
+    ParamSchema.validate(cfg)
 }
 
-class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
+class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
 
-  PipelineCompiler.validateParams(cfg)
+  private val cfg = PipelineCompiler.validateParams(cfg0)
 
   /** Build the DataFrame flowing OUT of `name` toward `forDownstream`
     * (router branches differ per downstream; everything else is
@@ -129,6 +105,7 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
       // downstream if declared (router.go:67-76)
       val keyCol = col(p(a, "key").getOrElse("route"))
       val routes = a.params.get("routes") match {
+        case Some(sq: Seq[_]) => sq.map(_.toString) // schema-cast list
         case Some(l: java.util.List[_]) =>
           scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map(_.toString).toSeq
         case _ => cfg.downstream(a.name).filterNot(_ == p(a, "dead_letter").getOrElse(""))
@@ -193,23 +170,22 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
     // analytics actor: per-key top-k through the custom operator
     // (params: keys: [col], order: ["col desc", "col"], k)
     case "core.topk" =>
-      val keys = a.params.get("keys") match {
-        case Some(l: java.util.List[_]) =>
-          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
-            .map(n => col(n.toString)).toSeq
-        case Some(one) => Seq(col(one.toString))
-        case None => Nil
+      def strList(v: Any): Seq[String] = v match {
+        case sq: Seq[_] => sq.map(_.toString) // schema-cast list
+        case l: java.util.List[_] =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map(_.toString).toSeq
+        case one => Seq(one.toString)
       }
-      val order = a.params.get("order") match {
-        case Some(l: java.util.List[_]) =>
-          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map { o =>
-            o.toString.trim.split("\\s+") match {
-              case Array(c, d) if d.equalsIgnoreCase("desc") => col(c).desc
-              case Array(c, _) => col(c).asc
-              case Array(c) => col(c).asc
-              case _ => sys.error(s"${a.name}: bad order spec '$o'")
-            }
-          }.toSeq
+      val keys = a.params.get("keys").map(strList).getOrElse(Nil).map(col)
+      val order = a.params.get("order").map(strList) match {
+        case Some(specs) if specs.nonEmpty => specs.map { o =>
+          o.trim.split("\\s+") match {
+            case Array(c, d) if d.equalsIgnoreCase("desc") => col(c).desc
+            case Array(c, _) => col(c).asc
+            case Array(c) => col(c).asc
+            case _ => sys.error(s"${a.name}: bad order spec '$o'")
+          }
+        }
         case _ => sys.error(s"${a.name}: topk needs order")
       }
       val k = p(a, "k").map(_.toInt).getOrElse(10)
@@ -355,6 +331,7 @@ class PipelineCompiler(spark: SparkSession, cfg: PipelineConfig) {
           // (SURVEY §2.3 maps router's partitioned delivery to
           // df.write.partitionBy)
           val partitioned = a.params.get("partition_by") match {
+            case Some(sq: Seq[_]) => w.partitionBy(sq.map(_.toString): _*)
             case Some(l: java.util.List[_]) =>
               w.partitionBy(
                 scala.jdk.CollectionConverters.ListHasAsScala(l).asScala

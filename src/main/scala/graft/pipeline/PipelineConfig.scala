@@ -107,7 +107,10 @@ object PipelineConfig {
 
     val cfg = PipelineConfig(system, actors, edges)
     validateDag(cfg)
-    cfg
+    // schema-directed typing at LOAD time (the reference's cast layer):
+    // unknown param names and unconvertible values fail here, and every
+    // value — including raw env/cli strings — lands as its declared type
+    ParamSchema.validate(cfg)
   }
 
   /** Kahn toposort with cycle detection — the same validation the

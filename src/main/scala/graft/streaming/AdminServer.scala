@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** Live admin/introspection endpoint over a RUNNING pipeline — the
+  * reference's embedded admin HTTP server (web/app/http.go:22-63; config
+  * dump web/app/agent/config.go:19-27, DOT topology graphviz.go:31):
+  *
+  *  - `GET /config`            resolved config, one provenance line per
+  *                             key (winner provider + shadowed layers)
+  *  - `GET /pipeline/describe` the DAG as Graphviz DOT
+  *  - `GET /progress`          JSON array of every active streaming
+  *                             query's last StreamingQueryProgress — the
+  *                             Spark rendering of the reference's
+  *                             /expvar counters (rows/sec in/out, batch
+  *                             durations, state rows)
+  *
+  * Serves on loopback only (an operator debugging a relay, not a public
+  * surface); port 0 picks an ephemeral port, `boundPort` reports it.
+  * Content is computed per request, so /progress reflects the live
+  * query state at each poll.
+  */
+final class AdminServer(spark: SparkSession,
+                        explainConfig: () => String,
+                        dot: () => String,
+                        port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def jsonStr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def progressJson(): String =
+    spark.streams.active.map { q =>
+      val p = q.lastProgress
+      s"""{"id":${jsonStr(q.id.toString)},"name":${jsonStr(q.name)},""" +
+        s""""isActive":${q.isActive},"progress":${if (p == null) "null" else p.json}}"""
+    }.mkString("[", ",", "]")
+
+  private def route(path: String, contentType: String, body: () => String): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try {
+        val (status, bytes) =
+          if (ex.getRequestMethod != "GET")
+            (405, "method not allowed\n".getBytes(StandardCharsets.UTF_8))
+          else if (ex.getRequestURI.getPath != path) // no sub-path fallthrough
+            (404, "not found\n".getBytes(StandardCharsets.UTF_8))
+          else (200, body().getBytes(StandardCharsets.UTF_8))
+        ex.getResponseHeaders.set("Content-Type",
+          if (status == 200) contentType else "text/plain; charset=utf-8")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close())
+
+  route("/config", "text/plain; charset=utf-8", explainConfig)
+  route("/pipeline/describe", "text/vnd.graphviz; charset=utf-8", dot)
+  route("/progress", "application/json", () => progressJson())
+  server.createContext("/", (ex: HttpExchange) =>
+    try {
+      val b = "not found\n".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(404, b.length.toLong)
+      ex.getResponseBody.write(b)
+    } finally ex.close())
+
+  def start(): AdminServer = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}

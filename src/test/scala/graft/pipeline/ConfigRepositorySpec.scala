@@ -32,9 +32,9 @@ class ConfigRepositorySpec extends AnyFunSuite {
     assert(repo().explain("system.maxprocs") ==
       Seq(("yaml", 20, 4), ("default", 0, 1)))
 
-    // env over default (key absent from yaml)
+    // env over default (key absent from yaml); providers keep RAW strings
     val r1 = repo(env = Map("FLOW_SYSTEM_NEWKEY" -> "7"))
-    assert(r1.get("system.newkey").contains(7L))
+    assert(r1.get("system.newkey").contains("7"))
 
     // yaml over env for the same key (reference weights: yaml=20 > env=10)
     val r2 = repo(env = Map("FLOW_SYSTEM_MAXPROCS" -> "9"))
@@ -45,7 +45,7 @@ class ConfigRepositorySpec extends AnyFunSuite {
     // cli over everything
     val r3 = repo(env = Map("FLOW_SYSTEM_MAXPROCS" -> "9"),
       args = Seq("-o", "system.maxprocs=16"))
-    assert(r3.get("system.maxprocs").contains(16L))
+    assert(r3.get("system.maxprocs").contains("16"))
     assert(r3.explain("system.maxprocs").map(_._1) ==
       Seq("cli", "yaml", "env", "default"))
   }
@@ -56,16 +56,16 @@ class ConfigRepositorySpec extends AnyFunSuite {
     assert(EnvConfigProvider.canonise("A_B__C_D") == "a.b_c.d")
     val p = new EnvConfigProvider(Map(
       "FLOW_ACTORS_THR_PARAMS_RPS" -> "0.5",
-      "FLOW_TOGGLE" -> "", // no value -> boolean true
+      "FLOW_TOGGLE" -> "", // intentionally empty stays "" (reference parity)
       "UNRELATED" -> "ignored"))
     assert(p.entries == Map(
-      "actors.thr.params.rps" -> 0.5,
-      "toggle" -> true))
+      "actors.thr.params.rps" -> "0.5",
+      "toggle" -> ""))
   }
 
   test("cli -o parsing: k=v pairs, bare key -> true, malformed rejected") {
     val p = new CliConfigProvider(Seq("cfg.yml", "-o", "a.b=1", "-o", "flag", "--stream"))
-    assert(p.entries == Map("a.b" -> 1L, "flag" -> true))
+    assert(p.entries == Map("a.b" -> "1", "flag" -> true))
     intercept[IllegalArgumentException] {
       new CliConfigProvider(Seq("-o", "a=b=c")).entries
     }
@@ -121,8 +121,75 @@ class ConfigRepositorySpec extends AnyFunSuite {
     assert(cfg.downstream("thr") == Seq("out"))
     assert(cfg.actors("src").params("path") == "/data/in.parquet")
 
-    // an env-only param lands when yaml doesn't declare it
+    // an env-only param lands when yaml doesn't declare it, TYPED by the
+    // module schema (raw "100" -> int param quota)
     val cfg2 = repo(env = Map("FLOW_ACTORS_THR_PARAMS_QUOTA" -> "100")).toPipelineConfig
     assert(cfg2.actors("thr").params("quota") == 100L)
+  }
+
+  // the pkg/cast converter matrix (schema.go:18-73 + mapper.go:107-140):
+  // string -> declared type conversions succeed; unconvertible values
+  // fail AT LOAD with the actor, key and expected type in the message.
+  test("schema-typed params: convert-or-error at config load") {
+    // string -> float/int/bool via cli land as their declared types
+    val ok = repo(args = Seq(
+      "-o", "actors.thr.params.rps=0.5",
+      "-o", "actors.thr.params.quota=100")).toPipelineConfig
+    assert(ok.actors("thr").params("rps") == 0.5)
+    assert(ok.actors("thr").params("quota") == 100L)
+
+    // wrongly-typed value: rejected at load, message names key + type
+    val e = intercept[IllegalArgumentException] {
+      repo(args = Seq("-o", "actors.thr.params.rps=fast")).toPipelineConfig
+    }
+    assert(e.getMessage.contains("thr.rps"), e.getMessage)
+    assert(e.getMessage.contains("float"), e.getMessage)
+    assert(e.getMessage.contains("fast"), e.getMessage)
+
+    // string-typed params that LOOK numeric stay raw strings — no eager
+    // "1.10"->1.1 / "2e5"->200000.0 / "010"->10 mangling
+    val s = repo(args = Seq("-o", "actors.src.params.path=010")).toPipelineConfig
+    assert(s.actors("src").params("path") == "010")
+    val s2 = repo(args = Seq("-o", "actors.out.params.format=2e5")).toPipelineConfig
+    assert(s2.actors("out").params("format") == "2e5")
+
+    // bool conversion (dedup_near.distributed declared bool)
+    val yamlNear =
+      """actors:
+        |  src:  {module: core.receiver, params: {path: "/data/in.parquet"}}
+        |  nd:   {module: llm.dedup_near, params: {threshold: 0.7}}
+        |  out:  {module: core.sink, params: {format: noop}}
+        |pipeline:
+        |  src: {connect: [nd]}
+        |  nd:  {connect: [out]}
+        |""".stripMargin
+    val b = ConfigRepository.forPipeline(yamlNear,
+      args = Seq("-o", "actors.nd.params.distributed=true")).toPipelineConfig
+    assert(b.actors("nd").params("distributed") == true)
+    val be = intercept[IllegalArgumentException] {
+      ConfigRepository.forPipeline(yamlNear,
+        args = Seq("-o", "actors.nd.params.distributed=yes")).toPipelineConfig
+    }
+    assert(be.getMessage.contains("bool"), be.getMessage)
+
+    // list param from a YAML sequence AND from a comma string (cli form)
+    val yamlRoute =
+      """actors:
+        |  src:  {module: core.receiver, params: {path: "/data/in.parquet"}}
+        |  r:    {module: core.router, params: {key: k, routes: [a, b]}}
+        |  a:    {module: core.sink, params: {format: noop}}
+        |  b:    {module: core.sink, params: {format: noop}}
+        |pipeline:
+        |  src: {connect: [r]}
+        |  r:   {connect: [a, b]}
+        |""".stripMargin
+    val l1 = ConfigRepository.forPipeline(yamlRoute).toPipelineConfig
+    assert(l1.actors("r").params("routes") == Seq("a", "b"))
+    val l2 = ConfigRepository.forPipeline(yamlRoute,
+      args = Seq("-o", "actors.r.params.routes=b,a")).toPipelineConfig
+    assert(l2.actors("r").params("routes") == Seq("b", "a"))
+
+    // a numeric YAML value for an int param passes through typed
+    assert(ok.actors("thr").params("rps").isInstanceOf[Double])
   }
 }
