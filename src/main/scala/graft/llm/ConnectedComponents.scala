@@ -37,7 +37,14 @@ object ConnectedComponents {
     * [[graft.streaming.StreamingCC.mergeBatch]].
     */
   def run(edges: DataFrame, uCol: String, vCol: String,
-          maxIter: Int = 50): DataFrame = {
+          maxIter: Int = 50): DataFrame =
+    runWithStats(edges, uCol, vCol, maxIter)._1
+
+  /** [[run]] plus the number of large-star/small-star rounds executed —
+    * the O(log^2 n) convergence observable (the scale-soak harness pins
+    * it against the expectation; see BASELINE.md). */
+  def runWithStats(edges: DataFrame, uCol: String, vCol: String,
+                   maxIter: Int = 50): (DataFrame, Int) = {
     var e = edges.select(col(uCol).cast("long").as("u"),
         col(vCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -56,7 +63,7 @@ object ConnectedComponents {
       it += 1
     }
     // at the fixpoint every edge points a node at its component root
-    e.select(col("u").as("id"), col("v").as("cluster_root"))
+    (e.select(col("u").as("id"), col("v").as("cluster_root")), it)
   }
 
   /** Large-star: for each node u over its full neighborhood N(u),

@@ -257,17 +257,20 @@ object Similarity {
     val sample = emb.select(col("vec_id"), col("embedding"))
       .sort(col("vec_id")).limit(maxTrain)
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) } // primitive access: the
+      // boxed Seq apply dominated training at production nlist
     require(sample.nonEmpty)
     val d = sample.head._2.length
     var centroids: Vector[Array[Double]] = sample
       .sortBy { case (id, _) => (graft.functions.HashFunctions.mix64(id), id) }
-      .take(nlist).toVector.map(_._2.map(_.toDouble).toArray)
-    def nearest(v: Seq[Float], cs: Vector[Array[Double]]): Int = {
+      .take(nlist).toVector.map(_._2.map(_.toDouble))
+    def nearest(v: Array[Float], cs: Vector[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cs.length) {
+        val cc = cs(c)
         var dist = 0.0; var i = 0
-        while (i < d) { val diff = v(i) - cs(c)(i); dist += diff * diff; i += 1 }
+        while (i < d) { val diff = v(i) - cc(i); dist += diff * diff; i += 1 }
         if (dist < bestD) { bestD = dist; best = c }
         c += 1
       }
