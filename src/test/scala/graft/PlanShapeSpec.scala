@@ -101,17 +101,23 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("llm_ann_lsh")(spark, dir)
     val plan = df.queryExecution.optimizedPlan
-    val windows = plan.collect { case w: LWindow => w }
-    assert(windows.nonEmpty, plan.toString.take(3000))
+    // the ranking node is a logical Window, or TopKPerKey when the
+    // session has the window->top-k rewrite rule registered (any earlier
+    // query through GraftExtensions registers it session-wide)
+    val ranking = plan.collect {
+      case w: LWindow => w.child
+      case t: graft.plans.TopKPerKey => t.child
+    }
+    assert(ranking.nonEmpty, plan.toString.take(3000))
     // a pure dedup Aggregate on exactly (vec_id, neighbor_id) sits below
-    // the ranking window, so a pair colliding in several probe buckets
+    // the ranking node, so a pair colliding in several probe buckets
     // reaches the scorer once
-    val dedups = windows.head.child.collect {
+    val dedups = ranking.head.collect {
       case a: Aggregate
           if a.groupingExpressions.size == 2 &&
             a.aggregateExpressions.size == 2 => a
     }
-    assert(dedups.nonEmpty, windows.head.child.toString.take(3000))
+    assert(dedups.nonEmpty, ranking.head.toString.take(3000))
     // and no PAIR dot product (two distinct arrays) is computed below the
     // dedup — the only DotProductFloat there is the self-dot norm
     val pairDotsBelow = dedups.head.collect { case node =>
