@@ -16,14 +16,16 @@ object Bench {
     "q31_session_window", "llm_dedup_minhash", "llm_ann_topk",
     "op_throttler")
 
-  // round-2 operators, measured and reported alongside but NOT in the
+  // round-2/3 operators, measured and reported alongside but NOT in the
   // headline total (the total stays comparable across rounds)
   val Extended: Seq[String] = Seq(
     "llm_dedup_levenshtein", "llm_chunking", "llm_shard_pack",
     "llm_sample_deterministic", "llm_embedding_centroids",
     "llm_dedup_clusters_mr", "q40_exists_subquery", "q45_window_distribution",
     "llm_repetition", "q47_recursive_cte", "q48_lateral_topk",
-    "llm_mix_weights", "llm_zipf_spectrum", "llm_decontaminate", "llm_novelty")
+    "llm_mix_weights", "llm_zipf_spectrum", "llm_decontaminate", "llm_novelty",
+    // round 3: the reworked ANN paths + the KMV estimator
+    "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
