@@ -144,12 +144,16 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact verify on the candidate set only, over the hashed shingle
-    // sets; the candidate side is the small one -> broadcast it, keeping
-    // the corpus-side scan partition-parallel at any corpus size
+    // sets. The SLIM id-pair set broadcasts (16 bytes/pair — fine far
+    // past any realistic yield); the pair set WITH shingle arrays
+    // attached (withA) is deliberately NOT hinted: on a dup-heavy corpus
+    // it is pairs x shingle-set sized, and a forced broadcast would fail
+    // the job where AQE's runtime stats instead degrade it to a shuffle
+    // join (and still broadcast it when it is actually small).
     val withA = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .join(broadcast(cands), "id_a")
     val verify = hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "id_b")
+      .join(withA, "id_b")
     verify
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
