@@ -11,7 +11,7 @@ import graft.pipeline.{PipelineCompiler, PipelineConfig}
   * report.
   *
   * Usage: runMain graft.Flowd <config.yml> [--explain] [--explain-config]
-  *        [--stream] [--admin-port N] [-o key=value]...
+  *        [--stream [--follow]] [--admin-port N] [-o key=value]...
   *
   * --explain prints the Graphviz DOT of the DAG (the /pipeline/describe
   * admin surface) before running; --explain-config prints every resolved
@@ -22,7 +22,10 @@ import graft.pipeline.{PipelineCompiler, PipelineConfig}
   * the LIVE admin surface ([[graft.streaming.AdminServer]]: /config,
   * /pipeline/describe, /progress) on 127.0.0.1:N while the pipeline runs
   * — the reference's embedded web/app/http.go server (0 = ephemeral; the
-  * bound address is printed).
+  * bound address is printed). --follow keeps the streaming pipeline
+  * RUNNING (ProcessingTime trigger, newly-dropped files keep draining)
+  * until the process is signalled — the reference daemon's lifecycle —
+  * instead of exiting once the backlog is consumed.
   */
 object Flowd {
   def main(args: Array[String]): Unit = {
@@ -33,6 +36,8 @@ object Flowd {
     val explain = args.contains("--explain")
     val explainConfig = args.contains("--explain-config")
     val stream = args.contains("--stream")
+    val follow = args.contains("--follow")
+    require(!follow || stream, "--follow requires --stream")
     val adminPort = args.zipWithIndex.collectFirst { case ("--admin-port", i) =>
       require(i + 1 < args.length, "--admin-port needs a port operand")
       args(i + 1).toInt
@@ -48,19 +53,25 @@ object Flowd {
     admin.foreach(a => println(s"""{"admin":"http://127.0.0.1:${a.boundPort}"}"""))
     try {
       val compiler = new PipelineCompiler(spark, cfg)
-      val counts =
-        if (stream) {
-          val schemas = cfg.actors.values
-            .filter(_.module == "core.receiver")
-            .map { a =>
-              val from = a.params.getOrElse("schema_from", a.params("path")).toString
-              a.name -> spark.read.parquet(from).schema
-            }.toMap
-          compiler.runStreamingOnce(schemas)
-        } else compiler.runBatch()
-      val json = counts.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      println(s"""{"pipeline":"$cfgPath","sinks":$json}""")
+      def receiverSchemas = cfg.actors.values
+        .filter(_.module == "core.receiver")
+        .map { a =>
+          val from = a.params.getOrElse("schema_from", a.params("path")).toString
+          a.name -> spark.read.parquet(from).schema
+        }.toMap
+      if (follow) {
+        // daemon lifecycle: run until signalled (or a query fails)
+        val queries = compiler.startStreaming(receiverSchemas)
+        println(s"""{"pipeline":"$cfgPath","following":${queries.size}}""")
+        spark.streams.awaitAnyTermination()
+      } else {
+        val counts =
+          if (stream) compiler.runStreamingOnce(receiverSchemas)
+          else compiler.runBatch()
+        val json = counts.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        println(s"""{"pipeline":"$cfgPath","sinks":$json}""")
+      }
     } finally {
       admin.foreach(_.stop())
       spark.stop()

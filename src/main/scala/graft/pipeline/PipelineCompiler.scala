@@ -354,13 +354,12 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
     }.toMap
 
-  /** Streaming run: the receiver becomes a file-drop stream; each sink
-    * branch runs as one foreachBatch query with Trigger.AvailableNow
-    * (start/stop discipline per SURVEY §2.6.5 is inherent: queries are
-    * started per sink and awaited before returns). */
-  def runStreamingOnce(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType])
-      : Map[String, Long] = {
-    val streamCompiler = new PipelineCompiler(spark, cfg) {
+  /** A compiler whose receivers compile to STREAMING sources (file-drop
+    * stream / DSv2 push stream) instead of batch scans. */
+  private def streamingCompiler(
+      receiverSchemas: Map[String, org.apache.spark.sql.types.StructType])
+      : PipelineCompiler =
+    new PipelineCompiler(spark, cfg) {
       override def outputOf(name: String, forDownstream: String): DataFrame = {
         val a = cfg.actors(name)
         a.module match {
@@ -378,11 +377,58 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         }
       }
     }
+
+  /** Streaming run: the receiver becomes a file-drop stream; each sink
+    * branch runs as one foreachBatch query with Trigger.AvailableNow
+    * (start/stop discipline per SURVEY §2.6.5 is inherent: queries are
+    * started per sink and awaited before returns). */
+  def runStreamingOnce(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType])
+      : Map[String, Long] = {
+    val streamCompiler = streamingCompiler(receiverSchemas)
     cfg.sinks.map { s =>
       val df = streamCompiler.outputOf(s)
       var n = 0L
       Streams.runForeachBatch(df, (batch, _) => n += batch.count())
       s -> n
+    }.toMap
+  }
+
+  /** Daemon mode (the reference's long-running flowd): start every sink
+    * branch as a CONTINUOUS foreachBatch query and return the live
+    * queries — the pipeline keeps draining newly-arriving files/messages
+    * until each query is stopped (or `spark.streams.awaitAnyTermination`
+    * unblocks). File/object sinks append per micro-batch; console shows;
+    * memory/noop count (their batch semantics don't accumulate across an
+    * unbounded stream). Pair with [[graft.streaming.AdminServer]] for
+    * live /progress while it runs. */
+  def startStreaming(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType],
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : Map[String, org.apache.spark.sql.streaming.StreamingQuery] = {
+    val streamCompiler = streamingCompiler(receiverSchemas)
+    cfg.sinks.map { s =>
+      val a = cfg.actors(s)
+      require(a.module == "core.sink", s"terminal actor $s must be core.sink")
+      val fmt = p(a, "format").getOrElse("memory")
+      val path = p(a, "path")
+      val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
+      val df = streamCompiler.outputOf(s)
+      val q = df.writeStream
+        .queryName(s)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          fmt match {
+            case "parquet" | "json" | "csv" =>
+              batch.write.mode("append").format(fmt)
+                .save(path.getOrElse(sys.error(s"$s: sink needs path")))
+            case "console" => batch.show(showRows, truncate = false)
+            case _ => batch.count(): Unit
+          }
+          ()
+        }
+        .option("checkpointLocation", Streams.newCheckpointDir())
+        .trigger(trigger)
+        .start()
+      s -> q
     }.toMap
   }
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Daemon lifecycle (`Flowd --stream --follow`): the pipeline's sink
+  * queries keep running and drain files that arrive AFTER start — the
+  * reference flowd's long-running contract, vs runStreamingOnce which
+  * exits when the backlog is consumed. */
+class FollowModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pollCount(path: String, want: Long, timeoutMs: Long = 30000): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var n = -1L
+    while (n != want && System.currentTimeMillis() < deadline) {
+      n = scala.util.Try(spark.read.parquet(path).count()).getOrElse(-1L)
+      if (n != want) Thread.sleep(100)
+    }
+    n
+  }
+
+  test("startStreaming drains files arriving after start, until stopped") {
+    val in = Files.createTempDirectory("graft-follow-in-").toString
+    val out = Files.createTempDirectory("graft-follow-out-").toString + "/sink"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+      .coalesce(1).write.mode("append").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  enc: {module: core.encoder_base64, params: {column: body}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  src: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    val schema = spark.read.parquet(in).schema
+    val queries = new PipelineCompiler(spark, cfg).startStreaming(
+      Map("src" -> schema), Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      assert(queries.keySet == Set("out"))
+      // the pre-start backlog drains...
+      assert(pollCount(out, 3) == 3)
+      // ...and a file dropped AFTER start is picked up by the live query
+      Seq((4L, "d"), (5L, "e")).toDF("id", "body")
+        .coalesce(1).write.mode("append").parquet(in)
+      assert(pollCount(out, 5) == 5)
+      assert(queries("out").isActive)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+    }
+  }
+}
