@@ -127,7 +127,13 @@ object Dedup {
                                 shingleN: Int, threshold: Double,
                                 numBands: Int, rowsPerBand: Int): DataFrame = {
     val k = numBands * rowsPerBand
-    // spread single-file inputs across cores before the per-doc hashing
+    // spread single-file inputs across cores before the per-doc hashing.
+    // The cache is deliberate: the hashed shingle sets feed THREE
+    // consumers inside this one query (signatures, verify side A, verify
+    // side B) and recomputing the per-doc hashing per consumer triples
+    // the dominant cost. MEMORY_AND_DISK entries are LRU-evicted under
+    // pressure (recompute, not failure); a session running many dedup
+    // jobs can release them wholesale with spark.catalog.clearCache().
     val hashed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
