@@ -30,8 +30,8 @@ import graft.pipeline.{PipelineCompiler, PipelineConfig}
 object Flowd {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: Flowd <config.yml> [--explain] [--explain-config] [--stream]" +
-        " [--admin-port N] [-o key=value]...")
+      "usage: Flowd <config.yml> [--explain] [--explain-config]" +
+        " [--stream [--follow]] [--admin-port N] [-o key=value]...")
     val cfgPath = args(0)
     val explain = args.contains("--explain")
     val explainConfig = args.contains("--explain-config")
@@ -51,10 +51,21 @@ object Flowd {
     val admin = adminPort.map(p => new graft.streaming.AdminServer(
       spark, () => repo.explainAll, () => PipelineConfig.toDot(cfg), p).start())
     admin.foreach(a => println(s"""{"admin":"http://127.0.0.1:${a.boundPort}"}"""))
+    val compiler = new PipelineCompiler(spark, cfg)
     try {
-      val compiler = new PipelineCompiler(spark, cfg)
+      // bind:// receivers start their listeners up front (reference
+      // pipeline.go starts receivers at pipeline start); ephemeral
+      // port-0 binds are resolved and reported here
+      val bound = compiler.startReceivers()
+      if (bound.nonEmpty) {
+        val js = bound.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        println(s"""{"receivers":$js}""")
+      }
+      // file receivers need a schema for streaming; bind receivers carry
+      // the fixed event schema through the DSv2 source
       def receiverSchemas = cfg.actors.values
-        .filter(_.module == "core.receiver")
+        .filter(a => a.module == "core.receiver" && !a.params.contains("bind"))
         .map { a =>
           val from = a.params.getOrElse("schema_from", a.params("path")).toString
           a.name -> spark.read.parquet(from).schema
@@ -73,6 +84,7 @@ object Flowd {
         println(s"""{"pipeline":"$cfgPath","sinks":$json}""")
       }
     } finally {
+      compiler.close()
       admin.foreach(_.stop())
       spark.stop()
     }

@@ -78,13 +78,23 @@ object ParamSchema {
     "core.receiver" -> Map("path" -> PString, "format" -> PString,
       // comma-separated column list, split by the receiver itself
       "ts_nanos_to_micros" -> PString,
-      "schema_from" -> PString), // streaming schema inference (Flowd --stream)
+      "schema_from" -> PString, // streaming schema inference (Flowd --stream)
+      // network transport by URI scheme (receiver_factory.go:10-37):
+      // tcp://[host]:port, udp://[host]:port, unix:///path,
+      // http://[host]:port[/endpoint]; port 0 = ephemeral
+      "bind" -> PString,
+      "channel" -> PString, // push channel fed (default: actor name)
+      "silent" -> PBool, // tcp: suppress per-record OK/THROTTLED replies
+      "capacity" -> PLong), // channel buffer bound (default 65,536)
     "core.push_receiver" -> Map("channel" -> PString,
       "maxMsgsPerTrigger" -> PLong),
     "core.mux" -> Map.empty[String, ParamType],
     "core.router" -> Map("key" -> PString, "routes" -> PStringList,
       "dead_letter" -> PString),
-    "core.replicator" -> Map("mode" -> PString),
+    "core.replicator" -> Map("mode" -> PString,
+      // ncopy mode: n jump-hash replicas over `buckets` peers keyed by
+      // the `key` column (buckets defaults to the downstream count)
+      "key" -> PString, "n" -> PLong, "buckets" -> PLong),
     "core.throttler" -> Map("algo" -> PString, "key" -> PString,
       "ts" -> PString, "rps" -> PDouble, "quota" -> PLong,
       "window" -> PString),
@@ -111,7 +121,13 @@ object ParamSchema {
       "source_column" -> PString, "eval_value" -> PString,
       "ngram_n" -> PLong, "min_shared" -> PLong),
     "core.sink" -> Map("format" -> PString, "path" -> PString,
-      "mode" -> PString, "partition_by" -> PStringList, "rows" -> PLong))
+      "mode" -> PString, "partition_by" -> PStringList, "rows" -> PLong,
+      "checkpoint" -> PString, // daemon-restart resume (startStreaming)
+      // sink transport by URI scheme (sink_head_factory.go:17-46):
+      // tcp://host:port, udp://host:port, unix:///path, file://STDOUT
+      // (console) or file:///path (raw column text)
+      "bind" -> PString,
+      "column" -> PString)) // column written by a bind sink (default body)
 
   /** Validate every actor's params against its module schema and return
     * the config with each value CONVERTED to its declared type. Unknown

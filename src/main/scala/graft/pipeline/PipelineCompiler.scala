@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Compressor, FlowEventModel, Routing, Throttler, Transforms}
-import graft.streaming.Streams
+import graft.sources.{NetReceivers, PushReceiver}
+import graft.streaming.{NetSinks, Streams}
 
 /** Compiles a PipelineConfig into DataFrame dataflow and runs it — the
   * Spark rendering of the reference's pipeline assembly
@@ -72,7 +73,94 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
   private def p(a: ActorDef, k: String): Option[String] =
     a.params.get(k).map(_.toString)
 
+  // ---- bind:// network transports (the reference's primary config
+  // surface: receiver_factory.go:10-37 dispatches tcp/udp/unix/http on
+  // the `bind` param's URI scheme; sink_head_factory.go:17-46 the same
+  // for sinks — examples/tcp2stdout-config.yml is exactly this shape).
+  // A bind receiver starts the matching NetReceivers listener feeding a
+  // push channel; the node then compiles like core.push_receiver.
+
+  /** Live listeners started for bind:// receivers, actor name -> handle.
+    * The streaming sub-compiler registers into its OUTER compiler, so
+    * boundPort/close work on the instance the caller holds. */
+  private val listeners = scala.collection.mutable.Map.empty[String, NetReceivers.Handle]
+
+  private def channelOf(a: ActorDef): String =
+    p(a, "channel").getOrElse(a.name)
+
+  /** Idempotently start the listener a bind:// receiver declares; returns
+    * the push channel it feeds. */
+  private def ensureListener(a: ActorDef): String = listeners.synchronized {
+    val channel = channelOf(a)
+    if (!listeners.contains(a.name)) {
+      p(a, "capacity").foreach(c => PushReceiver.configure(channel, c.toInt))
+      val bind = p(a, "bind").get
+      val handle = bind match {
+        case s if s.startsWith("tcp://") =>
+          NetReceivers.startTcp(channel, portOf(a, s.drop(6)),
+            silent = p(a, "silent").exists(_.toBoolean))
+        case s if s.startsWith("udp://") =>
+          NetReceivers.startUdp(channel, portOf(a, s.drop(6)))
+        case s if s.startsWith("unix://") =>
+          NetReceivers.startUnix(channel, java.nio.file.Paths.get(s.drop(7)))
+        case s if s.startsWith("http://") =>
+          val rest = s.drop(7)
+          val slash = rest.indexOf('/')
+          val (hostPort, endpoint) =
+            if (slash < 0) (rest, "/v1alpha1") else (rest.take(slash), rest.drop(slash))
+          NetReceivers.startHttp(channel, portOf(a, hostPort), endpoint)
+        case other =>
+          sys.error(s"${a.name}: unrecognised bind protocol: '$other' " +
+            "(expected tcp:// udp:// unix:// http://)")
+      }
+      listeners(a.name) = handle
+    }
+    channel
+  }
+
+  private def portOf(a: ActorDef, hostPort: String): Int = {
+    val i = hostPort.lastIndexOf(':')
+    require(i >= 0, s"${a.name}: bind needs [host]:port, got '$hostPort'")
+    hostPort.drop(i + 1).toInt
+  }
+
+  /** Start every bind:// receiver's listener NOW (the reference starts
+    * receivers at pipeline start, pipeline.go Start order) and return
+    * actor name -> bound port (0 for unix sockets). Port 0 binds pick an
+    * ephemeral port — read the real one here. */
+  def startReceivers(): Map[String, Int] =
+    cfg.actors.values.toSeq
+      .filter(a => a.module == "core.receiver" && a.params.contains("bind"))
+      .map { a => ensureListener(a); a.name -> listeners.synchronized(listeners(a.name).port) }
+      .toMap
+
+  /** Bound port of a started bind:// receiver (None before first build). */
+  def boundPort(name: String): Option[Int] =
+    listeners.synchronized(listeners.get(name).map(_.port))
+
+  /** Stop every listener this compiler started. */
+  def close(): Unit = listeners.synchronized {
+    listeners.values.foreach(_.close())
+    listeners.clear()
+  }
+
+  /** Batch rendering of a push channel: snapshot of everything pushed so
+    * far, as the engine's event schema. */
+  private def pushSnapshot(channel: String): DataFrame = {
+    val msgs = PushReceiver.snapshot(channel)
+      .map(m => graft.operators.FlowEvent(m.body, m.meta,
+        new java.sql.Timestamp(m.tsMicros / 1000L)))
+    import spark.implicits._
+    msgs.toDF("body", "meta", "ingest_ts")
+  }
+
   private def build(a: ActorDef, forDownstream: String): DataFrame = a.module match {
+    // network receiver by bind:// scheme; batch mode snapshots what has
+    // arrived on the channel by build time (call startReceivers() before
+    // pushing, then compile — or run streaming, where arrival is live)
+    case "core.receiver" if a.params.contains("bind") =>
+      pushSnapshot(ensureListener(a))
+
     case "core.receiver" =>
       val path = p(a, "path").getOrElse(sys.error(s"${a.name}: receiver needs path"))
       val format = p(a, "format").getOrElse("parquet")
@@ -90,12 +178,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     // snapshots what has been pushed so far; the streaming runner
     // overrides this with the DSv2 stream.
     case "core.push_receiver" =>
-      val channel = p(a, "channel").getOrElse("default")
-      val msgs = graft.sources.PushReceiver.snapshot(channel)
-        .map(m => graft.operators.FlowEvent(m.body, m.meta,
-          new java.sql.Timestamp(m.tsMicros / 1000L)))
-      import spark.implicits._
-      msgs.toDF("body", "meta", "ingest_ts")
+      pushSnapshot(p(a, "channel").getOrElse("default"))
 
     case "core.mux" => inputOf(a.name) // fan-in is implicit; node is a no-op marker
 
@@ -125,6 +208,22 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case "rand" =>
           val idx = cfg.downstream(a.name).sorted.indexOf(forDownstream).max(0)
           Routing.replicateRand(inputOf(a.name), k).filter(col("copy_id") === idx)
+        // n jump-hash replicas per row over the downstream peers
+        // (reference intent README.md:215-218; replicator.go:89-91 left
+        // this mode as panic — the engine completes it). `buckets`
+        // defaults to the downstream count; declaring more buckets than
+        // downstreams models a partial ring (copies placed on undeclared
+        // buckets are dropped, as unrouted peers).
+        case "ncopy" =>
+          val keyC = p(a, "key")
+            .getOrElse(sys.error(s"${a.name}: replicator ncopy needs key"))
+          val downs = cfg.downstream(a.name).sorted
+          val buckets = p(a, "buckets").map(_.toInt).getOrElse(k)
+          val n = p(a, "n").map(_.toInt)
+            .getOrElse(sys.error(s"${a.name}: replicator ncopy needs n"))
+          val idx = downs.indexOf(forDownstream).max(0)
+          Routing.replicateNcopy(inputOf(a.name), col(keyC), n, buckets)
+            .filter(col("copy_id") === idx)
         case other => sys.error(s"${a.name}: unknown replicator mode $other")
       }
 
@@ -322,6 +421,30 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val a = cfg.actors(s)
       require(a.module == "core.sink", s"terminal actor $s must be core.sink")
       val df = outputOf(s)
+      // bind:// sinks (sink_head_factory.go:17-46): tcp/udp/unix writers,
+      // file://STDOUT = console, file://<path> = raw column-bytes file
+      p(a, "bind") match {
+        case Some(bind) =>
+          writeBound(df, bind, p(a, "column").getOrElse("body"),
+            p(a, "rows").map(_.toInt).getOrElse(20), append = false)
+          s -> df.count()
+        case None => s -> writeFormat(a, s, df)
+      }
+    }.toMap
+
+  /** One batch through a bind:// sink head. */
+  private def writeBound(df: DataFrame, bind: String, column: String,
+                         showRows: Int, append: Boolean): Unit = bind match {
+    case "file://STDOUT" => df.show(showRows, truncate = false)
+    case s if s.startsWith("file://") =>
+      df.select(col(column).cast("string")).write
+        .mode(if (append) "append" else "overwrite").text(s.drop(7))
+    case s =>
+      NetSinks.writeBatch(df, NetSinks.writerFor(s, column))
+  }
+
+  /** The format-keyed (non-bind) batch sink dispatch; returns the count. */
+  private def writeFormat(a: ActorDef, s: String, df: DataFrame): Long =
       p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
           val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
@@ -340,19 +463,18 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
             case None => w
           }
           partitioned.save(path)
-          s -> spark.read.format(p(a, "format").get).load(path).count()
+          spark.read.format(p(a, "format").get).load(path).count()
         case "console" =>
           df.show(p(a, "rows").map(_.toInt).getOrElse(20), truncate = false)
-          s -> df.count()
+          df.count()
         case "memory" =>
           df.createOrReplaceTempView(s)
-          s -> df.count()
+          df.count()
         case "noop" =>
           df.write.format("noop").mode("overwrite").save()
-          s -> df.count()
+          df.count()
         case other => sys.error(s"$s: unknown sink format $other")
       }
-    }.toMap
 
   /** A compiler whose receivers compile to STREAMING sources (file-drop
     * stream / DSv2 push stream) instead of batch scans. */
@@ -363,6 +485,15 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       override def outputOf(name: String, forDownstream: String): DataFrame = {
         val a = cfg.actors(name)
         a.module match {
+          // bind:// receiver: start the listener (registered on the OUTER
+          // compiler, so its boundPort/close see it) and stream its push
+          // channel through the DSv2 source
+          case "core.receiver" if a.params.contains("bind") =>
+            val channel = PipelineCompiler.this.ensureListener(a)
+            spark.readStream
+              .format(classOf[graft.sources.PushReceiverProvider].getName)
+              .option("channel", channel)
+              .load()
           case "core.receiver" =>
             Streams.fileSource(spark, a.params("path").toString, receiverSchemas(name),
               a.params.getOrElse("format", "parquet").toString)
@@ -400,7 +531,14 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     * unblocks). File/object sinks append per micro-batch; console shows;
     * memory/noop count (their batch semantics don't accumulate across an
     * unbounded stream). Pair with [[graft.streaming.AdminServer]] for
-    * live /progress while it runs. */
+    * live /progress while it runs.
+    *
+    * A sink's `checkpoint` param pins its query's checkpointLocation, so
+    * a restarted `--follow` daemon resumes from committed offsets instead
+    * of re-ingesting the whole backlog into an append sink; without it a
+    * fresh ephemeral dir is used (every restart replays from scratch).
+    * Caveat either way: foreachBatch + append is at-least-once — a batch
+    * retried after a mid-write crash appends its rows twice. */
   def startStreaming(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType],
                      trigger: org.apache.spark.sql.streaming.Trigger =
                        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
@@ -412,20 +550,29 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val fmt = p(a, "format").getOrElse("memory")
       val path = p(a, "path")
       val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
+      val bindSink = p(a, "bind")
+      val column = p(a, "column").getOrElse("body")
       val df = streamCompiler.outputOf(s)
       val q = df.writeStream
         .queryName(s)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          fmt match {
-            case "parquet" | "json" | "csv" =>
-              batch.write.mode("append").format(fmt)
-                .save(path.getOrElse(sys.error(s"$s: sink needs path")))
-            case "console" => batch.show(showRows, truncate = false)
-            case _ => batch.count(): Unit
+          bindSink match {
+            case Some(bind) =>
+              // per-epoch reconnect: each micro-batch re-opens the sink
+              // head per partition (sink.go:80-110 reconnect discipline)
+              writeBound(batch, bind, column, showRows, append = true)
+            case None => fmt match {
+              case "parquet" | "json" | "csv" =>
+                batch.write.mode("append").format(fmt)
+                  .save(path.getOrElse(sys.error(s"$s: sink needs path")))
+              case "console" => batch.show(showRows, truncate = false)
+              case _ => batch.count(): Unit
+            }
           }
           ()
         }
-        .option("checkpointLocation", Streams.newCheckpointDir())
+        .option("checkpointLocation",
+          p(a, "checkpoint").getOrElse(Streams.newCheckpointDir()))
         .trigger(trigger)
         .start()
       s -> q

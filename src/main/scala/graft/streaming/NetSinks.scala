@@ -64,6 +64,37 @@ object NetSinks {
       override def close(errorOrNull: Throwable): Unit = if (ch != null) ch.close()
     }
 
+  /** bind:// scheme dispatch for sink heads (the reference's
+    * sink_head_factory.go:17-46: tcp/udp/unix resolved by URI prefix;
+    * file:// is handled by the pipeline compiler, not a socket writer). */
+  def writerFor(bind: String, column: String = "body"): ForeachWriter[Row] = bind match {
+    case s if s.startsWith("tcp://") =>
+      val (h, p) = hostPort(s.drop(6)); tcpWriter(h, p, column)
+    case s if s.startsWith("udp://") =>
+      val (h, p) = hostPort(s.drop(6)); udpWriter(h, p, column)
+    case s if s.startsWith("unix://") => unixWriter(s.drop(7), column)
+    case other => sys.error(s"unrecognised sink bind protocol: '$other' " +
+      "(expected tcp:// udp:// unix:// file://)")
+  }
+
+  private def hostPort(s: String): (String, Int) = {
+    val i = s.lastIndexOf(':')
+    require(i > 0, s"sink bind needs host:port, got '$s'")
+    (s.take(i), s.drop(i + 1).toInt)
+  }
+
+  /** Batch rendering of a ForeachWriter: one connection per partition
+    * task, the same open/process/close lifecycle Structured Streaming
+    * gives the writer per micro-batch epoch. */
+  def writeBatch(df: org.apache.spark.sql.DataFrame, writer: ForeachWriter[Row]): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      if (writer.open(pid.toLong, 0L)) {
+        try { rows.foreach(writer.process); writer.close(null) }
+        catch { case e: Throwable => writer.close(e); throw e }
+      }
+    }
+
   private def valueBytes(row: Row, column: String): Array[Byte] =
     row.get(row.fieldIndex(column)) match {
       case b: Array[Byte] => b

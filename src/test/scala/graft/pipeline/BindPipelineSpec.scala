@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** e2e for the YAML `bind://` transport surface — the reference's primary
+  * entry point (receiver_factory.go:10-37 / sink_head_factory.go:17-46
+  * dispatch on the bind URI scheme; examples/tcp2stdout-config.yml is the
+  * hello-world): a YAML pipeline opens a real TCP port, live sockets push
+  * records through the DAG, and bind sinks write back out over sockets. */
+class BindPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sendLines(port: Int, lines: Seq[String], expectAck: Boolean): Unit = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      lines.foreach { l =>
+        out.write(s"$l\r\n".getBytes(StandardCharsets.UTF_8)); out.flush()
+        if (expectAck) assert(in.readLine() == "OK")
+      }
+    } finally sock.close()
+  }
+
+  private def pollCount(path: String, want: Long, timeoutMs: Long = 30000): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var n = -1L
+    while (n != want && System.currentTimeMillis() < deadline) {
+      n = scala.util.Try(spark.read.parquet(path).count()).getOrElse(-1L)
+      if (n != want) Thread.sleep(100)
+    }
+    n
+  }
+
+  test("tcp bind receiver streams live socket records through the DAG (follow mode)") {
+    val out = Files.createTempDirectory("graft-bind-out-").toString + "/sink"
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: bind-e2e-tcp}}
+        |  enc: {module: core.encoder_base64, params: {column: body}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  rcv: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-tcp")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    // port 0 = ephemeral: startReceivers reports the real bound port
+    val ports = compiler.startReceivers()
+    assert(ports.keySet == Set("rcv") && ports("rcv") > 0, ports.toString)
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      sendLines(ports("rcv"), Seq("alpha", "beta", "gamma"), expectAck = true)
+      assert(pollCount(out, 3) == 3)
+      // bodies round-trip through the DAG (base64 of the socket lines)
+      val got = spark.read.parquet(out)
+        .select($"body".cast("string")).as[String].collect().toSet
+      val want = Seq("alpha", "beta", "gamma")
+        .map(s => java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+        .toSet
+      assert(got == want)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
+
+  test("the shipped tcp2console example runs live end-to-end at an ephemeral port") {
+    // the example as shipped, with its fixed port swapped for :0 so the
+    // suite never collides with a busy port
+    val yaml = Files.readString(Paths.get("examples/tcp2console.yml"))
+      .replace("tcp://:7071", "tcp://:0")
+    val cfg = PipelineConfig.parse(yaml)
+    graft.sources.PushReceiver.clear("tcp_rcv")
+    val compiler = new PipelineCompiler(spark, cfg)
+    val ports = compiler.startReceivers()
+    assert(ports("tcp_rcv") > 0)
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      sendLines(ports("tcp_rcv"), Seq("hello", "world"), expectAck = true)
+      // file://STDOUT shows per batch; assert delivery via the channel
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        done = queries("dumper").lastProgress != null &&
+          queries("dumper").recentProgress.map(_.numInputRows).sum >= 2
+        if (!done) Thread.sleep(100)
+      }
+      assert(done, "console sink never observed the 2 socket records")
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
+
+  test("batch mode: receivers bound up front snapshot what sockets pushed") {
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "udp://:0", channel: bind-e2e-udp}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-udp")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val port = compiler.startReceivers()("rcv")
+    try {
+      val sock = new java.net.DatagramSocket()
+      val payload = "one\ntwo\n".getBytes(StandardCharsets.UTF_8)
+      sock.send(new java.net.DatagramPacket(payload, payload.length,
+        java.net.InetAddress.getLoopbackAddress, port))
+      sock.close()
+      // datagram delivery is async: wait for the channel, then run batch
+      val deadline = System.currentTimeMillis() + 10000
+      while (graft.sources.PushReceiver.size("bind-e2e-udp") < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val counts = compiler.runBatch()
+      assert(counts("out") == 2L, counts.toString)
+      val got = spark.table("out")
+        .select($"body".cast("string")).as[String].collect().toSet
+      assert(got == Set("one", "two"))
+    } finally compiler.close()
+  }
+
+  test("tcp bind sink writes each row back over a live socket") {
+    val in = Files.createTempDirectory("graft-bind-sink-in-").toString
+    Seq("r1", "r2", "r3").toDF("body").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    // live server collecting CRLF-framed lines
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getLoopbackAddress)
+    val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val s = server.accept()
+          val r = new BufferedReader(
+            new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+          var line = r.readLine()
+          while (line != null) { received.add(line); line = r.readLine() }
+          s.close()
+        }
+      } catch { case _: Exception => /* closing */ }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {bind: "tcp://127.0.0.1:${server.getLocalPort}"}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    try {
+      val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+      assert(counts("out") == 3L)
+      val deadline = System.currentTimeMillis() + 10000
+      while (received.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      assert(received.asScala.toSet == Set("r1", "r2", "r3"))
+    } finally server.close()
+  }
+
+  test("an unrecognised bind protocol fails loudly with the scheme named") {
+    val yaml =
+      """actors:
+        |  rcv: {module: core.receiver, params: {bind: "carrier-pigeon://:1"}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val e = intercept[RuntimeException](compiler.startReceivers())
+    assert(e.getMessage.contains("carrier-pigeon"), e.getMessage)
+  }
+}

@@ -55,4 +55,32 @@ class FollowModeSpec extends SparkSpec {
       queries.values.foreach(_.awaitTermination(30000))
     }
   }
+
+  test("a pinned checkpoint resumes a restarted daemon from committed offsets") {
+    val in = Files.createTempDirectory("graft-follow-ckpt-in-").toString
+    val out = Files.createTempDirectory("graft-follow-ckpt-out-").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft-follow-ckpt-").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "body")
+      .coalesce(1).write.mode("append").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out", checkpoint: "$ckpt"}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    val cfg = PipelineConfig.parse(yaml)
+    val schema = spark.read.parquet(in).schema
+    def start() = new PipelineCompiler(spark, cfg).startStreaming(
+      Map("src" -> schema), Trigger.ProcessingTime("100 milliseconds"))
+    val run1 = start()
+    try assert(pollCount(out, 3) == 3)
+    finally { run1.values.foreach(_.stop()); run1.values.foreach(_.awaitTermination(30000)) }
+    // restart: the committed backlog must NOT re-append (would be 6 with
+    // an ephemeral checkpoint); only the file dropped between runs drains
+    Seq((4L, "d")).toDF("id", "body").coalesce(1).write.mode("append").parquet(in)
+    val run2 = start()
+    try assert(pollCount(out, 4) == 4)
+    finally { run2.values.foreach(_.stop()); run2.values.foreach(_.awaitTermination(30000)) }
+  }
 }

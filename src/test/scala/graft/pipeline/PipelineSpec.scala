@@ -243,6 +243,40 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set((2L, 1), (3L, 2), (4L, 1)))
   }
 
+  test("replicator ncopy pipeline places n jump-hash copies on the sink peers") {
+    val in = Files.createTempDirectory("graft-pipe-ncopy-").toString
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  rep:  {module: core.replicator, params: {mode: ncopy, key: id, n: 2}}
+        |  s1:   {module: core.sink, params: {format: memory}}
+        |  s2:   {module: core.sink, params: {format: memory}}
+        |  s3:   {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [rep]}
+        |  rep: {connect: [s1, s2, s3]}
+        |""".stripMargin
+    val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    // n=2 distinct replicas per row over 3 buckets: exactly 2x the input
+    assert(counts.values.sum == 10L, s"ncopy must place exactly n copies: $counts")
+    // placement must be the library operator's (the oracle-checked
+    // op_replicator_ncopy shape): bucket i feeds the i-th sorted sink
+    val expected = graft.operators.Routing
+      .replicateNcopy(spark.read.parquet(in), $"id", n = 2, numBuckets = 3)
+      .groupBy($"copy_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts == Map(
+      "s1" -> expected.getOrElse(0, 0L),
+      "s2" -> expected.getOrElse(1, 0L),
+      "s3" -> expected.getOrElse(2, 0L)), s"counts=$counts expected=$expected")
+    // every replica pair is distinct per row: no sink sees the same id twice
+    Seq("s1", "s2", "s3").foreach { s =>
+      val ids = spark.table(s).select($"id").as[Long].collect()
+      assert(ids.distinct.length == ids.length, s"$s got a duplicate replica")
+    }
+  }
+
   test("replicator fanout pipeline splits rows across sinks without loss") {
     val in = Files.createTempDirectory("graft-pipe-fan-").toString
     writeEvents(in)
