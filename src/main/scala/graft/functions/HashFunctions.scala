@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Hashing utilities: jump consistent hash (replica placement), MinHash,
@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * exposes at pkg/util/hash/jump_hash.go:6-17 for its (unimplemented)
   * `ncopy` replicator mode.
   *
-  * MinHash / SimHash / hyperplane signatures are single-pass Scala UDFs
-  * over already-tokenized arrays: one traversal computes the whole
-  * signature. (The pure-Column alternative needs k independent `aggregate`
-  * folds, which re-traverses the array k times and blows past the JIT/
-  * codegen method-size limits for k=64 — measured slower. A custom Catalyst
-  * Expression with doGenCode is the future optimization if these become a
-  * bench bottleneck.) Signatures use an internal splitmix64 mixer, so they
-  * are deterministic across executors/runs with zero broadcast state.
+  * MinHash / hyperplane signatures are single-pass Scala UDFs over
+  * already-tokenized arrays: one traversal computes the whole signature.
+  * (The pure-Column alternative needs k independent `aggregate` folds,
+  * which re-traverses the array k times and blows past the JIT/codegen
+  * method-size limits for k=64 — measured slower.) The scalar hashes on
+  * hot paths — mix64, jumpHash, replica placement, simhash — are codegen
+  * Catalyst expressions ([[HashExpressions]]), not UDFs. Signatures use
+  * an internal splitmix64 mixer, so they are deterministic across
+  * executors/runs with zero broadcast state.
   */
 object HashFunctions {
 
@@ -75,18 +76,20 @@ object HashFunctions {
     out.toSeq
   }
 
-  /** Column form of mix64 (key: long column). A UDF rather than Column
-    * arithmetic because the wrapping multiplies would trip ANSI overflow
-    * checking; one narrow map, no state. */
+  /** Column form of mix64 (key: long column): a codegen [[Mix64]]
+    * expression — Column arithmetic would trip ANSI overflow checking on
+    * the wrapping multiplies, and the former Scala UDF boxed a Long per
+    * row on the ncopy/kmv hot paths. */
   def mix64Col(key: Column): Column =
-    udf((k: Long) => mix64(k)).apply(key)
+    GraftBridge.column(Mix64(GraftBridge.expression(key)))
 
-  /** Column form of jumpHash (key: long column). */
+  /** Column form of jumpHash (key: long column), codegen'd. */
   def jumpHashCol(key: Column, numBuckets: Int): Column =
-    udf((k: Long) => jumpHash(k, numBuckets)).apply(key)
+    GraftBridge.column(JumpHash(GraftBridge.expression(key), numBuckets))
 
+  /** Column form of replicaBuckets, codegen'd (the ncopy placement). */
   def replicaBucketsCol(key: Column, n: Int, numBuckets: Int): Column =
-    udf((k: Long) => replicaBuckets(k, n, numBuckets)).apply(key)
+    GraftBridge.column(ReplicaBuckets(GraftBridge.expression(key), n, numBuckets))
 
   /** MinHash signature: k permutation minima computed in ONE pass over the
     * shingle array. Returns array<long> of length k. */
@@ -172,25 +175,10 @@ object HashFunctions {
   }
 
   /** 64-bit SimHash over a token array (token multiplicity = weight),
-    * single pass. */
-  def simhashUdf(seed: Long = 11L): Column => Column = {
-    val f = udf { (tokens: Seq[String]) =>
-      val votes = new Array[Int](64)
-      tokens.foreach { t =>
-        val h = hashString(t, seed)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
-    (c: Column) => f(c)
-  }
+    * single pass — the codegen [[SimHash64]] expression (name kept from
+    * its UDF predecessor so call sites read unchanged). */
+  def simhashUdf(seed: Long = 11L): Column => Column =
+    (c: Column) => GraftBridge.column(SimHash64(GraftBridge.expression(c), seed))
 
   /** Random-hyperplane signature of an embedding: `bits` sign bits packed
     * into a long; hyperplane components are deterministic +-1 from

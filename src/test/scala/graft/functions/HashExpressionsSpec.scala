@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.SparkSpec
+
+/** Eval/codegen parity for the codegen hash expressions that replaced the
+  * per-row Scala UDFs on the ncopy/kmv/simhash paths — the same contract
+  * NearestCellsFloat's parity spec pins: the generated-code path (exercised
+  * through a DataFrame select) and the interpreted `nullSafeEval` path must
+  * agree with each other and with the plain-JVM reference functions. */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys: Seq[Long] =
+    (1L to 300L).map(HashFunctions.mix64) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
+
+  test("Mix64 / JumpHash / ReplicaBuckets codegen match the JVM functions") {
+    val rows = keys.toDF("k")
+      .select($"k",
+        HashFunctions.mix64Col($"k").as("m"),
+        HashFunctions.jumpHashCol($"k", 16).as("j"),
+        HashFunctions.replicaBucketsCol($"k", 3, 8).as("r"))
+      .as[(Long, Long, Int, Seq[Int])].collect()
+    assert(rows.length == keys.length)
+    rows.foreach { case (k, m, j, r) =>
+      assert(m == HashFunctions.mix64(k), s"mix64($k)")
+      assert(j == HashFunctions.jumpHash(k, 16), s"jumpHash($k)")
+      assert(r == HashFunctions.replicaBuckets(k, 3, 8), s"replicaBuckets($k)")
+    }
+  }
+
+  test("Mix64 / JumpHash / ReplicaBuckets interpreted eval agrees with codegen") {
+    keys.foreach { k =>
+      assert(Mix64(Literal(k)).nullSafeEval(k) == HashFunctions.mix64(k))
+      assert(JumpHash(Literal(k), 16).nullSafeEval(k) ==
+        HashFunctions.jumpHash(k, 16))
+      val arr = ReplicaBuckets(Literal(k), 3, 8).nullSafeEval(k)
+        .asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(arr == HashFunctions.replicaBuckets(k, 3, 8))
+    }
+  }
+
+  test("SimHash64 codegen and eval match, and near-identical docs stay close") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",
+      "completely different content about spark engines")
+    val toks = docs.map(_.split(" ").toSeq)
+    val got = toks.toDF("toks")
+      .select(HashFunctions.simhashUdf()($"toks").as("sig"))
+      .as[Long].collect()
+    // eval parity via the static kernel the interpreted path calls
+    val expected = toks.map(t =>
+      HashKernels.simhash(ArrayData.toArrayData(
+        t.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray), 11L))
+    assert(got.toSeq == expected)
+    // SimHash locality: one-token edit flips few bits; unrelated docs many
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0), got(1)) <= 16, s"near-dup hamming ${ham(got(0), got(1))}")
+    assert(ham(got(0), got(2)) > 16, s"distinct hamming ${ham(got(0), got(2))}")
+  }
+
+  test("the hash expressions stay inside whole-stage codegen (no UDF nodes)") {
+    // spark.range: a codegen leaf the optimizer cannot constant-fold away
+    val df = spark.range(1000).select(
+      HashFunctions.mix64Col($"id"),
+      HashFunctions.jumpHashCol($"id", 16),
+      HashFunctions.replicaBucketsCol($"id", 3, 8))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    // `*(n)` is the executedPlan toString marker for a WholeStageCodegen
+    // stage; the Project carrying the hash expressions must be inside one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("mix64")),
+      plan)
+  }
+}
