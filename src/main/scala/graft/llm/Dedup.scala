@@ -131,9 +131,9 @@ object Dedup {
     // The cache is deliberate: the hashed shingle sets feed THREE
     // consumers inside this one query (signatures, verify side A, verify
     // side B) and recomputing the per-doc hashing per consumer triples
-    // the dominant cost. MEMORY_AND_DISK entries are LRU-evicted under
-    // pressure (recompute, not failure); a session running many dedup
-    // jobs can release them wholesale with spark.catalog.clearCache().
+    // the dominant cost. Its lifetime is THIS CALL: the slim pair result
+    // (bounded by dup yield) is eagerly localCheckpointed below, after
+    // which the shingle cache unpersists — nothing survives the call.
     val hashed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
@@ -160,12 +160,21 @@ object Dedup {
       .join(broadcast(cands), "id_a")
     val verify = hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
       .join(withA, "id_b")
-    verify
+    val out = verify
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // one eager pass materializes every consumer of the shingle cache,
+    // then the cache is released — the pair set is O(dup yield), and the
+    // checkpoint blocks free via the ContextCleaner when the caller drops
+    // the result (unlike a CacheManager entry, which pins for the
+    // session). Downstream cluster resolution (CC fixpoint / union-find
+    // collect) re-reads the checkpoint instead of recomputing the LSH.
+    val materialized = out.localCheckpoint(true)
+    hashed.unpersist(false)
+    materialized
   }
 
   /** Cluster resolution over the near-dup pair graph: connected

@@ -39,4 +39,11 @@ object GraftBridge {
     if (!exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
+
+  /** True when the session's CacheManager pins no cached plans — the spec
+    * hook for operators contracted to release their internal caches
+    * before returning (localCheckpoint blocks are NOT CacheManager
+    * entries and don't count; the ContextCleaner frees those). */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // precision exact by verify-stage; recall from the gap
   }
 
+  test("minhashLshPairs releases its shingle cache before returning") {
+    spark.catalog.clearCache() // start from a cache-free session
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 0.5)
+    assert(pairs.count() > 0)
+    // the call may leave its own localCheckpoint blocks (freed by the
+    // ContextCleaner when `pairs` is dropped) but NO CacheManager-pinned
+    // entries — the shingle-set cache must be gone by return time
+    assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark),
+      "a cached plan survived minhashLshPairs")
+    // and the pair values are unchanged by the checkpoint/release
+    val exact = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").collect().toSet
+    assert(pairs.select($"id_a", $"id_b", $"jaccard").collect().toSet == exact)
+  }
+
   test("collapseExact yields representative-only pairs on every pair API") {
     // corpus + full exact copy (ids shifted +1000): every doc is in a
     // 2-member exact-dup group whose min-id representative is the
