@@ -39,6 +39,10 @@ case class NearestCellsFloat(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
+    if (v.length != d)
+      throw new IllegalArgumentException(
+        s"NearestCellsFloat: quantizer expects dimensionality $d, got a " +
+          s"vector of length ${v.length}")
     val cents = bc.value
     val topDist = new Array[Double](nprobe)
     val topCell = new Array[Int](nprobe)
@@ -82,6 +86,10 @@ case class NearestCellsFloat(child: Expression,
       val pos = ctx.freshName("pos")
       s"""
         float[] $v = $vec.toFloatArray();
+        if ($v.length != $d) {
+          throw new IllegalArgumentException(
+            "NearestCellsFloat: quantizer expects dimensionality $d, got a vector of length " + $v.length);
+        }
         double[] $topDist = new double[$nprobe];
         int[] $topCell = new int[$nprobe];
         int $filled = 0;

@@ -66,11 +66,34 @@ final class AdminServer(spark: SparkSession,
   route("/config", "text/plain; charset=utf-8", explainConfig)
   route("/pipeline/describe", "text/vnd.graphviz; charset=utf-8", dot)
   route("/progress", "application/json", () => progressJson())
+
+  /** Discoverability index at `/` — the reference admin server's HTML
+    * landing page enumerating its surfaces (web/app/agent/index.go,
+    * served via static.go); anything else under the root context stays
+    * a 404. */
+  private val indexHtml =
+    """<!DOCTYPE html>
+      |<html><head><title>graft admin</title></head><body>
+      |<h1>graft admin</h1>
+      |<ul>
+      |<li><a href="/config">/config</a> &mdash; resolved config, one provenance line per key</li>
+      |<li><a href="/pipeline/describe">/pipeline/describe</a> &mdash; pipeline DAG as Graphviz DOT</li>
+      |<li><a href="/progress">/progress</a> &mdash; live streaming-query progress (JSON)</li>
+      |</ul></body></html>
+      |""".stripMargin
+
   server.createContext("/", (ex: HttpExchange) =>
     try {
-      val b = "not found\n".getBytes(StandardCharsets.UTF_8)
-      ex.sendResponseHeaders(404, b.length.toLong)
-      ex.getResponseBody.write(b)
+      val (status, contentType, body) =
+        if (ex.getRequestURI.getPath != "/")
+          (404, "text/plain; charset=utf-8", "not found\n")
+        else if (ex.getRequestMethod != "GET")
+          (405, "text/plain; charset=utf-8", "method not allowed\n")
+        else (200, "text/html; charset=utf-8", indexHtml)
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
     } finally ex.close())
 
   def start(): AdminServer = { server.start(); this }

@@ -77,6 +77,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("NearestCellsFloat rejects a vector of the wrong dimensionality, naming d") {
+    val centroids = Seq.tabulate(3)(c => Array.tabulate(16)(i =>
+      math.sin(c * 5 + i).toDouble))
+    val quant = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    // codegen path: a 4-dim vector against a d=16 quantizer must fail with
+    // the expected dimensionality in the message, not an AIOOBE
+    val bad = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    // local mode surfaces the kernel's IAE directly; a cluster wraps it
+    // in SparkException — assert on the message, not the wrapper
+    val eCodegen = intercept[Exception] {
+      bad.select(quant.assign($"embedding")).collect()
+    }
+    assert(eCodegen.getMessage.contains("dimensionality 16"), eCodegen.getMessage)
+    // interpreted path: nullSafeEval directly
+    val bc = spark.sparkContext.broadcast(centroids.flatten.toArray)
+    val expr = graft.functions.NearestCellsFloat(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), bc, 16, 3, 1)
+    val eEval = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array(1f, 2f, 3f, 4f)))
+    }
+    assert(eEval.getMessage.contains("dimensionality 16"), eEval.getMessage)
+  }
+
   test("bruteKnn returns exactly k neighbors per vector, self excluded, ranked") {
     val out = Similarity.bruteKnn(emb, 3).cache()
     assert(out.count() == 100 * 3)

@@ -81,6 +81,14 @@ class AdminServerSpec extends SparkSpec {
       assert(get(admin.boundPort, "/progress")._1 == 200)
       // unknown path and non-GET are refused, not crashed
       assert(get(admin.boundPort, "/nope")._1 == 404)
+
+      // `/` serves the HTML index enumerating every endpoint as a link
+      // (reference web/app/agent/index.go discoverability surface)
+      val (ci, idx) = get(admin.boundPort, "/")
+      assert(ci == 200, idx)
+      assert(idx.contains("<html>") || idx.contains("<!DOCTYPE html>"), idx)
+      Seq("/config", "/pipeline/describe", "/progress").foreach(ep =>
+        assert(idx.contains(s"""href="$ep""""), s"index must link $ep: $idx"))
     } finally admin.stop()
   }
 }
