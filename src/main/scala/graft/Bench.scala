@@ -34,6 +34,14 @@ object Bench {
     * salted join ([[operators.SkewTools.saltedEquiJoin]]). Reported as a
     * JSON object; the headline total is unaffected. */
   private def skewComparison(spark: SparkSession, sfDir: String): String = {
+    val (aqe, none, salt) = skewTriple(spark, sfDir, repeats = 2)
+    f"""{"aqe_skew_join":$aqe%.3f,"no_mitigation":$none%.3f,"salted_32":$salt%.3f}"""
+  }
+
+  /** The raw triple at a configurable best-of-N ([[SkewProfile]] runs it
+    * at N=5 on a quiet box to settle the recommendation). */
+  private[graft] def skewTriple(spark: SparkSession, sfDir: String,
+                                repeats: Int): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     // amplify x8 so the hot key is several million rows — at bench SFs
     // the raw table joins in well under a second and every strategy ties
@@ -65,10 +73,11 @@ object Bench {
       }
     }
     measure(skewJoinOn = true, salted = false) // warmup
-    val aqe = math.min(measure(true, false), measure(true, false))
-    val none = math.min(measure(false, false), measure(false, false))
-    val salt = math.min(measure(false, true), measure(false, true))
-    f"""{"aqe_skew_join":$aqe%.3f,"no_mitigation":$none%.3f,"salted_32":$salt%.3f}"""
+    def best(f: => Double): Double = Seq.fill(repeats)(f).min
+    val aqe = best(measure(true, false))
+    val none = best(measure(false, false))
+    val salt = best(measure(false, true))
+    (aqe, none, salt)
   }
 
   def main(args: Array[String]): Unit = {

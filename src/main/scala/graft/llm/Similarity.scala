@@ -66,9 +66,18 @@ object Similarity {
     * bit-identical to the declarative/oracle formulation, and invariant
     * to `blockSize` (per-pair arithmetic never spans blocks).
     */
-  def bruteKnn(emb: DataFrame, k: Int, blockSize: Int = 1 << 16): DataFrame = {
+  def bruteKnn(emb: DataFrame, k: Int, blockSize: Int = 1 << 16): DataFrame =
+    bruteKnnFor(emb, emb, k, blockSize)
+
+  /** [[bruteKnn]] with distinct query and corpus sides — the ground-truth
+    * harness for ANN recall at scale: a SAMPLED query set scans the FULL
+    * corpus (all blocks stream through exactly like the self-join path;
+    * self-pairs are excluded by id, so corpus queries never match
+    * themselves). Cost is O(|queries| * |corpus|). */
+  def bruteKnnFor(queriesDf: DataFrame, corpus: DataFrame, k: Int,
+                  blockSize: Int = 1 << 16): DataFrame = {
     require(k >= 1 && blockSize >= 1)
-    val spark = emb.sparkSession
+    val spark = corpus.sparkSession
     import spark.implicits._
 
     def round6(x: Double): Double =
@@ -140,7 +149,7 @@ object Similarity {
 
     // single-file parquet inputs arrive as ONE partition: spread the
     // query side so the kernel scan uses every core
-    def queriesSide = emb.select(col("vec_id"), col("embedding"))
+    def queriesSide = queriesDf.select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Seq[Float])]
 
@@ -149,7 +158,7 @@ object Similarity {
     // proves it exceeds the budget by yielding blockSize+1 rows. Avoids a
     // separate count() job on the fast path; the driver never holds more
     // than blockSize+1 rows here.
-    val probe = emb.select(col("vec_id"), col("embedding"))
+    val probe = corpus.select(col("vec_id"), col("embedding"))
       .limit(blockSize + 1)
       .as[(Long, Seq[Float])].collect()
     if (probe.isEmpty)
@@ -169,7 +178,7 @@ object Similarity {
       // dropped broadcast. Partials merge through TopKPerKey with the
       // same (sim desc, id asc) comparator => exactly the one-pass answer.
       val queries = queriesSide.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val corpusIt = emb.select(col("vec_id"), col("embedding"))
+      val corpusIt = corpus.select(col("vec_id"), col("embedding"))
         .sort(col("vec_id"))
         .as[(Long, Seq[Float])]
         .toLocalIterator()
@@ -192,7 +201,10 @@ object Similarity {
       // every per-block partial can be released NOW — and unlike a
       // `.persist` (which the CacheManager pins for the session), the
       // checkpoint blocks are freed by the ContextCleaner as soon as the
-      // caller drops the returned DataFrame
+      // caller drops the returned DataFrame. Tradeoff: the cut lineage
+      // makes the result non-recomputable if an executor holding
+      // checkpoint blocks is decommissioned (dynamic allocation) — on
+      // such deployments re-run the call on block-lost failure
       val out = result.localCheckpoint(eager = true)
       queries.unpersist(blocking = false)
       partials.foreach(_.unpersist(blocking = false))
