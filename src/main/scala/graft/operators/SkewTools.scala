@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
   * the join key becomes (key, salt), spreading each hot key over n
   * reducers. Row-multiplication is on the SMALL side only (n x |dim|).
   *
-  * AQE's skewJoin handles most cases on sort-merge joins automatically
-  * (enabled in GraftSession); this is the explicit tool for keyed
-  * aggregation-free paths and for documented-deterministic layouts.
+  * RECOMMENDATION (settled by quiet-box best-of-5 measurement, two
+  * passes — BASELINE.md §Round-4): for a KNOWN-skewed key, salt.
+  * On the bench's single-ultra-hot-key join (~90% of rows on one key)
+  * salted-32 runs ~1.6x faster than either AQE skew-split or no
+  * mitigation, reproducibly; AQE's split helps the stragglers but
+  * still sorts the undivided hot run on the map side and ties with no
+  * mitigation at this shape. Keep AQE skewJoin ON as the safety net
+  * for skew DISCOVERED at runtime — it degrades a failure into a slow
+  * join — and reach for [[saltedEquiJoin]] when the hot keys are a
+  * known property of the data (the reference's events/routing shape).
   */
 object SkewTools {
 
