@@ -73,7 +73,12 @@ object Dedup {
   /** Exact pairwise n-gram jaccard >= threshold (id_a < id_b).
     * Output: id_a, id_b, jaccard (rounded to 6 dp for cross-engine
     * comparability). `collapseExact` emits pairs between exact-dup
-    * representatives only (see [[exactRepresentatives]]). */
+    * representatives only (see [[exactRepresentatives]]).
+    *
+    * The shingle index feeds three consumers (counts, both join sides),
+    * so it caches for the duration of this call only — same
+    * release-before-return contract as [[minhashLshPairs]]: the slim
+    * pair result is eagerly localCheckpointed, then the cache drops. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         collapseExact: Boolean = false): DataFrame = {
@@ -84,13 +89,16 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    val materialized = out.localCheckpoint(true)
+    idx.unpersist(false)
+    materialized
   }
 
   /** MinHash + LSH near-dup pairs, exact-verified.

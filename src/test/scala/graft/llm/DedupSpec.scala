@@ -47,7 +47,7 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // precision exact by verify-stage; recall from the gap
   }
 
-  test("minhashLshPairs releases its shingle cache before returning") {
+  test("pair operators release their shingle caches before returning") {
     spark.catalog.clearCache() // start from a cache-free session
     val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id", 3, 0.5)
     assert(pairs.count() > 0)
@@ -56,9 +56,12 @@ class DedupSpec extends SparkSpec {
     // entries — the shingle-set cache must be gone by return time
     assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark),
       "a cached plan survived minhashLshPairs")
-    // and the pair values are unchanged by the checkpoint/release
+    // ngramJaccardPairs has the same release-before-return contract...
     val exact = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.5)
       .select($"id_a", $"id_b", $"jaccard").collect().toSet
+    assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark),
+      "a cached plan survived ngramJaccardPairs")
+    // ...and the pair values are unchanged by the checkpoint/release
     assert(pairs.select($"id_a", $"id_b", $"jaccard").collect().toSet == exact)
   }
 
