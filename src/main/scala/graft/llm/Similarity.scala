@@ -3,7 +3,6 @@ package graft.llm
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DotProductFloat, HashFunctions}
@@ -362,12 +361,19 @@ object Similarity {
       .dropDuplicates("vec_id", "neighbor_id")
     val a = withNorm(emb, "vec_id", "embedding", "norm_a")
     val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+    val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rank through the TopKPerKey operator directly (same semantics as
+    // row_number over (cos_sim desc, neighbor_id)): the map side caps each
+    // partition at k rows per query BEFORE the exchange, so the ranking
+    // shuffle is ~|queries|*k rather than |scored candidates| — ivfKnn's
+    // discipline, and no longer dependent on the session having the
+    // window->TopKPerKey rewrite rule registered
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("vec_id")),
+      order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+      k = k, rankName = "rank")
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 }
