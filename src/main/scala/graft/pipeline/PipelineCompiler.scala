@@ -509,17 +509,45 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
     }
 
-  /** Streaming run: the receiver becomes a file-drop stream; each sink
+  /** One micro-batch through sink actor `a`'s configured output: bind://
+    * head (per-epoch reconnect, sink.go:80-110 discipline), file formats
+    * append, console shows; memory/noop count-only (their batch semantics
+    * don't accumulate across an unbounded stream). */
+  private def writeSinkBatch(a: ActorDef, batch: DataFrame): Unit = {
+    val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
+    p(a, "bind") match {
+      case Some(bind) =>
+        writeBound(batch, bind, p(a, "column").getOrElse("body"), showRows,
+          append = true)
+      case None => p(a, "format").getOrElse("memory") match {
+        case "parquet" | "json" | "csv" =>
+          batch.write.mode("append").format(p(a, "format").get)
+            .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path")))
+        case "console" => batch.show(showRows, truncate = false)
+        case _ => batch.count(): Unit
+      }
+    }
+  }
+
+  /** Streaming run: the receiver becomes a file/push stream; each sink
     * branch runs as one foreachBatch query with Trigger.AvailableNow
     * (start/stop discipline per SURVEY §2.6.5 is inherent: queries are
-    * started per sink and awaited before returns). */
+    * started per sink and awaited before returns). Sinks WRITE their
+    * configured outputs per micro-batch (same dispatch as the daemon
+    * mode), so `Flowd --stream` on a bind/console/file sink emits, not
+    * just counts. */
   def runStreamingOnce(receiverSchemas: Map[String, org.apache.spark.sql.types.StructType])
       : Map[String, Long] = {
     val streamCompiler = streamingCompiler(receiverSchemas)
     cfg.sinks.map { s =>
+      val a = cfg.actors(s)
+      require(a.module == "core.sink", s"terminal actor $s must be core.sink")
       val df = streamCompiler.outputOf(s)
       var n = 0L
-      Streams.runForeachBatch(df, (batch, _) => n += batch.count())
+      Streams.runForeachBatch(df, (batch, _) => {
+        writeSinkBatch(a, batch)
+        n += batch.count()
+      })
       s -> n
     }.toMap
   }
@@ -547,29 +575,11 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     cfg.sinks.map { s =>
       val a = cfg.actors(s)
       require(a.module == "core.sink", s"terminal actor $s must be core.sink")
-      val fmt = p(a, "format").getOrElse("memory")
-      val path = p(a, "path")
-      val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
-      val bindSink = p(a, "bind")
-      val column = p(a, "column").getOrElse("body")
       val df = streamCompiler.outputOf(s)
       val q = df.writeStream
         .queryName(s)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          bindSink match {
-            case Some(bind) =>
-              // per-epoch reconnect: each micro-batch re-opens the sink
-              // head per partition (sink.go:80-110 reconnect discipline)
-              writeBound(batch, bind, column, showRows, append = true)
-            case None => fmt match {
-              case "parquet" | "json" | "csv" =>
-                batch.write.mode("append").format(fmt)
-                  .save(path.getOrElse(sys.error(s"$s: sink needs path")))
-              case "console" => batch.show(showRows, truncate = false)
-              case _ => batch.count(): Unit
-            }
-          }
-          ()
+          writeSinkBatch(a, batch)
         }
         .option("checkpointLocation",
           p(a, "checkpoint").getOrElse(Streams.newCheckpointDir()))

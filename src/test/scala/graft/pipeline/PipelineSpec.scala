@@ -205,6 +205,25 @@ class PipelineSpec extends SparkSpec {
     assert(dirs == Set("kind=click", "kind=view", "kind=bogus", "kind=purchase"))
   }
 
+  test("runStreamingOnce writes sink outputs per micro-batch, not just counts") {
+    val in = Files.createTempDirectory("graft-pipe-sonce-in-").toString
+    val out = Files.createTempDirectory("graft-pipe-sonce-out-").toString + "/sink"
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    val schema = spark.read.parquet(in).schema
+    val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      .runStreamingOnce(Map("src" -> schema))
+    assert(counts("out") == 5L)
+    // the --stream run materialized the sink, matching the daemon mode
+    assert(spark.read.parquet(out).count() == 5L)
+  }
+
   test("push-receiver pipeline streams pushed messages through transforms to a sink") {
     val ch = "pipe-push"
     graft.sources.PushReceiver.clear(ch)
