@@ -63,6 +63,81 @@ case class ReplicaBuckets(child: Expression, n: Int, numBuckets: Int)
     copy(child = newChild)
 }
 
+/** Distinct hashed word n-gram shingles straight from a token array —
+  * the first stage of the MinHash/LSH dedup path (no shingle strings are
+  * ever materialized; shorter-than-n docs hash their full sequence). */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.shingleHashes($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (k permutation minima in one pass) over pre-hashed
+  * shingles (array<long>). */
+case class MinHashSigLongs(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(k >= 1, "signature length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSigLongs(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashSigLongs($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LSH band keys: hash of each contiguous band of `rowsPerBand`
+  * signature entries. */
+case class BandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(numBands >= 1 && rowsPerBand >= 1, "band shape must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bandKeys(input.asInstanceOf[ArrayData], numBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bandKeys($c, $numBands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane signature of an `array<float>` embedding: `bits`
+  * sign bits packed into a long (hyperplane components deterministic
+  * +-1 from splitmix64(seed, bit, dim)). */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashKernels.hyperplaneSig(input.asInstanceOf[ArrayData], bits, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.hyperplaneSig($c, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array (token multiplicity = weight). */
 case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -104,6 +179,104 @@ object HashKernels {
       salt += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Distinct rolling-window shingle hashes, first-seen order — identical
+    * fold to the former UDF (oracle-pinned): per-token
+    * [[HashFunctions.hashString]], n-window mix64 combine, whole-sequence
+    * fallback for shorter-than-n docs. */
+  def shingleHashes(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
+    val nTok = tokens.numElements()
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      th(i) = HashFunctions.hashString(tokens.getUTF8String(i).toString, seed)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nTok < n) {
+      var h = HashFunctions.mix64(seed + 0x5eedL)
+      i = 0
+      while (i < nTok) { h = HashFunctions.mix64(h ^ th(i)); i += 1 }
+      seen.add(h)
+    } else {
+      i = 0
+      while (i + n <= nTok) {
+        var h = HashFunctions.mix64(seed + 0x5eedL)
+        var j = i
+        while (j < i + n) { h = HashFunctions.mix64(h ^ th(j)); j += 1 }
+        seen.add(h)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k permutation minima in one pass over pre-hashed shingles. */
+  def minhashSigLongs(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    // the per-index mixers are shingle-independent: hoist them per row
+    val mixi = new Array[Long](k)
+    var i = 0
+    while (i < k) { mixi(i) = HashFunctions.mix64(i.toLong); i += 1 }
+    val seedMix = HashFunctions.mix64(seed)
+    val ns = shingles.numElements()
+    var s = 0
+    while (s < ns) {
+      val base = HashFunctions.mix64(shingles.getLong(s) ^ seedMix)
+      i = 0
+      while (i < k) {
+        val h = HashFunctions.mix64(base ^ mixi(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Band keys from a minhash signature. */
+  def bandKeys(sig: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](numBands)
+    val len = sig.numElements()
+    var b = 0
+    while (b < numBands) {
+      var h = HashFunctions.mix64(b.toLong + 0x5151L)
+      var i = b * rowsPerBand
+      val end = math.min(i + rowsPerBand, len)
+      while (i < end) { h = HashFunctions.mix64(h ^ sig.getLong(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Packed sign bits of deterministic-hyperplane projections; the
+    * accumulation order and float-to-double widening match the former
+    * UDF exactly (oracle-pinned via llm_ann_lsh). */
+  def hyperplaneSig(vec: ArrayData, bits: Int, seed: Long): Long = {
+    val d = vec.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      var j = 0
+      while (j < d) {
+        val sign =
+          if ((HashFunctions.mix64(seed ^ HashFunctions.mix64(b.toLong * 131071L + j)) & 1L) == 0L) 1.0
+          else -1.0
+        proj += vec.getFloat(j) * sign
+        j += 1
+      }
+      if (proj >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** Single-pass 64-bit SimHash; per-token hash is the code-point fold of

@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   * exposes at pkg/util/hash/jump_hash.go:6-17 for its (unimplemented)
   * `ncopy` replicator mode.
   *
-  * MinHash / hyperplane signatures are single-pass Scala UDFs over
-  * already-tokenized arrays: one traversal computes the whole signature.
-  * (The pure-Column alternative needs k independent `aggregate` folds,
-  * which re-traverses the array k times and blows past the JIT/codegen
-  * method-size limits for k=64 — measured slower.) The scalar hashes on
-  * hot paths — mix64, jumpHash, replica placement, simhash — are codegen
-  * Catalyst expressions ([[HashExpressions]]), not UDFs. Signatures use
-  * an internal splitmix64 mixer, so they are deterministic across
-  * executors/runs with zero broadcast state.
+  * Every hot-path hash — mix64, jumpHash, replica placement, shingle
+  * hashing, minhash signatures, band keys, simhash, hyperplane
+  * signatures — is a codegen Catalyst expression (HashExpressions.scala)
+  * computing the whole signature in ONE pass over the input array from
+  * generated code, no per-row UDF boxing. (The pure-Column alternative
+  * needs k independent `aggregate` folds, which re-traverses the array k
+  * times and blows past the JIT/codegen method-size limits for k=64 —
+  * measured slower.) Signatures use an internal splitmix64 mixer, so
+  * they are deterministic across executors/runs with zero broadcast
+  * state.
   */
 object HashFunctions {
 
@@ -91,88 +92,26 @@ object HashFunctions {
   def replicaBucketsCol(key: Column, n: Int, numBuckets: Int): Column =
     GraftBridge.column(ReplicaBuckets(GraftBridge.expression(key), n, numBuckets))
 
-  /** MinHash signature: k permutation minima computed in ONE pass over the
-    * shingle array. Returns array<long> of length k. */
-  def minhashSig(k: Int, seed: Long = 7L): Column => Column = {
-    val f = udf { (shingles: Seq[String]) =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      shingles.foreach { s =>
-        val base = hashString(s, seed)
-        var i = 0
-        while (i < k) {
-          val h = mix64(base ^ mix64(i.toLong))
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      sig.toSeq
-    }
-    (c: Column) => f(c)
-  }
-
   /** Distinct hashed word n-gram shingles straight from a token array:
     * each token is hashed once, then an n-window rolling combine yields
     * the shingle identity — no shingle strings are ever materialized.
     * (The Column-expression shingle path allocates slice+concat per
     * shingle in interpreted HOFs; measured as the LSH dedup bottleneck.)
     * Shorter-than-n docs hash their full token sequence (parity with
-    * TextFunctions.wordShingles). */
-  def shingleHashes(n: Int, seed: Long = 7L): Column => Column = {
-    val f = udf { (tokens: Seq[String]) =>
-      val th = tokens.map(t => hashString(t, seed)).toArray
-      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-      if (th.length < n) {
-        var h = mix64(seed + 0x5eedL)
-        th.foreach(t => h = mix64(h ^ t))
-        out += h
-      } else {
-        var i = 0
-        while (i + n <= th.length) {
-          var h = mix64(seed + 0x5eedL)
-          var j = i
-          while (j < i + n) { h = mix64(h ^ th(j)); j += 1 }
-          out += h
-          i += 1
-        }
-      }
-      out.toSeq
-    }
-    (c: Column) => f(c)
-  }
+    * TextFunctions.wordShingles). Codegen [[ShingleHashes]] expression. */
+  def shingleHashes(n: Int, seed: Long = 7L): Column => Column =
+    (c: Column) => GraftBridge.column(ShingleHashes(GraftBridge.expression(c), n, seed))
 
-  /** MinHash signature over PRE-HASHED shingles (array<long>, e.g. from
-    * xxhash64): k permutation minima in one pass, no string hashing. */
-  def minhashSigLongs(k: Int, seed: Long = 7L): Column => Column = {
-    val f = udf { (shingles: Seq[Long]) =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      shingles.foreach { s =>
-        val base = mix64(s ^ mix64(seed))
-        var i = 0
-        while (i < k) {
-          val h = mix64(base ^ mix64(i.toLong))
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      sig.toSeq
-    }
-    (c: Column) => f(c)
-  }
+  /** MinHash signature over PRE-HASHED shingles (array<long>): k
+    * permutation minima in one pass, codegen [[MinHashSigLongs]]. */
+  def minhashSigLongs(k: Int, seed: Long = 7L): Column => Column =
+    (c: Column) => GraftBridge.column(MinHashSigLongs(GraftBridge.expression(c), k, seed))
 
   /** LSH band keys from a minhash signature: hash of each contiguous band
-    * of `rowsPerBand` signature entries → array<long> of numBands keys. */
-  def bandKeys(numBands: Int, rowsPerBand: Int): Column => Column = {
-    val f = udf { (sig: Seq[Long]) =>
-      (0 until numBands).map { b =>
-        var h = mix64(b.toLong + 0x5151L)
-        var i = b * rowsPerBand
-        val end = math.min(i + rowsPerBand, sig.length)
-        while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
-        h
-      }
-    }
-    (c: Column) => f(c)
-  }
+    * of `rowsPerBand` signature entries → array<long> of numBands keys,
+    * codegen [[BandKeys]]. */
+  def bandKeys(numBands: Int, rowsPerBand: Int): Column => Column =
+    (c: Column) => GraftBridge.column(BandKeys(GraftBridge.expression(c), numBands, rowsPerBand))
 
   /** 64-bit SimHash over a token array (token multiplicity = weight),
     * single pass — the codegen [[SimHash64]] expression (name kept from
@@ -182,27 +121,10 @@ object HashFunctions {
 
   /** Random-hyperplane signature of an embedding: `bits` sign bits packed
     * into a long; hyperplane components are deterministic +-1 from
-    * splitmix64(seed, bit, dim). Single pass per row. */
-  def hyperplaneSig(bits: Int, seed: Long = 42L): Column => Column = {
-    require(bits >= 1 && bits <= 64)
-    val f = udf { (vec: Seq[Float]) =>
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var proj = 0.0
-        var j = 0
-        while (j < vec.length) {
-          val sign = if ((mix64(seed ^ mix64(b.toLong * 131071L + j)) & 1L) == 0L) 1.0 else -1.0
-          proj += vec(j) * sign
-          j += 1
-        }
-        if (proj >= 0.0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    }
-    (c: Column) => f(c)
-  }
+    * splitmix64(seed, bit, dim). Single pass per row, codegen
+    * [[HyperplaneSig]]. */
+  def hyperplaneSig(bits: Int, seed: Long = 42L): Column => Column =
+    (c: Column) => GraftBridge.column(HyperplaneSig(GraftBridge.expression(c), bits, seed))
 
   /** Hamming distance between two long signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

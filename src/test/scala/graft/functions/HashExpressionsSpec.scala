@@ -63,6 +63,72 @@ class HashExpressionsSpec extends SparkSpec {
     assert(ham(got(0), got(2)) > 16, s"distinct hamming ${ham(got(0), got(2))}")
   }
 
+  test("ShingleHashes / MinHashSigLongs / BandKeys match a plain-JVM reference fold") {
+    val docs = Seq(
+      Seq("a", "b", "c", "d", "e", "b", "c", "d"), // overlapping window, dup shingle
+      Seq("x", "y"),                               // shorter than n -> one shingle
+      Seq.empty[String])                           // empty -> one seed-only shingle
+    val n = 3; val k = 8
+    // reference fold, straight from the documented semantics
+    def refShingles(toks: Seq[String]): Seq[Long] = {
+      val th = toks.map(HashFunctions.hashString(_, 7L))
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      if (th.length < n) {
+        var h = HashFunctions.mix64(7L + 0x5eedL)
+        th.foreach(t => h = HashFunctions.mix64(h ^ t))
+        out += h
+      } else for (i <- 0 to th.length - n) {
+        var h = HashFunctions.mix64(7L + 0x5eedL)
+        (i until i + n).foreach(j => h = HashFunctions.mix64(h ^ th(j)))
+        out += h
+      }
+      out.toSeq
+    }
+    def refSig(sh: Seq[Long]): Seq[Long] =
+      (0 until k).map(i => (sh.map(s => HashFunctions.mix64(
+        HashFunctions.mix64(s ^ HashFunctions.mix64(7L)) ^ HashFunctions.mix64(i.toLong)))
+        :+ Long.MaxValue).min)
+    def refBands(sig: Seq[Long]): Seq[Long] =
+      (0 until 4).map { b =>
+        var h = HashFunctions.mix64(b.toLong + 0x5151L)
+        (b * 2 until math.min(b * 2 + 2, sig.length)).foreach(i =>
+          h = HashFunctions.mix64(h ^ sig(i)))
+        h
+      }
+    val got = docs.toDF("toks").select(
+      HashFunctions.shingleHashes(n)($"toks").as("sh"),
+      HashFunctions.minhashSigLongs(k)(HashFunctions.shingleHashes(n)($"toks")).as("sig"),
+      HashFunctions.bandKeys(4, 2)(
+        HashFunctions.minhashSigLongs(k)(HashFunctions.shingleHashes(n)($"toks"))).as("bk"))
+      .as[(Seq[Long], Seq[Long], Seq[Long])].collect()
+    docs.zip(got).foreach { case (toks, (sh, sig, bk)) =>
+      val esh = refShingles(toks)
+      assert(sh == esh, s"shingles of $toks")
+      assert(sig == refSig(esh), s"signature of $toks")
+      assert(bk == refBands(refSig(esh)), s"band keys of $toks")
+    }
+  }
+
+  test("HyperplaneSig codegen matches the documented projection fold") {
+    val vecs = Seq(Seq(1.0f, -2.0f, 0.5f), Seq(0.0f, 0.0f, 0.0f))
+    def ref(v: Seq[Float], bits: Int, seed: Long): Long = {
+      var sig = 0L
+      for (b <- 0 until bits) {
+        var proj = 0.0
+        for (j <- v.indices) {
+          val sign = if ((HashFunctions.mix64(seed ^ HashFunctions.mix64(
+            b.toLong * 131071L + j)) & 1L) == 0L) 1.0 else -1.0
+          proj += v(j) * sign
+        }
+        if (proj >= 0.0) sig |= (1L << b)
+      }
+      sig
+    }
+    val got = vecs.toDF("v")
+      .select(HashFunctions.hyperplaneSig(12)($"v")).as[Long].collect()
+    assert(got.toSeq == vecs.map(ref(_, 12, 42L)))
+  }
+
   test("the hash expressions stay inside whole-stage codegen (no UDF nodes)") {
     // spark.range: a codegen leaf the optimizer cannot constant-fold away
     val df = spark.range(1000).select(
