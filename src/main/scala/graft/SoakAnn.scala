@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * scale). Results recorded in BASELINE.md; this main keeps them
   * reproducible.
   *
-  * {{{ runMain graft.SoakAnn [nVecs] [k] [nQueries] }}}
+  * {{{ runMain graft.SoakAnn [nVecs] [k] [nQueries] [lshProbeBits] [ivfNprobe] }}}
+  *
+  * The probe knobs trade recall for scored candidates — run once at the
+  * bounded defaults and once denser to record the recall/wall frontier.
   *
   * Corpus shape (Column-generated, no driver loop): `nVecs/50` clusters of
   * 50 members in 64 dims; a member is its cluster center (hash-derived,
@@ -26,6 +29,8 @@ object SoakAnn {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val k = if (args.length > 1) args(1).toInt else 10
     val nQ = if (args.length > 2) args(2).toInt else 1000
+    val lshProbeBits = if (args.length > 3) args(3).toInt else 1
+    val ivfNprobe = if (args.length > 4) args(4).toInt else 2
     val d = 64
     val group = 50
     val spark = GraftSession.get()
@@ -75,18 +80,19 @@ object SoakAnn {
         f""""recall_at_1":${top1Hits.toDouble / nQueries}%.4f}"""
     }
 
-    // LSH: 18 bits ≈ 262k buckets, so a bucket ≈ one cluster; 1-bit
-    // multi-probe recovers members split by a borderline hyperplane
+    // LSH: 18 bits ≈ 262k buckets, so a bucket ≈ one cluster; multi-probe
+    // recovers members split across a borderline hyperplane
     val lsh = audit("lsh",
-      graft.llm.Similarity.lshKnn(emb, k, bits = 18, probeBits = 1))
+      graft.llm.Similarity.lshKnn(emb, k, bits = 18, probeBits = lshProbeBits))
     // IVF: bounded driver training (16k sample, 3 Lloyd iterations);
-    // 4096 cells ≈ 244 members each, 2 probes per query
+    // 4096 cells ≈ 244 members each
     val ivf = audit("ivf",
-      graft.llm.Similarity.ivfKnn(emb, k, nlist = 4096, nprobe = 2,
+      graft.llm.Similarity.ivfKnn(emb, k, nlist = 4096, nprobe = ivfNprobe,
         iters = 3, maxTrain = 16384))
 
     println(s"""{"soak":"ann","n_vecs":$n,"d":$d,"k":$k,""" +
-      s""""n_queries":$nQueries,"brute_truth_sec":${f"$bruteSec%.1f"},""" +
+      s""""n_queries":$nQueries,"lsh_probe_bits":$lshProbeBits,""" +
+      s""""ivf_nprobe":$ivfNprobe,"brute_truth_sec":${f"$bruteSec%.1f"},""" +
       s"""$lsh,$ivf}""")
     spark.stop()
   }

@@ -76,6 +76,28 @@ object TopKStrategy extends SparkStrategy {
 
 /** Bounded per-key selection shared by both phases. */
 private object BoundedTopK {
+  /** Map-side group-count bound: one input partition can contain the
+    * ENTIRE keyspace (per-query ANN ranking = millions of keys), so the
+    * partial phase flushes its group map whenever this many distinct
+    * keys accumulate — memory stays O(maxGroups * k) however many keys
+    * the partition holds, at the cost of emitting more than k rows for
+    * keys that span flushes (the final phase re-selects, so correctness
+    * is unaffected). The reduce side never needs this: it sees
+    * |keys| / shufflePartitions keys and retains <= k rows per key. */
+  val FlushGroups: Int = 1 << 15
+
+  private def insert(buf: mutable.ArrayBuffer[InternalRow], row: InternalRow,
+                     ord: Ordering[InternalRow], k: Int): Unit =
+    if (buf.size < k || ord.compare(row, buf.last) < 0) {
+      val copy = row.copy()
+      var pos = buf.size
+      if (buf.size == k) { buf.remove(k - 1); pos = k - 1 }
+      while (pos > 0 && ord.compare(copy, buf(pos - 1)) < 0) pos -= 1
+      buf.insert(pos, copy)
+    }
+
+  /** Reduce-side form: the whole partition's groups in one pass (every
+    * row of a key is in this partition, ranks come off the buffers). */
   def run(it: Iterator[InternalRow], keyExprs: Seq[Expression],
           order: Seq[SortOrder], k: Int, inputAttrs: Seq[Attribute])
       : Iterator[(UnsafeRow, mutable.ArrayBuffer[InternalRow])] = {
@@ -84,26 +106,62 @@ private object BoundedTopK {
     val groups = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
     it.foreach { row =>
       val key = keyProj(row)
-      val buf = groups.get(key) match {
-        case Some(b) => b
-        case None =>
-          val b = mutable.ArrayBuffer.empty[InternalRow]
-          groups.put(key.copy(), b)
-          b
-      }
-      if (buf.size < k || ord.compare(row, buf.last) < 0) {
-        val copy = row.copy()
-        var pos = buf.size
-        if (buf.size == k) { buf.remove(k - 1); pos = k - 1 }
-        while (pos > 0 && ord.compare(copy, buf(pos - 1)) < 0) pos -= 1
-        buf.insert(pos, copy)
-      }
+      val buf = groups.getOrElseUpdate(key.copy(), mutable.ArrayBuffer.empty[InternalRow])
+      insert(buf, row, ord, k)
     }
     groups.iterator
   }
+
+  /** Map-side form: per-key winners with the [[FlushGroups]] memory
+    * bound, streamed out flush by flush. */
+  def runFlushing(it: Iterator[InternalRow], keyExprs: Seq[Expression],
+                  order: Seq[SortOrder], k: Int, inputAttrs: Seq[Attribute],
+                  maxGroups: Int = FlushGroups): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val keyProj = UnsafeProjection.create(keyExprs, inputAttrs)
+      private val ord = GenerateOrdering.generate(order, inputAttrs)
+      private val groups =
+        mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      private var out: Iterator[InternalRow] = Iterator.empty
+      private var drained = false
+
+      private def drain(): Iterator[InternalRow] = {
+        val bufs = groups.values.toArray
+        groups.clear()
+        bufs.iterator.flatMap(_.iterator)
+      }
+
+      override def hasNext: Boolean = {
+        while (!out.hasNext && it.hasNext) {
+          val row = it.next()
+          val key = keyProj(row)
+          groups.get(key) match {
+            case Some(buf) => insert(buf, row, ord, k)
+            case None =>
+              if (groups.size >= maxGroups) out = drain()
+              val buf = mutable.ArrayBuffer.empty[InternalRow]
+              insert(buf, row, ord, k)
+              groups.put(key.copy(), buf)
+          }
+        }
+        if (!out.hasNext && !drained && !it.hasNext) {
+          out = drain()
+          drained = true
+        }
+        out.hasNext
+      }
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        out.next()
+      }
+    }
 }
 
-/** Map-side phase: caps each input partition at k rows per key. */
+/** Map-side phase: caps each input partition at ~k rows per key (exactly
+  * k within each flush window of [[BoundedTopK.FlushGroups]] distinct
+  * keys — bounded memory even when one partition holds the whole
+  * keyspace). */
 case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
                            child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -111,7 +169,7 @@ case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     // bind fields to locals: the closure must not capture the plan node
     val (keyExprs, ord, kk, attrs) = (keys, order, k, child.output)
     child.execute().mapPartitions { it =>
-      BoundedTopK.run(it, keyExprs, ord, kk, attrs).flatMap(_._2.iterator)
+      BoundedTopK.runFlushing(it, keyExprs, ord, kk, attrs)
     }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =

@@ -52,4 +52,48 @@ class TopKPerKeySpec extends SparkSpec {
       .select($"rank").as[Int].collect().sorted.toSeq
     assert(got == Seq(1, 2, 3, 4, 5))
   }
+
+  test("partial-phase flushing keeps the answer exact past the group bound") {
+    // ONE input partition holding 100k distinct keys — far past
+    // FlushGroups (32,768), so the map side flushes repeatedly (the
+    // per-query-ANN shape that OOM'd an unbounded group map at 1M keys).
+    // Rows per key are interleaved so keys span flush windows.
+    val wide = spark.range(300000)
+      .select(($"id" % 100000).as("key"), ($"id" * 2654435761L % 997).as("score"),
+        $"id")
+      .coalesce(1)
+    val got = TopKPerKey(wide, Seq($"key"), Seq($"score".desc, $"id".asc), 2)
+    val want = wide.withColumn("rank",
+        row_number().over(Window.partitionBy($"key").orderBy($"score".desc, $"id")))
+      .filter($"rank" <= 2)
+    assert(got.count() == 200000) // 100k keys x top-2 of 3
+    assert(got.select($"key", $"id", $"rank").except(
+      want.select($"key", $"id", $"rank")).count() == 0)
+    assert(want.select($"key", $"id", $"rank").except(
+      got.select($"key", $"id", $"rank")).count() == 0)
+  }
+
+  test("runFlushing emits every buffered winner across flush boundaries") {
+    // direct kernel check at a tiny bound: 10 keys, maxGroups=3 -> many
+    // flushes; union of emitted rows must still contain each key's true
+    // top-1 (partial phase may emit extras; it must never LOSE a winner)
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    val rows = (0 until 200).map(i =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        (i % 10).toLong, (i * 37 % 101).toLong))
+    val attrs = Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "key", org.apache.spark.sql.types.LongType)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "v", org.apache.spark.sql.types.LongType)())
+    val order = Seq(SortOrder(attrs(1), org.apache.spark.sql.catalyst.expressions.Descending))
+    val emitted = BoundedTopK.runFlushing(rows.iterator, Seq(attrs.head), order,
+      k = 1, attrs, maxGroups = 3).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val trueTop = (0 until 200).map(i => ((i % 10).toLong, (i * 37 % 101).toLong))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }.toSet
+    assert(trueTop.subsetOf(emitted.toSet), s"missing winners: ${trueTop -- emitted.toSet}")
+    // and the emitted stream is a subset of the input (no fabricated rows)
+    assert(emitted.toSet.subsetOf((0 until 200).map(i =>
+      ((i % 10).toLong, (i * 37 % 101).toLong)).toSet))
+  }
 }
