@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Codegen'd body compression (the round-1 opening from SURVEY §7.3's
@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * the many-small-message shape the reference was built around.
   */
 case class CompressCodec(child: Expression, codec: String, level: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
 
   override protected def nullSafeEval(input: Any): Any =
@@ -36,8 +37,9 @@ case class CompressCodec(child: Expression, codec: String, level: Int)
   * caller maps that to the INVALID dead-letter status, reference
   * semantics). The generated code catches codec exceptions in place. */
 case class DecompressCodec(child: Expression, codec: String)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused cosine similarity over two `array<float>` columns: one pass
   * computes dot product and both norms, with whole-stage codegen.
@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Zero vectors yield null (undefined similarity).
   */
 case class CosineSimFloat(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -79,8 +81,10 @@ object CosineSimFloat {
   * producing bit-identical cosine values (sqrt of the same sequential
   * sum-of-squares). */
 case class DotProductFloat(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

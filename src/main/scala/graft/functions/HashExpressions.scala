@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 
 /** Whole-stage-codegen forms of the engine's hashing kernels — the same
   * static-call pattern as [[DupNgramPpm]]: each expression compiles to a
@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * the DuckDB oracles of op_replicator_ncopy / q28_kmv_distinct /
   * llm_dedup_simhash pin the rewrite).
   */
-case class Mix64(child: Expression) extends UnaryExpression {
+case class Mix64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -30,8 +32,10 @@ case class Mix64(child: Expression) extends UnaryExpression {
 
 /** Lamping–Veach jump consistent hash of a long key into [0, numBuckets)
   * (reference pkg/util/hash/jump_hash.go:6-17). */
-case class JumpHash(child: Expression, numBuckets: Int) extends UnaryExpression {
+case class JumpHash(child: Expression, numBuckets: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(numBuckets > 0, "numBuckets must be positive")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(input: Any): Any =
@@ -48,8 +52,9 @@ case class JumpHash(child: Expression, numBuckets: Int) extends UnaryExpression 
 /** `n` distinct replica buckets for a long key (successive salted jump
   * hashes, first-seen order) — the replicator `ncopy` placement kernel. */
 case class ReplicaBuckets(child: Expression, n: Int, numBuckets: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n > 0 && numBuckets > 0, "n and numBuckets must be positive")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -67,8 +72,9 @@ case class ReplicaBuckets(child: Expression, n: Int, numBuckets: Int)
   * the first stage of the MinHash/LSH dedup path (no shingle strings are
   * ever materialized; shorter-than-n docs hash their full sequence). */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -85,8 +91,9 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
 /** MinHash signature (k permutation minima in one pass) over pre-hashed
   * shingles (array<long>). */
 case class MinHashSigLongs(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(k >= 1, "signature length must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -103,8 +110,9 @@ case class MinHashSigLongs(child: Expression, k: Int, seed: Long)
 /** LSH band keys: hash of each contiguous band of `rowsPerBand`
   * signature entries. */
 case class BandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(numBands >= 1 && rowsPerBand >= 1, "band shape must be positive")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -122,8 +130,9 @@ case class BandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
   * sign bits packed into a long (hyperplane components deterministic
   * +-1 from splitmix64(seed, bit, dim)). */
 case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -139,7 +148,9 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
 }
 
 /** 64-bit SimHash of a token array (token multiplicity = weight). */
-case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

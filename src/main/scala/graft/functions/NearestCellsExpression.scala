@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** The `nprobe` nearest coarse-quantizer cells of an `array<float>`
   * embedding, by squared L2 against a BROADCAST flat centroid matrix —
@@ -30,11 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 case class NearestCellsFloat(child: Expression,
                              bc: Broadcast[Array[Double]],
                              d: Int, nlist: Int, nprobe: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(d >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
     s"bad quantizer shape: d=$d nlist=$nlist nprobe=$nprobe")
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Duplicate-n-gram fraction of a token array in exact ppm —
@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * shorter than n tokens contributes a single whole-sequence gram; an
   * empty token array yields 0.
   */
-case class DupNgramPpm(child: Expression, n: Int) extends UnaryExpression {
+case class DupNgramPpm(child: Expression, n: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
   require(n >= 1, "n-gram size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

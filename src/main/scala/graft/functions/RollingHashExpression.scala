@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash of a string: fold over UTF-16 code units,
@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (documented contract: fold over code units; reproducible in SQL via a
   * reduce over the char list, see llm_text_stats' oracle).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {

@@ -415,21 +415,29 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case other => sys.error(s"${a.name}: unknown module $other")
   }
 
-  /** Batch run: writes every sink; returns sink name -> row count. */
+  /** Batch run: writes every sink; returns sink name -> row count.
+    * The branch is persisted across write+count so each sink evaluates
+    * its pipeline ONCE (a non-deterministic upstream — rand replicator —
+    * would otherwise write one sample and report the count of another). */
   def runBatch(): Map[String, Long] =
     cfg.sinks.map { s =>
       val a = cfg.actors(s)
       require(a.module == "core.sink", s"terminal actor $s must be core.sink")
       val df = outputOf(s)
-      // bind:// sinks (sink_head_factory.go:17-46): tcp/udp/unix writers,
-      // file://STDOUT = console, file://<path> = raw column-bytes file
-      p(a, "bind") match {
-        case Some(bind) =>
-          writeBound(df, bind, p(a, "column").getOrElse("body"),
-            p(a, "rows").map(_.toInt).getOrElse(20), append = false)
-          s -> df.count()
-        case None => s -> writeFormat(a, s, df)
-      }
+      df.persist()
+      try {
+        val n = df.count() // materializes the cache; the write reads it
+        // bind:// sinks (sink_head_factory.go:17-46): tcp/udp/unix
+        // writers, file://STDOUT = console, file://<path> = raw
+        // column-bytes file
+        p(a, "bind") match {
+          case Some(bind) =>
+            writeBound(df, bind, p(a, "column").getOrElse("body"),
+              p(a, "rows").map(_.toInt).getOrElse(20), append = false)
+          case None => writeFormat(a, s, df)
+        }
+        s -> n
+      } finally df.unpersist()
     }.toMap
 
   /** One batch through a bind:// sink head. */
@@ -443,8 +451,10 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       NetSinks.writeBatch(df, NetSinks.writerFor(s, column))
   }
 
-  /** The format-keyed (non-bind) batch sink dispatch; returns the count. */
-  private def writeFormat(a: ActorDef, s: String, df: DataFrame): Long =
+  /** The format-keyed (non-bind) batch sink dispatch. The caller has
+    * already persisted + counted `df`, so every action here reads the
+    * cache — no second evaluation of the pipeline. */
+  private def writeFormat(a: ActorDef, s: String, df: DataFrame): Unit =
       p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
           val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
@@ -463,16 +473,12 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
             case None => w
           }
           partitioned.save(path)
-          spark.read.format(p(a, "format").get).load(path).count()
         case "console" =>
           df.show(p(a, "rows").map(_.toInt).getOrElse(20), truncate = false)
-          df.count()
         case "memory" =>
           df.createOrReplaceTempView(s)
-          df.count()
         case "noop" =>
           df.write.format("noop").mode("overwrite").save()
-          df.count()
         case other => sys.error(s"$s: unknown sink format $other")
       }
 
@@ -512,21 +518,28 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
   /** One micro-batch through sink actor `a`'s configured output: bind://
     * head (per-epoch reconnect, sink.go:80-110 discipline), file formats
     * append, console shows; memory/noop count-only (their batch semantics
-    * don't accumulate across an unbounded stream). */
-  private def writeSinkBatch(a: ActorDef, batch: DataFrame): Unit = {
+    * don't accumulate across an unbounded stream). Returns the batch's
+    * row count, taken from the SAME persisted evaluation the write reads
+    * — the micro-batch pipeline runs once per trigger, not twice. */
+  private def writeSinkBatch(a: ActorDef, batch: DataFrame): Long = {
     val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
-    p(a, "bind") match {
-      case Some(bind) =>
-        writeBound(batch, bind, p(a, "column").getOrElse("body"), showRows,
-          append = true)
-      case None => p(a, "format").getOrElse("memory") match {
-        case "parquet" | "json" | "csv" =>
-          batch.write.mode("append").format(p(a, "format").get)
-            .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path")))
-        case "console" => batch.show(showRows, truncate = false)
-        case _ => batch.count(): Unit
+    batch.persist()
+    try {
+      val n = batch.count() // materializes the cache for the write below
+      p(a, "bind") match {
+        case Some(bind) =>
+          writeBound(batch, bind, p(a, "column").getOrElse("body"), showRows,
+            append = true)
+        case None => p(a, "format").getOrElse("memory") match {
+          case "parquet" | "json" | "csv" =>
+            batch.write.mode("append").format(p(a, "format").get)
+              .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path")))
+          case "console" => batch.show(showRows, truncate = false)
+          case _ => () // memory/noop: the count above is the evaluation
+        }
       }
-    }
+      n
+    } finally batch.unpersist()
   }
 
   /** Streaming run: the receiver becomes a file/push stream; each sink
@@ -545,8 +558,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val df = streamCompiler.outputOf(s)
       var n = 0L
       Streams.runForeachBatch(df, (batch, _) => {
-        writeSinkBatch(a, batch)
-        n += batch.count()
+        n += writeSinkBatch(a, batch)
       })
       s -> n
     }.toMap
@@ -579,7 +591,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val q = df.writeStream
         .queryName(s)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          writeSinkBatch(a, batch)
+          writeSinkBatch(a, batch): Unit
         }
         .option("checkpointLocation",
           p(a, "checkpoint").getOrElse(Streams.newCheckpointDir()))

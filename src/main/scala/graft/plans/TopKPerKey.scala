@@ -106,7 +106,16 @@ private object BoundedTopK {
     val groups = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
     it.foreach { row =>
       val key = keyProj(row)
-      val buf = groups.getOrElseUpdate(key.copy(), mutable.ArrayBuffer.empty[InternalRow])
+      // look up with the reused projection row; copy only on first sight
+      // of a key (the by-value getOrElseUpdate form would allocate an
+      // UnsafeRow copy per input row)
+      val buf = groups.get(key) match {
+        case Some(b) => b
+        case None =>
+          val b = mutable.ArrayBuffer.empty[InternalRow]
+          groups.put(key.copy(), b)
+          b
+      }
       insert(buf, row, ord, k)
     }
     groups.iterator

@@ -48,19 +48,32 @@ final class AdminServer(spark: SparkSession,
         s""""isActive":${q.isActive},"progress":${if (p == null) "null" else p.json}}"""
     }.mkString("[", ",", "]")
 
+  /** HTTP semantics treat HEAD as GET without a body (probes and
+    * load-balancer health checks use it): send the same status +
+    * headers with the computed length, omit the body. */
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+                      bytes: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    if (ex.getRequestMethod == "HEAD") {
+      ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+      ex.sendResponseHeaders(status, -1L)
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
+  }
+
   private def route(path: String, contentType: String, body: () => String): Unit =
     server.createContext(path, (ex: HttpExchange) =>
       try {
         val (status, bytes) =
-          if (ex.getRequestMethod != "GET")
+          if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "HEAD")
             (405, "method not allowed\n".getBytes(StandardCharsets.UTF_8))
           else if (ex.getRequestURI.getPath != path) // no sub-path fallthrough
             (404, "not found\n".getBytes(StandardCharsets.UTF_8))
           else (200, body().getBytes(StandardCharsets.UTF_8))
-        ex.getResponseHeaders.set("Content-Type",
-          if (status == 200) contentType else "text/plain; charset=utf-8")
-        ex.sendResponseHeaders(status, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
+        respond(ex, status,
+          if (status == 200) contentType else "text/plain; charset=utf-8", bytes)
       } finally ex.close())
 
   route("/config", "text/plain; charset=utf-8", explainConfig)
@@ -87,13 +100,10 @@ final class AdminServer(spark: SparkSession,
       val (status, contentType, body) =
         if (ex.getRequestURI.getPath != "/")
           (404, "text/plain; charset=utf-8", "not found\n")
-        else if (ex.getRequestMethod != "GET")
+        else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "HEAD")
           (405, "text/plain; charset=utf-8", "method not allowed\n")
         else (200, "text/html; charset=utf-8", indexHtml)
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", contentType)
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
+      respond(ex, status, contentType, body.getBytes(StandardCharsets.UTF_8))
     } finally ex.close())
 
   def start(): AdminServer = { server.start(); this }

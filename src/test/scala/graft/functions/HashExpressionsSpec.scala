@@ -129,6 +129,30 @@ class HashExpressionsSpec extends SparkSpec {
     assert(got.toSeq == vecs.map(ref(_, 12, 42L)))
   }
 
+  test("input types are declared: the analyzer casts compatible columns") {
+    // these are public Column APIs — an int column into Mix64 or an
+    // array<double> into HyperplaneSig must be cast by the analyzer
+    // (ImplicitCastInputTypes), not silently mis-read at runtime
+    val ints = Seq(1, 2, -7).toDF("i")
+      .select(HashFunctions.mix64Col($"i").as("m")).as[Long].collect()
+    assert(ints.toSeq == Seq(1, 2, -7).map(i => HashFunctions.mix64(i.toLong)))
+
+    val doubles = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
+      .select(HashFunctions.hyperplaneSig(12)($"v")).as[Long].collect()
+    val floats = Seq(Seq(1.0f, -2.0f, 0.5f)).toDF("v")
+      .select(HashFunctions.hyperplaneSig(12)($"v")).as[Long].collect()
+    assert(doubles.toSeq == floats.toSeq)
+  }
+
+  test("input types are declared: incompatible columns fail at analysis") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq("not", "a", "long")).toDF("a")
+        .select(HashFunctions.mix64Col($"a")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("mix64") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"), err.getMessage)
+  }
+
   test("the hash expressions stay inside whole-stage codegen (no UDF nodes)") {
     // spark.range: a codegen leaf the optimizer cannot constant-fold away
     val df = spark.range(1000).select(
