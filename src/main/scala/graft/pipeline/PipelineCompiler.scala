@@ -213,7 +213,10 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         // this mode as panic — the engine completes it). `buckets`
         // defaults to the downstream count; declaring more buckets than
         // downstreams models a partial ring (copies placed on undeclared
-        // buckets are dropped, as unrouted peers).
+        // buckets are dropped, as unrouted peers). `key` is a SQL
+        // expression, so ingest pipelines can place by content hash
+        // (key: "xxhash64(body)") the way the reference replicator
+        // placed by message.
         case "ncopy" =>
           val keyC = p(a, "key")
             .getOrElse(sys.error(s"${a.name}: replicator ncopy needs key"))
@@ -222,7 +225,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
           val n = p(a, "n").map(_.toInt)
             .getOrElse(sys.error(s"${a.name}: replicator ncopy needs n"))
           val idx = downs.indexOf(forDownstream).max(0)
-          Routing.replicateNcopy(inputOf(a.name), col(keyC), n, buckets)
+          Routing.replicateNcopy(inputOf(a.name), expr(keyC), n, buckets)
             .filter(col("copy_id") === idx)
         case other => sys.error(s"${a.name}: unknown replicator mode $other")
       }

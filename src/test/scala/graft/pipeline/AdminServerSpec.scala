@@ -89,6 +89,80 @@ class AdminServerSpec extends SparkSpec {
       assert(idx.contains("<html>") || idx.contains("<!DOCTYPE html>"), idx)
       Seq("/config", "/pipeline/describe", "/progress").foreach(ep =>
         assert(idx.contains(s"""href="$ep""""), s"index must link $ep: $idx"))
+
+      // HEAD is GET without a body (health probes): 200, headers, no bytes
+      val head = new java.net.URL(s"http://127.0.0.1:${admin.boundPort}/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      head.setRequestMethod("HEAD")
+      assert(head.getResponseCode == 200)
+      assert(head.getContentLengthLong > 0L, "HEAD must carry Content-Length")
+      assert(head.getInputStream.readAllBytes().isEmpty, "HEAD body must be empty")
     } finally admin.stop()
+  }
+
+  test("progress advances across micro-batches while a tcp bind receiver ingests") {
+    // the daemon composition an operator actually runs: a YAML pipeline
+    // with a live socket receiver in --follow mode, introspected over
+    // the admin surface WHILE rows stream in
+    val yaml =
+      """actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: admin-bind-e2e}}
+        |  out: {module: core.sink, params: {format: noop}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("admin-bind-e2e")
+    val cfg = PipelineConfig.parse(yaml)
+    val compiler = new PipelineCompiler(spark, cfg)
+    val port = compiler.startReceivers()("rcv")
+    val admin = new AdminServer(spark,
+      () => yaml, () => PipelineConfig.toDot(cfg)).start()
+    val queries = compiler.startStreaming(Map.empty,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def sendLines(lines: Seq[String]): Unit = {
+        val s = new java.net.Socket("127.0.0.1", port)
+        try {
+          val out = s.getOutputStream
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, "UTF-8"))
+          lines.foreach { l =>
+            out.write(s"$l\r\n".getBytes("UTF-8")); out.flush()
+            assert(in.readLine() == "OK")
+          }
+        } finally s.close()
+      }
+      // the progress JSON snapshot for our query: batchId at latest poll
+      def batchIdWithRows(): Option[Long] = {
+        val (code, body) = get(admin.boundPort, "/progress")
+        assert(code == 200, body)
+        val m = """"batchId"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+        val rows = """"numInputRows"\s*:\s*([1-9]\d*)""".r.findFirstMatchIn(body)
+        if (rows.isDefined) m.map(_.group(1).toLong) else None
+      }
+      def awaitIngestedBatch(after: Long): Long = {
+        val deadline = System.currentTimeMillis() + 30000
+        var got = Option.empty[Long]
+        while (got.forall(_ <= after) && System.currentTimeMillis() < deadline) {
+          got = batchIdWithRows()
+          if (got.forall(_ <= after)) Thread.sleep(50)
+        }
+        assert(got.exists(_ > after),
+          s"no ingesting batch past id $after observed on /progress")
+        got.get
+      }
+      sendLines(Seq("wave1-a", "wave1-b"))
+      val b1 = awaitIngestedBatch(after = -1L)
+      // a second wave must surface as a LATER micro-batch with rows —
+      // the live surface tracks the stream, it doesn't latch one batch
+      sendLines(Seq("wave2-a", "wave2-b", "wave2-c"))
+      val b2 = awaitIngestedBatch(after = b1)
+      assert(b2 > b1)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+      admin.stop()
+    }
   }
 }

@@ -105,6 +105,128 @@ class BindPipelineSpec extends SparkSpec {
     }
   }
 
+  private def httpPost(port: Int, path: String, body: String): (Int, String) = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    if (body.nonEmpty) conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    (code, text)
+  }
+
+  test("http bind receiver streams POST bodies with query-param meta (follow mode)") {
+    val out = Files.createTempDirectory("graft-bind-http-out-").toString + "/sink"
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "http://:0", channel: bind-e2e-http}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-http")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val port = compiler.startReceivers()("rcv")
+    assert(port > 0)
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // reference status map (receiver_http.go:24-33): accepted -> 200 OK
+      Seq("alpha", "beta").foreach { b =>
+        val (code, text) = httpPost(port, "/v1alpha1?source=curl&attempt=1", b)
+        assert(code == 200 && text == "OK", s"$code $text")
+      }
+      // empty body -> 400 Invalid message, and it must NOT enter the DAG
+      val (badCode, badText) = httpPost(port, "/v1alpha1", "")
+      assert(badCode == 400 && badText == "Invalid message")
+      assert(pollCount(out, 2) == 2)
+      val rows = spark.read.parquet(out)
+        .select($"body".cast("string").as("b"), $"meta")
+        .as[(String, Map[String, String])].collect().toMap
+      assert(rows.keySet == Set("alpha", "beta"))
+      // URL query params ride along as message meta
+      rows.values.foreach(m =>
+        assert(m == Map("source" -> "curl", "attempt" -> "1"), m.toString))
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
+
+  test("the shipped http2console example runs live end-to-end at an ephemeral port") {
+    val yaml = Files.readString(Paths.get("examples/http2console.yml"))
+      .replace("http://:7071", "http://:0")
+    graft.sources.PushReceiver.clear("http_rcv")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val port = compiler.startReceivers()("http_rcv")
+    assert(port > 0)
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      Seq("hello", "world").foreach { b =>
+        assert(httpPost(port, "/v1alpha1?source=test", b)._1 == 200)
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        done = queries("dumper").lastProgress != null &&
+          queries("dumper").recentProgress.map(_.numInputRows).sum >= 2
+        if (!done) Thread.sleep(100)
+      }
+      assert(done, "console sink never observed the 2 POSTed records")
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
+
+  test("unix bind receiver streams socket lines through the DAG (follow mode)") {
+    val sock = Files.createTempDirectory("graft-bind-unix-").resolve("listen.sock")
+    val out = Files.createTempDirectory("graft-bind-unix-out-").toString + "/sink"
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "unix://$sock", channel: bind-e2e-unix}}
+        |  enc: {module: core.encoder_base64, params: {column: body}}
+        |  out: {module: core.sink, params: {format: parquet, path: "$out"}}
+        |pipeline:
+        |  rcv: {connect: [enc]}
+        |  enc: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-unix")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    // unix sockets have no port: startReceivers reports 0 but must bind
+    assert(compiler.startReceivers() == Map("rcv" -> 0))
+    assert(Files.exists(sock), s"socket file $sock not bound")
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.StandardProtocolFamily.UNIX)
+      ch.connect(java.net.UnixDomainSocketAddress.of(sock))
+      ch.write(java.nio.ByteBuffer.wrap(
+        "alpha\nbeta\ngamma\n".getBytes(StandardCharsets.UTF_8)))
+      ch.close()
+      assert(pollCount(out, 3) == 3)
+      val got = spark.read.parquet(out)
+        .select($"body".cast("string")).as[String].collect().toSet
+      val want = Seq("alpha", "beta", "gamma")
+        .map(s => java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+        .toSet
+      assert(got == want)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+    // close() unlinks the socket file (receiver_unix.go:49-62 discipline)
+    assert(!Files.exists(sock), "close() must unlink the socket file")
+  }
+
   test("batch mode: receivers bound up front snapshot what sockets pushed") {
     val yaml =
       s"""actors:
