@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * scale). Results recorded in BASELINE.md; this main keeps them
   * reproducible.
   *
-  * {{{ runMain graft.SoakAnn [nVecs] [k] [nQueries] [lshProbeBits] [ivfNprobe] }}}
+  * {{{ runMain graft.SoakAnn [nVecs] [k] [nQueries] [lshProbeBits] [ivfNprobe] [paths] }}}
+  *
+  * `paths` selects which ANN paths run (`lsh`, `ivf`, or `both`,
+  * default both) — dense-probe frontier runs need not re-pay the other
+  * path's wall time.
   *
   * The probe knobs trade recall for scored candidates — run once at the
   * bounded defaults and once denser to record the recall/wall frontier.
@@ -31,6 +35,7 @@ object SoakAnn {
     val nQ = if (args.length > 2) args(2).toInt else 1000
     val lshProbeBits = if (args.length > 3) args(3).toInt else 1
     val ivfNprobe = if (args.length > 4) args(4).toInt else 2
+    val paths = if (args.length > 5) args(5) else "both"
     val d = 64
     val group = 50
     val spark = GraftSession.get()
@@ -82,18 +87,20 @@ object SoakAnn {
 
     // LSH: 18 bits ≈ 262k buckets, so a bucket ≈ one cluster; multi-probe
     // recovers members split across a borderline hyperplane
-    val lsh = audit("lsh",
-      graft.llm.Similarity.lshKnn(emb, k, bits = 18, probeBits = lshProbeBits))
-    // IVF: bounded driver training (16k sample, 3 Lloyd iterations);
-    // 4096 cells ≈ 244 members each
-    val ivf = audit("ivf",
-      graft.llm.Similarity.ivfKnn(emb, k, nlist = 4096, nprobe = ivfNprobe,
-        iters = 3, maxTrain = 16384))
+    val parts = Seq(
+      (paths != "ivf") -> (() => audit("lsh",
+        graft.llm.Similarity.lshKnn(emb, k, bits = 18, probeBits = lshProbeBits))),
+      // IVF: bounded driver training (16k sample, 3 Lloyd iterations);
+      // 4096 cells ≈ 244 members each
+      (paths != "lsh") -> (() => audit("ivf",
+        graft.llm.Similarity.ivfKnn(emb, k, nlist = 4096, nprobe = ivfNprobe,
+          iters = 3, maxTrain = 16384)))
+    ).collect { case (true, run) => run() }
 
     println(s"""{"soak":"ann","n_vecs":$n,"d":$d,"k":$k,""" +
       s""""n_queries":$nQueries,"lsh_probe_bits":$lshProbeBits,""" +
       s""""ivf_nprobe":$ivfNprobe,"brute_truth_sec":${f"$bruteSec%.1f"},""" +
-      s"""$lsh,$ivf}""")
+      parts.mkString(",") + "}")
     spark.stop()
   }
 }

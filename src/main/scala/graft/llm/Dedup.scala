@@ -18,9 +18,10 @@ import graft.functions.{HashFunctions, TextFunctions}
   *  - simhash: 64-bit signature; near-dup = hamming <= maxDist. Candidate
   *    generation for the pairwise check is bucketed by signature bands
   *    (4x16-bit chunks => hamming<=3 guaranteed recall via pigeonhole).
-  *  - ngramJaccard: exact pairwise jaccard via shingle inverted index —
-  *    quadratic in bucket sizes, used as the small-scale oracle-verifiable
-  *    baseline and the verify stage of the LSH paths.
+  *  - ngramJaccard: exact pairwise jaccard via shingle inverted index
+  *    with prefix-filtered candidate generation (lossless; stop-shingles
+  *    never feed the self-join) — the oracle-verifiable baseline and the
+  *    verify stage of the LSH paths.
   */
 object Dedup {
 
@@ -75,19 +76,52 @@ object Dedup {
     * comparability). `collapseExact` emits pairs between exact-dup
     * representatives only (see [[exactRepresentatives]]).
     *
-    * The shingle index feeds three consumers (counts, both join sides),
-    * so it caches for the duration of this call only — same
-    * release-before-return contract as [[minhashLshPairs]]: the slim
-    * pair result is eagerly localCheckpointed, then the cache drops. */
+    * Candidate generation uses PREFIX FILTERING (Chaudhuri et al., "A
+    * Primitive Operator for Similarity Joins", ICDE'06; Xiao et al.,
+    * PPJoin, WWW'08), which is LOSSLESS: order every document's shingles
+    * by one global total order (ascending document frequency, ties on
+    * the shingle value); a pair A,B with jaccard >= t has overlap
+    * |A∩B| >= ceil(t*max(|A|,|B|)) >= ceil(t*|A|), and if the first
+    * |A| - ceil(t*|A|) + 1 <= floor((1-t)*|A|)+1 shingles of A shared
+    * nothing with B's prefix of the same form, the pair's overlap under
+    * the common order could not reach that bound — so every qualifying
+    * pair shares at least one PREFIX shingle, and the self-join runs on
+    * the prefix index only. Survivors are exact-verified (full-set
+    * intersection), so the answer is bit-identical to the unfiltered
+    * quadratic form. This removes the stop-shingle skew hazard: a
+    * shingle occurring in most documents has maximal df, sorts LAST in
+    * every document, and lands in a prefix only for documents composed
+    * almost entirely of even-more-frequent shingles — the one join
+    * bucket that used to be quadratic in the corpus no longer feeds the
+    * join at all.
+    *
+    * The shingle index feeds four consumers (df, counts, prefix, the
+    * verify join), so it caches for the duration of this call only —
+    * same release-before-return contract as [[minhashLshPairs]]: the
+    * slim pair result is eagerly localCheckpointed, then the cache
+    * drops. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         collapseExact: Boolean = false): DataFrame = {
     val idx = shingleIndex(maybeCollapse(df, textCol, idCol, collapseExact),
       textCol, idCol, n).cache()
     val counts = idx.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = idx.as("a").join(idx.as("b"),
+    val dfreq = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = idx.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(counts, "id")
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_shingles")) + lit(1))
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(idx.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(idx.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     val out = inter
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")

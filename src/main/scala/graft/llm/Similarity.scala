@@ -335,16 +335,40 @@ object Similarity {
     * Returns the same shape as bruteKnn; rows may be missing when no
     * candidate shared a bucket (approximate recall).
     *
-    * Plan shape (the 100-TB concern): candidate generation runs over SLIM
-    * (id, bucket) rows — embeddings never ride the bucket-join shuffle —
-    * and a pair sharing several probe buckets is deduplicated on ids
-    * BEFORE the embeddings join back, so each unique pair is scored
-    * exactly once however many buckets it collided in. */
-  def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
+    * Plan shape (the 100-TB concern):
+    *  - Signatures are computed ONCE over the corpus into a slim
+    *    (vec_id, sig) checkpoint (16 bytes/row) reused by the volume
+    *    estimate, the probe side, and the candidate side — embeddings
+    *    never ride the bucket-join shuffle.
+    *  - Candidate pairs are structurally unique, so no dedup shuffle
+    *    exists: multi-probe is query-side only, the probe masks are
+    *    distinct, and XOR with distinct masks of one signature yields
+    *    distinct buckets, while each candidate occupies exactly the one
+    *    bucket of its own signature — hence a (vec_id, neighbor_id) pair
+    *    can match in at most one probed bucket. (The former global
+    *    `dropDuplicates` here was a no-op that cost the single widest
+    *    shuffle of the plan — the round-4 soak's 76 GB spill at
+    *    probeBits=2/1M died in it.)
+    *  - The remaining wide shuffle is the scored join (one embedding
+    *    rides each candidate row). Its volume is ESTIMATED EXACTLY up
+    *    front from the signature histogram (sum over probe masks m and
+    *    buckets b of cnt(b)*cnt(b^m) — a few-hundred-thousand-row join,
+    *    never corpus-sized). When the estimate exceeds
+    *    `shuffleBudgetBytes`, the query side is hash-sharded and shards
+    *    run SEQUENTIALLY, each eagerly materialized to a slim ≤|shard
+    *    queries|*k checkpoint — peak shuffle footprint stays within
+    *    budget however dense the probing. Shards partition queries by
+    *    id hash, and a query's entire candidate set lives in its shard,
+    *    so the union is exactly the single-shot answer. Pass
+    *    `shuffleBudgetBytes <= 0` to force the single-shot plan.
+    *
+    * This method runs eager jobs (the signature checkpoint + histogram
+    * estimate; plus per-shard materialization on the sharded path) —
+    * like ivfKnn's training step, it is an operator, not a pure plan. */
+  def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, probeBits: Int = 1,
+             shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
     require(probeBits >= 0 && probeBits <= bits,
       s"probeBits=$probeBits must be in [0, bits=$bits]")
-    val sig = withNorm(emb, "vec_id", "embedding", "norm_a")
-      .withColumn("sig", HashFunctions.hyperplaneSig(bits)(col("embedding")))
     // multi-probe: each vector also lands in every bucket within
     // `probeBits` Hamming distance of its own (query-side only, to bound
     // the blowup to sum_{h<=probeBits} C(bits, h) probes per query)
@@ -352,28 +376,63 @@ object Similarity {
       (0 until bits).combinations(w)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
     val probeExpr = array(probes.map(lit): _*)
-    val q = sig.withColumn("probe", explode(probeExpr))
-      .select(col("vec_id"), col("sig").bitwiseXOR(col("probe")).as("bucket"))
-    val c = sig.select(col("vec_id").as("neighbor_id"), col("sig").as("bucket"))
-    val cand = q.join(c, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"))
-      .dropDuplicates("vec_id", "neighbor_id")
+    val sigSlim = withNorm(emb, "vec_id", "embedding", "norm_a")
+      .select(col("vec_id"),
+        HashFunctions.hyperplaneSig(bits)(col("embedding")).as("sig"))
+      .localCheckpoint(true)
     val a = withNorm(emb, "vec_id", "embedding", "norm_a")
     val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
-    val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
-    // rank through the TopKPerKey operator directly (same semantics as
-    // row_number over (cos_sim desc, neighbor_id)): the map side caps each
-    // partition at k rows per query BEFORE the exchange, so the ranking
-    // shuffle is ~|queries|*k rather than |scored candidates| — ivfKnn's
-    // discipline, and no longer dependent on the session having the
-    // window->TopKPerKey rewrite rule registered
-    graft.plans.TopKPerKey(scored,
-      keys = Seq(col("vec_id")),
-      order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
-      k = k, rankName = "rank")
-      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+
+    /** Single-shot plan over one query shard (candidate side is always
+      * the full corpus — recall is shard-invariant). */
+    def knnFor(qSide: DataFrame): DataFrame = {
+      val q = qSide.withColumn("probe", explode(probeExpr))
+        .select(col("vec_id"), col("sig").bitwiseXOR(col("probe")).as("bucket"))
+      val c = sigSlim.select(col("vec_id").as("neighbor_id"), col("sig").as("bucket"))
+      val cand = q.join(c, Seq("bucket"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"))
+      val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
+      // rank through the TopKPerKey operator directly (same semantics as
+      // row_number over (cos_sim desc, neighbor_id)): the map side caps
+      // each partition at k rows per query BEFORE the exchange, so the
+      // ranking shuffle is ~|queries|*k rather than |scored candidates|
+      graft.plans.TopKPerKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+        k = k, rankName = "rank")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }
+
+    val nShards =
+      if (shuffleBudgetBytes <= 0) 1
+      else {
+        // exact candidate count: Σ_m Σ_b cnt(b)·cnt(b⊕m) over the (≤
+        // min(2^bits, n))-row signature histogram — includes the ≤n
+        // self-pairs, so it upper-bounds the scored-join row count
+        val hist = sigSlim.groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
+        val pairRow = hist.withColumn("probe", explode(probeExpr))
+          .select(col("sig").bitwiseXOR(col("probe")).as("bucket"), col("cnt"))
+          .join(hist.select(col("sig").as("bucket"), col("cnt").as("cnt_b")), "bucket")
+          .agg(sum(col("cnt") * col("cnt_b"))).head()
+        val candRows = if (pairRow.isNullAt(0)) 0L else pairRow.getLong(0)
+        val dim = emb.select(size(col("embedding"))).take(1) match {
+          case Array(r) if !r.isNullAt(0) => r.getInt(0)
+          case _ => 0
+        }
+        val rowBytes = 4L * dim + 48 // one float embedding + ids/norm/overhead
+        val byVolume = (candRows * rowBytes + shuffleBudgetBytes - 1) / shuffleBudgetBytes
+        // a shard cannot be finer than one query vector, and a pathological
+        // budget must not degenerate into per-row jobs — cap the loop
+        val nQueries = sigSlim.count()
+        math.max(1L, Seq(byVolume, nQueries, 65536L).min).toInt
+      }
+    if (nShards <= 1) knnFor(sigSlim)
+    else (0 until nShards)
+      .map(s => knnFor(sigSlim.filter(pmod(xxhash64(col("vec_id")), lit(nShards)) === s))
+        .localCheckpoint(true))
+      .reduce(_.union(_))
   }
 }

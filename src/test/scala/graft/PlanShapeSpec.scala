@@ -97,7 +97,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("lshKnn dedups candidate pairs before any pair is scored") {
+  test("lshKnn scores structurally-unique candidate pairs with no dedup shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = SparkEntry.queries("llm_ann_lsh")(spark, dir)
     val plan = df.queryExecution.optimizedPlan
@@ -109,24 +109,17 @@ class PlanShapeSpec extends SparkSpec {
       case t: graft.plans.TopKPerKey => t.child
     }
     assert(ranking.nonEmpty, plan.toString.take(3000))
-    // a pure dedup Aggregate on exactly (vec_id, neighbor_id) sits below
-    // the ranking node, so a pair colliding in several probe buckets
-    // reaches the scorer once
-    val dedups = ranking.head.collect {
-      case a: Aggregate
-          if a.groupingExpressions.size == 2 &&
-            a.aggregateExpressions.size == 2 => a
-    }
-    assert(dedups.nonEmpty, ranking.head.toString.take(3000))
-    // and no PAIR dot product (two distinct arrays) is computed below the
-    // dedup — the only DotProductFloat there is the self-dot norm
-    val pairDotsBelow = dedups.head.collect { case node =>
-      node.expressions.flatMap(_.collect {
-        case d: graft.functions.DotProductFloat
-            if !d.left.semanticEquals(d.right) => d
-      })
-    }.flatten
-    assert(pairDotsBelow.isEmpty, dedups.head.toString.take(3000))
+    // candidate pairs out of the bucket join are structurally unique
+    // (query-side-only multi-probe, distinct XOR masks, one bucket per
+    // candidate), so NO Aggregate — in particular no global pair-dedup
+    // shuffle, the round-4 76 GB spill site — exists anywhere in the plan
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.isEmpty, plan.toString.take(3000))
+    // and the uniqueness claim holds in the data: each (vec_id,
+    // neighbor_id) pair is ranked at most once
+    val dupPairs = df.groupBy("vec_id", "neighbor_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dupPairs === 0L)
   }
 
   test("repetition kernel spreads across partitions and reuses one exchange") {

@@ -123,6 +123,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix filtering stays exact under an injected stop-shingle") {
+    // every doc carries the same header phrase, so its shingles occur in
+    // ALL docs (the stop-shingle skew hazard: pre-prefix-filtering this
+    // made one join bucket quadratic in the corpus). Prefix filtering
+    // must keep the answer bit-identical to the brute reference: the
+    // stop-shingles sort last by df, fall outside every prefix, and the
+    // planted pairs must still surface through their rare shingles.
+    def refPairs(docs: Seq[(Long, String)], n: Int, th: Double): Set[(Long, Long, Double)] = {
+      val sets = docs.map { case (id, text) =>
+        id -> text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+      }
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= th
+      } yield (a, b, j)).toSet
+    }
+    val header = "common header every doc shares"
+    val trialRng = new scala.util.Random(42)
+    val base = (0L until 40L).map { i =>
+      (i, header + " " + Seq.fill(25 + trialRng.nextInt(15))(
+        vocab(trialRng.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted near-dups: one word changed
+    val dups = base.take(6).map { case (i, text) =>
+      val toks = text.split(" "); toks(toks.length / 2) = "CHANGED"
+      (i + 100L, toks.mkString(" "))
+    }
+    val docs = base ++ dups
+    val want = refPairs(docs, 3, 0.5)
+    val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == want, "prefix-filtered pipeline diverged from brute reference")
+    assert(want.nonEmpty && want.size < docs.size * (docs.size - 1) / 2,
+      "fixture degenerate: planted pairs must qualify and non-pairs must not")
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")

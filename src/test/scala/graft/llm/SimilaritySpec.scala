@@ -160,6 +160,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshKnn sharded path (tiny shuffle budget) is row-identical to single-shot") {
+    // a 1-byte budget forces maximal query sharding (clamped to one
+    // query per shard); every query's candidate set lives wholly in its
+    // shard, so the union must equal the single-shot answer row for row
+    val small = emb.filter($"vec_id" < 30)
+    val one = Similarity.lshKnn(small, 3, bits = 8, probeBits = 2,
+        shuffleBudgetBytes = -1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val sharded = Similarity.lshKnn(small, 3, bits = 8, probeBits = 2,
+        shuffleBudgetBytes = 1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(sharded == one)
+  }
+
   test("nearDupPairs refuses a corpus above maxExactRows with the scale path named") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(emb, 0.9, maxExactRows = 10)
