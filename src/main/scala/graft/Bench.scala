@@ -111,7 +111,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val skew = skewComparison(spark, sfDir)
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"sf":"$sfDir"}""")
+    // live-socket ingest throughput (tcp + http through the YAML bind
+    // pipeline) — SF-independent, bounded row counts keep it a few
+    // seconds; see BenchStream for a standalone run at larger N
+    val stream = "{" + BenchStream.section(spark, nTcp = 100000, nHttp = 2000) + "}"
+    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -127,7 +127,11 @@ object ParamSchema {
       // tcp://host:port, udp://host:port, unix:///path, file://STDOUT
       // (console) or file:///path (raw column text)
       "bind" -> PString,
-      "column" -> PString)) // column written by a bind sink (default body)
+      "column" -> PString, // column written by a bind sink (default body)
+      // daemon-path retry policy (sink.go:80-110 / buffer.go:33-93):
+      // in-batch exponential backoff, dead-letter on exhaustion
+      "max_attempts" -> PLong, "min_backoff_ms" -> PLong,
+      "max_backoff_ms" -> PLong))
 
   /** Validate every actor's params against its module schema and return
     * the config with each value CONVERTED to its declared type. Unknown

@@ -419,29 +419,54 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
   }
 
   /** Batch run: writes every sink; returns sink name -> row count.
-    * The branch is persisted across write+count so each sink evaluates
-    * its pipeline ONCE (a non-deterministic upstream — rand replicator —
-    * would otherwise write one sample and report the count of another). */
+    * Each sink evaluates its pipeline ONCE (a non-deterministic
+    * upstream — rand replicator — must not write one sample and report
+    * the count of another): full-pass writes observe their row count
+    * in-flight via [[countedAction]] (no persist, no second pass);
+    * console sinks — whose `show` is LIMITed by design — persist across
+    * the count+show pair (human-scale output, the one place a cache is
+    * still the honest answer); memory sinks pin their temp view to the
+    * very rows that were counted. */
   def runBatch(): Map[String, Long] =
     cfg.sinks.map { s =>
       val a = cfg.actors(s)
       require(a.module == "core.sink", s"terminal actor $s must be core.sink")
       val df = outputOf(s)
-      df.persist()
-      try {
-        val n = df.count() // materializes the cache; the write reads it
-        // bind:// sinks (sink_head_factory.go:17-46): tcp/udp/unix
-        // writers, file://STDOUT = console, file://<path> = raw
-        // column-bytes file
-        p(a, "bind") match {
-          case Some(bind) =>
-            writeBound(df, bind, p(a, "column").getOrElse("body"),
-              p(a, "rows").map(_.toInt).getOrElse(20), append = false)
-          case None => writeFormat(a, s, df)
-        }
-        s -> n
-      } finally df.unpersist()
+      val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
+      // bind:// sinks (sink_head_factory.go:17-46): tcp/udp/unix
+      // writers, file://STDOUT = console, file://<path> = raw
+      // column-bytes file
+      val n = p(a, "bind") match {
+        case Some("file://STDOUT") => countedConsole(df, showRows)
+        case Some(bind) =>
+          countedAction(df)(d => writeBound(d, bind,
+            p(a, "column").getOrElse("body"), showRows, append = false))
+        case None => writeFormat(a, s, df)
+      }
+      s -> n
     }.toMap
+
+  /** Runs exactly one full-pass `action` over `df`, returning the row
+    * count of the SAME evaluation the action consumed — observed
+    * in-flight through `Dataset.observe`, so nothing is persisted and
+    * the pipeline runs once. Only valid for actions that evaluate every
+    * row (writes, socket sends — not LIMITed `show`). */
+  private def countedAction(df: DataFrame)(action: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    action(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Console sinks: `show` is LIMITed, so the full count needs its own
+    * action; persist across the pair so both read one evaluation. */
+  private def countedConsole(df: DataFrame, showRows: Int): Long = {
+    df.persist()
+    try {
+      val n = df.count()
+      df.show(showRows, truncate = false)
+      n
+    } finally df.unpersist()
+  }
 
   /** One batch through a bind:// sink head. */
   private def writeBound(df: DataFrame, bind: String, column: String,
@@ -454,34 +479,44 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       NetSinks.writeBatch(df, NetSinks.writerFor(s, column))
   }
 
-  /** The format-keyed (non-bind) batch sink dispatch. The caller has
-    * already persisted + counted `df`, so every action here reads the
-    * cache — no second evaluation of the pipeline. */
-  private def writeFormat(a: ActorDef, s: String, df: DataFrame): Unit =
+  /** The format-keyed (non-bind) batch sink dispatch; returns the row
+    * count of the single evaluation each write performed. */
+  private def writeFormat(a: ActorDef, s: String, df: DataFrame): Long =
       p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
-          val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
-          val w = df.write.mode(p(a, "mode").getOrElse("overwrite"))
-            .format(p(a, "format").get)
-          // demux-to-directories: the batch rendering of content routing
-          // (SURVEY §2.3 maps router's partitioned delivery to
-          // df.write.partitionBy)
-          val partitioned = a.params.get("partition_by") match {
-            case Some(sq: Seq[_]) => w.partitionBy(sq.map(_.toString): _*)
-            case Some(l: java.util.List[_]) =>
-              w.partitionBy(
-                scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
-                  .map(_.toString).toSeq: _*)
-            case Some(c) => w.partitionBy(c.toString)
-            case None => w
+          countedAction(df) { d =>
+            val path = p(a, "path").getOrElse(sys.error(s"$s: sink needs path"))
+            val w = d.write.mode(p(a, "mode").getOrElse("overwrite"))
+              .format(p(a, "format").get)
+            // demux-to-directories: the batch rendering of content routing
+            // (SURVEY §2.3 maps router's partitioned delivery to
+            // df.write.partitionBy)
+            val partitioned = a.params.get("partition_by") match {
+              case Some(sq: Seq[_]) => w.partitionBy(sq.map(_.toString): _*)
+              case Some(l: java.util.List[_]) =>
+                w.partitionBy(
+                  scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+                    .map(_.toString).toSeq: _*)
+              case Some(c) => w.partitionBy(c.toString)
+              case None => w
+            }
+            partitioned.save(path)
           }
-          partitioned.save(path)
         case "console" =>
-          df.show(p(a, "rows").map(_.toInt).getOrElse(20), truncate = false)
+          countedConsole(df, p(a, "rows").map(_.toInt).getOrElse(20))
         case "memory" =>
-          df.createOrReplaceTempView(s)
+          // the view must expose the SAME rows the count reports: a later
+          // query through a lazily-registered view would re-evaluate the
+          // pipeline, and a nondeterministic upstream would disagree with
+          // the count. Pin the view to the collected evaluation (memory
+          // sinks are the in-driver test/debug surface, like Spark's own
+          // memory streaming sink — bounded by intent, not for bulk data).
+          val rows = df.collect()
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+            .createOrReplaceTempView(s)
+          rows.length.toLong
         case "noop" =>
-          df.write.format("noop").mode("overwrite").save()
+          countedAction(df)(_.write.format("noop").mode("overwrite").save())
         case other => sys.error(s"$s: unknown sink format $other")
       }
 
@@ -521,28 +556,36 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
   /** One micro-batch through sink actor `a`'s configured output: bind://
     * head (per-epoch reconnect, sink.go:80-110 discipline), file formats
     * append, console shows; memory/noop count-only (their batch semantics
-    * don't accumulate across an unbounded stream). Returns the batch's
-    * row count, taken from the SAME persisted evaluation the write reads
-    * — the micro-batch pipeline runs once per trigger, not twice. */
-  private def writeSinkBatch(a: ActorDef, batch: DataFrame): Long = {
+    * don't accumulate across an unbounded stream). With `needCount` the
+    * batch's row count is observed from the SAME single evaluation the
+    * write consumes (in-flight via [[countedAction]], console excepted);
+    * the daemon path passes `needCount = false` and discards the count,
+    * so its writes stay a single plain action per trigger — no extra
+    * materialization, no cache. */
+  private def writeSinkBatch(a: ActorDef, batch: DataFrame,
+                             needCount: Boolean = true): Long = {
     val showRows = p(a, "rows").map(_.toInt).getOrElse(20)
-    batch.persist()
-    try {
-      val n = batch.count() // materializes the cache for the write below
-      p(a, "bind") match {
-        case Some(bind) =>
-          writeBound(batch, bind, p(a, "column").getOrElse("body"), showRows,
-            append = true)
-        case None => p(a, "format").getOrElse("memory") match {
-          case "parquet" | "json" | "csv" =>
-            batch.write.mode("append").format(p(a, "format").get)
-              .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path")))
-          case "console" => batch.show(showRows, truncate = false)
-          case _ => () // memory/noop: the count above is the evaluation
-        }
+    def counted(action: DataFrame => Unit): Long =
+      if (needCount) countedAction(batch)(action) else { action(batch); -1L }
+    p(a, "bind") match {
+      case Some("file://STDOUT") =>
+        if (needCount) countedConsole(batch, showRows)
+        else { batch.show(showRows, truncate = false); -1L }
+      case Some(bind) =>
+        counted(d => writeBound(d, bind, p(a, "column").getOrElse("body"),
+          showRows, append = true))
+      case None => p(a, "format").getOrElse("memory") match {
+        case "parquet" | "json" | "csv" =>
+          counted(_.write.mode("append").format(p(a, "format").get)
+            .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path"))))
+        case "console" =>
+          if (needCount) countedConsole(batch, showRows)
+          else { batch.show(showRows, truncate = false); -1L }
+        case _ => // memory/noop: the evaluation IS the sink's effect
+          if (needCount) batch.count()
+          else { batch.write.format("noop").mode("overwrite").save(); -1L }
       }
-      n
-    } finally batch.unpersist()
+    }
   }
 
   /** Streaming run: the receiver becomes a file/push stream; each sink
@@ -591,16 +634,48 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val a = cfg.actors(s)
       require(a.module == "core.sink", s"terminal actor $s must be core.sink")
       val df = streamCompiler.outputOf(s)
+      // the reference sink's reconnect discipline (sink.go:80-110 /
+      // buffer.go:33-93): a failing micro-batch write retries in-batch
+      // with exponential backoff — every attempt opens fresh
+      // connections, so a restarted peer picks the backlog up — and an
+      // exhausted batch is dead-lettered (counted via
+      // [[deadLetterCounts]]), never thrown into the stream. Policy
+      // knobs are sink params with the reference defaults.
+      val policy = graft.streaming.ReliableSink.RetryPolicy(
+        maxAttempts = p(a, "max_attempts").map(_.toInt).getOrElse(16),
+        minBackoffMs = p(a, "min_backoff_ms").map(_.toLong).getOrElse(50L),
+        maxBackoffMs = p(a, "max_backoff_ms").map(_.toLong).getOrElse(5000L))
+      val write = graft.streaming.ReliableSink.withRetry(
+        (batch, _) => writeSinkBatch(a, batch, needCount = false): Unit,
+        (batch, batchId, err) => recordDeadLetter(s, batchId, batch, err),
+        policy)
       val q = df.writeStream
         .queryName(s)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          writeSinkBatch(a, batch): Unit
-        }
+        .foreachBatch(write)
         .option("checkpointLocation",
           p(a, "checkpoint").getOrElse(Streams.newCheckpointDir()))
         .trigger(trigger)
         .start()
       s -> q
     }.toMap
+  }
+
+  /** sink name -> (dead-lettered batches, dead-lettered rows): daemon
+    * batches whose writes exhausted their retry budget. */
+  private val deadLettered =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  def deadLetterCounts: Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    deadLettered.asScala.toMap
+  }
+
+  private def recordDeadLetter(sink: String, batchId: Long, batch: DataFrame,
+                               err: Throwable): Unit = {
+    val rows = scala.util.Try(batch.count()).getOrElse(-1L)
+    deadLettered.merge(sink, (1L, rows),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    System.err.println(
+      s"[graft] sink $sink dead-lettered batch $batchId ($rows rows): $err")
   }
 }

@@ -158,6 +158,19 @@ class AdminServerSpec extends SparkSpec {
       sendLines(Seq("wave2-a", "wave2-b", "wave2-c"))
       val b2 = awaitIngestedBatch(after = b1)
       assert(b2 > b1)
+      // the dashboard fields a relay operator needs are in the payload:
+      // per-query throughput (rows/sec in+processed) and batch duration
+      // — the reference's /expvar counters rendered through
+      // StreamingQueryProgress.json
+      val (_, body) = get(admin.boundPort, "/progress")
+      Seq("\"name\":\"out\"",
+          "\"inputRowsPerSecond\"", "\"processedRowsPerSecond\"",
+          "\"durationMs\"", "\"triggerExecution\"", "\"numInputRows\"")
+        .foreach(f => assert(body.contains(f), s"missing $f in: ${body.take(2000)}"))
+      // throughput is a parseable non-negative number, not a placeholder
+      val rps = """"processedRowsPerSecond"\s*:\s*([0-9.E+-]+)""".r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+      assert(rps.exists(_ >= 0.0), s"processedRowsPerSecond unparseable: $rps")
     } finally {
       queries.values.foreach(_.stop())
       queries.values.foreach(_.awaitTermination(30000))

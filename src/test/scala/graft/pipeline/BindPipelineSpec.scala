@@ -308,4 +308,119 @@ class BindPipelineSpec extends SparkSpec {
     val e = intercept[RuntimeException](compiler.startReceivers())
     assert(e.getMessage.contains("carrier-pigeon"), e.getMessage)
   }
+
+  /** Line-collecting TCP server that can be killed and rebound on the
+    * SAME port — the peer-restart half of the sink reconnect e2e. */
+  private final class RestartableLineServer {
+    private val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    @volatile private var server: java.net.ServerSocket = _
+    def start(port: Int = 0): Int = {
+      server = new java.net.ServerSocket()
+      server.setReuseAddress(true)
+      server.bind(new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, port), 50)
+      val bound = server
+      val acceptor = new Thread(() => {
+        try {
+          while (!bound.isClosed) {
+            val s = bound.accept()
+            val worker = new Thread(() => {
+              val r = new BufferedReader(
+                new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+              var line = r.readLine()
+              while (line != null) { received.add(line); line = r.readLine() }
+              s.close()
+            })
+            worker.setDaemon(true)
+            worker.start()
+          }
+        } catch { case _: Exception => /* closing */ }
+      })
+      acceptor.setDaemon(true)
+      acceptor.start()
+      bound.getLocalPort
+    }
+    def kill(): Unit = server.close()
+    def size: Int = received.size
+    def lines: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      received.asScala.toSeq
+    }
+  }
+
+  private def await(want: => Boolean, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!want && System.currentTimeMillis() < deadline) Thread.sleep(50)
+  }
+
+  test("a killed tcp sink peer gets the backlog after restart (reconnect discipline)") {
+    val peer = new RestartableLineServer
+    val port = peer.start()
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: bind-e2e-reconn, silent: true}}
+        |  out: {module: core.sink, params: {bind: "tcp://127.0.0.1:$port"}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-reconn")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val rcvPort = compiler.startReceivers()("rcv")
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      sendLines(rcvPort, Seq("pre-1", "pre-2", "pre-3"), expectAck = false)
+      await(peer.size == 3)
+      assert(peer.lines.toSet == Set("pre-1", "pre-2", "pre-3"), peer.lines.toString)
+      // kill the peer BETWEEN batches, push more records: the sink's
+      // write fails connect, ReliableSink backs off and re-attempts with
+      // a fresh connection each time (sink.go:80-110 discipline)
+      peer.kill()
+      Thread.sleep(300)
+      sendLines(rcvPort, Seq("post-1", "post-2"), expectAck = false)
+      Thread.sleep(500) // let at least one connect-refused attempt happen
+      peer.start(port)  // peer returns on the SAME port
+      await(peer.size == 5)
+      // exact delivery: the backlog lands once, nothing dead-lettered
+      assert(peer.lines.sorted ==
+        Seq("post-1", "post-2", "pre-1", "pre-2", "pre-3"), peer.lines.toString)
+      assert(compiler.deadLetterCounts.isEmpty, compiler.deadLetterCounts.toString)
+      assert(queries("out").isActive)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
+
+  test("an unreachable sink peer dead-letters the batch and the stream survives") {
+    // nothing ever listens on the peer port; a tight retry budget makes
+    // the exhaustion path fast
+    val deadPort = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: bind-e2e-dlq, silent: true}}
+        |  out: {module: core.sink, params: {bind: "tcp://127.0.0.1:$deadPort", max_attempts: 2, min_backoff_ms: 1}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("bind-e2e-dlq")
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val rcvPort = compiler.startReceivers()("rcv")
+    val queries = compiler.startStreaming(Map.empty,
+      Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      sendLines(rcvPort, Seq("doomed-1", "doomed-2"), expectAck = false)
+      await(compiler.deadLetterCounts.get("out").exists(_._2 >= 2))
+      val (batches, rows) = compiler.deadLetterCounts("out")
+      assert(batches >= 1 && rows == 2, compiler.deadLetterCounts.toString)
+      // the exhausted batch must NOT kill the daemon query
+      assert(queries("out").isActive)
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+    }
+  }
 }

@@ -74,8 +74,19 @@ class FollowModeSpec extends SparkSpec {
     def start() = new PipelineCompiler(spark, cfg).startStreaming(
       Map("src" -> schema), Trigger.ProcessingTime("100 milliseconds"))
     val run1 = start()
-    try assert(pollCount(out, 3) == 3)
-    finally { run1.values.foreach(_.stop()); run1.values.foreach(_.awaitTermination(30000)) }
+    try {
+      assert(pollCount(out, 3) == 3)
+      // foreachBatch+append is at-least-once: stopping between the write
+      // and the offset commit legitimately replays the batch. The spec
+      // pins the COMMITTED-offsets contract, so wait for batch 0's
+      // commit marker before stopping (on a loaded box the commit can
+      // trail the visible write by seconds).
+      val commit0 = new java.io.File(s"$ckpt/commits/0")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!commit0.exists() && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(commit0.exists(), "batch 0 commit marker never appeared")
+    } finally { run1.values.foreach(_.stop()); run1.values.foreach(_.awaitTermination(30000)) }
     // restart: the committed backlog must NOT re-append (would be 6 with
     // an ephemeral checkpoint); only the file dropped between runs drains
     Seq((4L, "d")).toDF("id", "body").coalesce(1).write.mode("append").parquet(in)

@@ -149,4 +149,170 @@ class NetExamplesSpec extends SparkSpec {
       } finally compiler.close()
     } finally server.close()
   }
+
+  /** Live loopback UDP collector — one received datagram, one line. */
+  private final class UdpServer {
+    private val sock = new java.net.DatagramSocket(new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, 0))
+    private val received = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    private val t = new Thread(() => {
+      val buf = new Array[Byte](65536)
+      try while (!sock.isClosed) {
+        val pkt = new java.net.DatagramPacket(buf, buf.length)
+        sock.receive(pkt)
+        received.add(new String(pkt.getData, pkt.getOffset, pkt.getLength,
+          StandardCharsets.UTF_8))
+      } catch { case _: Exception => /* closing */ }
+    })
+    t.setDaemon(true)
+    t.start()
+    def port: Int = sock.getLocalPort
+    def size: Int = received.size
+    def lines: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      received.asScala.toSeq
+    }
+    def close(): Unit = sock.close()
+  }
+
+  private def sendTcp(port: Int, lines: Seq[String]): Unit = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = sock.getOutputStream
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      lines.foreach { l =>
+        out.write(s"$l\r\n".getBytes(StandardCharsets.UTF_8)); out.flush()
+        assert(in.readLine() == "OK")
+      }
+    } finally sock.close()
+  }
+
+  private def sendUnix(path: java.nio.file.Path, payload: String): Unit = {
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    ch.connect(java.net.UnixDomainSocketAddress.of(path))
+    ch.write(java.nio.ByteBuffer.wrap(payload.getBytes(StandardCharsets.UTF_8)))
+    ch.close()
+  }
+
+  private def httpPost(port: Int, body: String): Int = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port/v1alpha1")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    conn.getInputStream.readAllBytes()
+    code
+  }
+
+  test("http2tcp example replicates each POST to a live tcp sink and the console") {
+    val server = new LineServer
+    try {
+      val yaml = Files.readString(Paths.get("examples/http2tcp.yml"))
+        .replace("http://:8081/v1alpha1", "http://:0/v1alpha1")
+        .replace("tcp://127.0.0.1:7071", s"tcp://127.0.0.1:${server.port}")
+      graft.sources.PushReceiver.clear("http_rcv")
+      val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      val port = compiler.startReceivers()("http_rcv")
+      try {
+        val bodies = Seq("alpha", "beta", "gamma")
+        bodies.foreach(b => assert(httpPost(port, b) == 200))
+        val counts = compiler.runBatch()
+        // mode=each: every record on BOTH branches
+        assert(counts == Map("tcp_sink" -> 3L, "dumper" -> 3L), counts.toString)
+        awaitAtLeast(3)(server.size)
+        assert(server.lines.toSet == bodies.toSet, server.lines.toString)
+      } finally compiler.close()
+    } finally server.close()
+  }
+
+  test("udp2udp example relays datagrams one-in one-out") {
+    val collector = new UdpServer
+    try {
+      val yaml = Files.readString(Paths.get("examples/udp2udp.yml"))
+        .replace("udp://:3101", "udp://:0")
+        .replace("udp://127.0.0.1:7722", s"udp://127.0.0.1:${collector.port}")
+      graft.sources.PushReceiver.clear("udp_rcv")
+      val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      val port = compiler.startReceivers()("udp_rcv")
+      try {
+        val lines = (1 to 5).map(i => s"dgram-$i")
+        sendUdp(port, lines.mkString("", "\n", "\n"))
+        awaitAtLeast(5)(graft.sources.PushReceiver.size("udp_rcv"))
+        val counts = compiler.runBatch()
+        assert(counts == Map("udp_sink" -> 5L), counts.toString)
+        awaitAtLeast(5)(collector.size)
+        assert(collector.lines.toSet == lines.toSet, collector.lines.toString)
+      } finally compiler.close()
+    } finally collector.close()
+  }
+
+  test("unix2udp example demuxes each record to a udp sink and the console") {
+    val collector = new UdpServer
+    val sock = Files.createTempDirectory("graft-ex-u2u-").resolve("flow.sock")
+    try {
+      val yaml = Files.readString(Paths.get("examples/unix2udp.yml"))
+        .replace("unix:///tmp/graft-flow.sock", s"unix://$sock")
+        .replace("udp://127.0.0.1:7722", s"udp://127.0.0.1:${collector.port}")
+      graft.sources.PushReceiver.clear("unix_rcv")
+      val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      compiler.startReceivers()
+      try {
+        val lines = (1 to 4).map(i => s"rec-$i")
+        sendUnix(sock, lines.mkString("", "\n", "\n"))
+        awaitAtLeast(4)(graft.sources.PushReceiver.size("unix_rcv"))
+        val counts = compiler.runBatch()
+        assert(counts == Map("udp_sink" -> 4L, "dumper" -> 4L), counts.toString)
+        awaitAtLeast(4)(collector.size)
+        assert(collector.lines.toSet == lines.toSet, collector.lines.toString)
+      } finally compiler.close()
+    } finally collector.close()
+  }
+
+  test("tcp2fanout example splits acked tcp records across six live sinks") {
+    val servers = Seq.fill(6)(new LineServer)
+    try {
+      val yaml = rewrite("tcp2fanout.yml", "tcp://:3110", "tcp://:0",
+        (7222 to 7227).map(_.toString).zip(servers))
+      graft.sources.PushReceiver.clear("tcp_rcv")
+      val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      val port = compiler.startReceivers()("tcp_rcv")
+      try {
+        val lines = (1 to 12).map(i => s"msg-$i")
+        sendTcp(port, lines)
+        awaitAtLeast(12)(graft.sources.PushReceiver.size("tcp_rcv"))
+        val counts = compiler.runBatch()
+        assert(counts.values.sum == 12L, counts.toString)
+        awaitAtLeast(12)(servers.map(_.size).sum)
+        val all = servers.flatMap(_.lines)
+        assert(all.size == 12 && all.toSet == lines.toSet, all.toString)
+      } finally compiler.close()
+    } finally servers.foreach(_.close())
+  }
+
+  test("unix2fanout example splits unix-socket records across six live sinks") {
+    val servers = Seq.fill(6)(new LineServer)
+    val sock = Files.createTempDirectory("graft-ex-ufan-").resolve("flowd-fan.sock")
+    try {
+      val yaml = rewrite("unix2fanout.yml",
+        "unix:///tmp/graft-flowd-fan.sock", s"unix://$sock",
+        (7222 to 7227).map(_.toString).zip(servers))
+      graft.sources.PushReceiver.clear("unix_rcv")
+      val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+      compiler.startReceivers()
+      try {
+        val lines = (1 to 12).map(i => s"urec-$i")
+        sendUnix(sock, lines.mkString("", "\n", "\n"))
+        awaitAtLeast(12)(graft.sources.PushReceiver.size("unix_rcv"))
+        val counts = compiler.runBatch()
+        assert(counts.values.sum == 12L, counts.toString)
+        awaitAtLeast(12)(servers.map(_.size).sum)
+        val all = servers.flatMap(_.lines)
+        assert(all.size == 12 && all.toSet == lines.toSet, all.toString)
+      } finally compiler.close()
+    } finally servers.foreach(_.close())
+  }
 }
