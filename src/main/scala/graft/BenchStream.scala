@@ -117,7 +117,11 @@ object BenchStream {
             .openConnection().asInstanceOf[java.net.HttpURLConnection]
           conn.setRequestMethod("POST")
           conn.setDoOutput(true)
-          conn.getOutputStream.write(s"evt-$t-$i".getBytes(StandardCharsets.UTF_8))
+          val body = s"evt-$t-$i".getBytes(StandardCharsets.UTF_8)
+          // one packet for headers+body: the buffered default writes
+          // them separately and eats a delayed-ACK stall per request
+          conn.setFixedLengthStreamingMode(body.length)
+          conn.getOutputStream.write(body)
           require(conn.getResponseCode == 200, s"POST $t-$i: ${conn.getResponseCode}")
           conn.getInputStream.readAllBytes()
           conn.getInputStream.close()

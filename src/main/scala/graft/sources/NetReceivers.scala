@@ -37,6 +37,13 @@ import com.sun.net.httpserver.HttpServer
   */
 object NetReceivers {
 
+  // TCP_NODELAY on the JDK http server's response sockets: headers and
+  // body go out as separate small writes, and with Nagle on every
+  // reply stalls one delayed-ACK round (~40ms). ServerConfig reads the
+  // property when the JVM's FIRST HttpServer is created — set it in
+  // every object that creates one (AdminServer does the same).
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   final case class Handle(port: Int, close: () => Unit)
 
   def startTcp(channel: String, port: Int = 0, silent: Boolean = false): Handle = {
@@ -162,8 +169,14 @@ object NetReceivers {
       } else exchange.sendResponseHeaders(405, -1)
       exchange.close()
     })
-    server.setExecutor(null)
+    // concurrent request handling (receiver_http.go serves each
+    // connection on its own goroutine via net/http; a null executor
+    // here would serialize every client on the dispatcher thread)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-http-receiver"); t.setDaemon(true); t
+    })
+    server.setExecutor(pool)
     server.start()
-    Handle(server.getAddress.getPort, () => server.stop(0))
+    Handle(server.getAddress.getPort, () => { server.stop(0); pool.shutdown() })
   }
 }

@@ -29,6 +29,10 @@ final class AdminServer(spark: SparkSession,
                         dot: () => String,
                         port: Int = 0) {
 
+  // see NetReceivers: avoids a delayed-ACK stall on every reply; must
+  // be set before the JVM's first HttpServer is created
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
