@@ -150,13 +150,20 @@ object BenchStream {
        |""".stripMargin
 
   /** The `"tcp":{...},"http":{...}` fragment [[Bench]] embeds as its
-    * `stream` section (and [[main]] prints standalone). */
+    * `stream` section (and [[main]] prints standalone). A failed leg
+    * degrades to an `err` object — a socket hiccup here must never
+    * take down the whole bench report. */
   def section(spark: SparkSession, nTcp: Int, nHttp: Int): String = {
-    val tcp = runLeg(spark, tcpYaml("bench-stream-tcp", nTcp + 65536),
-      "rcv", "ingest", "bench-stream-tcp", nTcp)(sendTcp(_, _))
-    val http = runLeg(spark, httpYaml("bench-stream-http", nHttp + 65536),
-      "rcv", "ingest", "bench-stream-http", nHttp)(sendHttp(_, _))
-    s""""tcp":${tcp.json},"http":${http.json}"""
+    def leg(run: => Leg): String =
+      try run.json catch {
+        case e: Exception =>
+          s"""{"err":"${e.getMessage.replaceAll("[\"\\\\\\n]", " ").take(200)}"}"""
+      }
+    val tcp = leg(runLeg(spark, tcpYaml("bench-stream-tcp", nTcp + 65536),
+      "rcv", "ingest", "bench-stream-tcp", nTcp)(sendTcp(_, _)))
+    val http = leg(runLeg(spark, httpYaml("bench-stream-http", nHttp + 65536),
+      "rcv", "ingest", "bench-stream-http", nHttp)(sendHttp(_, _)))
+    s""""tcp":$tcp,"http":$http"""
   }
 
   def main(args: Array[String]): Unit = {
