@@ -85,52 +85,58 @@ object BenchStream {
     }
   }
 
-  private def sendTcp(port: Int, n: Int, threads: Int = 4): Unit = {
-    val per = n / threads
-    val senders = (0 until threads).map { t =>
-      val cnt = per + (if (t == 0) n - per * threads else 0)
-      val th = new Thread(() => {
-        val sock = new java.net.Socket("127.0.0.1", port)
-        try {
-          val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
-          var i = 0
-          while (i < cnt) {
-            out.write(s"evt-$t-$i\n".getBytes(StandardCharsets.UTF_8))
-            i += 1
-          }
-          out.flush()
-        } finally sock.close()
-      })
+  /** Runs each body on its own thread, joins all, and rethrows the
+    * first failure — a dead sender must surface as ITS error, not as a
+    * misleading rows-missing timeout three minutes later. */
+  private def joinSenders(threads: Int)(body: Int => Unit): Unit = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() =>
+        try body(t) catch { case e: Throwable => failure.compareAndSet(null, e) })
       th.start(); th
     }
-    senders.foreach(_.join())
+    ts.foreach(_.join())
+    Option(failure.get()).foreach(e => throw e)
+  }
+
+  private def sendTcp(port: Int, n: Int, threads: Int = 4): Unit = {
+    val per = n / threads
+    joinSenders(threads) { t =>
+      val cnt = per + (if (t == 0) n - per * threads else 0)
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        var i = 0
+        while (i < cnt) {
+          out.write(s"evt-$t-$i\n".getBytes(StandardCharsets.UTF_8))
+          i += 1
+        }
+        out.flush()
+      } finally sock.close()
+    }
   }
 
   private def sendHttp(port: Int, n: Int, threads: Int = 4): Unit = {
     val per = n / threads
-    val senders = (0 until threads).map { t =>
+    joinSenders(threads) { t =>
       val cnt = per + (if (t == 0) n - per * threads else 0)
-      val th = new Thread(() => {
-        var i = 0
-        while (i < cnt) {
-          val conn = new java.net.URL(s"http://127.0.0.1:$port/v1alpha1")
-            .openConnection().asInstanceOf[java.net.HttpURLConnection]
-          conn.setRequestMethod("POST")
-          conn.setDoOutput(true)
-          val body = s"evt-$t-$i".getBytes(StandardCharsets.UTF_8)
-          // one packet for headers+body: the buffered default writes
-          // them separately and eats a delayed-ACK stall per request
-          conn.setFixedLengthStreamingMode(body.length)
-          conn.getOutputStream.write(body)
-          require(conn.getResponseCode == 200, s"POST $t-$i: ${conn.getResponseCode}")
-          conn.getInputStream.readAllBytes()
-          conn.getInputStream.close()
-          i += 1
-        }
-      })
-      th.start(); th
+      var i = 0
+      while (i < cnt) {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/v1alpha1")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        val body = s"evt-$t-$i".getBytes(StandardCharsets.UTF_8)
+        // one packet for headers+body: the buffered default writes
+        // them separately and eats a delayed-ACK stall per request
+        conn.setFixedLengthStreamingMode(body.length)
+        conn.getOutputStream.write(body)
+        require(conn.getResponseCode == 200, s"POST $t-$i: ${conn.getResponseCode}")
+        conn.getInputStream.readAllBytes()
+        conn.getInputStream.close()
+        i += 1
+      }
     }
-    senders.foreach(_.join())
   }
 
   private def tcpYaml(channel: String, capacity: Int): String =
@@ -156,8 +162,8 @@ object BenchStream {
   def section(spark: SparkSession, nTcp: Int, nHttp: Int): String = {
     def leg(run: => Leg): String =
       try run.json catch {
-        case e: Exception =>
-          s"""{"err":"${e.getMessage.replaceAll("[\"\\\\\\n]", " ").take(200)}"}"""
+        case e: Exception => // e.toString: getMessage may be null
+          s"""{"err":"${e.toString.replaceAll("[\"\\\\\\s]+", " ").take(200)}"}"""
       }
     val tcp = leg(runLeg(spark, tcpYaml("bench-stream-tcp", nTcp + 65536),
       "rcv", "ingest", "bench-stream-tcp", nTcp)(sendTcp(_, _)))

@@ -36,6 +36,8 @@ object SoakAnn {
     val lshProbeBits = if (args.length > 3) args(3).toInt else 1
     val ivfNprobe = if (args.length > 4) args(4).toInt else 2
     val paths = if (args.length > 5) args(5) else "both"
+    require(Set("lsh", "ivf", "both")(paths),
+      s"paths must be lsh|ivf|both, got '$paths'")
     val d = 64
     val group = 50
     val spark = GraftSession.get()

@@ -112,7 +112,15 @@ object Dedup {
     val prefix = idx.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(byRarity))
       .join(counts, "id")
-      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_shingles")) + lit(1))
+      // +1e-9 before the floor: (1-t)*n computed in doubles can land a
+      // hair BELOW its exact value when it is exactly integral (e.g.
+      // 1.0-0.8 = 0.20000000000000007 but 1.0-0.9 = 0.099999...98, so
+      // 0.1*20 -> 1.9999...96), and an undershot floor shortens the
+      // prefix below the lossless bound — dropping qualifying pairs at
+      // the threshold boundary. The epsilon can only LENGTHEN a prefix
+      // (more candidates, never fewer), which keeps losslessness.
+      .filter(col("rk") <=
+        floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + lit(1))
       .select(col("id"), col("shingle"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

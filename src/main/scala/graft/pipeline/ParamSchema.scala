@@ -155,6 +155,21 @@ object ParamSchema {
           name -> a.copy(params = typed)
       }
     }
+    // cross-field rules: misconfiguration must fail HERE, loudly — the
+    // daemon sink path retries write failures with backoff and
+    // dead-letters exhausted batches, which is the right discipline for
+    // transient I/O but would repeat-and-swallow a config error forever
+    actors.values.foreach { a =>
+      if (a.module == "core.sink") {
+        a.params.get("format").foreach(f => require(
+          Set("parquet", "json", "csv", "console", "memory", "noop")(f.toString),
+          s"${a.name}: unknown sink format '$f'"))
+        if (a.params.get("format").exists(f =>
+            f == "parquet" || f == "json" || f == "csv"))
+          require(a.params.contains("path"),
+            s"${a.name}: format '${a.params("format")}' sink needs a path")
+      }
+    }
     cfg.copy(actors = actors)
   }
 }

@@ -440,7 +440,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case Some("file://STDOUT") => countedConsole(df, showRows)
         case Some(bind) =>
           countedAction(df)(d => writeBound(d, bind,
-            p(a, "column").getOrElse("body"), showRows, append = false))
+            p(a, "column").getOrElse("body"), append = false))
         case None => writeFormat(a, s, df)
       }
       s -> n
@@ -470,8 +470,10 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
 
   /** One batch through a bind:// sink head. */
   private def writeBound(df: DataFrame, bind: String, column: String,
-                         showRows: Int, append: Boolean): Unit = bind match {
-    case "file://STDOUT" => df.show(showRows, truncate = false)
+                         append: Boolean): Unit = bind match {
+    // file://STDOUT never reaches here: both call sites route it to
+    // countedConsole (its show is LIMITed, so it cannot share the
+    // full-pass observe counting this dispatch is wrapped in)
     case s if s.startsWith("file://") =>
       df.select(col(column).cast("string")).write
         .mode(if (append) "append" else "overwrite").text(s.drop(7))
@@ -505,16 +507,17 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case "console" =>
           countedConsole(df, p(a, "rows").map(_.toInt).getOrElse(20))
         case "memory" =>
-          // the view must expose the SAME rows the count reports: a later
-          // query through a lazily-registered view would re-evaluate the
-          // pipeline, and a nondeterministic upstream would disagree with
-          // the count. Pin the view to the collected evaluation (memory
-          // sinks are the in-driver test/debug surface, like Spark's own
-          // memory streaming sink — bounded by intent, not for bulk data).
-          val rows = df.collect()
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-            .createOrReplaceTempView(s)
-          rows.length.toLong
+          // the view must expose the SAME rows the count reports: a
+          // lazily-registered view would re-evaluate the pipeline, and a
+          // nondeterministic upstream would disagree with the count. Pin
+          // the view by persisting the branch and counting THROUGH the
+          // cache; the view owns the cache for its lifetime (executor
+          // storage, disk-spillable — never a driver-side collect), so
+          // there is deliberately no unpersist here.
+          df.persist()
+          val n = df.count()
+          df.createOrReplaceTempView(s)
+          n
         case "noop" =>
           countedAction(df)(_.write.format("noop").mode("overwrite").save())
         case other => sys.error(s"$s: unknown sink format $other")
@@ -573,7 +576,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         else { batch.show(showRows, truncate = false); -1L }
       case Some(bind) =>
         counted(d => writeBound(d, bind, p(a, "column").getOrElse("body"),
-          showRows, append = true))
+          append = true))
       case None => p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
           counted(_.write.mode("append").format(p(a, "format").get)

@@ -162,6 +162,27 @@ class DedupSpec extends SparkSpec {
       "fixture degenerate: planted pairs must qualify and non-pairs must not")
   }
 
+  test("prefix length is lossless when (1-t)*n is integral in exact arithmetic") {
+    // threshold 0.8 over a 5-shingle doc: (1.0-0.8)*5 is exactly 1.0 in
+    // real arithmetic but 0.9999999999999998 in doubles — an unguarded
+    // floor computes prefix length 1 instead of the lossless 2. Fixture:
+    // A = {u, s1..s4}, B = {s1..s4} (jaccard exactly 4/5 = 0.8). A's
+    // unique shingle u has df=1 and heads A's rarity order, so with the
+    // undershot prefix A exposes ONLY u, shares no prefix shingle with
+    // B, and the qualifying pair silently vanishes.
+    val docs = Seq(
+      (1L, "unique shared1 shared2 shared3 shared4"),
+      (2L, "shared1 shared2 shared3 shared4"))
+    for (t <- Seq(0.8, 0.9)) {
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", 1, t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val want = if (t <= 0.8) Set((1L, 2L, 0.8)) else Set.empty
+      assert(got == want, s"threshold $t: got $got")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")

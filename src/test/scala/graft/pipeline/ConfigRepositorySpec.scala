@@ -150,8 +150,10 @@ class ConfigRepositorySpec extends AnyFunSuite {
     // "1.10"->1.1 / "2e5"->200000.0 / "010"->10 mangling
     val s = repo(args = Seq("-o", "actors.src.params.path=010")).toPipelineConfig
     assert(s.actors("src").params("path") == "010")
-    val s2 = repo(args = Seq("-o", "actors.out.params.format=2e5")).toPipelineConfig
-    assert(s2.actors("out").params("format") == "2e5")
+    // (column, not format: format values are now cross-field-validated
+    // against the known sink formats, which is its own loud-failure test)
+    val s2 = repo(args = Seq("-o", "actors.out.params.column=2e5")).toPipelineConfig
+    assert(s2.actors("out").params("column") == "2e5")
 
     // bool conversion (dedup_near.distributed declared bool)
     val yamlNear =
