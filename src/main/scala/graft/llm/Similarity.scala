@@ -20,8 +20,82 @@ import graft.functions.{DotProductFloat, HashFunctions}
   *
   * cos = dot(a,b) / (norm_a * norm_b) with sequential double accumulation
   * — bit-identical to the DuckDB oracle's list_dot_product formulation.
+  *
+  * ==Measured ANN operating points (pick knobs without re-running soaks)==
+  *
+  * SoakAnn, 1M x 64-dim clustered corpus, k=10, local[32] (BASELINE.md):
+  *
+  * {{{
+  * path (operating point)                 wall     recall@10  true-NN found
+  * lshKnn  bits=18, probeBits=1           84.5 s   0.703      0.719
+  * lshKnn  bits=18, probeBits=2 (sharded) 1368 s   0.908      0.928
+  * ivfKnn  nlist=4096, nprobe=2           396 s    0.775      0.762
+  * ivfKnn  nlist=4096, nprobe=4           468 s    0.850      0.845
+  * (IVF points: 16k train sample, 3 Lloyd iterations)
+  * }}}
+  *
+  * Rules of thumb from the frontier: IVF nprobe 2->4 buys +7.5 recall
+  * points for +18% wall; LSH probeBits 1->2 buys +20 points for ~5.3x
+  * wall on one box (the shards run sequentially under the shuffle
+  * budget — on a cluster they are independent jobs). Start from IVF
+  * nprobe=4 for balanced recall/cost; reach for LSH probeBits=2 when
+  * recall@10 >= 0.9 is required without training a quantizer.
   */
 object Similarity {
+
+  /** Union a non-empty shard list as a balanced tree: a left-deep
+    * `reduce(_ union _)` over hundreds of checkpointed children risks
+    * analyzer stack overflow; the balanced form is depth log2(n). */
+  private def balancedUnion(dfs: IndexedSeq[DataFrame]): DataFrame =
+    if (dfs.length == 1) dfs.head
+    else balancedUnion(dfs.grouped(2).map(_.reduce(_.union(_))).toIndexedSeq)
+
+  /** Number of sequential query shards needed to keep `candRows` scored
+    * rows of `rowBytes` each under `budgetBytes`.
+    *
+    * Overflow-safe: divides the budget by the row width instead of
+    * multiplying rows by width (`candRows * rowBytes` wraps Long at
+    * ~3e15 pairs x 768 dims — exactly the scale the budget exists for,
+    * and a wrapped negative product would silently select ONE shard).
+    * A negative `candRows` (a wrapped Spark sum upstream) is treated as
+    * maximal, not ignored. `nQueries` is by-name and only forced when
+    * sharding is actually needed (byVolume > 1) — the under-budget path
+    * costs no extra job. The shard count is capped (sequential eager
+    * jobs + a union of checkpointed children must stay practical); when
+    * the cap binds, the peak shuffle exceeds the budget by the reported
+    * factor rather than degenerating into thousands of jobs. */
+  private[llm] def shardCount(candRows: Long, rowBytes: Long, budgetBytes: Long,
+                              nQueries: => Long, maxShards: Int = 512): Int = {
+    val rowsPerShard = math.max(1L, budgetBytes / math.max(1L, rowBytes))
+    val safeCand = if (candRows < 0) Long.MaxValue else candRows
+    val byVolume = safeCand / rowsPerShard +
+      (if (safeCand % rowsPerShard == 0L) 0L else 1L)
+    if (byVolume <= 1L) 1
+    else {
+      // a shard cannot be finer than one query vector
+      val want = math.max(1L, math.min(byVolume, nQueries))
+      if (want > maxShards)
+        System.err.println(s"graft.Similarity: shuffle budget requires " +
+          s"$want query shards; capping at $maxShards — peak shuffle may " +
+          s"exceed the budget by ~${want / maxShards}x. Raise " +
+          s"shuffleBudgetBytes or thin the probe knobs.")
+      math.min(want, maxShards.toLong).toInt
+    }
+  }
+
+  /** Run `knnFor` over `nShards` disjoint hash-shards of the query side,
+    * sequentially, each eagerly checkpointed to its slim <= |shard
+    * queries| * k result before the next starts — peak shuffle footprint
+    * is one shard's. Queries partition by id hash and a query's entire
+    * candidate set lives in its shard, so the union is exactly the
+    * single-shot answer. */
+  private def runQueryShards(slim: DataFrame, nShards: Int)
+                            (knnFor: DataFrame => DataFrame): DataFrame =
+    if (nShards <= 1) knnFor(slim)
+    else balancedUnion((0 until nShards)
+      .map(s => knnFor(slim.filter(
+          pmod(xxhash64(col("vec_id")), lit(nShards)) === s))
+        .localCheckpoint(true)))
 
   /** vec_id, embedding, norm (zero-norm vectors dropped: undefined sim). */
   private def withNorm(emb: DataFrame, idAs: String, embAs: String, normAs: String)
@@ -256,9 +330,21 @@ object Similarity {
     *    independent) divided once in double and rounded to 6 dp — the
     *    same discipline as llm_embedding_centroids, so iteration K's
     *    centroids are bit-identical however the sum is ordered.
+    *
+    * Scale guard (the 100-TB concern, symmetric with [[lshKnn]]): the
+    * scored cell join's volume is estimated EXACTLY up front from the
+    * per-cell histogram (sum over cells of probes(c) * members(c) — a
+    * <= nlist-row join, never corpus-sized); when it exceeds
+    * `shuffleBudgetBytes` the query side is hash-sharded and shards run
+    * SEQUENTIALLY, each eagerly materialized to a slim checkpoint, so
+    * peak shuffle footprint stays within budget however skewed the
+    * cells or dense the `nprobe`. The union is row-identical to the
+    * single-shot answer (a query's entire candidate set lives in its
+    * shard). Pass `shuffleBudgetBytes <= 0` to force single-shot.
     */
   def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 10, maxTrain: Int = 65536): DataFrame = {
+             iters: Int = 10, maxTrain: Int = 65536,
+             shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // bounded, deterministic training set: sort+limit compiles to
@@ -314,20 +400,65 @@ object Similarity {
     // (boxed Seq[Float], a sorted pair list per row) makes the assignment
     // pass the bottleneck at production nlist. Tie-breaking and
     // accumulation order are bit-identical to the training loop above.
+    // One kernel pass per vector into a SLIM (vec_id, probe_cells)
+    // checkpoint (assignment = probe_cells[0] — the kernel returns cells
+    // nearest-first) reused by the volume estimate, the query side, and
+    // the corpus side: embeddings never ride the cell join, exactly the
+    // lshKnn discipline.
     val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
-    val assigned = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
-      .withColumn("cell", quantizer.assign(col("emb_b")))
-    val queries = withNorm(emb, "vec_id", "embedding", "norm_a")
-      .withColumn("cell", explode(quantizer.nearestCells(col("embedding"), nprobe)))
-    val scored = queries.join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
-    graft.plans.TopKPerKey(scored,
-      keys = Seq(col("vec_id")),
-      order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
-      k = k, rankName = "rank")
-      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    val cells = withNorm(emb, "vec_id", "embedding", "norm_a")
+      .select(col("vec_id"),
+        quantizer.nearestCells(col("embedding"), nprobe).as("probe_cells"))
+      .localCheckpoint(true)
+    val a = withNorm(emb, "vec_id", "embedding", "norm_a")
+    val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
+
+    /** Single-shot plan over one query shard (corpus side is always the
+      * full corpus — recall is shard-invariant). A corpus vector occupies
+      * exactly one cell and a query's probe cells are distinct, so a
+      * (query, corpus) pair matches in at most one probed cell — the
+      * candidate set is structurally unique, no dedup shuffle. */
+    def knnFor(qCells: DataFrame): DataFrame = {
+      val q = qCells.select(col("vec_id"),
+        explode(col("probe_cells")).as("cell"))
+      val c = cells.select(col("vec_id").as("neighbor_id"),
+        col("probe_cells").getItem(0).as("cell"))
+      val cand = q.join(c, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"))
+      val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
+      graft.plans.TopKPerKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+        k = k, rankName = "rank")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }
+
+    // the scored join's volume is exactly estimable up front from the
+    // per-cell histogram: sum over cells of probes(cell) * members(cell)
+    // (includes the <= n self-pairs, so it upper-bounds the join row
+    // count). A skewed corpus concentrates mass in few cells and a dense
+    // nprobe multiplies it — the same blow-up mode lshKnn's budget
+    // already guards; when the estimate exceeds the budget, the query
+    // side is hash-sharded and shards run sequentially, each eagerly
+    // checkpointed. Pass shuffleBudgetBytes <= 0 for the single-shot plan.
+    val nShards =
+      if (shuffleBudgetBytes <= 0) 1
+      else {
+        val members = cells.groupBy(col("probe_cells").getItem(0).as("cell"))
+          .agg(count(lit(1)).as("cnt_b"))
+        val candRow = cells.select(explode(col("probe_cells")).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+          .join(members, "cell")
+          .agg(sum(col("cnt") * col("cnt_b"))).head()
+        val candRows = if (candRow.isNullAt(0)) 0L else candRow.getLong(0)
+        // d is already on the driver from training — no dimension probe
+        shardCount(candRows, rowBytes = 4L * d + 48, shuffleBudgetBytes,
+          nQueries = cells.count())
+      }
+    runQueryShards(cells, nShards)(knnFor)
   }
 
   /** LSH-bucketed approximate top-k: score only pairs sharing a hyperplane
@@ -337,9 +468,10 @@ object Similarity {
     *
     * Plan shape (the 100-TB concern):
     *  - Signatures are computed ONCE over the corpus into a slim
-    *    (vec_id, sig) checkpoint (16 bytes/row) reused by the volume
-    *    estimate, the probe side, and the candidate side — embeddings
-    *    never ride the bucket-join shuffle.
+    *    (vec_id, sig, dim) checkpoint (20 bytes/row) reused by the
+    *    volume estimate, the probe side, and the candidate side —
+    *    embeddings never ride the bucket-join shuffle, and the estimate
+    *    needs no separate dimension-probe job.
     *  - Candidate pairs are structurally unique, so no dedup shuffle
     *    exists: multi-probe is query-side only, the probe masks are
     *    distinct, and XOR with distinct masks of one signature yields
@@ -376,9 +508,12 @@ object Similarity {
       (0 until bits).combinations(w)
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
     val probeExpr = array(probes.map(lit): _*)
+    // dim rides the signature pass (one int per row) so the budget
+    // estimate never runs a separate dimension-probe job
     val sigSlim = withNorm(emb, "vec_id", "embedding", "norm_a")
       .select(col("vec_id"),
-        HashFunctions.hyperplaneSig(bits)(col("embedding")).as("sig"))
+        HashFunctions.hyperplaneSig(bits)(col("embedding")).as("sig"),
+        size(col("embedding")).as("dim"))
       .localCheckpoint(true)
     val a = withNorm(emb, "vec_id", "embedding", "norm_a")
     val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
@@ -411,28 +546,24 @@ object Similarity {
       else {
         // exact candidate count: Σ_m Σ_b cnt(b)·cnt(b⊕m) over the (≤
         // min(2^bits, n))-row signature histogram — includes the ≤n
-        // self-pairs, so it upper-bounds the scored-join row count
-        val hist = sigSlim.groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
-        val pairRow = hist.withColumn("probe", explode(probeExpr))
+        // self-pairs, so it upper-bounds the scored-join row count. ONE
+        // auxiliary job: dim folds into the same aggregate, and the
+        // nQueries clamp (by-name in shardCount) only runs when the
+        // budget actually forces sharding.
+        val hist = sigSlim.groupBy(col("sig"))
+          .agg(count(lit(1)).as("cnt"), max(col("dim")).as("dim"))
+        val statsRow = hist.withColumn("probe", explode(probeExpr))
           .select(col("sig").bitwiseXOR(col("probe")).as("bucket"), col("cnt"))
-          .join(hist.select(col("sig").as("bucket"), col("cnt").as("cnt_b")), "bucket")
-          .agg(sum(col("cnt") * col("cnt_b"))).head()
-        val candRows = if (pairRow.isNullAt(0)) 0L else pairRow.getLong(0)
-        val dim = emb.select(size(col("embedding"))).take(1) match {
-          case Array(r) if !r.isNullAt(0) => r.getInt(0)
-          case _ => 0
-        }
-        val rowBytes = 4L * dim + 48 // one float embedding + ids/norm/overhead
-        val byVolume = (candRows * rowBytes + shuffleBudgetBytes - 1) / shuffleBudgetBytes
-        // a shard cannot be finer than one query vector, and a pathological
-        // budget must not degenerate into per-row jobs — cap the loop
-        val nQueries = sigSlim.count()
-        math.max(1L, Seq(byVolume, nQueries, 65536L).min).toInt
+          .join(hist.select(col("sig").as("bucket"), col("cnt").as("cnt_b"),
+            col("dim")), "bucket")
+          .agg(sum(col("cnt") * col("cnt_b")).as("cand_rows"),
+            max(col("dim")).as("dim")).head()
+        val candRows = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+        val dim = if (statsRow.isNullAt(1)) 0 else statsRow.getInt(1)
+        // rowBytes: one float embedding + ids/norm/overhead
+        shardCount(candRows, rowBytes = 4L * dim + 48, shuffleBudgetBytes,
+          nQueries = sigSlim.count())
       }
-    if (nShards <= 1) knnFor(sigSlim)
-    else (0 until nShards)
-      .map(s => knnFor(sigSlim.filter(pmod(xxhash64(col("vec_id")), lit(nShards)) === s))
-        .localCheckpoint(true))
-      .reduce(_.union(_))
+    runQueryShards(sigSlim, nShards)(knnFor)
   }
 }

@@ -174,6 +174,40 @@ class SimilaritySpec extends SparkSpec {
     assert(sharded == one)
   }
 
+  test("ivfKnn sharded path (tiny shuffle budget) is row-identical to single-shot") {
+    // same invariant as the lshKnn case: a corpus vector occupies exactly
+    // one cell and a query's entire candidate set lives in its shard, so
+    // maximal sharding must reproduce the single-shot answer row for row
+    val small = emb.filter($"vec_id" < 30)
+    val one = Similarity.ivfKnn(small, 3, nlist = 8, nprobe = 3,
+        shuffleBudgetBytes = -1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val sharded = Similarity.ivfKnn(small, 3, nlist = 8, nprobe = 3,
+        shuffleBudgetBytes = 1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(sharded == one)
+    assert(one.nonEmpty)
+  }
+
+  test("shardCount divides before multiplying: extreme candidate counts do not overflow") {
+    // 3e15 pairs x 768-dim rows overflows candRows*rowBytes in Long; the
+    // divide-first form must still demand (capped) many shards, and a
+    // wrapped negative upstream sum is treated as maximal — never 1 shard
+    val rowBytes = 4L * 768 + 48
+    assert(Similarity.shardCount(3_000_000_000_000_000L, rowBytes,
+      32L << 30, nQueries = Long.MaxValue) == 512)
+    assert(Similarity.shardCount(-1L, rowBytes,
+      32L << 30, nQueries = Long.MaxValue) == 512)
+    // clamped to one query per shard below the cap
+    assert(Similarity.shardCount(Long.MaxValue, rowBytes,
+      32L << 30, nQueries = 7L) == 7)
+  }
+
+  test("shardCount never evaluates the nQueries clamp on the under-budget path") {
+    assert(Similarity.shardCount(100L, 100L, 32L << 30,
+      nQueries = sys.error("nQueries job must not run when byVolume <= 1")) == 1)
+  }
+
   test("nearDupPairs refuses a corpus above maxExactRows with the scale path named") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(emb, 0.9, maxExactRows = 10)
