@@ -20,7 +20,8 @@ import graft.pipeline.{PipelineCompiler, PipelineConfig}
   * availableNow streaming query (file receivers need `schema_from`
   * params pointing at a parquet file to infer from); --admin-port serves
   * the LIVE admin surface ([[graft.streaming.AdminServer]]: /config,
-  * /pipeline/describe, /progress) on 127.0.0.1:N while the pipeline runs
+  * /pipeline/describe, /progress, /sinks) on 127.0.0.1:N while the
+  * pipeline runs
   * — the reference's embedded web/app/http.go server (0 = ephemeral; the
   * bound address is printed). --follow keeps the streaming pipeline
   * RUNNING (ProcessingTime trigger, newly-dropped files keep draining)
@@ -48,10 +49,11 @@ object Flowd {
     val cfg = repo.toPipelineConfig
     if (explain) println(PipelineConfig.toDot(cfg))
     val spark = GraftSession.get()
-    val admin = adminPort.map(p => new graft.streaming.AdminServer(
-      spark, () => repo.explainAll, () => PipelineConfig.toDot(cfg), p).start())
-    admin.foreach(a => println(s"""{"admin":"http://127.0.0.1:${a.boundPort}"}"""))
     val compiler = new PipelineCompiler(spark, cfg)
+    val admin = adminPort.map(p => new graft.streaming.AdminServer(
+      spark, () => repo.explainAll, () => PipelineConfig.toDot(cfg), p,
+      deadLetters = () => compiler.deadLetterCounts).start())
+    admin.foreach(a => println(s"""{"admin":"http://127.0.0.1:${a.boundPort}"}"""))
     try {
       // bind:// receivers start their listeners up front (reference
       // pipeline.go starts receivers at pipeline start); ephemeral

@@ -160,7 +160,11 @@ object ParamSchema {
     // dead-letters exhausted batches, which is the right discipline for
     // transient I/O but would repeat-and-swallow a config error forever
     actors.values.foreach { a =>
-      if (a.module == "core.sink") {
+      // format rules apply only to format-dispatched sinks: the compiler
+      // (runBatch/writeSinkBatch) ignores `format` entirely when `bind`
+      // is present, so a bind sink carrying a stray format must still
+      // load — the param is never read
+      if (a.module == "core.sink" && !a.params.contains("bind")) {
         a.params.get("format").foreach(f => require(
           Set("parquet", "json", "csv", "console", "memory", "noop")(f.toString),
           s"${a.name}: unknown sink format '$f'"))

@@ -512,11 +512,16 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
           // nondeterministic upstream would disagree with the count. Pin
           // the view by persisting the branch and counting THROUGH the
           // cache; the view owns the cache for its lifetime (executor
-          // storage, disk-spillable — never a driver-side collect), so
-          // there is deliberately no unpersist here.
+          // storage, disk-spillable — never a driver-side collect). A
+          // repeated runBatch replaces the view, so the PREVIOUS run's
+          // cache is released here — otherwise a long-lived session
+          // re-running batch pipelines leaks executor storage per run.
+          Option(memoryViewCaches.get(s)).foreach(prev =>
+            scala.util.Try(prev.unpersist()))
           df.persist()
           val n = df.count()
           df.createOrReplaceTempView(s)
+          memoryViewCaches.put(s, df)
           n
         case "noop" =>
           countedAction(df)(_.write.format("noop").mode("overwrite").save())
@@ -663,6 +668,11 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     }.toMap
   }
 
+  /** memory-sink name -> the persisted DataFrame backing its temp view;
+    * consulted on view replacement so the superseded cache is released. */
+  private val memoryViewCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** sink name -> (dead-lettered batches, dead-lettered rows): daemon
     * batches whose writes exhausted their retry budget. */
   private val deadLettered =
@@ -675,6 +685,9 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
 
   private def recordDeadLetter(sink: String, batchId: Long, batch: DataFrame,
                                err: Throwable): Unit = {
+    // `batch` is the retry loop's pinned localCheckpoint (ReliableSink
+    // pins on first failure), so this count reads materialized blocks —
+    // the failed batch's pipeline is not re-evaluated to tally rows
     val rows = scala.util.Try(batch.count()).getOrElse(-1L)
     deadLettered.merge(sink, (1L, rows),
       (a, b) => (a._1 + b._1, a._2 + b._2))

@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   *                             Spark rendering of the reference's
   *                             /expvar counters (rows/sec in/out, batch
   *                             durations, state rows)
+  *  - `GET /sinks`             per-sink failure counters: batches/rows
+  *                             dead-lettered after retry exhaustion (the
+  *                             /expvar analog's failure side)
   *
   * Serves on loopback only (an operator debugging a relay, not a public
   * surface); port 0 picks an ephemeral port, `boundPort` reports it.
@@ -27,7 +30,9 @@ import org.apache.spark.sql.SparkSession
 final class AdminServer(spark: SparkSession,
                         explainConfig: () => String,
                         dot: () => String,
-                        port: Int = 0) {
+                        port: Int = 0,
+                        deadLetters: () => Map[String, (Long, Long)] =
+                          () => Map.empty) {
 
   // see NetReceivers: avoids a delayed-ACK stall on every reply; must
   // be set before the JVM's first HttpServer is created
@@ -80,9 +85,18 @@ final class AdminServer(spark: SparkSession,
           if (status == 200) contentType else "text/plain; charset=utf-8", bytes)
       } finally ex.close())
 
+  /** Per-sink dead-letter tallies, computed per request so the payload
+    * tracks the live compiler state at each poll. */
+  private def sinksJson(): String =
+    deadLetters().toSeq.sortBy(_._1).map { case (sink, (batches, rows)) =>
+      s"""{"sink":${jsonStr(sink)},"deadLetteredBatches":$batches,""" +
+        s""""deadLetteredRows":$rows}"""
+    }.mkString("[", ",", "]")
+
   route("/config", "text/plain; charset=utf-8", explainConfig)
   route("/pipeline/describe", "text/vnd.graphviz; charset=utf-8", dot)
   route("/progress", "application/json", () => progressJson())
+  route("/sinks", "application/json", () => sinksJson())
 
   /** Discoverability index at `/` — the reference admin server's HTML
     * landing page enumerating its surfaces (web/app/agent/index.go,
@@ -96,6 +110,7 @@ final class AdminServer(spark: SparkSession,
       |<li><a href="/config">/config</a> &mdash; resolved config, one provenance line per key</li>
       |<li><a href="/pipeline/describe">/pipeline/describe</a> &mdash; pipeline DAG as Graphviz DOT</li>
       |<li><a href="/progress">/progress</a> &mdash; live streaming-query progress (JSON)</li>
+      |<li><a href="/sinks">/sinks</a> &mdash; per-sink dead-letter counters (JSON)</li>
       |</ul></body></html>
       |""".stripMargin
 

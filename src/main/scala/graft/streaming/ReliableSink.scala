@@ -23,7 +23,13 @@ object ReliableSink {
   /** Returns a (batchDf, batchId) => Unit suitable for
     * `writeStream.foreachBatch`. `write` is attempted up to
     * policy.maxAttempts with doubling backoff; on exhaustion the batch
-    * goes to `deadLetter` (never throws into the stream). */
+    * goes to `deadLetter` (never throws into the stream).
+    *
+    * Failure-path evaluation discipline: after the FIRST failed attempt
+    * the batch is eagerly `localCheckpoint`ed once, so every subsequent
+    * retry — and the dead-letter accounting's row count — reads the
+    * materialized blocks instead of re-running the batch's pipeline per
+    * attempt. The success path never materializes anything. */
   def withRetry(write: (DataFrame, Long) => Unit,
                 deadLetter: (DataFrame, Long, Throwable) => Unit,
                 policy: RetryPolicy = RetryPolicy(),
@@ -34,21 +40,29 @@ object ReliableSink {
       var backoff = policy.minBackoffMs
       var lastErr: Throwable = null
       var done = false
-      while (!done && attempt < policy.maxAttempts) {
-        try {
-          write(df, batchId)
-          done = true
-        } catch {
-          case e: Exception =>
-            lastErr = e
-            attempt += 1
-            if (attempt < policy.maxAttempts) {
-              sleep(backoff)
-              backoff = math.min(backoff * 2, policy.maxBackoffMs)
-            }
+      var pinned: Option[DataFrame] = None
+      def cur: DataFrame = pinned.getOrElse(df)
+      try {
+        while (!done && attempt < policy.maxAttempts) {
+          try {
+            write(cur, batchId)
+            done = true
+          } catch {
+            case e: Exception =>
+              lastErr = e
+              attempt += 1
+              if (attempt < policy.maxAttempts) {
+                // one eager materialization; a checkpoint failure (the
+                // upstream itself is broken) falls back to the plain df
+                if (pinned.isEmpty)
+                  pinned = scala.util.Try(df.localCheckpoint(true)).toOption
+                sleep(backoff)
+                backoff = math.min(backoff * 2, policy.maxBackoffMs)
+              }
+          }
         }
-      }
-      if (!done) deadLetter(df, batchId, lastErr)
+        if (!done) deadLetter(cur, batchId, lastErr)
+      } finally pinned.foreach(p => scala.util.Try(p.unpersist()))
     }
   }
 }

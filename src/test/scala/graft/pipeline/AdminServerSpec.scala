@@ -178,4 +178,54 @@ class AdminServerSpec extends SparkSpec {
       admin.stop()
     }
   }
+
+  test("/sinks surfaces per-sink dead-letter counters after retry exhaustion") {
+    // an unreachable peer exhausts a tight retry budget; the failure
+    // counters must be visible over the admin surface (the reference's
+    // /expvar failure side), not only via the compiler API
+    val deadPort = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: admin-dlq-e2e, silent: true}}
+        |  out: {module: core.sink, params: {bind: "tcp://127.0.0.1:$deadPort", max_attempts: 2, min_backoff_ms: 1}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("admin-dlq-e2e")
+    val cfg = PipelineConfig.parse(yaml)
+    val compiler = new PipelineCompiler(spark, cfg)
+    val port = compiler.startReceivers()("rcv")
+    val admin = new AdminServer(spark, () => yaml,
+      () => PipelineConfig.toDot(cfg),
+      deadLetters = () => compiler.deadLetterCounts).start()
+    val queries = compiler.startStreaming(Map.empty,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // before any failure the payload is an empty array, still 200
+      val (c0, empty) = get(admin.boundPort, "/sinks")
+      assert(c0 == 200 && empty == "[]", empty)
+      val s = new java.net.Socket("127.0.0.1", port)
+      try s.getOutputStream.write("doomed-1\r\ndoomed-2\r\n".getBytes("UTF-8"))
+      finally s.close()
+      val deadline = System.currentTimeMillis() + 30000
+      var body = ""
+      while (!body.contains("\"deadLetteredRows\":2") &&
+          System.currentTimeMillis() < deadline) {
+        body = get(admin.boundPort, "/sinks")._2
+        Thread.sleep(50)
+      }
+      assert(body.contains("\"sink\":\"out\""), body)
+      assert(body.contains("\"deadLetteredRows\":2"), body)
+      assert("""\"deadLetteredBatches\":[1-9]""".r.findFirstIn(body).isDefined, body)
+      // the index advertises the endpoint
+      assert(get(admin.boundPort, "/")._2.contains("href=\"/sinks\""))
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+      admin.stop()
+    }
+  }
 }

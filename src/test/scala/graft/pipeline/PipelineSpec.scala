@@ -312,4 +312,51 @@ class PipelineSpec extends SparkSpec {
     val counts = new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
     assert(counts.values.sum == 5L, s"fanout must not duplicate or drop: $counts")
   }
+
+  test("re-running a memory-sink pipeline releases the replaced view's cache") {
+    val in = Files.createTempDirectory("graft-pipe-cache-").toString
+    writeEvents(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [out]}
+        |""".stripMargin
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    compiler.runBatch()
+    compiler.runBatch()
+    compiler.runBatch()
+    // config-reload loop on a long-lived session: each run replaces the
+    // view, so at most ONE cache (the live view's) may remain pinned
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"memory sink leaked ${after - before} caches across 3 runs")
+    assert(spark.table("out").count() == 5L)
+  }
+
+  test("a bind sink carrying a stray format param still loads (format is never read)") {
+    // the compiler's dispatch ignores `format` when `bind` is present —
+    // the load-time format/path rules must mirror that order, not fail a
+    // config for a param that would never be read
+    val yaml =
+      """actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: psc-bindfmt}}
+        |  out: {module: core.sink, params: {bind: "udp://127.0.0.1:9", format: parquet}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)) // must not throw
+    // format-dispatched sinks keep the strict rule
+    val noBind =
+      """actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: psc-nofmt}}
+        |  out: {module: core.sink, params: {format: parquet}}
+        |pipeline:
+        |  rcv: {connect: [out]}
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(noBind))
+    assert(e.getMessage.contains("path"))
+  }
 }

@@ -194,4 +194,55 @@ class StreamingSpec extends SparkSpec {
     fn(spark.range(1).toDF(), 0L)
     assert(attempts == 16 && dead == 1)
   }
+
+  test("failure path pins the batch: retries + dead-letter count do not re-evaluate the pipeline") {
+    // a write that consumes the whole batch then fails (peer reset at
+    // flush): the pipeline must be evaluated exactly twice — attempt 1
+    // and the one eager pin — however many retries follow; the dead-
+    // letter row count reads the pinned blocks, not the pipeline
+    import org.apache.spark.sql.functions.udf
+    StreamingSpec.evalCount.set(0)
+    val tick = udf { (x: Long) => StreamingSpec.evalCount.incrementAndGet(); x }
+    val df = spark.range(100).select(tick($"id").as("id"))
+    var deadRows = -1L
+    val fn = ReliableSink.withRetry(
+      (d, _) => {
+        d.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach(_ => ()))
+        throw new RuntimeException("reset at flush")
+      },
+      (d, _, _) => deadRows = d.count(),
+      ReliableSink.RetryPolicy(maxAttempts = 8, minBackoffMs = 1, maxBackoffMs = 1),
+      sleep = _ => ())
+    fn(df, 0L)
+    assert(deadRows == 100L)
+    assert(StreamingSpec.evalCount.get() == 200L,
+      s"pipeline evaluated ${StreamingSpec.evalCount.get() / 100.0}x — " +
+        "retries or the dead-letter count re-ran the batch")
+  }
+
+  test("a write that fails before consuming still dead-letters exact rows from one evaluation") {
+    // the unreachable-peer shape: connect fails before any row is
+    // pulled, so only the pin evaluates the pipeline — exactly once
+    import org.apache.spark.sql.functions.udf
+    StreamingSpec.evalCount.set(0)
+    val tick = udf { (x: Long) => StreamingSpec.evalCount.incrementAndGet(); x }
+    val df = spark.range(42).select(tick($"id").as("id"))
+    var deadRows = -1L
+    val fn = ReliableSink.withRetry(
+      (_, _) => throw new java.net.ConnectException("refused"),
+      (d, _, _) => deadRows = d.count(),
+      ReliableSink.RetryPolicy(maxAttempts = 8, minBackoffMs = 1, maxBackoffMs = 1),
+      sleep = _ => ())
+    fn(df, 0L)
+    assert(deadRows == 42L)
+    assert(StreamingSpec.evalCount.get() == 42L,
+      s"expected one pinned evaluation, saw ${StreamingSpec.evalCount.get()}")
+  }
+}
+
+object StreamingSpec {
+  /** Per-row evaluation tally for the failure-path specs (local[*]: the
+    * executor shares the JVM, so a static counter sees every row). */
+  val evalCount = new java.util.concurrent.atomic.AtomicLong(0)
 }
