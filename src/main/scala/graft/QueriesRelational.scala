@@ -850,12 +850,13 @@ object QueriesRelational {
     // SURVEY §1.2 commits to, inside the correctness gate itself.
     QueryDef("stream_tumbling_window",
       (s, dir) => {
-        import org.apache.spark.sql.types._
-        val raw = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // streaming sources need an explicit schema: take it from the
+        // file's own footer (via a batch read) rather than hardcoding one,
+        // so fixture regeneration with a different ts encoding can't
+        // silently corrupt the stream. normalizeTs then adapts either
+        // encoding (nanos-as-long or standard TIMESTAMP) to micros.
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = s.read.parquet(s"$dir/events.parquet").schema
         // the file streaming source monitors a DIRECTORY; expose the single
         // table file through a temp dir symlink (the usual layout is a
         // drop-zone directory of part files)
@@ -863,9 +864,8 @@ object QueriesRelational {
         java.nio.file.Files.createSymbolicLink(
           dropZone.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val src = graft.streaming.Streams
-          .fileSource(s, dropZone.toString, raw)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val src = graft.Tables.normalizeTs(
+          graft.streaming.Streams.fileSource(s, dropZone.toString, raw), "ts")
         val agg = src.withWatermark("ts", "1 minute")
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

@@ -164,15 +164,14 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case "core.receiver" =>
       val path = p(a, "path").getOrElse(sys.error(s"${a.name}: receiver needs path"))
       val format = p(a, "format").getOrElse("parquet")
-      // parquet TIMESTAMP(NANOS) columns have no native Spark type: read
-      // them as longs and truncate to micro timestamps on request
+      // listed ts columns are normalized schema-adaptively: parquet
+      // TIMESTAMP(NANOS) reads as a long (truncated to micros), standard
+      // TIMESTAMP/NTZ passes through — fixture encodings vary by generation
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.format(format).load(path)
       p(a, "ts_nanos_to_micros").map(_.split(",").map(_.trim).filter(_.nonEmpty))
         .getOrElse(Array.empty[String])
-        .foldLeft(raw) { (df, c) =>
-          df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-        }
+        .foldLeft(raw)(graft.Tables.normalizeTs)
 
     // network-receiver analog: the in-process push channel. Batch mode
     // snapshots what has been pushed so far; the streaming runner
