@@ -179,6 +179,79 @@ class AdminServerSpec extends SparkSpec {
     }
   }
 
+  test("/sinks composite status: fan-out with one healthy and one dead sink") {
+    // the reference replicator's composite status (replicator.go:120-145):
+    // a fan-out where ONE downstream is failing must report per-sink
+    // health — the dead peer accrues dead-letter counters while the
+    // healthy peer keeps delivering, and the admin payload distinguishes
+    // them instead of collapsing to a single pipeline-wide verdict
+    val healthy = new java.net.ServerSocket(
+      0, 50, java.net.InetAddress.getLoopbackAddress)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val acceptor = new Thread(() => {
+      try while (!healthy.isClosed) {
+        val s = healthy.accept()
+        val worker = new Thread(() => {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+            s.getInputStream, "UTF-8"))
+          var line = r.readLine()
+          while (line != null) { got.add(line); line = r.readLine() }
+          s.close()
+        })
+        worker.setDaemon(true); worker.start()
+      } catch { case _: Exception => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    val deadPort = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    val yaml =
+      s"""actors:
+        |  rcv: {module: core.receiver, params: {bind: "tcp://:0", channel: admin-composite-e2e, silent: true}}
+        |  ok:  {module: core.sink, params: {bind: "tcp://127.0.0.1:${healthy.getLocalPort}"}}
+        |  bad: {module: core.sink, params: {bind: "tcp://127.0.0.1:$deadPort", max_attempts: 2, min_backoff_ms: 1}}
+        |pipeline:
+        |  rcv: {connect: [ok, bad]}
+        |""".stripMargin
+    graft.sources.PushReceiver.clear("admin-composite-e2e")
+    val cfg = PipelineConfig.parse(yaml)
+    val compiler = new PipelineCompiler(spark, cfg)
+    val port = compiler.startReceivers()("rcv")
+    val admin = new AdminServer(spark, () => yaml,
+      () => PipelineConfig.toDot(cfg),
+      deadLetters = () => compiler.deadLetterCounts).start()
+    val queries = compiler.startStreaming(Map.empty,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      val s = new java.net.Socket("127.0.0.1", port)
+      try s.getOutputStream.write("split-1\r\nsplit-2\r\n".getBytes("UTF-8"))
+      finally s.close()
+      val deadline = System.currentTimeMillis() + 30000
+      var body = ""
+      while (!(body.contains("\"deadLetteredRows\":2") && got.size >= 2) &&
+          System.currentTimeMillis() < deadline) {
+        body = get(admin.boundPort, "/sinks")._2
+        Thread.sleep(50)
+      }
+      // the healthy leg delivered every row over its live socket...
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set("split-1", "split-2"), got.toString)
+      // ...while the dead leg — and ONLY the dead leg — shows failure
+      // counters on the admin surface
+      assert(body.contains("\"sink\":\"bad\""), body)
+      assert(body.contains("\"deadLetteredRows\":2"), body)
+      assert(!body.contains("\"sink\":\"ok\""),
+        s"healthy sink must not accrue dead-letter counters: $body")
+    } finally {
+      queries.values.foreach(_.stop())
+      queries.values.foreach(_.awaitTermination(30000))
+      compiler.close()
+      admin.stop()
+      healthy.close()
+    }
+  }
+
   test("/sinks surfaces per-sink dead-letter counters after retry exhaustion") {
     // an unreachable peer exhausts a tight retry budget; the failure
     // counters must be visible over the admin surface (the reference's
