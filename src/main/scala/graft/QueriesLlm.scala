@@ -100,7 +100,7 @@ object QueriesLlm {
           AS cos_sim
       FROM embeddings a JOIN embeddings b ON $body)"""
 
-  val defs: Seq[QueryDef] = Seq(
+  private val baseDefs: Seq[QueryDef] = Seq(
 
     // exact dedup on a 128-bit content hash; input deliberately contains
     // one duplicate of every doc (id+DupIdOffset) so the collapse is
@@ -1015,4 +1015,22 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
         FROM m"""
       })
   )
+
+  /** The persisted-index ANN path (build once / query many —
+    * [[Similarity.ivfBuildIndex]] + [[Similarity.ivfSearchIndex]]) must
+    * be row-identical to the in-memory [[Similarity.ivfKnn]] at the same
+    * knobs, so it reuses llm_ann_ivf's DuckDB oracle VERBATIM: the
+    * round-trip through parquet (exact-double centroids, per-cell corpus
+    * slices) is pinned to produce the same answer as never persisting. */
+  val defs: Seq[QueryDef] = baseDefs :+ QueryDef(
+    "llm_ann_ivf_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfBuildIndex(emb, idx, nlist = 16)
+      Similarity.ivfSearchIndex(emb, idx, k = 3, nprobe = 4, excludeSelf = true)
+        .withColumnRenamed("rank", "knn_rank")
+    },
+    baseDefs.find(_.name == "llm_ann_ivf")
+      .flatMap(_.oracle))
 }

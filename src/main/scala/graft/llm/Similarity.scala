@@ -342,15 +342,16 @@ object Similarity {
     * single-shot answer (a query's entire candidate set lives in its
     * shard). Pass `shuffleBudgetBytes <= 0` to force single-shot.
     */
-  def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             iters: Int = 10, maxTrain: Int = 65536,
-             shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
+  /** Bounded, deterministic k-means (Lloyd) quantizer training shared by
+    * [[ivfKnn]] and [[ivfBuildIndex]]: sort+limit compiles to
+    * TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    * never collects the corpus, so the quantizer trains on <= maxTrain
+    * vectors regardless of corpus size. Exact decimal per-dim sums keep
+    * iteration K's centroids bit-identical however the sum is ordered. */
+  private[llm] def trainIvfCentroids(emb: DataFrame, nlist: Int, iters: Int,
+                                     maxTrain: Int): Vector[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // bounded, deterministic training set: sort+limit compiles to
-    // TakeOrderedAndProject (per-partition top-k, merged on the driver) —
-    // never collects the corpus, so the quantizer trains on <= maxTrain
-    // vectors regardless of corpus size
     val sample = emb.select(col("vec_id"), col("embedding"))
       .sort(col("vec_id")).limit(maxTrain)
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
@@ -395,6 +396,15 @@ object Similarity {
         if (counts(c) == 0) centroids(c)
         else sums(c).map(s => round6(s.doubleValue() / counts(c))))
     }
+    centroids
+  }
+
+  def ivfKnn(emb: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+             iters: Int = 10, maxTrain: Int = 65536,
+             shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = trainIvfCentroids(emb, nlist, iters, maxTrain)
+    val d = centroids.head.length
     // assignment + probe as ONE codegen kernel over the broadcast flat
     // centroid matrix (NearestCellsFloat): the per-row UDF formulation
     // (boxed Seq[Float], a sorted pair list per row) makes the assignment
@@ -459,6 +469,123 @@ object Similarity {
           nQueries = cells.count())
       }
     runQueryShards(cells, nShards)(knnFor)
+  }
+
+  /** Build a persisted IVF index under `dir` — the build-once/query-many
+    * production shape: quantizer training and corpus assignment run ONCE
+    * (the expensive pass over a 100-TB corpus), and every subsequent
+    * query batch reads the index instead of re-scanning the corpus.
+    *
+    * Layout:
+    *  - `dir/centroids`: (cell INT, c ARRAY<DOUBLE>) — nlist rows; exact
+    *    doubles round-trip through parquet, so a loaded quantizer is
+    *    bit-identical to the trained one.
+    *  - `dir/cells`: (vec_id, cell, embedding, norm) range-partitioned
+    *    AND sorted by cell, so parquet row-group stats prune a probe of
+    *    few cells to few row groups — the partition-pruning story that
+    *    makes small query batches cheap against a huge corpus.
+    *
+    * Zero-norm vectors are dropped at build (cosine undefined), matching
+    * [[ivfKnn]]'s withNorm discipline. */
+  def ivfBuildIndex(emb: DataFrame, dir: String, nlist: Int = 16,
+                    iters: Int = 10, maxTrain: Int = 65536): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(emb, nlist, iters, maxTrain)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    withNorm(emb, "vec_id", "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        quantizer.nearestCells(col("embedding"), 1).getItem(0).as("cell"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Top-k cosine neighbors of `queries` against a persisted IVF index
+    * (see [[ivfBuildIndex]]). Row-identical to running [[ivfKnn]] with
+    * the same knobs when `queries` is the indexed corpus itself and
+    * `excludeSelf=true` — pinned by the llm_ann_ivf_index oracle, which
+    * reuses llm_ann_ivf's DuckDB twin verbatim.
+    *
+    * Scale shape, same discipline as [[ivfKnn]]:
+    *  - the quantizer loads from `dir/centroids` (<= nlist rows — a
+    *    bounded collect by construction) and probe assignment is the
+    *    NearestCellsFloat codegen kernel;
+    *  - when the distinct probed cells are few (a small query batch
+    *    against a big index), an IN filter on `cell` pushes into the
+    *    index scan — row-group pruning on the build-sorted files reads
+    *    only the probed slices of the corpus;
+    *  - embeddings never ride the cell join: candidates are slim
+    *    (vec_id, neighbor_id) pairs, embeddings join back by id;
+    *  - the scored-join volume is estimated exactly up front from the
+    *    probe histogram x index cell histogram and the query side is
+    *    hash-sharded sequentially under `shuffleBudgetBytes`. */
+  def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
+                     excludeSelf: Boolean = false,
+                     shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Vector[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("cell"), col("c"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+        .toVector
+    require(centroids.nonEmpty, s"empty IVF index at $dir")
+    val d = centroids.head.length
+    val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    val qCells = withNorm(queries, "vec_id", "embedding", "norm_a")
+      .select(col("vec_id"),
+        quantizer.nearestCells(col("embedding"), nprobe).as("probe_cells"))
+      .localCheckpoint(true)
+    val a = withNorm(queries, "vec_id", "embedding", "norm_a")
+    val index = spark.read.parquet(s"$dir/cells")
+    // distinct probed cells are <= nlist by construction, so this is a
+    // bounded collect; pruning only pays when the probe set is sparse
+    val probed = qCells.select(explode(col("probe_cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val corpus =
+      if (probed.length < centroids.length)
+        index.filter(col("cell").isin(probed.map(Int.box): _*))
+      else index
+    val b = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("cell"))
+
+    def knnFor(q: DataFrame): DataFrame = {
+      val probesOf = q.select(col("vec_id"), explode(col("probe_cells")).as("cell"))
+      val candBase = probesOf.join(c, Seq("cell"))
+      val cand = (if (excludeSelf) candBase.filter(col("vec_id") =!= col("neighbor_id"))
+                  else candBase)
+        .select(col("vec_id"), col("neighbor_id"))
+      val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
+      graft.plans.TopKPerKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+        k = k, rankName = "rank")
+        .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }
+
+    val nShards =
+      if (shuffleBudgetBytes <= 0) 1
+      else {
+        val members = corpus.groupBy(col("cell")).agg(count(lit(1)).as("cnt_b"))
+        val candRow = qCells.select(explode(col("probe_cells")).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+          .join(members, "cell")
+          .agg(sum(col("cnt") * col("cnt_b"))).head()
+        val candRows = if (candRow.isNullAt(0)) 0L else candRow.getLong(0)
+        shardCount(candRows, rowBytes = 4L * d + 48, shuffleBudgetBytes,
+          nQueries = qCells.count())
+      }
+    runQueryShards(qCells, nShards)(knnFor)
   }
 
   /** LSH-bucketed approximate top-k: score only pairs sharing a hyperplane

@@ -189,6 +189,58 @@ class SimilaritySpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("ivf persisted index reproduces ivfKnn row-for-row (self-join parity)") {
+    // build-once/query-many must be indistinguishable from never
+    // persisting: same quantizer (exact doubles round-trip parquet),
+    // same assignment kernel, same scoring — the production index path
+    // earns the in-memory path's oracle
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    Similarity.ivfBuildIndex(emb, dir, nlist = 8)
+    val fromIndex = Similarity
+      .ivfSearchIndex(emb, dir, k = 3, nprobe = 3, excludeSelf = true)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val direct = Similarity.ivfKnn(emb, 3, nlist = 8, nprobe = 3)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(fromIndex == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("small query batch against the index prunes the scan and matches the full answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    Similarity.ivfBuildIndex(emb, dir, nlist = 8)
+    val queries = emb.filter($"vec_id" < 5)
+    val got = Similarity.ivfSearchIndex(queries, dir, k = 3, nprobe = 2,
+      excludeSelf = true)
+    // a query's answer depends only on its own probes and the index, so
+    // the batch answer must equal the full self-join restricted to it
+    val full = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 2,
+        excludeSelf = true)
+      .filter($"vec_id" < 5)
+    assert(got.orderBy($"vec_id", $"rank").collect().toSeq ==
+      full.orderBy($"vec_id", $"rank").collect().toSeq)
+    assert(got.count() > 0)
+    // few probed cells (<= 5 queries x 2 probes) out of 8: the cell IN
+    // filter must reach the index parquet scan so row-group pruning
+    // reads only the probed slices at corpus scale
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      """PushedFilters: \[[^\]]*[Ii]n\(cell""".r.findFirstIn(plan).isDefined,
+      s"cell IN filter not pushed to the index scan:\n${plan.take(4000)}")
+  }
+
+  test("ivfSearchIndex sharded path (tiny budget) is row-identical to single-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    Similarity.ivfBuildIndex(emb, dir, nlist = 8)
+    val one = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
+        excludeSelf = true, shuffleBudgetBytes = -1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val sharded = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
+        excludeSelf = true, shuffleBudgetBytes = 1)
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(sharded == one)
+    assert(one.nonEmpty)
+  }
+
   test("shardCount divides before multiplying: extreme candidate counts do not overflow") {
     // 3e15 pairs x 768-dim rows overflows candRows*rowBytes in Long; the
     // divide-first form must still demand (capped) many shards, and a
