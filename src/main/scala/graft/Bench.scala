@@ -25,7 +25,9 @@ object Bench {
     "llm_repetition", "q47_recursive_cte", "q48_lateral_topk",
     "llm_mix_weights", "llm_zipf_spectrum", "llm_decontaminate", "llm_novelty",
     // round 3: the reworked ANN paths + the KMV estimator
-    "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct")
+    "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct",
+    // round 8: persisted-index ANN (build + search, end-to-end)
+    "llm_ann_ivf_index")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -416,9 +416,17 @@ object Similarity {
     // the corpus side: embeddings never ride the cell join, exactly the
     // lshKnn discipline.
     val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    // repartition before the checkpoint: the slim frame's partitioning is
+    // inherited by every candidate-generation stage downstream (the cell
+    // join streams over it), and a compactly-written corpus coalesces to
+    // a handful of scan partitions — found live via jstack on the 1M
+    // nprobe=8 soak, 33/34 executor threads idle behind a single-task
+    // stage. One cheap shuffle of ~50-byte rows buys full parallelism
+    // whatever the input file layout.
     val cells = withNorm(emb, "vec_id", "embedding", "norm_a")
       .select(col("vec_id"),
         quantizer.nearestCells(col("embedding"), nprobe).as("probe_cells"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val a = withNorm(emb, "vec_id", "embedding", "norm_a")
     val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
@@ -542,6 +550,7 @@ object Similarity {
     val qCells = withNorm(queries, "vec_id", "embedding", "norm_a")
       .select(col("vec_id"),
         quantizer.nearestCells(col("embedding"), nprobe).as("probe_cells"))
+      .repartition(spark.sparkContext.defaultParallelism) // see ivfKnn note
       .localCheckpoint(true)
     val a = withNorm(queries, "vec_id", "embedding", "norm_a")
     val index = spark.read.parquet(s"$dir/cells")
@@ -641,6 +650,10 @@ object Similarity {
       .select(col("vec_id"),
         HashFunctions.hyperplaneSig(bits)(col("embedding")).as("sig"),
         size(col("embedding")).as("dim"))
+      // repartition before the checkpoint: downstream bucket-join stages
+      // inherit this partitioning (see the ivfKnn note — single-task
+      // candidate generation on compactly-written corpora otherwise)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val a = withNorm(emb, "vec_id", "embedding", "norm_a")
     val b = withNorm(emb, "neighbor_id", "emb_b", "norm_b")
