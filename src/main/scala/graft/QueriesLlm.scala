@@ -180,6 +180,35 @@ object QueriesLlm {
         "text", "doc_id", shingleN = 3, threshold = 0.5, collapseExact = true),
       Some(jaccardOracleOver(DupHeavyReps))),
 
+    // persisted LSH dedup index (build once / query many): the corpus
+    // (doc_id % 5 != 0) is indexed on disk, then the "incoming batch"
+    // (doc_id % 5 == 0) is deduped AGAINST the index — the incremental
+    // daily-batch-vs-warehouse loop. The oracle is the exact quadratic
+    // batch-x-corpus jaccard: candidates come from the persisted band
+    // slice, but verification is exact, so the answer must equal the
+    // never-persisted form (recall of the 16x4 banding at this corpus is
+    // total — pinned by llm_dedup_minhash, whose pair set is a superset).
+    QueryDef("llm_dedup_index",
+      (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-lsh-index-").toString
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        Dedup.lshBuildIndex(docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", idx,
+          shingleN = 3, numBands = 16, rowsPerBand = 4)
+        Dedup.lshIndexMatches(docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", idx,
+          threshold = 0.5)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+          FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          GROUP BY 1, 2)
+        SELECT ia AS batch_id, ib AS corpus_id,
+          round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+        WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5""")),
+
     // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.
     // Hamming-over-simhash is a genuinely different similarity measure than
     // jaccard (measured on this corpus: true near-dup pairs span hamming

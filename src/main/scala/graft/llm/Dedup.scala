@@ -320,6 +320,152 @@ object Dedup {
       .select(col(idCol), col("cluster_root"), col("keep"))
   }
 
+  /** Directory-partition fan-out of the persisted index's shingle slice:
+    * candidate ids map to `pmod(xxhash64(id), IndexIdBuckets)` directories,
+    * so a batch whose candidates touch few buckets prunes the verify scan
+    * at the PARTITION level (catalog pruning works for arbitrarily long
+    * id lists, unlike parquet row-group In-pushdown which caps at a
+    * handful of literals). 256 keeps the bucket list a bounded collect
+    * (<= 256 values) at any corpus size. */
+  val IndexIdBuckets = 256
+
+  private def idBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(IndexIdBuckets)).cast("int")
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_bands"),
+      m.getAs[Int]("rows_per_band"))
+  }
+
+  /** Build a persisted MinHash-LSH dedup index under `dir` — the
+    * build-once/query-many shape for INCREMENTAL dedup: hash the corpus
+    * once, then dedup every incoming batch against the index without
+    * recomputing the corpus (the daily-crawl-vs-warehouse loop of a
+    * training-data pipeline). The persisted-index counterpart of
+    * [[minhashLshPairs]], mirroring [[Similarity.ivfBuildIndex]]'s
+    * layout discipline.
+    *
+    * Layout under `dir`:
+    *  - `meta`: one row (shingle_n, num_bands, rows_per_band) — the query
+    *    side derives its parameters from the index, so a batch can never
+    *    be signed with mismatched knobs;
+    *  - `shingles/` partitioned by `id_pt` (see [[IndexIdBuckets]]):
+    *    (id, sh) hashed shingle sets, sorted by id within files — the
+    *    exact-verify side, partition-pruned per batch;
+    *  - `bands/`: (band_idx, band_key, id) — the corpus's LSH keys, the
+    *    candidate-generation side.
+    *
+    * The corpus is hashed ONCE: the shingle slice is written first and
+    * the band slice derives from reading it back — no second pass over
+    * the raw text and no corpus-sized cache pinned during the build. */
+  def lshBuildIndex(df: DataFrame, textCol: String, idCol: String, dir: String,
+                    shingleN: Int = 3, numBands: Int = 16,
+                    rowsPerBand: Int = 4): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numBands, rowsPerBand))
+      .toDF("shingle_n", "num_bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"),
+        idBucket(col(idCol)).as("id_pt"))
+      // co-locate each id_pt directory's rows before the partitioned
+      // write: a task holding random rows would open up to IndexIdBuckets
+      // files each (tasks x buckets small files); keyed, each directory
+      // is written by the task(s) owning its bucket
+      .repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").partitionBy("id_pt").parquet(s"$dir/shingles")
+    writeBandSlice(spark, dir, numBands, rowsPerBand,
+      spark.read.parquet(s"$dir/shingles"), org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Append already-accepted documents to a persisted index — the
+    * maintenance half of the incremental loop: dedup a batch with
+    * [[lshIndexMatches]], then append its survivors. Batch-sized, so the
+    * one localCheckpoint (feeding both slices without re-hashing the
+    * text) is bounded by the batch, never the corpus. */
+  def lshIndexAppend(df: DataFrame, textCol: String, idCol: String,
+                     dir: String): Unit = {
+    val spark = df.sparkSession
+    val (shingleN, numBands, rowsPerBand) = readIndexMeta(spark, dir)
+    val hashed = df.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"),
+        idBucket(col(idCol)).as("id_pt"))
+      .localCheckpoint(true)
+    hashed.repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("append").partitionBy("id_pt").parquet(s"$dir/shingles")
+    writeBandSlice(spark, dir, numBands, rowsPerBand, hashed,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def writeBandSlice(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, numBands: Int, rowsPerBand: Int,
+                             hashed: DataFrame,
+                             mode: org.apache.spark.sql.SaveMode): Unit =
+    hashed
+      .withColumn("sig", HashFunctions.minhashSigLongs(numBands * rowsPerBand)(col("sh")))
+      .select(col("id"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
+      .select(col("pos").as("band_idx"), col("col").as("band_key"), col("id"))
+      .write.mode(mode).parquet(s"$dir/bands")
+
+  /** Near-dup matches of a batch AGAINST a persisted index (see
+    * [[lshBuildIndex]]): (batch_id, corpus_id, jaccard) for every pair at
+    * exact n-gram jaccard >= threshold whose LSH bands collide — the same
+    * candidates-then-exact-verify contract as [[minhashLshPairs]], with
+    * the corpus side served entirely from the index.
+    *
+    * Scale shape:
+    *  - the batch signs itself with the INDEX's parameters (read from
+    *    `meta` — mismatched knobs are impossible by construction);
+    *  - candidate generation joins the batch's band keys against the
+    *    band slice: the batch side is the small one and carries no hint —
+    *    AQE broadcasts it under the threshold and degrades to a shuffle
+    *    join for a giant backfill batch, the index side never shuffles;
+    *  - exact verify reads ONLY the shingle partitions the candidate ids
+    *    hash into (a <= [[IndexIdBuckets]] bounded collect drives catalog
+    *    partition pruning — `ivfSearchIndex`'s probed-cells discipline,
+    *    adapted to ids), then joins the slim candidate pairs broadcast.
+    */
+  def lshIndexMatches(batch: DataFrame, textCol: String, idCol: String,
+                      dir: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (shingleN, numBands, rowsPerBand) = readIndexMeta(spark, dir)
+    val hashed = batch.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("qid"),
+        HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh_a"))
+      .cache()
+    val qBands = hashed
+      .withColumn("sig", HashFunctions.minhashSigLongs(numBands * rowsPerBand)(col("sh_a")))
+      .select(col("qid"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
+      .select(col("qid"), col("pos").as("band_idx"), col("col").as("band_key"))
+    val cands = qBands
+      .join(spark.read.parquet(s"$dir/bands"), Seq("band_idx", "band_key"))
+      .select(col("qid"), col("id")).distinct()
+      .localCheckpoint(true)
+    // bounded by construction: <= IndexIdBuckets distinct values
+    val hitBuckets = cands.select(idBucket(col("id")).as("pt")).distinct()
+      .collect().map(_.getInt(0))
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+      .filter(col("id_pt").isInCollection(hitBuckets.toSeq))
+      .select(col("id"), col("sh").as("sh_b"))
+    val out = idxSh.join(broadcast(cands), "id")
+      .join(hashed, "qid")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("qid").as("batch_id"), col("id").as("corpus_id"), col("jaccard"))
+    val materialized = out.localCheckpoint(true)
+    hashed.unpersist(false)
+    materialized
+  }
+
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxDist.
     * Candidate generation: split the 64-bit signature into
     * `maxDist+1` chunks — any pair within maxDist shares at least one exact

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted LSH dedup index (Dedup.lshBuildIndex / lshIndexMatches /
+  * lshIndexAppend): the incremental batch-vs-corpus dedup loop. Expected
+  * answers are brute-force word-shingle jaccard computed in plain Scala —
+  * independent of every Spark-side expression under test. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(13)
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+
+  private def randomDoc(len: Int): String =
+    Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+
+  private def shingleSet(text: String, n: Int): Set[String] =
+    text.split(" ").toSeq.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  /** Exact (batchId, corpusId, jaccard-rounded-6dp) pairs >= threshold. */
+  private def brute(batch: Seq[(Long, String)], corpus: Seq[(Long, String)],
+                    n: Int, threshold: Double): Set[(Long, Long, Double)] =
+    (for {
+      (qid, qt) <- batch
+      (cid, ct) <- corpus
+      a = shingleSet(qt, n)
+      b = shingleSet(ct, n)
+      inter = (a intersect b).size
+      j = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= threshold
+    } yield (qid, cid, j)).toSet
+
+  // corpus of 40 docs; batch of 12 where 5 are near-dups of corpus docs
+  // (one word changed) and 1 is an exact copy
+  private lazy val (corpusDocs, batchDocs) = {
+    val corpus = (0L until 40L).map(i => (i, randomDoc(60)))
+    val nearDups = corpus.take(5).map { case (i, text) =>
+      val toks = text.split(" "); toks(30) = "CHANGED"
+      (1000L + i, toks.mkString(" "))
+    }
+    val exactDup = Seq((1100L, corpus(7)._2))
+    val fresh = (1200L until 1206L).map(i => (i, randomDoc(60)))
+    (corpus, nearDups ++ exactDup ++ fresh)
+  }
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-dedup-index-").toString
+
+  test("index matches equal the exact quadratic batch-x-corpus jaccard") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
+    val got = Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = brute(batchDocs, corpusDocs, n = 3, threshold = 0.5)
+    assert(got == want)
+    assert(want.size >= 6) // the 5 planted near-dups + the exact copy matched
+  }
+
+  test("append extends the index: appended docs become matchable") {
+    val dir = freshDir()
+    val (first, second) = corpusDocs.splitAt(20)
+    Dedup.lshBuildIndex(first.toDF("doc_id", "text"), "text", "doc_id", dir)
+    Dedup.lshIndexAppend(second.toDF("doc_id", "text"), "text", "doc_id", dir)
+    val got = Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute(batchDocs, corpusDocs, n = 3, threshold = 0.5))
+  }
+
+  test("query derives shingle/band parameters from the index meta") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir,
+      shingleN = 2, numBands = 8, rowsPerBand = 8)
+    val got = Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // jaccard values are the 2-GRAM ones — proof the batch was signed and
+    // verified with the index's parameters, not the defaults
+    assert(got == brute(batchDocs, corpusDocs, n = 2, threshold = 0.6))
+  }
+
+  test("shingle slice is laid out in id_pt directories for catalog pruning") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
+    val parts = new java.io.File(s"$dir/shingles").listFiles()
+      .filter(_.getName.startsWith("id_pt=")).map(_.getName)
+    assert(parts.nonEmpty && parts.length <= Dedup.IndexIdBuckets)
+    // a single-bucket filter plans with a partition-pruned scan: only the
+    // matching directory's files are read
+    val one = spark.read.parquet(s"$dir/shingles")
+      .filter(col("id_pt") === parts.head.stripPrefix("id_pt=").toInt)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("id_pt"))
+  }
+
+  test("empty batch and batch with no candidates both return empty") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
+    val empty = Dedup.lshIndexMatches(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id", dir, 0.5)
+    assert(empty.count() == 0)
+    val noMatch = Dedup.lshIndexMatches(
+      Seq((9999L, "totally unrelated words nowhere in vocab"))
+        .toDF("doc_id", "text"), "text", "doc_id", dir, 0.5)
+    assert(noMatch.count() == 0)
+  }
+}
