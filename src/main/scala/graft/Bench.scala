@@ -26,8 +26,8 @@ object Bench {
     "llm_mix_weights", "llm_zipf_spectrum", "llm_decontaminate", "llm_novelty",
     // round 3: the reworked ANN paths + the KMV estimator
     "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct",
-    // round 8: persisted-index ANN (build + search, end-to-end)
-    "llm_ann_ivf_index")
+    // round 8: persisted-index ANN and dedup (build + search, end-to-end)
+    "llm_ann_ivf_index", "llm_dedup_index")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
