@@ -332,6 +332,12 @@ object Dedup {
   private def idBucket(id: Column): Column =
     pmod(xxhash64(id), lit(IndexIdBuckets)).cast("int")
 
+  /** (shingleN, numBands, rowsPerBand) a persisted index was built with —
+    * for callers that must sign OTHER frames compatibly (e.g. the
+    * streaming admission loop's intra-batch pass). */
+  def lshIndexParams(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Int, Int, Int) = readIndexMeta(spark, dir)
+
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             dir: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta").head()
