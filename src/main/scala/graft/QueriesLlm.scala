@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, TextFunctions}
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -1042,7 +1042,42 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
           6) AS quality
         FROM m"""
-      })
+      }),
+
+    // sparse lexical retrieval (BM25-shaped, integer-exact — see
+    // llm.Retrieval scaladoc): queries are the first-5-token prefixes of
+    // every 20th document, scored against the full corpus through the
+    // broadcast inverted-index join, ranked by TopKPerKey. idf is ppm
+    // Robertson odds, tf saturation permille — the permille scale keeps
+    // contrib = idf_ppm * tf_sat within int64 to N ≈ 1.3e9 documents.
+    QueryDef("llm_bm25_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        Retrieval.bm25TopK(docs, queries, k = 10)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        post AS (SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS term FROM tk) x
+          WHERE term <> '' GROUP BY doc_id, term),
+        q AS (SELECT DISTINCT doc_id AS query_id, term
+          FROM (SELECT doc_id, unnest(tk[1:5]) AS term FROM tk WHERE doc_id % 20 = 0) y
+          WHERE term <> ''),
+        dfreq AS (SELECT p.term, COUNT(*) AS df FROM post p
+          WHERE p.term IN (SELECT term FROM q) GROUP BY p.term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (SELECT q.query_id, p.doc_id,
+            CAST(SUM((((2 * n.n - 2 * d.df + 1) * 1000000) // (2 * d.df + 1))
+              * ((p.tf * 1000) // (p.tf + 2)) // 1000) AS BIGINT) AS score_ppm
+          FROM q JOIN post p ON q.term = p.term
+          JOIN dfreq d ON d.term = q.term CROSS JOIN n
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score_ppm, rnk FROM (
+          SELECT query_id, doc_id, score_ppm,
+            row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rnk
+          FROM scored) r WHERE rnk <= 10"""))
   )
 
   /** The persisted-index ANN path (build once / query many —

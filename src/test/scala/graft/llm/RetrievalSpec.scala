@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "zebra zebra zebra runs"),
+    (3L, "the the the the the"),
+    (4L, "cat dog zebra")
+  ).toDF("doc_id", "text")
+
+  private def q(id: Long, text: String) =
+    Seq((id, text)).toDF("query_id", "qtext")
+
+  test("rare terms dominate: zebra query ranks zebra docs above stopword soup") {
+    val top = Retrieval.bm25TopK(docs, q(100L, "zebra"), k = 10)
+      .orderBy($"rnk").select($"doc_id").as[Long].collect()
+    // only docs containing 'zebra' score at all
+    assert(top.toSet == Set(2L, 4L))
+    // heavier tf wins: doc 2 has zebra x3, doc 4 x1
+    assert(top.head == 2L)
+  }
+
+  test("common terms score low but still retrieve; ties break by doc_id") {
+    val got = Retrieval.bm25TopK(docs, q(7L, "the"), k = 10)
+      .orderBy($"rnk")
+      .select($"doc_id", $"score_ppm").as[(Long, Long)].collect()
+    // every doc containing 'the' appears: 0, 1, 3
+    assert(got.map(_._1).toSet == Set(0L, 1L, 3L))
+    // doc 3 is 'the' x5 -> highest saturation; docs 0 and 1 both have
+    // tf=2 -> identical integer scores, tie broken by ascending doc_id
+    assert(got.head._1 == 3L)
+    val tied = got.filter(r => r._1 == 0L || r._1 == 1L)
+    assert(tied.map(_._2).distinct.length == 1)
+    assert(tied.map(_._1).toSeq == Seq(0L, 1L))
+  }
+
+  test("multi-term scores are the sum of per-term contributions") {
+    val both = Retrieval.bm25TopK(docs, q(1L, "cat zebra"), k = 10)
+      .filter($"doc_id" === 4L).select($"score_ppm").as[Long].head()
+    val catOnly = Retrieval.bm25TopK(docs, q(1L, "cat"), k = 10)
+      .filter($"doc_id" === 4L).select($"score_ppm").as[Long].head()
+    val zebraOnly = Retrieval.bm25TopK(docs, q(1L, "zebra"), k = 10)
+      .filter($"doc_id" === 4L).select($"score_ppm").as[Long].head()
+    assert(both == catOnly + zebraOnly)
+  }
+
+  test("duplicate query terms count once (distinct-term semantics)") {
+    val once = Retrieval.bm25TopK(docs, q(1L, "cat"), k = 10)
+      .select($"doc_id", $"score_ppm").as[(Long, Long)].collect().toSet
+    val twice = Retrieval.bm25TopK(docs, q(1L, "cat cat cat"), k = 10)
+      .select($"doc_id", $"score_ppm").as[(Long, Long)].collect().toSet
+    assert(once == twice)
+  }
+
+  test("k caps per-query results and queries don't bleed into each other") {
+    val queries = Seq((1L, "the cat"), (2L, "zebra")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(docs, queries, k = 2)
+    val byQ = got.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQ(1L) == 2 && byQ(2L) == 2)
+    assert(got.filter($"rnk" > 2).count() == 0)
+  }
+
+  test("corpus tokens are pruned through a broadcast join before aggregation") {
+    val plan = Retrieval.bm25TopK(docs, q(1L, "cat"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the query-term semi-join to broadcast, got:\n$plan")
+  }
+}
