@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * Two decode tiers:
   *  - REAL decoders for the formats the JDK ships codecs for —
   *    PNG/JPEG/BMP/GIF via `javax.imageio` ([[decodeImagesReal]],
-  *    [[resizeImagesReal]]) and WAV via `javax.sound.sampled`
+  *    [[resizeImagesReal]]), multi-frame GIF extraction
+  *    ([[sampleFramesReal]]) and WAV via `javax.sound.sampled`
   *    ([[decodeAudioReal]]) — as `mapPartitions` kernels (the
   *    production dataflow: one codec context per partition, narrow,
   *    malformed rows degrade to `ok = false` instead of failing the
@@ -151,6 +152,59 @@ object Multimodal {
         }
       }
       .toDF(idCol, "resized_bytes", "resized_width", "resized_height", "ok")
+  }
+
+  /** REAL frame sampling via the JDK GIF codec: animated GIFs are the
+    * one multi-frame container `javax.imageio` ships a decoder for, so
+    * the video frame-extract stage gets a real decode path (the same
+    * `mapPartitions` kernel shape an ffmpeg-backed extractor would use;
+    * containers ImageIO can't read degrade to one `ok = false` row).
+    *
+    * Emits up to `n` evenly spaced frames per input — frame index
+    * `floor(j * total / n)` for j in 0..n-1, deduplicated when
+    * `total < n` — each re-encoded PNG with its dimensions and the
+    * container's total frame count. Note GIF frames after the first may
+    * be partial patches under inter-frame disposal; sampling decodes
+    * the raw stored frame, which is exactly what a training-data
+    * thumbnail stage wants (cheap, no compositing state). */
+  def sampleFramesReal(df: DataFrame, n: Int,
+                       idCol: String = "media_id",
+                       bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) {
+              iis.close()
+              Seq((id, -1, 0, 0, 0, Array.empty[Byte], false))
+            } else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val total = reader.getNumImages(true)
+                (0 until n).map(j => (j.toLong * total / n).toInt).distinct
+                  .map { f =>
+                    val img = reader.read(f)
+                    val bos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", bos)
+                    (id, f, total, img.getWidth, img.getHeight,
+                      bos.toByteArray, true)
+                  }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case _: Exception =>
+            Seq((id, -1, 0, 0, 0, Array.empty[Byte], false))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "total_frames", "width", "height",
+        "frame_bytes", "ok")
   }
 
   /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU):

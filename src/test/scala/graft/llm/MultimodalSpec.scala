@@ -134,4 +134,61 @@ class MultimodalSpec extends SparkSpec {
     val want = text.map(_.toLong).sum.toDouble / text.length
     assert(math.abs(level - want) < 1e-12)
   }
+
+  /** Animated GIF with `frames` solid-color full-size frames (color =
+    * frame index scaled into the red channel), written through the JDK
+    * GIF sequence writer. */
+  private def gifBytes(frames: Int, w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(40 * f, 0, 0))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("REAL frame sampling decodes evenly spaced frames of an animated GIF") {
+    val media = Seq(
+      (1L, gifBytes(6, 24, 16)),
+      (2L, "not a container".getBytes)).toDF("media_id", "bytes")
+    val out = Multimodal.sampleFramesReal(media, n = 3)
+      .select($"media_id", $"frame_idx", $"total_frames", $"width",
+        $"height", $"frame_bytes", $"ok")
+      .as[(Long, Int, Int, Int, Int, Array[Byte], Boolean)].collect()
+    val good = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(good.map(_._2).toSeq == Seq(0, 2, 4)) // floor(j*6/3)
+    assert(good.forall(r => r._3 == 6 && r._4 == 24 && r._5 == 16 && r._7))
+    // each sampled frame re-decodes as PNG with the frame's own color
+    good.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r._6))
+      assert(img.getWidth == 24 && img.getHeight == 16)
+      val red = (img.getRGB(5, 5) >> 16) & 0xff
+      // GIF palette quantization may wobble the channel slightly
+      assert(math.abs(red - 40 * r._2) <= 8,
+        s"frame ${r._2}: red $red != ${40 * r._2}")
+    }
+    val bad = out.filter(_._1 == 2L)
+    assert(bad.length == 1 && !bad(0)._7 && bad(0)._2 == -1)
+  }
+
+  test("REAL frame sampling dedups indices when the GIF has fewer frames than n") {
+    val media = Seq((9L, gifBytes(2, 8, 8))).toDF("media_id", "bytes")
+    val idx = Multimodal.sampleFramesReal(media, n = 5)
+      .select($"frame_idx").as[Int].collect().sorted.toSeq
+    // floor(j*2/5) for j=0..4 -> 0,0,0,1,1 -> distinct 0,1
+    assert(idx == Seq(0, 1))
+  }
 }
