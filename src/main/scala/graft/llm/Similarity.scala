@@ -533,17 +533,44 @@ object Similarity {
     *  - the scored-join volume is estimated exactly up front from the
     *    probe histogram x index cell histogram and the query side is
     *    hash-sharded sequentially under `shuffleBudgetBytes`. */
+  /** The frozen quantizer of a persisted index: <= nlist rows — a
+    * bounded collect by construction. */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Vector[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("c"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+      .toVector
+
+  /** Append new vectors to a persisted IVF index: assign against the
+    * FROZEN quantizer (centroids unchanged, so existing cells and past
+    * search results stay valid; retrain drift by rebuilding), and write
+    * the new cell slices with the same range-partition + sort-by-cell
+    * discipline as [[ivfBuildIndex]] — appended files carry their own
+    * tight cell row-group stats, so sparse-probe pruning keeps skipping
+    * them too. The daily-embedding-ingest twin of
+    * [[Dedup.lshIndexAppend]]. Zero-norm vectors are dropped, matching
+    * build. */
+  def ivfIndexAppend(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = loadCentroids(spark, dir)
+    require(centroids.nonEmpty, s"empty IVF index at $dir")
+    val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)
+    withNorm(emb, "vec_id", "embedding", "norm")
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        quantizer.nearestCells(col("embedding"), 1).getItem(0).as("cell"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/cells")
+  }
+
   def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
                      excludeSelf: Boolean = false,
                      shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
     val spark = queries.sparkSession
-    val centroids: Vector[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids")
-        .select(col("cell"), col("c"))
-        .collect()
-        .sortBy(_.getInt(0))
-        .map(_.getSeq[Double](1).toArray)
-        .toVector
+    val centroids: Vector[Array[Double]] = loadCentroids(spark, dir)
     require(centroids.nonEmpty, s"empty IVF index at $dir")
     val d = centroids.head.length
     val quantizer = graft.functions.NearestCellsFloat.quantizer(spark, centroids)

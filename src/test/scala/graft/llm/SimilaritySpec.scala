@@ -241,6 +241,31 @@ class SimilaritySpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("ivfIndexAppend: appended vectors are searchable and exhaustive probing equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    val first = emb.filter($"vec_id" < 50)
+    val rest = emb.filter($"vec_id" >= 50)
+    Similarity.ivfBuildIndex(first, dir, nlist = 8)
+    Similarity.ivfIndexAppend(rest, dir)
+
+    // appended ids must appear on BOTH sides of the search
+    val got = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 8,
+      excludeSelf = true)
+    assert(got.filter($"vec_id" >= 50).count() > 0)
+    assert(got.filter($"neighbor_id" >= 50).count() > 0)
+
+    // nprobe = nlist makes IVF exhaustive: against the appended index it
+    // must reproduce brute force over the FULL corpus exactly — the
+    // strongest possible statement that append lost nothing
+    val ivf = got.select($"vec_id", $"neighbor_id", $"rank")
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    val brute = Similarity.bruteKnnFor(emb, emb, k = 3)
+      .select($"vec_id", $"neighbor_id", $"rank")
+      .orderBy($"vec_id", $"rank").collect().toSeq
+    assert(ivf == brute)
+    assert(ivf.size == 300) // 100 queries x k=3
+  }
+
   test("shardCount divides before multiplying: extreme candidate counts do not overflow") {
     // 3e15 pairs x 768-dim rows overflows candRows*rowBytes in Long; the
     // divide-first form must still demand (capped) many shards, and a
