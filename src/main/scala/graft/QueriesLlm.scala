@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{DupNgramPpm, TextFunctions}
+import graft.functions.{DupNgramPpm, HashedBowScore, TextFunctions}
 import graft.llm.{Dedup, Multimodal, Retrieval, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
@@ -1043,6 +1043,91 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           6) AS quality
         FROM m"""
       }),
+
+    // feature-hashed linear classifier inference (fastText-style quality
+    // filter, the CCNet-shape scoring pass): token -> md5 bucket ->
+    // weight-vector lookup -> per-doc sum, all inside one codegen'd
+    // HashedBowScore expression over a constant-folded weight array. The
+    // deterministic weights stand in for trained coefficients; the
+    // operator contract (bucket = first 4 md5 hex digits mod |W|) is
+    // exact-integer and recomputed digit-by-digit by the oracle. Map-only:
+    // no explode, no shuffle — classifier scoring at scan speed.
+    QueryDef("llm_classifier_score",
+      (s, dir) => {
+        val weights = expr(
+          "transform(sequence(0, 4095), b -> CAST(b % 1001 - 500 AS BIGINT))")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            HashedBowScore(col("toks"), weights).as("score"))
+          .withColumn("positive", col("score") > 0L)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        hb AS (SELECT doc_id,
+          ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 4096 AS b
+          FROM tok_rows),
+        sc AS (SELECT doc_id, CAST(SUM(b % 1001 - 500) AS BIGINT) AS score
+          FROM hb GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok, sc.score,
+          sc.score > 0 AS positive
+        FROM toks t JOIN sc ON t.doc_id = sc.doc_id""")),
+
+    // exact-substring duplicated-span extraction (the "dedup the span,
+    // not the document" pass of Lee et al. 2022, arXiv:2107.06499,
+    // re-expressed relationally): every W-token window position is
+    // hashed; windows occurring in >=2 distinct docs mark their
+    // positions duplicated; contiguous duplicated positions merge into
+    // cut-ranges via gaps-and-islands (pos - row_number). At scale the
+    // window->doc-count agg shuffles on uniformly-distributed window
+    // hashes (no skew), and spans merge inside a per-doc window — the
+    // suffix-array machinery of the paper is replaced by two shuffles.
+    QueryDef("llm_dup_spans",
+      (s, dir) => {
+        val W = 8
+        val wins = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(size(col("toks")) >= W)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(toks)-$W)," +
+              s" i -> concat_ws(' ', slice(toks, i+1, $W)))"))
+            .as(Seq("pos", "w")))
+        val dupW = wins.groupBy(col("w"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("w")
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        wins.join(dupW, "w")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"))
+          .withColumn("grp", col("pos") - row_number().over(byDoc))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + lit(W - 1).cast("long")).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        wins AS (SELECT doc_id, i - 1 AS pos,
+            array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8) z),
+        dupw AS (SELECT w FROM wins
+          GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        dp AS (SELECT doc_id, pos FROM wins JOIN dupw USING (w)),
+        g AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dp)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+          CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        FROM g GROUP BY doc_id, grp""")),
 
     // sparse lexical retrieval (BM25-shaped, integer-exact — see
     // llm.Retrieval scaladoc): queries are the first-5-token prefixes of

@@ -22,7 +22,7 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_dedup_ngram_jaccard", "llm_dedup_minhash", "llm_dedup_simhash",
     "llm_dedup_levenshtein", "llm_dedup_clusters", "llm_dedup_clusters_mr",
     "llm_curation_pipeline", "llm_dedup_embedding", "llm_ann_topk",
-    "llm_embedding_centroids",
+    "llm_embedding_centroids", "llm_classifier_score", "llm_dup_spans",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats")
 
   private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {

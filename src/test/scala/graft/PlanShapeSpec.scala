@@ -50,6 +50,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(shard"), plan.take(2000))
   }
 
+  test("classifier scoring is map-only: no shuffle, weights constant-folded") {
+    val df = SparkEntry.queries("llm_classifier_score")(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), physical.take(2000))
+    // the weight-vector transform(sequence(...)) must fold to a literal
+    // at optimization time, not re-evaluate per row
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("transform(sequence"), optimized.take(2000))
+  }
+
   test("chunking plan is shuffle-free (narrow generate over the scan)") {
     val df = SparkEntry.queries("llm_chunking")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
