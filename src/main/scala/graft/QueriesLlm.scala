@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{DupNgramPpm, HashedBowScore, TextFunctions}
+import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
 import graft.llm.{Dedup, Multimodal, Retrieval, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
@@ -1088,16 +1088,18 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
     // window->doc-count agg shuffles on uniformly-distributed window
     // hashes (no skew), and spans merge inside a per-doc window — the
     // suffix-array machinery of the paper is replaced by two shuffles.
+    // Windows travel as 64-bit WindowHashes (one codegen pass, no window
+    // strings materialized or shuffled); the string-window oracle stays
+    // the contract — equality holds absent a 64-bit collision, vanishing
+    // odds at any corpus the driver runs.
     QueryDef("llm_dup_spans",
       (s, dir) => {
         val W = 8
         val wins = t(s, dir, "documents")
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .repartition(s.sparkContext.defaultParallelism)
-          .filter(size(col("toks")) >= W)
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, size(toks)-$W)," +
-              s" i -> concat_ws(' ', slice(toks, i+1, $W)))"))
+          .select(col("doc_id"),
+            posexplode(HashFunctions.windowHashes(W)(col("toks")))
             .as(Seq("pos", "w")))
         val dupW = wins.groupBy(col("w"))
           .agg(count_distinct(col("doc_id")).as("nd"))

@@ -167,6 +167,28 @@ case class SimHash64(child: Expression, seed: Long) extends UnaryExpression
 /** Static kernels called from generated code (and from the interpreted
   * `nullSafeEval` paths above) — a top-level object so the Java static
   * forwarders are unambiguous. */
+/** Per-POSITION hashed token windows (no dedup, no fallback): element i
+  * is the hash of tokens[i..i+n-1], array length = size-n+1 (empty for
+  * shorter docs). The positional sibling of [[ShingleHashes]] — feeds
+  * span-level operators (llm_dup_spans) where position identity matters,
+  * so downstream shuffles move 8-byte keys instead of window strings. */
+case class WindowHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "window size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowHashes(input.asInstanceOf[ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.windowHashes($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashKernels {
   def mix64(x: Long): Long = HashFunctions.mix64(x)
 
@@ -188,6 +210,30 @@ object HashKernels {
       while (i < size) { if (out(i) == b) dup = true; i += 1 }
       if (!dup) { out(size) = b; size += 1 }
       salt += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-position window hashes — same per-window fold as
+    * [[shingleHashes]] (hashString per token, mix64-chained combine) but
+    * positional: no dedup, no short-doc fallback. */
+  def windowHashes(tokens: ArrayData, n: Int, seed: Long): ArrayData = {
+    val nTok = tokens.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      th(i) = HashFunctions.hashString(tokens.getUTF8String(i).toString, seed)
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    i = 0
+    while (i + n <= nTok) {
+      var h = HashFunctions.mix64(seed + 0x5eedL)
+      var j = i
+      while (j < i + n) { h = HashFunctions.mix64(h ^ th(j)); j += 1 }
+      out(i) = h
+      i += 1
     }
     new GenericArrayData(out)
   }

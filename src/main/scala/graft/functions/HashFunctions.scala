@@ -102,6 +102,11 @@ object HashFunctions {
   def shingleHashes(n: Int, seed: Long = 7L): Column => Column =
     (c: Column) => GraftBridge.column(ShingleHashes(GraftBridge.expression(c), n, seed))
 
+  /** Per-position hashed token windows (no dedup) — codegen
+    * [[WindowHashes]]; see its scaladoc for the positional contract. */
+  def windowHashes(n: Int, seed: Long = 7L): Column => Column =
+    (c: Column) => GraftBridge.column(WindowHashes(GraftBridge.expression(c), n, seed))
+
   /** MinHash signature over PRE-HASHED shingles (array<long>): k
     * permutation minima in one pass, codegen [[MinHashSigLongs]]. */
   def minhashSigLongs(k: Int, seed: Long = 7L): Column => Column =

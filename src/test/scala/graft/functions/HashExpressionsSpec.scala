@@ -109,6 +109,35 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WindowHashes is positional: same fold as ShingleHashes, no dedup") {
+    val docs = Seq(
+      Seq("a", "b", "c", "d", "e", "b", "c", "d"), // repeated window content
+      Seq("a", "b", "c", "a", "b", "c"),           // identical windows at 0 and 3
+      Seq("x", "y"),                               // shorter than n -> EMPTY (no fallback)
+      Seq.empty[String])
+    val n = 3
+    def refWindows(toks: Seq[String]): Seq[Long] = {
+      val th = toks.map(HashFunctions.hashString(_, 7L))
+      if (th.length < n) Seq.empty
+      else (0 to th.length - n).map { i =>
+        var h = HashFunctions.mix64(7L + 0x5eedL)
+        (i until i + n).foreach(j => h = HashFunctions.mix64(h ^ th(j)))
+        h
+      }
+    }
+    val got = docs.toDF("toks")
+      .select(HashFunctions.windowHashes(n)($"toks").as("w"))
+      .as[Seq[Long]].collect()
+    docs.zip(got).foreach { case (toks, w) =>
+      assert(w == refWindows(toks), s"windows of $toks")
+      assert(w.length == math.max(toks.length - n + 1, 0).min(
+        if (toks.length < n) 0 else toks.length - n + 1), s"length for $toks")
+    }
+    // positional contract: identical window content hashes identically
+    val w2 = refWindows(Seq("a", "b", "c", "a", "b", "c"))
+    assert(w2(0) == w2(3) && w2.distinct.length < w2.length)
+  }
+
   test("HyperplaneSig codegen matches the documented projection fold") {
     val vecs = Seq(Seq(1.0f, -2.0f, 0.5f), Seq(0.0f, 0.0f, 0.0f))
     def ref(v: Seq[Float], bits: Int, seed: Long): Long = {
