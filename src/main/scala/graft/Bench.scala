@@ -27,7 +27,8 @@ object Bench {
     // round 3: the reworked ANN paths + the KMV estimator
     "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct",
     // round 8: persisted-index ANN and dedup (build + search, end-to-end)
-    "llm_ann_ivf_index", "llm_dedup_index")
+    "llm_ann_ivf_index", "llm_dedup_index",
+    "llm_classifier_score", "llm_dup_spans")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

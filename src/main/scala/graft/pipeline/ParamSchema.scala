@@ -110,6 +110,8 @@ object ParamSchema {
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
       "keep" -> PString), // comma-separated allowlist
+    "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
+      "score_column" -> PString, "min_score" -> PLong),
     "llm.dedup_exact" -> Map("column" -> PString, "id" -> PString),
     "llm.repetition_filter" -> Map("column" -> PString,
       "max_dup_ppm" -> PLong),

@@ -304,6 +304,24 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         .withColumn(scoreCol, graft.functions.TextFunctions.qualityScore(col(c)))
         .filter(col(scoreCol) >= minQ)
 
+    // feature-hashed linear classifier gate (params: column, buckets,
+    // score_column, min_score: optional — absent = annotate only).
+    // Deterministic md5-bucket weights stand in for a trained model;
+    // scoring is the codegen HashedBowScore pass, map-only per batch.
+    case "llm.classifier" =>
+      val c = p(a, "column").getOrElse("text")
+      val buckets = p(a, "buckets").map(_.toInt).getOrElse(4096)
+      val scoreCol = p(a, "score_column").getOrElse("clf_score")
+      val weights = org.apache.spark.sql.functions.expr(
+        s"transform(sequence(0, ${buckets - 1}), b -> CAST(b % 1001 - 500 AS BIGINT))")
+      val annotated = inputOf(a.name).withColumn(scoreCol,
+        graft.functions.HashedBowScore(
+          graft.functions.TextFunctions.tokens(col(c)), weights))
+      p(a, "min_score") match {
+        case Some(min) => annotated.filter(col(scoreCol) >= min.toLong)
+        case None      => annotated
+      }
+
     // language annotate/gate (params: column, lang_column, keep: optional
     // comma-separated allowlist — absent = annotate only)
     case "llm.langid" =>

@@ -50,6 +50,49 @@ class LlmModulesSpec extends SparkSpec {
     assert(out.columns.contains("quality") && out.columns.contains("lang"))
   }
 
+  test("llm.classifier actor annotates and gates on the hashed-BoW score") {
+    val in = Files.createTempDirectory("graft-llm-clf-").toString
+    writeDocs(in)
+    // annotate-only: every doc survives, score column appears
+    val annotateYaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  clf: {module: llm.classifier, params: {column: text}}
+        |  clf_ann_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [clf]}
+        |  clf: {connect: [clf_ann_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(annotateYaml)).runBatch()
+    val ann = spark.table("clf_ann_out")
+    assert(ann.count() == 5 && ann.columns.contains("clf_score"))
+    // the score must equal the query-surface contract (same weights)
+    val scores = ann.select("doc_id", "clf_score").as[(Long, Long)]
+      .collect().toMap
+    assert(scores(1L) == scores(2L)) // identical text, identical score
+
+    // gating: pick a threshold between the observed scores and re-run
+    val cut = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val gateYaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  clf: {module: llm.classifier, params: {column: text, min_score: "$cut"}}
+        |  clf_gate_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [clf]}
+        |  clf: {connect: [clf_gate_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(gateYaml)).runBatch()
+    val kept = spark.table("clf_gate_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == scores.filter(_._2 >= cut).keySet)
+    // unknown param still rejected by the schema
+    val bad = gateYaml.replace("min_score", "min_scorx")
+    val err = intercept[IllegalArgumentException] {
+      PipelineCompiler.validateParams(PipelineConfig.parse(bad))
+    }
+    assert(err.getMessage.contains("min_scorx"))
+  }
+
   test("repetition filter and near-dedup actors curate end to end") {
     val in = Files.createTempDirectory("graft-llm-pipe3-").toString
     val loop = ("spam ham " * 40).trim // 50% dup 2-grams -> filtered
