@@ -264,6 +264,38 @@ object QueriesLlm {
         """ SELECT vec_id AS id_a, neighbor_id AS id_b, cos_sim
           FROM sims WHERE cos_sim >= 0.4""")),
 
+    // SemDeDup-style cluster-scoped semantic dedup — LINEAR where
+    // llm_dedup_embedding is quadratic: vectors score only against their
+    // sign-grid cell's min-id representative (see Similarity.semDedup).
+    QueryDef("llm_semdedup",
+      (s, dir) => Similarity.semDedup(t(s, dir, "embeddings"), threshold = 0.2),
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+          WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) > 0.0),
+        cells AS (SELECT vec_id, e,
+            (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END)
+          + (CASE WHEN e[5] >= 0 THEN 16 ELSE 0 END)
+          + (CASE WHEN e[6] >= 0 THEN 32 ELSE 0 END)
+          + (CASE WHEN e[7] >= 0 THEN 64 ELSE 0 END)
+          + (CASE WHEN e[8] >= 0 THEN 128 ELSE 0 END) AS cell
+          FROM emb),
+        reps AS (SELECT cell, MIN(vec_id) AS rep_id FROM cells GROUP BY cell),
+        r AS (SELECT reps.cell, reps.rep_id, c.e AS re
+          FROM reps JOIN cells c ON c.vec_id = reps.rep_id)
+        SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, r.rep_id,
+          round(list_dot_product(c.e, r.re) /
+            (sqrt(list_dot_product(c.e, c.e)) *
+             sqrt(list_dot_product(r.re, r.re))), 6) AS cos_sim
+        FROM cells c JOIN r ON c.cell = r.cell
+        WHERE c.vec_id <> r.rep_id
+          AND round(list_dot_product(c.e, r.re) /
+            (sqrt(list_dot_product(c.e, c.e)) *
+             sqrt(list_dot_product(r.re, r.re))), 6) >= 0.2""")),
+
     // brute-force cosine top-k — the ANN correctness baseline.
     QueryDef("llm_ann_topk",
       (s, dir) => Similarity.bruteKnn(t(s, dir, "embeddings"), k = 3)

@@ -309,6 +309,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition vectors into deterministic sign-grid
+    * cells (sign bit of each of the first `cellBits` dimensions), elect
+    * the min-id member as each cell's representative, and flag every
+    * other member whose cosine to the representative clears `threshold`
+    * as a removal candidate.
+    *
+    * LINEAR in corpus size — each vector scores against exactly ONE
+    * representative and the representative set (<= 2^cellBits rows)
+    * broadcasts — where pairwise near-dup ([[nearDupPairs]]) is
+    * quadratic per bucket. That is the whole point of the paper's
+    * cluster-then-prune shape at 100 TB: dedup cost stays one broadcast
+    * join + one codegen cosine per vector. The paper clusters with
+    * k-means and prunes against the centroid; the sign-grid + min-id
+    * variant here keeps the same shape fully deterministic with no
+    * trained state (swap in [[ivfBuildIndex]] centroids for the paper's
+    * exact form).
+    *
+    * Output: vec_id (the REMOVAL candidate), cell, rep_id, cos_sim. */
+  def semDedup(emb: DataFrame, threshold: Double, cellBits: Int = 8): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 62,
+      s"cellBits must be in [1,62], got $cellBits")
+    val cellOf = (e: org.apache.spark.sql.Column) => (0 until cellBits)
+      .map(i => when(e.getItem(i) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val cells = withNorm(emb, "vec_id", "emb", "norm")
+      .withColumn("cell", cellOf(col("emb")))
+    val reps = cells.groupBy(col("cell")).agg(min(col("vec_id")).as("rep_id"))
+    val repVec = reps.join(cells.select(col("vec_id").as("rep_id"),
+      col("emb").as("rep_emb"), col("norm").as("rep_norm")), "rep_id")
+    cells.join(broadcast(repVec), "cell")
+      .filter(col("vec_id") =!= col("rep_id"))
+      .withColumn("cos_sim", sim("emb", "rep_emb", "norm", "rep_norm"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id"), col("cell"), col("rep_id"), col("cos_sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query scores only the
     * vectors in its `nprobe` nearest cells. The standard ANN scale path

@@ -285,6 +285,35 @@ class SimilaritySpec extends SparkSpec {
       nQueries = sys.error("nQueries job must not run when byVolume <= 1")) == 1)
   }
 
+  test("semDedup flags near-copies of the cell representative, linearly") {
+    // planted: vectors 100..104 are near-copies of vector 0 (same sign
+    // pattern -> same cell; cosine ~1); unrelated clusters stay put
+    val base = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    val copies = (100L to 104L).map(i =>
+      (i, base.map(x => x + 0.001f * (i - 99L)))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.semDedup(emb.union(copies), threshold = 0.95)
+    val removed = out.select("vec_id").as[Long].collect().toSet
+    assert((100L to 104L).toSet.subsetOf(removed),
+      s"planted copies must be flagged, got $removed")
+    // representative (min id of the cell) is never flagged
+    val reps = out.select("rep_id").as[Long].collect().toSet
+    assert(removed.intersect(reps).isEmpty)
+    // linear shape: representatives broadcast; no cartesian anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("semDedup on vectors straddling a sign boundary keeps cells disjoint") {
+    // two antipodal vectors can never share a cell (all sign bits differ),
+    // so neither is flagged however similar |cos| is
+    val v = Seq(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f, 1f)
+    val anti = v.map(-_)
+    val df = Seq((1L, v), (2L, anti)).toDF("vec_id", "embedding")
+    assert(graft.llm.Similarity.semDedup(df, threshold = -1.0).count() == 0)
+  }
+
   test("nearDupPairs refuses a corpus above maxExactRows with the scale path named") {
     val e = intercept[IllegalArgumentException] {
       Similarity.nearDupPairs(emb, 0.9, maxExactRows = 10)
