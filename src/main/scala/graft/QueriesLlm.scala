@@ -1123,29 +1123,9 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
     // Windows travel as 64-bit WindowHashes (one codegen pass, no window
     // strings materialized or shuffled); the string-window oracle stays
     // the contract — equality holds absent a 64-bit collision, vanishing
-    // odds at any corpus the driver runs.
+    // odds at any corpus the driver runs. Implementation: Dedup.dupSpans.
     QueryDef("llm_dup_spans",
-      (s, dir) => {
-        val W = 8
-        val wins = t(s, dir, "documents")
-          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            posexplode(HashFunctions.windowHashes(W)(col("toks")))
-            .as(Seq("pos", "w")))
-        val dupW = wins.groupBy(col("w"))
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("w")
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        wins.join(dupW, "w")
-          .select(col("doc_id"), col("pos").cast("long").as("pos"))
-          .withColumn("grp", col("pos") - row_number().over(byDoc))
-          .groupBy(col("doc_id"), col("grp"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + lit(W - 1).cast("long")).as("span_end"))
-          .select(col("doc_id"), col("span_start"), col("span_end"),
-            (col("span_end") - col("span_start") + 1L).as("span_tokens"))
-      },
+      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), w = 8),
       Some("""WITH toks AS (SELECT doc_id,
           string_split_regex(trim(text), '\s+') AS tk FROM documents),
         wins AS (SELECT doc_id, i - 1 AS pos,

@@ -43,6 +43,57 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Cross-document duplicated-span extraction (the "dedup the span, not
+    * the document" pass of Lee et al. 2022, arXiv:2107.06499): every
+    * `w`-token window position is hashed (codegen
+    * [[graft.functions.WindowHashes]] — 8-byte keys through the
+    * shuffles, no window strings materialized); windows occurring in
+    * >= 2 distinct docs mark their positions duplicated; contiguous
+    * duplicated positions merge into cut-ranges via gaps-and-islands
+    * (pos - row_number) inside a per-doc window. Two uniform-key
+    * shuffles replace the paper's suffix array.
+    *
+    * Output: doc_id, span_start, span_end (inclusive 0-based token
+    * offsets), span_tokens.
+    *
+    * `hashWindows = false` switches to the literal string-window
+    * formulation — same answer, ~10x the shuffle volume; it exists as
+    * the measurement baseline ([[graft.SoakSpans]]) and collision-free
+    * cross-check, not a production path. */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", w: Int = 8,
+               hashWindows: Boolean = true): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val spark = docs.sparkSession
+    val toksed = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val wins =
+      if (hashWindows)
+        toksed.select(col("doc_id"),
+          posexplode(HashFunctions.windowHashes(w)(col("toks")))
+            .as(Seq("pos", "w")))
+      else
+        toksed.filter(size(col("toks")) >= w)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(toks)-$w)," +
+              s" i -> concat_ws(' ', slice(toks, i+1, $w)))"))
+            .as(Seq("pos", "w")))
+    val dupW = wins.groupBy(col("w"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("w")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dupW, "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
   /** Collapse exact-duplicate texts to their min-id representative row.
     * Exact dups share the entire shingle set, so every member's
     * similarity edges are identical to its representative's: computing
