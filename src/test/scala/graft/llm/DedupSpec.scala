@@ -183,6 +183,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans merges runs, ignores within-doc repeats, splits disjoint runs") {
+    def doc(parts: String*): String = parts.mkString(" ")
+    val shared1 = (1 to 10).map(i => s"s$i").mkString(" ")  // 10-token run
+    val shared2 = (1 to 9).map(i => s"t$i").mkString(" ")   //  9-token run
+    def uniq(id: Int, n: Int, tag: String): String =
+      (1 to n).map(i => s"u${tag}_${id}_$i").mkString(" ")
+    val docs = Seq(
+      // docs 1,2 share run1 at different offsets AND run2 later -> 2 spans each
+      (1L, doc(uniq(1, 5, "a"), shared1, uniq(1, 12, "b"), shared2, uniq(1, 5, "c"))),
+      (2L, doc(uniq(2, 9, "a"), shared1, uniq(2, 15, "b"), shared2, uniq(2, 3, "c"))),
+      // doc 3 repeats a window WITHIN itself only -> cross-doc rule ignores it
+      (3L, doc(uniq(3, 4, "a"), (1 to 8).map(i => s"r$i").mkString(" "),
+               uniq(3, 4, "b"), (1 to 8).map(i => s"r$i").mkString(" "))),
+      // doc 4 wholly unique -> no spans
+      (4L, uniq(4, 40, "z"))).toDF("doc_id", "text")
+    for (hashWindows <- Seq(true, false)) {
+      val got = Dedup.dupSpans(docs, w = 8, hashWindows = hashWindows)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // doc1: run1 tokens 5..14, run2 tokens 27..35 (0-based)
+      // doc2: run1 tokens 9..18, run2 tokens 34..42
+      assert(got == Seq(
+        (1L, 5L, 14L, 10L), (1L, 27L, 35L, 9L),
+        (2L, 9L, 18L, 10L), (2L, 34L, 42L, 9L)),
+        s"hashWindows=$hashWindows got $got")
+    }
+  }
+
+  test("dupSpans: runs shorter than the window are invisible; w-length runs found") {
+    val runW = (1 to 8).map(i => s"w$i").mkString(" ")   // exactly w tokens
+    val runShort = (1 to 7).map(i => s"v$i").mkString(" ") // w-1 tokens
+    def uniq(id: Int, n: Int): String =
+      (1 to n).map(i => s"u${id}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 10)} $runW ${uniq(1, 10)}_x $runShort"),
+      (2L, s"${uniq(2, 3)} $runW ${uniq(2, 12)}_x $runShort")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, w = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // only the exactly-w run is detectable: one single-window span per doc
+    assert(got == Seq((1L, 10L, 17L, 8L), (2L, 3L, 10L, 8L)), got.toString)
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")
