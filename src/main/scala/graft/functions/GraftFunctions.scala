@@ -21,6 +21,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dup_ngram_ppm",
       exprs => DupNgramPpm(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_window_hashes",
+      exprs => WindowHashes(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int], 7L), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bow_score",
+      exprs => HashedBowScore(exprs(0), exprs(1)), "scala_udf")
 
     spark.udf.register("graft_jump_hash",
       (key: Long, n: Int) => HashFunctions.jumpHash(key, n))

@@ -25,5 +25,26 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT graft_simhash(array('x','y')) = graft_simhash(array('x','y')) AS eq")
       .as[Boolean].head()
     assert(sim)
+
+    // positional window hashes: 4 tokens, n=3 -> 2 windows, repeats kept
+    val wh = spark.sql(
+      "SELECT graft_window_hashes(array('a','b','a','b','a'), 2) AS w")
+      .as[Seq[Long]].head()
+    assert(wh.length == 4 && wh(0) == wh(2) && wh(1) == wh(3))
+
+    // hashed-BoW score: same tokens, same weights -> deterministic sum
+    val bow = spark.sql(
+      """SELECT graft_bow_score(array('x','y','x'),
+        |  transform(sequence(0, 4095), b -> CAST(b % 1001 - 500 AS BIGINT))) AS s
+        |""".stripMargin).as[Long].head()
+    val one = spark.sql(
+      """SELECT graft_bow_score(array('x'),
+        |  transform(sequence(0, 4095), b -> CAST(b % 1001 - 500 AS BIGINT))) AS s
+        |""".stripMargin).as[Long].head()
+    val oneY = spark.sql(
+      """SELECT graft_bow_score(array('y'),
+        |  transform(sequence(0, 4095), b -> CAST(b % 1001 - 500 AS BIGINT))) AS s
+        |""".stripMargin).as[Long].head()
+    assert(bow == 2 * one + oneY) // additivity over token occurrences
   }
 }
