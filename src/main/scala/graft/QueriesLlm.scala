@@ -1143,6 +1143,36 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
         FROM g GROUP BY doc_id, grp""")),
 
+    // ...and the APPLICATION of those cuts: rebuild each doc keeping one
+    // corpus-wide copy (min doc_id) of every duplicated window — the
+    // actual dedup transform of the paper, not just the report. See
+    // Dedup.cutDupSpans for the position-level keep/cut rule.
+    QueryDef("llm_dup_spans_cut",
+      (s, dir) => Dedup.cutDupSpans(t(s, dir, "documents"), w = 8),
+      Some("""WITH toks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        wins AS (SELECT doc_id, i - 1 AS pos,
+            array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM toks WHERE len(tk) >= 8) z),
+        dupw AS (SELECT w, MIN(doc_id) AS keeper FROM wins
+          GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        cuts AS (SELECT DISTINCT wins.doc_id, pos + o.off AS p
+          FROM wins JOIN dupw USING (w)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o
+          WHERE wins.doc_id <> dupw.keeper),
+        tokrows AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM toks) z),
+        kept AS (SELECT tr.doc_id, tr.p, tr.tok FROM tokrows tr
+          WHERE NOT EXISTS (SELECT 1 FROM cuts c
+            WHERE c.doc_id = tr.doc_id AND c.p = tr.p))
+        SELECT k.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+          COUNT(*) AS n_kept,
+          string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text
+        FROM kept k JOIN toks t ON t.doc_id = k.doc_id
+        GROUP BY k.doc_id, t.tk""")),
+
     // sparse lexical retrieval (BM25-shaped, integer-exact — see
     // llm.Retrieval scaladoc): queries are the first-5-token prefixes of
     // every 20th document, scored against the full corpus through the

@@ -94,6 +94,48 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
 
+  /** Apply the exact-substring cuts [[dupSpans]] reports: rebuild every
+    * document's text WITHOUT its duplicated positions, keeping exactly
+    * one copy of each duplicated window corpus-wide (the min-doc_id
+    * occurrence — the deterministic stand-in for Lee et al.'s
+    * "keep one occurrence" rule). A position is cut iff some >=2-doc
+    * window covers it in a doc that is not that window's keeper; docs
+    * whose every position is cut drop from the output (nothing left to
+    * keep), and docs shorter than `w` pass through untouched.
+    *
+    * Shape: the same two uniform-hash shuffles as [[dupSpans]] plus one
+    * per-doc reassembly agg — nothing quadratic, nothing driver-side.
+    * Output: doc_id, n_tok (original), n_kept, clean_text. */
+  def cutDupSpans(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", w: Int = 8): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val spark = docs.sparkSession
+    val toksed = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val wins = toksed.select(col("doc_id"),
+      posexplode(HashFunctions.windowHashes(w)(col("toks")))
+        .as(Seq("pos", "w")))
+    val dupW = wins.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("w", "keeper")
+    val cuts = wins.join(dupW, "w")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    toksed
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(cuts, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_tok"), col("n_kept"), col("clean_text"))
+  }
+
   /** Collapse exact-duplicate texts to their min-id representative row.
     * Exact dups share the entire shingle set, so every member's
     * similarity edges are identical to its representative's: computing

@@ -225,6 +225,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 17L, 8L), (2L, 3L, 10L, 8L)), got.toString)
   }
 
+  test("cutDupSpans keeps the min-doc copy, cuts the rest, drops full dups") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    def uniq(id: Int, n: Int): String = (1 to n).map(i => s"u${id}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 5)} $shared ${uniq(1, 6)}"),  // keeper: untouched
+      (2L, s"${uniq(2, 3)} $shared ${uniq(2, 4)}"),  // loses the 12 shared tokens
+      (3L, shared),                                  // fully duplicated -> dropped
+      (4L, uniq(4, 20)),                             // unique: untouched
+      (5L, "a b c")).toDF("doc_id", "text")          // shorter than w: untouched
+    val got = Dedup.cutDupSpans(docs, w = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId.contains(3L), "fully-cut doc must drop")
+    assert(byId(1L) == (1L, 23L, 23L, s"${uniq(1, 5)} $shared ${uniq(1, 6)}"))
+    assert(byId(2L) == (2L, 19L, 7L, s"${uniq(2, 3)} ${uniq(2, 4)}"))
+    assert(byId(4L) == (4L, 20L, 20L, uniq(4, 20)))
+    assert(byId(5L) == (5L, 3L, 3L, "a b c"))
+    // conservation: kept tokens + planted cut = original for doc 2
+    assert(byId(2L)._2 - byId(2L)._3 == 12L)
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")
