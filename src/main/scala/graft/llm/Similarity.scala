@@ -474,8 +474,17 @@ object Similarity {
       * (query, corpus) pair matches in at most one probed cell — the
       * candidate set is structurally unique, no dedup shuffle. */
     def knnFor(qCells: DataFrame): DataFrame = {
+      // explicit numbered repartition on the probe side: AQE coalesces
+      // the cell-join exchange to ~1 partition (its INPUT — slim probe
+      // rows — is tiny) but the join's OUTPUT explodes ~members-per-cell
+      // fold, so that one task computes and shuffle-writes the whole
+      // candidate set. Found live via jstack on the 1M nprobe=8 soak
+      // (single task 200s+ in BypassMergeSortShuffleWriter, 31 threads
+      // idle). A REPARTITION_BY_NUM exchange is exempt from AQE
+      // coalescing, so the join keeps full width.
       val q = qCells.select(col("vec_id"),
-        explode(col("probe_cells")).as("cell"))
+          explode(col("probe_cells")).as("cell"))
+        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
       val c = cells.select(col("vec_id").as("neighbor_id"),
         col("probe_cells").getItem(0).as("cell"))
       val cand = q.join(c, Seq("cell"))
@@ -631,7 +640,10 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("cell"))
 
     def knnFor(q: DataFrame): DataFrame = {
+      // numbered repartition: keep the exploding cell join at full width
+      // under AQE (see the ivfKnn note)
       val probesOf = q.select(col("vec_id"), explode(col("probe_cells")).as("cell"))
+        .repartition(spark.sparkContext.defaultParallelism, col("cell"))
       val candBase = probesOf.join(c, Seq("cell"))
       val cand = (if (excludeSelf) candBase.filter(col("vec_id") =!= col("neighbor_id"))
                   else candBase)
@@ -725,8 +737,11 @@ object Similarity {
     /** Single-shot plan over one query shard (candidate side is always
       * the full corpus — recall is shard-invariant). */
     def knnFor(qSide: DataFrame): DataFrame = {
+      // numbered repartition: keep the exploding bucket join at full
+      // width under AQE (see the ivfKnn note)
       val q = qSide.withColumn("probe", explode(probeExpr))
         .select(col("vec_id"), col("sig").bitwiseXOR(col("probe")).as("bucket"))
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("bucket"))
       val c = sigSlim.select(col("vec_id").as("neighbor_id"), col("sig").as("bucket"))
       val cand = q.join(c, Seq("bucket"))
         .filter(col("vec_id") =!= col("neighbor_id"))
