@@ -112,6 +112,8 @@ object ParamSchema {
       "keep" -> PString), // comma-separated allowlist
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
       "score_column" -> PString, "min_score" -> PLong),
+    "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,
+      "window" -> PLong),
     "llm.dedup_exact" -> Map("column" -> PString, "id" -> PString),
     "llm.repetition_filter" -> Map("column" -> PString,
       "max_dup_ppm" -> PLong),

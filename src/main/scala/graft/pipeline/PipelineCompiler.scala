@@ -344,6 +344,20 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val keep = graft.llm.Dedup.exact(in, c, idc).select(col(idc))
       in.join(keep, idc) // semi-shaped: keep-list is tiny vs corpus post-shuffle
 
+    // exact-substring span dedup (Lee et al. 2022): rewrite each doc's
+    // text with cross-document duplicated token runs cut, keeping one
+    // corpus-wide copy per duplicated window (Dedup.cutDupSpans); docs
+    // left empty by the cuts drop. Non-text columns ride along by id.
+    // (params: column, id, window)
+    case "llm.cut_dup_spans" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val w = p(a, "window").map(_.toInt).getOrElse(8)
+      val in = inputOf(a.name)
+      val cut = graft.llm.Dedup.cutDupSpans(in, idc, c, w)
+        .select(col("doc_id").as(idc), col("clean_text"))
+      in.drop(c).join(cut, idc).withColumnRenamed("clean_text", c)
+
     // repetition gate (Gopher filters): annotate dup-token/2-gram/3-gram
     // ppm and drop rows above max_dup_ppm (checked against the WORST of
     // the three). One codegen pass per row per n (DupNgramPpm), fully

@@ -93,6 +93,35 @@ class LlmModulesSpec extends SparkSpec {
     assert(err.getMessage.contains("min_scorx"))
   }
 
+  test("llm.cut_dup_spans actor rewrites texts with duplicated runs removed") {
+    val in = Files.createTempDirectory("graft-llm-spans-").toString
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    def uniq(id: Int, n: Int): String = (1 to n).map(i => s"u${id}_$i").mkString(" ")
+    Seq(
+      (1L, s"${uniq(1, 5)} $shared ${uniq(1, 6)}"),  // keeper: untouched
+      (2L, s"${uniq(2, 3)} $shared ${uniq(2, 4)}"),  // loses the shared run
+      (3L, shared),                                  // fully duplicated -> drops
+      (4L, uniq(4, 20)))                             // unique: untouched
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  spans: {module: llm.cut_dup_spans, params: {column: text}}
+        |  spans_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [spans]}
+        |  spans: {connect: [spans_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("spans_out").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == s"${uniq(1, 5)} $shared ${uniq(1, 6)}")
+    assert(out(2L) == s"${uniq(2, 3)} ${uniq(2, 4)}")
+    assert(out(4L) == uniq(4, 20))
+  }
+
   test("repetition filter and near-dedup actors curate end to end") {
     val in = Files.createTempDirectory("graft-llm-pipe3-").toString
     val loop = ("spam ham " * 40).trim // 50% dup 2-grams -> filtered
