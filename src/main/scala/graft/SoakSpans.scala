@@ -68,9 +68,31 @@ object SoakSpans {
         s""""expected":$expectedDocs,"shuffle_bytes":$sb}"""
     }
 
+    /** The cut APPLICATION at the same scale: every planted doc except
+      * the keeper (doc 0, the min id carrying the shared run) loses
+      * exactly the 20 run positions; everything else keeps its full
+      * text. Checks the per-doc reassembly agg holds up at corpus size
+      * and that token conservation is exact. */
+    def runCut(): String = {
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val out = graft.llm.Dedup.cutDupSpans(corpus, w = 8)
+      out.write.mode("overwrite").parquet(s"$dir/cut")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sb = shuffleBytes.get()
+      val got = spark.read.parquet(s"$dir/cut")
+      val rows = got.count()
+      val cut80 = got.filter(s"n_tok = $tokens AND n_kept = ${tokens - 20}").count()
+      val intact = got.filter(s"n_kept = $tokens").count()
+      f""""cut":{"sec":$sec%.1f,"rows":$rows,"docs_cut_20":$cut80,""" +
+        s""""docs_intact":$intact,"expected_cut":${expectedDocs - 1},""" +
+        s""""expected_intact":${n - expectedDocs + 1},"shuffle_bytes":$sb}"""
+    }
+
     val parts = Seq(
       (modes != "string") -> (() => run("hash", hashWindows = true)),
-      (modes != "hash") -> (() => run("string", hashWindows = false))
+      (modes != "hash") -> (() => run("string", hashWindows = false)),
+      (modes != "string") -> (() => runCut())
     ).collect { case (true, r) => r() }
 
     println(s"""{"soak":"spans","n_docs":$n,"tokens_per_doc":$tokens,""" +
