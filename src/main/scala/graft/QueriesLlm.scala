@@ -1143,6 +1143,42 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
         FROM g GROUP BY doc_id, grp""")),
 
+    // ...the INCREMENTAL form: a persisted window-hash index built from
+    // the corpus once, then a batch (a shifted full copy of every 10th
+    // doc — so each batch doc's whole range is corpus-covered) reports
+    // its corpus-duplicated spans against the index alone. The oracle
+    // recomputes the batch-vs-corpus window intersection quadratically
+    // from the strings.
+    QueryDef("llm_span_index",
+      (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-span-idx-").toString
+        val docs = t(s, dir, "documents")
+        Dedup.spanBuildIndex(docs, "doc_id", "text", idx, w = 8)
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000L))
+        Dedup.spanIndexMatches(batch, "doc_id", "text", idx)
+      },
+      Some("""WITH ctoks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        btoks AS (SELECT doc_id + 100000 AS doc_id,
+          string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE doc_id % 10 = 0),
+        cwins AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM ctoks WHERE len(tk) >= 8) z),
+        bwins AS (SELECT doc_id, i - 1 AS pos,
+            array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM btoks WHERE len(tk) >= 8) z),
+        dp AS (SELECT doc_id, pos FROM bwins JOIN cwins USING (w)),
+        g AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dp)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+          CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        FROM g GROUP BY doc_id, grp""")),
+
     // ...and the APPLICATION of those cuts: rebuild each doc keeping one
     // corpus-wide copy (min doc_id) of every duplicated window — the
     // actual dedup transform of the paper, not just the report. See

@@ -565,6 +565,101 @@ object Dedup {
     materialized
   }
 
+  /** Build a persisted exact-substring index under `dir` — the
+    * incremental form of [[dupSpans]]: the corpus's DISTINCT `w`-token
+    * window hashes (the [[graft.functions.WindowHashes]] fold), written
+    * range-partitioned and sorted, plus a `meta` slice pinning `w` so a
+    * batch can never sign itself with mismatched windows.
+    *
+    * Unlike the LSH index's band keys, window hashes are uniform — no
+    * catalog slice can be pruned for an arbitrary batch, and that is
+    * fundamental (the paper's suffix array is corpus-sized too). The
+    * scale contract is instead: the index is the SLIMMEST possible
+    * rendering of the corpus's window set (8 bytes per distinct window),
+    * a match STREAMS it exactly once against a broadcast of the batch's
+    * distinct hashes — the index side never shuffles — and appends add
+    * only never-seen hashes, so the index converges on a dup-heavy feed
+    * instead of growing per batch. */
+  def spanBuildIndex(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, w: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    Seq(w).toDF("w").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    batchWindowHashes(docs, idCol, textCol, w)
+      .select(col("wh")).distinct()
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
+      .sortWithinPartitions(col("wh"))
+      .write.mode("overwrite").parquet(s"$dir/windows")
+  }
+
+  /** (qid, pos, wh) for every window position of every doc. */
+  private def batchWindowHashes(docs: DataFrame, idCol: String,
+                                textCol: String, w: Int): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("qid"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("qid"),
+        posexplode(HashFunctions.windowHashes(w)(col("toks"))).as(Seq("pos", "wh")))
+
+  private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head().getInt(0)
+
+  /** Duplicated spans of a batch AGAINST a persisted span index (see
+    * [[spanBuildIndex]]): for each batch doc, the merged token ranges
+    * covered by windows already present in the corpus — [[dupSpans]]'
+    * report with the corpus side served entirely from the index
+    * (batch-internal duplication deliberately NOT flagged; admit the
+    * batch with [[spanIndexAppend]] and the next batch will see it).
+    *
+    * Scale shape: the batch's distinct hashes broadcast into ONE
+    * streamed scan of the index (no index shuffle, no driver state);
+    * the surviving intersection (<= batch distinct hashes) broadcasts
+    * back onto the batch's positional windows; span merge is the same
+    * gaps-and-islands per-doc window as [[dupSpans]]. Per-batch cost =
+    * one index scan + batch-sized work, whatever the corpus size. */
+  def spanIndexMatches(batch: DataFrame, idCol: String, textCol: String,
+                       dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val w = readSpanMeta(spark, dir)
+    val bw = batchWindowHashes(batch, idCol, textCol, w).cache()
+    val bHashes = bw.select(col("wh")).distinct()
+    val hits = spark.read.parquet(s"$dir/windows")
+      .join(broadcast(bHashes), "wh")
+      .select(col("wh")) // distinct by construction: index side is distinct
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = bw.join(broadcast(hits), "wh")
+      .select(col("qid").as("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+    val materialized = out.localCheckpoint(true)
+    bw.unpersist(false)
+    materialized
+  }
+
+  /** Admit a batch's windows into the index: append ONLY hashes the
+    * index has never seen (novel = batch distinct minus one streamed
+    * intersection scan), sorted into their own tight-stat files. On a
+    * dup-heavy feed the index grows with novelty, not batch count. */
+  def spanIndexAppend(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val w = readSpanMeta(spark, dir)
+    val bHashes = batchWindowHashes(docs, idCol, textCol, w)
+      .select(col("wh")).distinct().localCheckpoint(true)
+    val seen = spark.read.parquet(s"$dir/windows")
+      .join(broadcast(bHashes), "wh").select(col("wh"))
+    bHashes.join(seen, Seq("wh"), "left_anti")
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
+      .sortWithinPartitions(col("wh"))
+      .write.mode("append").parquet(s"$dir/windows")
+  }
+
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxDist.
     * Candidate generation: split the 64-bit signature into
     * `maxDist+1` chunks — any pair within maxDist shares at least one exact
