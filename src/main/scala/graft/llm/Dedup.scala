@@ -125,6 +125,14 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
       .distinct()
+    cutPositions(toksed, cuts)
+  }
+
+  /** Cut the given `(doc_id, p)` token positions out of `toksed`
+    * (`doc_id`, `toks`) and reassemble in order — the shared tail of
+    * [[cutDupSpans]] and [[applySpanCuts]]. Docs left with zero tokens
+    * drop (the group vanishes). */
+  private def cutPositions(toksed: DataFrame, cuts: DataFrame): DataFrame =
     toksed
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
         posexplode(col("toks")).as(Seq("p", "tok")))
@@ -134,6 +142,21 @@ object Dedup {
         concat_ws(" ", expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
           .as("clean_text"))
       .select(col("doc_id"), col("n_tok"), col("n_kept"), col("clean_text"))
+
+  /** Apply externally-computed spans (e.g. [[spanIndexMatches]] output:
+    * `doc_id, span_start, span_end` in 0-based token offsets) as cuts:
+    * every covered position goes, everything else reassembles in order.
+    * Docs with no spans pass through intact; docs cut to nothing drop.
+    * Output: doc_id, n_tok (original), n_kept, clean_text. */
+  def applySpanCuts(docs: DataFrame, spans: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toksed = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cuts = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("p"))
+    cutPositions(toksed, cuts)
   }
 
   /** Collapse exact-duplicate texts to their min-id representative row.
@@ -604,6 +627,12 @@ object Dedup {
   private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
                            dir: String): Int =
     spark.read.parquet(s"$dir/meta").head().getInt(0)
+
+  /** The window size a persisted span index was built with — public for
+    * callers that must sign auxiliary work (e.g. intra-batch cuts) with
+    * the index's own parameter. */
+  def spanIndexParams(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Int = readSpanMeta(spark, dir)
 
   /** Duplicated spans of a batch AGAINST a persisted span index (see
     * [[spanBuildIndex]]): for each batch doc, the merged token ranges
