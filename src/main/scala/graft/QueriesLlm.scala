@@ -1143,6 +1143,50 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
         FROM g GROUP BY doc_id, grp""")),
 
+    // surgical decontamination: instead of DROPPING training docs that
+    // overlap the benchmark (llm_decontaminate), cut exactly the
+    // benchmark-covered token runs and keep the rest — a span index
+    // built from the eval set (source 'src0'), matched against the
+    // training side, cuts applied. Pure composition of spanBuildIndex /
+    // spanIndexMatches / applySpanCuts.
+    QueryDef("llm_decontaminate_cut",
+      (s, dir) => {
+        val idx = java.nio.file.Files.createTempDirectory("graft-decon-idx-").toString
+        val docs = t(s, dir, "documents")
+        Dedup.spanBuildIndex(docs.filter(col("source") === "src0"),
+          "doc_id", "text", idx, w = 8)
+        val train = docs.filter(col("source") =!= "src0")
+        val spans = Dedup.spanIndexMatches(train, "doc_id", "text", idx)
+        Dedup.applySpanCuts(train, spans)
+      },
+      Some("""WITH etoks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE source = 'src0'),
+        ttoks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE source <> 'src0'),
+        ewins AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM etoks WHERE len(tk) >= 8) z),
+        twins AS (SELECT doc_id, i - 1 AS pos,
+            array_to_string(tk[i:i+7], ' ') AS w
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                FROM ttoks WHERE len(tk) >= 8) z),
+        cuts AS (SELECT DISTINCT twins.doc_id, pos + o.off AS p
+          FROM twins JOIN ewins USING (w)
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o),
+        tokrows AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                FROM ttoks) z),
+        kept AS (SELECT tr.doc_id, tr.p, tr.tok FROM tokrows tr
+          WHERE NOT EXISTS (SELECT 1 FROM cuts c
+            WHERE c.doc_id = tr.doc_id AND c.p = tr.p))
+        SELECT k.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+          COUNT(*) AS n_kept,
+          string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text
+        FROM kept k JOIN ttoks t ON t.doc_id = k.doc_id
+        GROUP BY k.doc_id, t.tk""")),
+
     // ...the INCREMENTAL form: a persisted window-hash index built from
     // the corpus once, then a batch (a shifted full copy of every 10th
     // doc — so each batch doc's whole range is corpus-covered) reports

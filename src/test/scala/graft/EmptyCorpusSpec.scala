@@ -23,7 +23,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_dedup_levenshtein", "llm_dedup_clusters", "llm_dedup_clusters_mr",
     "llm_curation_pipeline", "llm_dedup_embedding", "llm_ann_topk",
     "llm_embedding_centroids", "llm_classifier_score", "llm_dup_spans",
-    "llm_semdedup", "llm_dup_spans_cut",
+    "llm_semdedup", "llm_dup_spans_cut", "llm_decontaminate_cut",
+    "llm_span_index",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats")
 
   private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
