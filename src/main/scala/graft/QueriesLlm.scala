@@ -1143,6 +1143,56 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
         FROM g GROUP BY doc_id, grp""")),
 
+    // image near-dup pairing machinery under the oracle: the REAL
+    // perceptual hash (Multimodal.imagePhashReal, JDK decode — spec-
+    // tested in MultimodalSpec) cannot run in DuckDB, so this query
+    // drives the SAME Dedup.hammingPairs bucketed join with a
+    // SQL-reproducible 62-bit stub signature (forward + reversed
+    // rolling-hash folds of the payload) over the media set unioned with
+    // a shifted copy — every image doc pairs with its copy at hamming 0,
+    // and the pigeonhole chunk join (7 chunks x 9 bits for maxDist=6) is
+    // pinned cross-engine.
+    QueryDef("mm_image_phash_pairs",
+      (s, dir) => {
+        val images = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+          .filter(col("media_type") === "image")
+        // shift AFTER media selection (media_type keys off doc_id % 3,
+        // so a shifted doc would land in a different modality)
+        val media = images.unionByName(
+          images.withColumn("media_id", col("media_id") + lit(100000L)))
+        val txt = col("bytes").cast("string")
+        val sigs = media.select(col("media_id").as("id"),
+          (TextFunctions.fingerprint(txt) * lit(4294967296L) +
+            TextFunctions.fingerprint(reverse(txt))).as("sig"))
+        Dedup.hammingPairs(sigs, maxDist = 6)
+      },
+      Some("""WITH media AS (
+          SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 100000 AS id, text FROM documents
+          WHERE doc_id % 3 = 0),
+        sigs AS (SELECT id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(text, '.'),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h * 31 + c) % 1000000007) * 4294967296 +
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(reverse(text), '.'),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (h, c) -> (h * 31 + c) % 1000000007) AS sig
+          FROM media),
+        chunked AS (SELECT id, sig, i AS chunk_idx,
+            (sig >> CAST(i * 9 AS INT)) & 511 AS chunk_key
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, 7)) AS i) z),
+        cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            a.sig AS sig_a, b.sig AS sig_b
+          FROM chunked a JOIN chunked b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key
+              AND a.id < b.id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cands WHERE bit_count(xor(sig_a, sig_b)) <= 6""")),
+
     // surgical decontamination: instead of DROPPING training docs that
     // overlap the benchmark (llm_decontaminate), cut exactly the
     // benchmark-covered token runs and keep the rest — a span index

@@ -696,12 +696,25 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3,
-                   collapseExact: Boolean = false): DataFrame = {
+                   collapseExact: Boolean = false): DataFrame =
+    hammingPairs(
+      maybeCollapse(df, textCol, idCol, collapseExact)
+        .select(col(idCol).as("id"),
+          HashFunctions.simhashUdf()(TextFunctions.tokens(col(textCol))).as("sig")),
+      maxDist)
+
+  /** Signature-space near-dup pairs over an arbitrary `(id, sig)` frame:
+    * all (id_a < id_b) with hamming(sig_a, sig_b) <= maxDist. Candidate
+    * generation is the pigeonhole chunk split ([[simhashPairs]]' core,
+    * extracted so ANY 64-bit locality signature — SimHash, image pHash —
+    * pairs through the same bucketed join): a signature splits into
+    * `maxDist+1` chunks, and any pair within maxDist must agree on at
+    * least one whole chunk, so recall is 100% while the join never goes
+    * quadratic outside a bucket. */
+  def hammingPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0,63], got $maxDist")
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val sigs = maybeCollapse(df, textCol, idCol, collapseExact)
-      .select(col(idCol).as("id"),
-      HashFunctions.simhashUdf()(TextFunctions.tokens(col(textCol))).as("sig"))
     val chunked = sigs.withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk_key",
         expr(s"shiftright(sig, cast(chunk_idx * $bitsPer as int)) & ${(1L << bitsPer) - 1}L"))

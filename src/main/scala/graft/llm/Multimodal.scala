@@ -154,6 +154,48 @@ object Multimodal {
       .toDF(idCol, "resized_bytes", "resized_width", "resized_height", "ok")
   }
 
+  /** REAL perceptual hash (average-hash) via the JDK codecs: decode,
+    * bilinear-scale to 8x8 grayscale, threshold each cell against the
+    * mean -> one 64-bit signature whose hamming distance tracks visual
+    * similarity (resize-/re-encode-stable, unlike a byte hash). Pairs
+    * then come from [[Dedup.hammingPairs]] — image near-dup dedup with
+    * the exact same bucketed-join scale shape as SimHash text dedup.
+    * Broken payloads yield `ok = false`, sig 0. */
+  def imagePhashReal(df: DataFrame, idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, 0L, false)
+            else {
+              val small = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = small.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, 8, 8, null)
+              g.dispose()
+              val px = new Array[Int](64)
+              small.getRaster.getPixels(0, 0, 8, 8, px)
+              val mean = px.sum / 64.0
+              var sig = 0L
+              var i = 0
+              while (i < 64) { if (px(i) > mean) sig |= (1L << i); i += 1 }
+              (id, sig, true)
+            }
+          } catch { case _: Exception => (id, 0L, false) }
+        }
+      }
+      .toDF(idCol, "phash", "ok")
+  }
+
   /** REAL frame sampling via the JDK GIF codec: animated GIFs are the
     * one multi-frame container `javax.imageio` ships a decoder for, so
     * the video frame-extract stage gets a real decode path (the same

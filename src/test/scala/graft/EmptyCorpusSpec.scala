@@ -25,7 +25,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_embedding_centroids", "llm_classifier_score", "llm_dup_spans",
     "llm_semdedup", "llm_dup_spans_cut", "llm_decontaminate_cut",
     "llm_span_index",
-    "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats")
+    "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats",
+    "mm_image_phash_pairs")
 
   private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     val dir = Files.createTempDirectory("graft-empty-").toString

@@ -106,6 +106,58 @@ class MultimodalSpec extends SparkSpec {
     assert(round.getWidth == 64 && round.getHeight == 32)
   }
 
+  test("REAL perceptual hash: re-encoded/noisy copies are close, distinct images far") {
+    // structured gradient image; a JPEG re-encode and a few-pixel edit
+    // must stay within a small hamming radius of the original, while an
+    // inverted image lands far away
+    def structured(w: Int, h: Int, invert: Boolean, tweak: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val v0 = (x * 255 / w + y * 255 / h) / 2
+        val v = if (invert) 255 - v0 else math.min(255, v0 + (if (x < 3 && y < 3) tweak else 0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def asJpeg(png: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      rgb.createGraphics().drawImage(img, 0, 0, null)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", bos)
+      bos.toByteArray
+    }
+    val base = structured(64, 48, invert = false, tweak = 0)
+    val rows = Seq(
+      (1L, base),
+      (2L, asJpeg(base)),                               // lossy re-encode
+      (3L, structured(64, 48, invert = false, tweak = 40)), // small local edit
+      (4L, structured(64, 48, invert = true, tweak = 0)),   // inverted -> far
+      (5L, "not an image".getBytes("UTF-8")))           // broken -> ok=false
+      .toDF("media_id", "bytes")
+    val got = Multimodal.imagePhashReal(rows)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(5L)._2 == false)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h12 = ham(got(1L)._1, got(2L)._1)
+    val h13 = ham(got(1L)._1, got(3L)._1)
+    val h14 = ham(got(1L)._1, got(4L)._1)
+    assert(h12 <= 6, s"jpeg re-encode drifted $h12 bits")
+    assert(h13 <= 6, s"local edit drifted $h13 bits")
+    assert(h14 >= 32, s"inverted image unexpectedly close: $h14")
+    // and the pairs come out of the same hammingPairs join SimHash uses
+    val sigs = Seq((1L, got(1L)._1), (2L, got(2L)._1), (3L, got(3L)._1),
+      (4L, got(4L)._1)).toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("REAL audio decode parses WAV duration, rate and RMS of a sine") {
     val media = Seq(
       (1L, wavBytes(16000, 0.5, 440.0)),
