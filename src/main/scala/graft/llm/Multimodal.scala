@@ -249,6 +249,33 @@ object Multimodal {
         "frame_bytes", "ok")
   }
 
+  /** REAL video near-dup: sample `nFrames` frames per clip (the JDK GIF
+    * codec), perceptual-hash each frame ([[imagePhashReal]]'s kernel),
+    * and pair clips sharing >= `minShared` distinct frame hashes —
+    * frame-SET containment instead of one whole-clip signature, so
+    * trimmed / re-timed / container-re-encoded copies still collide on
+    * the frames they share (pHash absorbs palette/encoding jitter; a raw
+    * byte hash would not). Candidate generation is an equi-join on the
+    * frame hash — bucketed, never quadratic across clips — the same
+    * scale discipline as every dedup path here.
+    * Output: id_a, id_b, shared_frames. */
+  def videoNearDupReal(df: DataFrame, nFrames: Int = 4, minShared: Int = 2,
+                       idCol: String = "media_id",
+                       bytesCol: String = "bytes"): DataFrame = {
+    val frames = sampleFramesReal(df, nFrames, idCol, bytesCol)
+      .filter(col("ok"))
+      .select(col(idCol), col("frame_bytes").as("bytes"))
+    val sigs = imagePhashReal(frames, idCol, "bytes")
+      .filter(col("ok"))
+      .select(col(idCol).as("id"), col("phash")).distinct()
+    sigs.as("a").join(sigs.as("b"),
+        col("a.phash") === col("b.phash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU):
     * (id, bytes) -> (id, duration_sec, sample_rate, channels, rms, ok).
     * RMS is computed over the 16-bit PCM samples — the loudness feature

@@ -211,6 +211,48 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Animated GIF whose frame f carries pattern `patterns(f)` — a
+    * checker-gradient keyed on the pattern id, so distinct patterns
+    * produce distinct perceptual hashes (solid frames would all
+    * degenerate to pHash 0). */
+  private def patternGif(patterns: Seq[Int], w: Int = 32, h: Int = 24): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    patterns.foreach { p =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // paint an 8x8 block pattern from the bits of mix64(p): survives
+      // the pHash downsample exactly, so distinct p -> distinct hashes
+      val bits = graft.functions.HashFunctions.mix64(p.toLong)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        val v = if (((bits >>> cell) & 1L) == 1L) 230 else 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("REAL video near-dup pairs clips on shared frame hashes") {
+    val media = Seq(
+      (1L, patternGif(Seq(0, 1, 2, 3, 4, 5))),   // base clip
+      (2L, patternGif(Seq(2, 3, 4, 5, 6, 7))),   // trimmed/re-timed: shares 2..5
+      (3L, patternGif(Seq(10, 11, 12, 13, 14, 15))), // disjoint content
+      (4L, "not a container".getBytes))          // broken: silently absent
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.videoNearDupReal(media, nFrames = 6, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 >= 2 && pairs.head._3 <= 4) // patterns 2..5 overlap
+  }
+
   test("REAL frame sampling decodes evenly spaced frames of an animated GIF") {
     val media = Seq(
       (1L, gifBytes(6, 24, 16)),
