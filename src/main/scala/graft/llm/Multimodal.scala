@@ -276,6 +276,82 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** REAL audio fingerprint via `javax.sound.sampled`: decode to 16-bit
+    * PCM, split into 32 equal windows, and emit a 64-bit signature —
+    * bit i = window i's RMS energy above the median energy (the loudness
+    * envelope), bit 32+i = window i's zero-crossing rate above the
+    * median ZCR (a pitch proxy). Both halves compare against their own
+    * median, so the signature is invariant to uniform volume scaling
+    * and robust to light noise; hamming distance then tracks perceptual
+    * similarity and pairs come from [[Dedup.hammingPairs]] — the audio
+    * sibling of [[imagePhashReal]]. Broken payloads yield ok = false. */
+  def audioFingerprintReal(df: DataFrame, idCol: String = "media_id",
+                           bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val data = ais.readAllBytes(); ais.close()
+            val ch = fmt.getChannels
+            val n = data.length / 2 / ch
+            if (n < 64 || fmt.getSampleSizeInBits != 16) (id, 0L, false)
+            else {
+              // mono mixdown, little- or big-endian per the header
+              val pcm = new Array[Double](n)
+              val le = !fmt.isBigEndian
+              var i = 0
+              while (i < n) {
+                var acc = 0.0
+                var c = 0
+                while (c < ch) {
+                  val o = (i * ch + c) * 2
+                  val s = if (le) ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+                          else ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                  acc += s; c += 1
+                }
+                pcm(i) = acc / ch; i += 1
+              }
+              val wins = 32
+              val rms = new Array[Double](wins)
+              val zcr = new Array[Double](wins)
+              var w = 0
+              while (w < wins) {
+                val lo = w * n / wins; val hi = (w + 1) * n / wins
+                var e = 0.0; var z = 0; var j = lo
+                while (j < hi) {
+                  e += pcm(j) * pcm(j)
+                  if (j > lo && (pcm(j) >= 0) != (pcm(j - 1) >= 0)) z += 1
+                  j += 1
+                }
+                rms(w) = math.sqrt(e / math.max(hi - lo, 1))
+                zcr(w) = z.toDouble / math.max(hi - lo, 1)
+                w += 1
+              }
+              def median(a: Array[Double]): Double = {
+                val s = a.sorted; (s(15) + s(16)) / 2
+              }
+              val (mr, mz) = (median(rms), median(zcr))
+              var sig = 0L
+              w = 0
+              while (w < wins) {
+                if (rms(w) > mr) sig |= (1L << w)
+                if (zcr(w) > mz) sig |= (1L << (32 + w))
+                w += 1
+              }
+              (id, sig, true)
+            }
+          } catch { case _: Exception => (id, 0L, false) }
+        }
+      }
+      .toDF(idCol, "afp", "ok")
+  }
+
   /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU):
     * (id, bytes) -> (id, duration_sec, sample_rate, channels, rms, ok).
     * RMS is computed over the 16-bit PCM samples — the loudness feature

@@ -158,6 +158,56 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  /** WAV whose frequency and amplitude step per 1/32-second window
+    * according to `pattern` — gives the fingerprint's envelope and ZCR
+    * halves real structure to latch onto. */
+  private def fmWav(pattern: Seq[Int], gain: Double = 1.0): Array[Byte] = {
+    val rate = 16000
+    val perWin = rate / 32
+    val n = perWin * 32
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val w = i / perWin
+      val p = pattern(w % pattern.length)
+      val freq = 200.0 + 150.0 * (p % 8)
+      val amp = (2000 + 1500 * (p % 4)) * gain
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio fingerprint: volume-invariant, pattern-sensitive") {
+    val patA = Seq(0, 3, 1, 6, 2, 7, 4, 5)
+    val patB = Seq(7, 1, 5, 0, 6, 2, 3, 4)
+    val media = Seq(
+      (1L, fmWav(patA)),
+      (2L, fmWav(patA, gain = 0.4)),  // same content, quieter -> same sig
+      (3L, fmWav(patB)),              // different structure -> far
+      (4L, "junk".getBytes))          // broken -> ok=false
+      .toDF("media_id", "bytes")
+    val got = Multimodal.audioFingerprintReal(media)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got(4L)._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(1L)._1, got(2L)._1) == 0,
+      s"volume scaling moved ${ham(got(1L)._1, got(2L)._1)} bits")
+    assert(ham(got(1L)._1, got(3L)._1) >= 16,
+      s"distinct patterns too close: ${ham(got(1L)._1, got(3L)._1)}")
+    // pairs through the shared hamming machinery
+    val sigs = Seq((1L, got(1L)._1), (2L, got(2L)._1), (3L, got(3L)._1))
+      .toDF("id", "sig")
+    val pairs = Dedup.hammingPairs(sigs, maxDist = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("REAL audio decode parses WAV duration, rate and RMS of a sine") {
     val media = Seq(
       (1L, wavBytes(16000, 0.5, 440.0)),
