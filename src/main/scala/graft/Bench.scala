@@ -28,7 +28,9 @@ object Bench {
     "llm_ann_lsh", "llm_ann_ivf", "q28_kmv_distinct",
     // round 8: persisted-index ANN and dedup (build + search, end-to-end)
     "llm_ann_ivf_index", "llm_dedup_index",
-    "llm_classifier_score", "llm_dup_spans")
+    "llm_classifier_score", "llm_dup_spans", "llm_dup_spans_cut",
+    "llm_span_index", "llm_semdedup", "llm_decontaminate_cut",
+    "mm_image_phash_pairs")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
