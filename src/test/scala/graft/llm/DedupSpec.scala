@@ -247,6 +247,62 @@ class DedupSpec extends SparkSpec {
     assert(byId(2L)._2 - byId(2L)._3 == 12L)
   }
 
+  test("dupSpans matches an in-memory reference on random small corpora") {
+    // natural window collisions from a tiny vocab; reference recomputes
+    // spans directly from the definition
+    val w = 3
+    def refSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, tk) =>
+        (0 to tk.length - w).filter(_ => tk.length >= w)
+          .map(i => (id, i, tk.slice(i, i + w).mkString(" ")))
+      }
+      val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val pos = wins.filter(x => dup(x._3)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      pos.flatMap { case (id, ps) =>
+        // islands of contiguous positions
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (id, is.min.toLong, is.max.toLong + w - 1,
+          (is.max + w - 1 - is.min + 1).toLong))
+      }.toSet
+    }
+    val fuzz = new scala.util.Random(113)
+    val voc = Array("a", "b", "c", "d")
+    (1 to 5).foreach { round =>
+      val docs = (0L until 12L).map(i =>
+        (i, Seq.fill(5 + fuzz.nextInt(12))(voc(fuzz.nextInt(voc.length))).mkString(" ")))
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), w = w)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == refSpans(docs), s"round $round: $got vs ${refSpans(docs)}")
+    }
+  }
+
+  test("hammingPairs matches brute force on random signatures") {
+    val fuzz = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      val maxDist = 1 + fuzz.nextInt(5)
+      // half random, half perturbed copies so near-pairs actually exist
+      val base = (0L until 20L).map(i => (i, fuzz.nextLong()))
+      val near = base.take(10).map { case (i, s) =>
+        (i + 100L, s ^ (1 to fuzz.nextInt(maxDist + 2))
+          .foldLeft(0L)((m, _) => m | (1L << fuzz.nextInt(64))))
+      }
+      val sigs = base ++ near
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+      val got = Dedup.hammingPairs(sigs.toDF("id", "sig"), maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute, s"round $round maxDist=$maxDist")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact (tolerance contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(20000).toDF("id")
