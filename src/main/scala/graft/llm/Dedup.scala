@@ -648,7 +648,7 @@ object Dedup {
     * gaps-and-islands per-doc window as [[dupSpans]]. Per-batch cost =
     * one index scan + batch-sized work, whatever the corpus size. */
   def spanIndexMatches(batch: DataFrame, idCol: String, textCol: String,
-                       dir: String): DataFrame = {
+                       dir: String, materialize: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val w = readSpanMeta(spark, dir)
     val bw = batchWindowHashes(batch, idCol, textCol, w).cache()
@@ -666,9 +666,15 @@ object Dedup {
         (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
-    val materialized = out.localCheckpoint(true)
-    bw.unpersist(false)
-    materialized
+    // materialize=false returns the raw plan (cache still held) — for
+    // plan-shape assertions only; production callers keep the default
+    // eager checkpoint + cache release
+    if (!materialize) out
+    else {
+      val materialized = out.localCheckpoint(true)
+      bw.unpersist(false)
+      materialized
+    }
   }
 
   /** Admit a batch's windows into the index: append ONLY hashes the

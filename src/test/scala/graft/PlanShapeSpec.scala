@@ -60,6 +60,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!optimized.contains("transform(sequence"), optimized.take(2000))
   }
 
+  test("span dedup plans: per-doc windows, no cartesian anywhere") {
+    for (name <- Seq("llm_dup_spans", "llm_dup_spans_cut")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"), s"$name: ${physical.take(1500)}")
+      assert(!physical.contains("BroadcastNestedLoopJoin"), s"$name")
+      // the island merge must stay partitioned by doc, never a global
+      // single-partition window
+      if (optimized.contains("windowspecdefinition"))
+        assert(optimized.contains("windowspecdefinition(doc_id"), s"$name")
+    }
+  }
+
+  test("span-index match joins broadcast the batch; the index never sort-merges") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-psi-").toString
+    val docs = Tables.load(spark, dir, "documents")
+    graft.llm.Dedup.spanBuildIndex(docs, "doc_id", "text", idx, w = 8)
+    val plan = graft.llm.Dedup
+      .spanIndexMatches(docs, "doc_id", "text", idx, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("chunking plan is shuffle-free (narrow generate over the scan)") {
     val df = SparkEntry.queries("llm_chunking")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
