@@ -1195,19 +1195,16 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
 
     // surgical decontamination: instead of DROPPING training docs that
     // overlap the benchmark (llm_decontaminate), cut exactly the
-    // benchmark-covered token runs and keep the rest — a span index
-    // built from the eval set (source 'src0'), matched against the
-    // training side, cuts applied. Pure composition of spanBuildIndex /
-    // spanIndexMatches / applySpanCuts.
+    // benchmark-covered token runs and keep the rest — the eval set's
+    // (source 'src0') window hashes broadcast into one narrow join over
+    // the training side (Dedup.decontaminateCut; the persisted-index
+    // composition covers eval sets too big to broadcast).
     QueryDef("llm_decontaminate_cut",
       (s, dir) => {
-        val idx = java.nio.file.Files.createTempDirectory("graft-decon-idx-").toString
         val docs = t(s, dir, "documents")
-        Dedup.spanBuildIndex(docs.filter(col("source") === "src0"),
-          "doc_id", "text", idx, w = 8)
-        val train = docs.filter(col("source") =!= "src0")
-        val spans = Dedup.spanIndexMatches(train, "doc_id", "text", idx)
-        Dedup.applySpanCuts(train, spans)
+        Dedup.decontaminateCut(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), w = 8)
       },
       Some("""WITH etoks AS (SELECT doc_id,
           string_split_regex(trim(text), '\s+') AS tk

@@ -677,6 +677,33 @@ object Dedup {
     }
   }
 
+  /** Surgical decontamination: cut every token run of `train` that the
+    * (small) eval set also contains, keeping the rest of each doc — the
+    * rewrite form of benchmark decontamination. The eval window-hash set
+    * broadcasts (eval benchmarks are tiny next to a training corpus), so
+    * the train side streams through one narrow join — no index on disk,
+    * no corpus-sized shuffle beyond the span merge itself. For an eval
+    * set too big to broadcast, [[spanBuildIndex]] + [[spanIndexMatches]]
+    * + [[applySpanCuts]] is the persisted equivalent.
+    * Output: doc_id, n_tok, n_kept, clean_text. */
+  def decontaminateCut(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       w: Int = 8): DataFrame = {
+    val evalHashes = batchWindowHashes(evalDocs, idCol, textCol, w)
+      .select(col("wh")).distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = batchWindowHashes(train, idCol, textCol, w)
+      .join(broadcast(evalHashes), "wh")
+      .select(col("qid").as("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    applySpanCuts(train, spans, idCol, textCol)
+  }
+
   /** Admit a batch's windows into the index: append ONLY hashes the
     * index has never seen (novel = batch distinct minus one streamed
     * intersection scan), sorted into their own tight-stat files. On a
