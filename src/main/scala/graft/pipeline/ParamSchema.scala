@@ -114,6 +114,9 @@ object ParamSchema {
       "score_column" -> PString, "min_score" -> PLong),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,
       "window" -> PLong),
+    "llm.decontaminate_cut" -> Map("column" -> PString, "id" -> PString,
+      "source_column" -> PString, "eval_value" -> PString,
+      "window" -> PLong),
     "llm.dedup_exact" -> Map("column" -> PString, "id" -> PString),
     "llm.repetition_filter" -> Map("column" -> PString,
       "max_dup_ppm" -> PLong),

@@ -358,6 +358,25 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         .select(col("doc_id").as(idc), col("clean_text"))
       in.drop(c).join(cut, idc).withColumnRenamed("clean_text", c)
 
+    // surgical decontamination (params: column, id, source_column,
+    // eval_value, window): rows whose source matches eval_value form the
+    // benchmark; every other row is REWRITTEN with benchmark-covered
+    // token runs cut (Dedup.decontaminateCut — eval hashes broadcast).
+    // Eval rows do not flow downstream; fully-cut docs drop.
+    case "llm.decontaminate_cut" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val srcCol = p(a, "source_column").getOrElse("source")
+      val evalV = p(a, "eval_value").getOrElse(
+        sys.error(s"${a.name}: decontaminate_cut needs eval_value"))
+      val w = p(a, "window").map(_.toInt).getOrElse(8)
+      val in = inputOf(a.name)
+      val train = in.filter(col(srcCol) =!= evalV)
+      val cut = graft.llm.Dedup.decontaminateCut(
+          train, in.filter(col(srcCol) === evalV), idc, c, w)
+        .select(col("doc_id").as(idc), col("clean_text"))
+      train.drop(c).join(cut, idc).withColumnRenamed("clean_text", c)
+
     // repetition gate (Gopher filters): annotate dup-token/2-gram/3-gram
     // ppm and drop rows above max_dup_ppm (checked against the WORST of
     // the three). One codegen pass per row per n (DupNgramPpm), fully

@@ -122,6 +122,34 @@ class LlmModulesSpec extends SparkSpec {
     assert(out(4L) == uniq(4, 20))
   }
 
+  test("llm.decontaminate_cut actor rewrites train docs minus eval runs") {
+    val in = Files.createTempDirectory("graft-llm-deconcut-").toString
+    val evalRun = (1 to 12).map(i => s"e$i").mkString(" ")
+    def uniq(tag: String, n: Int): String = (1 to n).map(i => s"u${tag}_$i").mkString(" ")
+    Seq(
+      (1L, s"${uniq("ev", 5)} $evalRun", "eval"),       // benchmark doc
+      (10L, s"${uniq("a", 4)} $evalRun ${uniq("b", 6)}", "train"), // overlaps -> cut
+      (11L, uniq("clean", 20), "train"),                // untouched
+      (12L, evalRun, "train"))                          // fully eval text -> drops
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  decon: {module: llm.decontaminate_cut, params: {eval_value: eval}}
+        |  decon_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [decon]}
+        |  decon: {connect: [decon_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("decon_out").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(10L, 11L)) // eval row and fully-cut row gone
+    assert(out(10L) == s"${uniq("a", 4)} ${uniq("b", 6)}")
+    assert(out(11L) == uniq("clean", 20))
+  }
+
   test("repetition filter and near-dedup actors curate end to end") {
     val in = Files.createTempDirectory("graft-llm-pipe3-").toString
     val loop = ("spam ham " * 40).trim // 50% dup 2-grams -> filtered
