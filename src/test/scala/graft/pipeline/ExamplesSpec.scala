@@ -60,6 +60,13 @@ class ExamplesSpec extends SparkSpec {
     assert(out.filter($"dup_ppm" > 900000L).count() == 0)
     // exact + near dedup kept one row per distinct text
     assert(out.select($"text").distinct().count() == out.count())
+    // classifier annotated every surviving row
+    assert(out.columns.contains("clf_score"))
+    // span-cut removed every cross-doc duplicated 8-token run
+    assert(graft.llm.Dedup.dupSpans(out.select($"doc_id", $"text"), w = 8)
+      .count() == 0)
+    // surgical decontamination dropped the eval subset itself
+    assert(out.filter($"source" === "src0").count() == 0)
   }
 
   test("demux_partitioned example writes one directory per event type") {
