@@ -785,4 +785,270 @@ object Similarity {
       }
     runQueryShards(sigSlim, nShards)(knnFor)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid — "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011). The 100-TB memory story
+  // for embedding search: a d-dim float vector (4·d bytes) compresses to
+  // m sub-codes of log2(ksub) bits — at the defaults (m=8, ksub=16,
+  // d=64) that is 256 B -> 8 B per vector, 32x. A billion-vector corpus
+  // becomes an ~8 GB code table that BROADCASTS, so the ADC scan is a
+  // shuffle-free map over the query partitions: each query computes one
+  // m×ksub distance table (m·ksub·dsub mults, once), then every
+  // candidate costs m table lookups instead of d multiplies.
+  // --------------------------------------------------------------------
+
+  /** Unit-normalize a float vector in double (index-order norm sum, one
+    * division per element) — the PQ paths are COSINE-metric: on the unit
+    * sphere L2² = 2 - 2·cos, so ADC ranking matches the cosine ranking
+    * of the other knn paths. Callers filter zero norms first. */
+  @inline private[llm] def pqNormalize(v: Array[Float]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(ss)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i).toDouble / n; i += 1 }
+    out
+  }
+
+  /** Deterministic per-subspace PQ codebook training over UNIT-NORMALIZED
+    * vectors. Same bounded discipline as [[trainIvfCentroids]]: the
+    * sample is sort+limit (TakeOrderedAndProject — never a full collect),
+    * seeds are the ksub sample vectors ranked by (mix64(id), id), and
+    * Lloyd means accumulate in exact DECIMAL(28,10) per dim then round
+    * to 6 dp — bit-identical however the sum is ordered, so a SQL oracle
+    * can re-derive iteration K's codebooks exactly. Returns `m` flat
+    * codebooks, each `ksub * dsub` doubles (cell j at offset j*dsub). */
+  private[llm] def pqTrainCodebooks(emb: DataFrame, m: Int, ksub: Int,
+                                    iters: Int, maxTrain: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = withNorm(emb, "vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding"))
+      .sort(col("vec_id")).limit(maxTrain)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, pqNormalize(v.toArray)) }
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val d = sample.head._2.length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val seeds = sample
+      .sortBy { case (id, _) => (graft.functions.HashFunctions.mix64(id), id) }
+      .take(ksub)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    // one Lloyd loop per subspace, each over its slice of the SAME sample
+    Array.tabulate(m) { s =>
+      val off = s * dsub
+      var cb: Array[Array[Double]] =
+        seeds.map { case (_, v) => Array.tabulate(dsub)(i => v(off + i)) }.toArray
+      val nCells = cb.length // may be < ksub on tiny corpora
+      def nearest(v: Array[Double]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          val cc = cb(c)
+          var dist = 0.0; var i = 0
+          while (i < dsub) { val diff = v(off + i) - cc(i); dist += diff * diff; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c } // tie keeps lower cell
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(nCells)(Array.fill(dsub)(java.math.BigDecimal.ZERO))
+        val counts = new Array[Long](nCells)
+        sample.foreach { case (_, v) =>
+          val c = nearest(v)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) {
+            sums(c)(i) = sums(c)(i).add(
+              java.math.BigDecimal.valueOf(v(off + i))
+                .setScale(10, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+        }
+        cb = Array.tabulate(nCells)(c =>
+          if (counts(c) == 0) cb(c)
+          else sums(c).map(x => round6(x.doubleValue() / counts(c))))
+      }
+      val flat = new Array[Double](nCells * dsub)
+      var c = 0
+      while (c < nCells) {
+        System.arraycopy(cb(c), 0, flat, c * dsub, dsub); c += 1
+      }
+      flat
+    }
+  }
+
+  /** Assign one vector's subspace `s` to its nearest codebook cell
+    * (L2², index-order accumulation, tie -> lower cell) — the shared
+    * kernel for encode and the ADC distance table. */
+  @inline private def pqNearest(v: Array[Double], off: Int, dsub: Int,
+                                cb: Array[Double]): Int = {
+    val nCells = cb.length / dsub
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < nCells) {
+      var dist = 0.0; var i = 0
+      while (i < dsub) { val diff = v(off + i) - cb(c * dsub + i); dist += diff * diff; i += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode a corpus against trained codebooks: (vec_id, codes) where
+    * codes(s) is the nearest cell of subspace s over the unit-normalized
+    * vector. Zero-norm vectors are dropped (cosine-metric semantics, as
+    * in the other knn paths). Distributed map — the codebooks ship once
+    * per executor via broadcast. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val bc = spark.sparkContext.broadcast(codebooks)
+    withNorm(emb, "vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.map { case (id, vs) =>
+          val v = pqNormalize(vs.toArray)
+          val dsub = v.length / m
+          (id, Array.tabulate(m)(s => pqNearest(v, s * dsub, dsub, cbs(s))))
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Brute ADC top-k over PQ codes: every query scans the FULL encoded
+    * corpus — no candidate pruning (compose with [[ivfKnn]]'s cell
+    * routing when pruning is wanted too); the win is the 32x smaller
+    * scan. COSINE-metric: vectors are unit-normalized before training,
+    * encoding, and querying, so the squared-L2 ADC ranking approximates
+    * the cosine ranking of [[bruteKnn]] (L2² = 2 − 2·cos on the
+    * sphere). Distances are sums of per-subspace table entries in
+    * integer MICRO units (each entry `round(dist² · 1e6)` — exact,
+    * order-free long addition, so ranking is reproducible cross-engine
+    * bit-for-bit). Ranks like the other knn paths: (distance asc,
+    * neighbor_id asc), self and zero-norm vectors excluded.
+    *
+    * Scale shape mirrors [[bruteKnnFor]]: probe-collect the code table
+    * up to `blockSize` rows (codes are m ints here, m BYTES once packed
+    * — the default block is 1M vectors ≈ tens of MB), broadcast it, and
+    * stream queries through a bounded top-k kernel; corpora beyond one
+    * block stream block-partials into a TopKPerKey merge. */
+  def pqKnn(emb: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+            iters: Int = 2, maxTrain: Int = 65536,
+            blockSize: Int = 1 << 20): DataFrame = {
+    require(k >= 1 && m >= 1 && ksub >= 2 && blockSize >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Int)]
+      .toDF("vec_id", "neighbor_id", "adc_dist", "rank")
+    if (emb.isEmpty) return empty
+    val codebooks = pqTrainCodebooks(emb, m, ksub, iters, maxTrain)
+    val cbBc = spark.sparkContext.broadcast(codebooks)
+    val codes = pqEncode(emb, codebooks).as[(Long, Array[Int])]
+
+    /** One corpus block (sorted by id) against all queries. */
+    def scoreBlock(queries: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
+                   block: IndexedSeq[(Long, Array[Int])], withRank: Boolean)
+        : (DataFrame, org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int])]) = {
+      val n = block.length
+      val ids = block.map(_._1).toArray
+      val flat = new Array[Int](n * m)
+      var j = 0
+      while (j < n) {
+        System.arraycopy(block(j)._2, 0, flat, j * m, m); j += 1
+      }
+      val bc = spark.sparkContext.broadcast((ids, flat))
+      val scored = queries.mapPartitions { it =>
+        val (ids, flat) = bc.value
+        val cbs = cbBc.value
+        val n = ids.length
+        it.flatMap { case (qid, qvs) =>
+          val qv = pqNormalize(qvs.toArray)
+          val dsub = qv.length / m
+          // the ADC table: micro-rounded L2² per (subspace, cell)
+          val table = Array.tabulate(m) { s =>
+            val cb = cbs(s)
+            val nCells = cb.length / dsub
+            val off = s * dsub
+            Array.tabulate(nCells) { c =>
+              var dist = 0.0; var i = 0
+              while (i < dsub) {
+                val diff = qv(off + i) - cb(c * dsub + i); dist += diff * diff; i += 1
+              }
+              Math.round(dist * 1e6)
+            }
+          }
+          // bounded top-k, (dist asc, id asc)
+          val topD = new Array[Long](k)
+          val topId = new Array[Long](k)
+          var filled = 0
+          var j = 0
+          while (j < n) {
+            val id = ids(j)
+            if (id != qid) {
+              var dist = 0L; var s = 0; var p = j * m
+              while (s < m) { dist += table(s)(flat(p)); s += 1; p += 1 }
+              if (filled < k || dist < topD(filled - 1) ||
+                  (dist == topD(filled - 1) && id < topId(filled - 1))) {
+                var pos = if (filled < k) filled else k - 1
+                while (pos > 0 && (topD(pos - 1) > dist ||
+                    (topD(pos - 1) == dist && topId(pos - 1) > id))) {
+                  topD(pos) = topD(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+                }
+                topD(pos) = dist; topId(pos) = id
+                if (filled < k) filled += 1
+              }
+            }
+            j += 1
+          }
+          (0 until filled).map(r =>
+            (qid, topId(r), topD(r), if (withRank) r + 1 else 0))
+        }
+      }.toDF("vec_id", "neighbor_id", "adc_dist", "rank")
+      (scored, bc)
+    }
+
+    def queriesSide = withNorm(emb, "vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Seq[Float])]
+
+    val probe = codes.limit(blockSize + 1).collect()
+    if (probe.isEmpty) return empty
+    if (probe.length <= blockSize) {
+      scoreBlock(queriesSide, probe.sortBy(_._1).toIndexedSeq, withRank = true)._1
+    } else {
+      // block-merge path — identical discipline to bruteKnnFor: bounded
+      // blocks through the driver, disk-backed partials, TopKPerKey
+      // merge with the same (dist asc, id asc) comparator, one eager
+      // localCheckpoint to release everything
+      val queries = queriesSide.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusIt = codes.sort(col("vec_id")).toLocalIterator()
+      val partials = corpusIt.asScala.grouped(blockSize).map { blk =>
+        val (part, bc) = scoreBlock(queries, blk.toIndexedSeq, withRank = false)
+        val materialized = part.drop("rank")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        materialized.count()
+        bc.unpersist(blocking = false)
+        materialized
+      }.toList
+      val merged = balancedUnion(partials.toIndexedSeq)
+      val result = graft.plans.TopKPerKey(merged,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("adc_dist").asc, col("neighbor_id").asc),
+        k = k, rankName = "rank")
+        .select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+      val out = result.localCheckpoint(eager = true)
+      queries.unpersist(blocking = false)
+      partials.foreach(_.unpersist(blocking = false))
+      out
+    }
+  }
 }
