@@ -30,7 +30,9 @@ object Bench {
     "llm_ann_ivf_index", "llm_dedup_index",
     "llm_classifier_score", "llm_dup_spans", "llm_dup_spans_cut",
     "llm_span_index", "llm_semdedup", "llm_decontaminate_cut",
-    "mm_image_phash_pairs")
+    "mm_image_phash_pairs",
+    // round 8: product-quantization compressed ANN
+    "llm_ann_pq", "llm_ann_pq_rerank")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -100,6 +100,66 @@ object QueriesLlm {
           AS cos_sim
       FROM embeddings a JOIN embeddings b ON $body)"""
 
+  /** Shared DuckDB derivation of the PQ pipeline (normalize -> mix64
+    * seed pick -> 2 per-subspace Lloyd iterations -> encode -> ADC
+    * micro-distance pairs) — the prefix of both llm_ann_pq tails. */
+  private val pqOracleCommon = """WITH
+raw AS MATERIALIZED (SELECT vec_id, e0, nrm FROM (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0,
+    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings) q WHERE nrm > 0.0),
+samp AS MATERIALIZED (SELECT vec_id, list_transform(e0, x -> x / nrm) AS e
+  FROM raw ORDER BY vec_id LIMIT 65536),
+h1 AS (SELECT vec_id, e, (vec_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS ka FROM samp),
+h2 AS (SELECT *, (((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(ka, ka >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kb FROM h1),
+h3 AS (SELECT *, (((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(kb, kb >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kc FROM h2),
+hm AS (SELECT vec_id, e,
+  CASE WHEN xor(kc, kc >> 31) >= 9223372036854775808 THEN (xor(kc, kc >> 31) - 18446744073709551616)::BIGINT
+       ELSE xor(kc, kc >> 31)::BIGINT END AS m FROM h3),
+c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY m, vec_id) - 1 AS cell, e
+  FROM hm ORDER BY m, vec_id LIMIT 8),
+subs(s) AS (VALUES (0), (1), (2), (3)),
+sv AS MATERIALIZED (SELECT vec_id, s, list_transform(range(1, 17), i -> e[s * 16 + i]) AS v
+  FROM samp, subs),
+cb0 AS MATERIALIZED (SELECT s, cell, list_transform(range(1, 17), i -> e[s * 16 + i]) AS c
+  FROM c0, subs),
+dims AS (SELECT unnest(range(1, 17))::INT AS dim),
+a1 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM sv v JOIN cb0 cb ON v.s = cb.s) z WHERE rn = 1),
+m1 AS (SELECT a.s, a.cell, d.dim,
+    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a1 a JOIN sv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
+  GROUP BY a.s, a.cell, d.dim),
+cb1 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
+  FROM cb0 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY s, cell) lm
+    ON p.s = lm.s AND p.cell = lm.cell),
+a2 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM sv v JOIN cb1 cb ON v.s = cb.s) z WHERE rn = 1),
+m2 AS (SELECT a.s, a.cell, d.dim,
+    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a2 a JOIN sv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
+  GROUP BY a.s, a.cell, d.dim),
+cb2 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
+  FROM cb1 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM m2 GROUP BY s, cell) lm
+    ON p.s = lm.s AND p.cell = lm.cell),
+codes AS MATERIALIZED (SELECT vec_id, s, cell AS code FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM sv v JOIN cb2 cb ON v.s = cb.s) z WHERE rn = 1),
+qtab AS MATERIALIZED (SELECT v.vec_id, v.s, cb.cell,
+    CAST(round(list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))) * 1000000, 0) AS BIGINT) AS micro
+  FROM sv v JOIN cb2 cb ON v.s = cb.s),
+pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT) AS adc_dist
+  FROM qtab q JOIN codes c ON q.s = c.s AND q.cell = c.code
+  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2)"""
+
   private val baseDefs: Seq[QueryDef] = Seq(
 
     // exact dedup on a 128-bit content hash; input deliberately contains
@@ -498,71 +558,44 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
     // query scans the code table instead of the raw vectors. Exactly
     // reproducible like llm_ann_ivf: seeds by (mix64(id), id), per-
     // subspace Lloyd with DECIMAL(28,10) sums rounded to 6 dp (2
-    // iterations unrolled below), and ADC distances as integer MICRO
-    // units summed order-free — the oracle re-derives codebooks, codes,
-    // and the ranking bit-for-bit.
+    // iterations unrolled in pqOracleCommon), and ADC distances as
+    // integer MICRO units summed order-free — the oracle re-derives
+    // codebooks, codes, and the ranking bit-for-bit.
     QueryDef("llm_ann_pq",
       (s, dir) => Similarity.pqKnn(t(s, dir, "embeddings"), k = 3,
         m = 4, ksub = 8, iters = 2)
         .withColumnRenamed("rank", "knn_rank"),
-      Some("""WITH
-samp AS MATERIALIZED (SELECT vec_id, list_transform(e0, x -> x / nrm) AS e FROM (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0,
-    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings) q WHERE nrm > 0.0 ORDER BY vec_id LIMIT 65536),
-h1 AS (SELECT vec_id, e, (vec_id::HUGEINT + 11400714819323198485) % 18446744073709551616 AS ka FROM samp),
-h2 AS (SELECT *, (((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) % 4294967296) + ((((xor(ka, ka >> 30)) // 4294967296) * ((13787848793156543929) % 4294967296) + ((xor(ka, ka >> 30)) % 4294967296) * ((13787848793156543929) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kb FROM h1),
-h3 AS (SELECT *, (((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) % 4294967296) + ((((xor(kb, kb >> 27)) // 4294967296) * ((10723151780598845931) % 4294967296) + ((xor(kb, kb >> 27)) % 4294967296) * ((10723151780598845931) // 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 AS kc FROM h2),
-hm AS (SELECT vec_id, e,
-  CASE WHEN xor(kc, kc >> 31) >= 9223372036854775808 THEN (xor(kc, kc >> 31) - 18446744073709551616)::BIGINT
-       ELSE xor(kc, kc >> 31)::BIGINT END AS m FROM h3),
-c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY m, vec_id) - 1 AS cell, e
-  FROM hm ORDER BY m, vec_id LIMIT 8),
-subs(s) AS (VALUES (0), (1), (2), (3)),
-sv AS MATERIALIZED (SELECT vec_id, s, list_transform(range(1, 17), i -> e[s * 16 + i]) AS v
-  FROM samp, subs),
-cb0 AS MATERIALIZED (SELECT s, cell, list_transform(range(1, 17), i -> e[s * 16 + i]) AS c
-  FROM c0, subs),
-dims AS (SELECT unnest(range(1, 17))::INT AS dim),
-a1 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
-    SELECT v.vec_id, v.s, cb.cell,
-      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
-        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
-    FROM sv v JOIN cb0 cb ON v.s = cb.s) z WHERE rn = 1),
-m1 AS (SELECT a.s, a.cell, d.dim,
-    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
-  FROM a1 a JOIN sv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
-  GROUP BY a.s, a.cell, d.dim),
-cb1 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
-  FROM cb0 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY s, cell) lm
-    ON p.s = lm.s AND p.cell = lm.cell),
-a2 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
-    SELECT v.vec_id, v.s, cb.cell,
-      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
-        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
-    FROM sv v JOIN cb1 cb ON v.s = cb.s) z WHERE rn = 1),
-m2 AS (SELECT a.s, a.cell, d.dim,
-    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
-  FROM a2 a JOIN sv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
-  GROUP BY a.s, a.cell, d.dim),
-cb2 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
-  FROM cb1 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM m2 GROUP BY s, cell) lm
-    ON p.s = lm.s AND p.cell = lm.cell),
-codes AS MATERIALIZED (SELECT vec_id, s, cell AS code FROM (
-    SELECT v.vec_id, v.s, cb.cell,
-      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
-        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
-    FROM sv v JOIN cb2 cb ON v.s = cb.s) z WHERE rn = 1),
-qtab AS MATERIALIZED (SELECT v.vec_id, v.s, cb.cell,
-    CAST(round(list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))) * 1000000, 0) AS BIGINT) AS micro
-  FROM sv v JOIN cb2 cb ON v.s = cb.s),
-pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT) AS adc_dist
-  FROM qtab q JOIN codes c ON q.s = c.s AND q.cell = c.code
-  WHERE q.vec_id <> c.vec_id GROUP BY 1, 2)
+      Some(pqOracleCommon + """
 SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
   SELECT vec_id, neighbor_id, adc_dist,
     row_number() OVER (PARTITION BY vec_id ORDER BY adc_dist, neighbor_id) AS knn_rank
   FROM pairs) r WHERE knn_rank <= 3""")),
+
+    // ADC-then-refine (the production PQ shape): the compressed scan
+    // cuts rerankFactor*k candidates per query, exact round6 cosine
+    // re-ranks only those. The oracle extends the shared PQ derivation
+    // with the same cut + exact re-rank, so the COMPOSITION is pinned
+    // bit-for-bit too.
+    QueryDef("llm_ann_pq_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqKnnRerank(emb, emb, k = 3, rerankFactor = 2,
+          m = 4, ksub = 8, iters = 2)
+          .withColumnRenamed("rank", "knn_rank")
+      },
+      Some(pqOracleCommon + """,
+cand AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY adc_dist, neighbor_id) AS rn
+    FROM pairs) r WHERE rn <= 6),
+rer AS (SELECT c.vec_id, c.neighbor_id,
+    round(list_dot_product(qa.e0, qb.e0) / (qa.nrm * qb.nrm), 6) AS cos_sim
+  FROM cand c JOIN raw qa ON qa.vec_id = c.vec_id
+              JOIN raw qb ON qb.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+  FROM rer) r WHERE knn_rank <= 3""")),
 
     // distributed per-label centroids — the cluster-side rendering of the
     // IVF quantizer's training step (element-wise mean vector per group):

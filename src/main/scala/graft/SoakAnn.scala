@@ -36,8 +36,8 @@ object SoakAnn {
     val lshProbeBits = if (args.length > 3) args(3).toInt else 1
     val ivfNprobe = if (args.length > 4) args(4).toInt else 2
     val paths = if (args.length > 5) args(5) else "both"
-    require(Set("lsh", "ivf", "both")(paths),
-      s"paths must be lsh|ivf|both, got '$paths'")
+    require(Set("lsh", "ivf", "both", "pq")(paths),
+      s"paths must be lsh|ivf|both|pq, got '$paths'")
     val d = 64
     val group = 50
     val spark = GraftSession.get()
@@ -90,13 +90,24 @@ object SoakAnn {
     // LSH: 18 bits ≈ 262k buckets, so a bucket ≈ one cluster; multi-probe
     // recovers members split across a borderline hyperplane
     val parts = Seq(
-      (paths != "ivf") -> (() => audit("lsh",
+      (paths == "lsh" || paths == "both") -> (() => audit("lsh",
         graft.llm.Similarity.lshKnn(emb, k, bits = 18, probeBits = lshProbeBits))),
       // IVF: bounded driver training (16k sample, 3 Lloyd iterations);
       // 4096 cells ≈ 244 members each
-      (paths != "lsh") -> (() => audit("ivf",
+      (paths == "ivf" || paths == "both") -> (() => audit("ivf",
         graft.llm.Similarity.ivfKnn(emb, k, nlist = 4096, nprobe = ivfNprobe,
-          iters = 3, maxTrain = 16384)))
+          iters = 3, maxTrain = 16384))),
+      // PQ: the compressed-scan path — full self-join brute ADC over the
+      // broadcast code table (n × n × m lookups; no candidate pruning,
+      // the soak measures what pure compression costs and recalls) …
+      (paths == "pq") -> (() => audit("pq_adc",
+        graft.llm.Similarity.pqKnn(emb, k, m = 8, ksub = 16,
+          iters = 3, maxTrain = 16384))),
+      // … and the production ADC-then-refine shape: same compressed
+      // scan cuts 4k candidates, exact cosine re-ranks only those
+      (paths == "pq") -> (() => audit("pq_rerank",
+        graft.llm.Similarity.pqKnnRerank(emb, emb, k, rerankFactor = 4,
+          m = 8, ksub = 16, iters = 3, maxTrain = 16384)))
     ).collect { case (true, run) => run() }
 
     println(s"""{"soak":"ann","n_vecs":$n,"d":$d,"k":$k,""" +

@@ -942,16 +942,25 @@ object Similarity {
     * block stream block-partials into a TopKPerKey merge. */
   def pqKnn(emb: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
             iters: Int = 2, maxTrain: Int = 65536,
-            blockSize: Int = 1 << 20): DataFrame = {
+            blockSize: Int = 1 << 20): DataFrame =
+    pqKnnFor(emb, emb, k, m, ksub, iters, maxTrain, blockSize)
+
+  /** [[pqKnn]] with distinct query and corpus sides — the sampled-query
+    * recall-audit shape (mirrors [[bruteKnnFor]]): the quantizer trains
+    * on the CORPUS, the corpus encodes once, and each query streams over
+    * the broadcast code table. */
+  def pqKnnFor(queriesDf: DataFrame, corpus: DataFrame, k: Int,
+               m: Int = 8, ksub: Int = 16, iters: Int = 2,
+               maxTrain: Int = 65536, blockSize: Int = 1 << 20): DataFrame = {
     require(k >= 1 && m >= 1 && ksub >= 2 && blockSize >= 1)
-    val spark = emb.sparkSession
+    val spark = corpus.sparkSession
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long, Int)]
       .toDF("vec_id", "neighbor_id", "adc_dist", "rank")
-    if (emb.isEmpty) return empty
-    val codebooks = pqTrainCodebooks(emb, m, ksub, iters, maxTrain)
+    if (corpus.isEmpty) return empty
+    val codebooks = pqTrainCodebooks(corpus, m, ksub, iters, maxTrain)
     val cbBc = spark.sparkContext.broadcast(codebooks)
-    val codes = pqEncode(emb, codebooks).as[(Long, Array[Int])]
+    val codes = pqEncode(corpus, codebooks).as[(Long, Array[Int])]
 
     /** One corpus block (sorted by id) against all queries. */
     def scoreBlock(queries: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
@@ -1015,7 +1024,7 @@ object Similarity {
       (scored, bc)
     }
 
-    def queriesSide = withNorm(emb, "vec_id", "embedding", "nrm")
+    def queriesSide = withNorm(queriesDf, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Seq[Float])]
@@ -1050,5 +1059,36 @@ object Similarity {
       partials.foreach(_.unpersist(blocking = false))
       out
     }
+  }
+
+  /** ADC-then-refine (the production PQ shape — FAISS's IndexPQ +
+    * refine): the compressed scan SELECTS `rerankFactor * k` candidates
+    * per query, then ONLY those pairs are scored with the exact cosine
+    * and re-ranked. The expensive exact arithmetic touches
+    * |queries| * rerankFactor * k pairs instead of |queries| * |corpus|,
+    * and the full-corpus pass reads codes, not floats — recall is then
+    * bounded only by whether the true neighbors survive the ADC cut,
+    * which a larger rerankFactor buys directly. Output schema matches
+    * [[bruteKnn]] ((vec_id, neighbor_id, cos_sim, rank)), and the
+    * candidate scoring + ranking arithmetic is the shared round6 cosine,
+    * so the whole composition stays SQL-reproducible. */
+  def pqKnnRerank(queriesDf: DataFrame, corpus: DataFrame, k: Int,
+                  rerankFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 2, maxTrain: Int = 65536,
+                  blockSize: Int = 1 << 20): DataFrame = {
+    require(rerankFactor >= 1)
+    val cand = pqKnnFor(queriesDf, corpus, k * rerankFactor, m, ksub,
+      iters, maxTrain, blockSize)
+      .select(col("vec_id"), col("neighbor_id"))
+    val a = withNorm(queriesDf, "vec_id", "embedding", "norm_a")
+    val b = withNorm(corpus, "neighbor_id", "emb_b", "norm_b")
+    val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        sim("embedding", "emb_b", "norm_a", "norm_b").as("cos_sim"))
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("vec_id")),
+      order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
+      k = k, rankName = "rank")
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 }

@@ -76,6 +76,21 @@ class PqSpec extends SparkSpec {
     assert(missedCross.isEmpty || missedCross.length <= truth.length / 20)
   }
 
+  test("ADC-then-refine recovers brute cosine recall on clustered data") {
+    // pure ADC can't order within-cluster ties (same code => same
+    // distance); the exact re-rank of the ADC candidate cut can — so
+    // recall vs brute cosine becomes a meaningful contract here
+    val k = 5
+    val truth = Similarity.bruteKnn(emb, k)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqKnnRerank(emb, emb, k, rerankFactor = 4,
+      m = 4, ksub = 8, iters = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == 120 * k)
+    val recall = (pq & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"refined recall $recall below 0.9")
+  }
+
   test("block-merge path is row-identical to the single-block path") {
     val one = Similarity.pqKnn(emb, k = 3, m = 4, ksub = 8, iters = 2)
       .as[(Long, Long, Long, Int)].collect().toSet
