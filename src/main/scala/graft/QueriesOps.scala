@@ -233,6 +233,34 @@ object QueriesOps {
         CAST(SUM(length(text)) AS BIGINT) AS total_chars
         FROM (VALUES ('gzip'),('flate'),('zlib'),('zstd'),('snappy'),('lz4'),('lzw')) c(codec),
           documents
-        GROUP BY codec"""))
+        GROUP BY codec""")),
+
+    // Keyed last-writer-wins merge (operators.Upsert — MERGE INTO / CDC
+    // apply): fold an update+tombstone change batch into the orders
+    // snapshot in ONE key shuffle (TopKPerKey k=1, map-side capped).
+    // Keys %7 get a status update (v1), keys %13 a tombstone (v2) —
+    // %91 keys see both and the delete must win.
+    QueryDef("op_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("version", lit(0L))
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("version", lit(1L))
+          .withColumn("deleted", lit(false))
+        val deletes = base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("version", lit(2L))
+          .withColumn("deleted", lit(true))
+        graft.operators.Upsert(base, updates.unionByName(deletes),
+          keys = Seq("o_orderkey"), versionCol = "version",
+          deleteCol = Some("deleted"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("version"))
+      },
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+        FROM orders WHERE o_orderkey % 13 <> 0"""))
   )
 }
