@@ -597,6 +597,62 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
     row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
   FROM rer) r WHERE knn_rank <= 3""")),
 
+    // IVFADC — coarse cells prune candidates, PQ codes compress scoring
+    // (the configuration production ANN runs at 100 TB). Oracle extends
+    // the shared PQ derivation: the coarse quantizer is the SAME mix64
+    // seed pick trained over full 64-dim normalized vectors (2 Lloyd
+    // blocks), queries keep their nprobe=2 nearest cells, and only
+    // same-cell pairs get the integer-micro ADC sum — bit-exact.
+    QueryDef("llm_ann_ivfpq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqKnn(emb, emb, k = 3, nlist = 8, nprobe = 2,
+          m = 4, ksub = 8, iters = 2)
+          .withColumnRenamed("rank", "knn_rank")
+      },
+      Some(pqOracleCommon + """,
+ga1 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.e[i]) * (s.e[i] - c.e[i]))), c.cell) AS rn
+    FROM samp s, c0 c) z WHERE rn = 1),
+gm1 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ga1 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
+  GROUP BY a.cell, d.dim),
+gc1 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.e) AS c
+  FROM c0 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm1 GROUP BY cell) lm
+    USING (cell)),
+ga2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc1 c) z WHERE rn = 1),
+gm2 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ga2 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
+  GROUP BY a.cell, d.dim),
+gc2 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM gc1 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm2 GROUP BY cell) lm
+    USING (cell)),
+gprobe AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc2 c) z WHERE rn <= 2),
+gassign AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc2 c) z WHERE rn = 1),
+gcand AS (SELECT p.vec_id, a.vec_id AS neighbor_id
+  FROM gprobe p JOIN gassign a USING (cell) WHERE p.vec_id <> a.vec_id),
+ivpairs AS (SELECT cd.vec_id, cd.neighbor_id, CAST(SUM(q.micro) AS BIGINT) AS adc_dist
+  FROM gcand cd
+  JOIN codes c ON c.vec_id = cd.neighbor_id
+  JOIN qtab q ON q.vec_id = cd.vec_id AND q.s = c.s AND q.cell = c.code
+  GROUP BY 1, 2)
+SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
+  SELECT vec_id, neighbor_id, adc_dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY adc_dist, neighbor_id) AS knn_rank
+  FROM ivpairs) r WHERE knn_rank <= 3""")),
+
     // distributed per-label centroids — the cluster-side rendering of the
     // IVF quantizer's training step (element-wise mean vector per group):
     // posexplode → one groupBy keyed (label, dim), map-side partial agg,

@@ -1080,6 +1080,14 @@ object Similarity {
     val cand = pqKnnFor(queriesDf, corpus, k * rerankFactor, m, ksub,
       iters, maxTrain, blockSize)
       .select(col("vec_id"), col("neighbor_id"))
+    exactRerank(cand, queriesDf, corpus, k)
+  }
+
+  /** Exact round6-cosine scoring + top-k ranking of an (vec_id,
+    * neighbor_id) candidate cut — the shared refine tail of the
+    * compressed ANN paths. Arithmetic identical to [[bruteKnn]]. */
+  private def exactRerank(cand: DataFrame, queriesDf: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     val a = withNorm(queriesDf, "vec_id", "embedding", "norm_a")
     val b = withNorm(corpus, "neighbor_id", "emb_b", "norm_b")
     val scored = cand.join(a, Seq("vec_id")).join(b, Seq("neighbor_id"))
@@ -1090,5 +1098,124 @@ object Similarity {
       order = Seq(col("cos_sim").desc, col("neighbor_id").asc),
       k = k, rankName = "rank")
       .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV — the configuration production ANN
+    * systems actually run at scale): a coarse quantizer PRUNES (each
+    * query scores only the corpus of its `nprobe` nearest cells) and PQ
+    * codes COMPRESS (candidates cost m table lookups, not d multiplies).
+    * Per query the work drops from |corpus|·d to ≈ |corpus|·nprobe/nlist
+    * · m — at nlist=4096/nprobe=8/m=8 on 64-dim, ~4000x less arithmetic
+    * than brute force, with the corpus resident as cell-bucketed 8-byte
+    * codes.
+    *
+    * Everything is the deterministic unit-sphere pipeline of [[pqKnn]]:
+    * the coarse quantizer is pqTrainCodebooks with m=1 (one subspace =
+    * plain k-means over normalized vectors), cells rank by (L2², cell),
+    * ADC distances are integer micro units. `rerankFactor > 0` appends
+    * the exact-cosine refine of [[pqKnnRerank]] over the ADC cut (output
+    * schema then matches [[bruteKnn]]).
+    *
+    * Plan shape: ONE shuffle — the query-probe × corpus-codes equi-join
+    * on cell. Both sides are slim (query carries its m·ksub table, the
+    * corpus row is id+cell+codes); the join output explodes by
+    * members-per-cell, so the probe side gets the NUMBERED repartition
+    * that keeps AQE from collapsing the stage (BASELINE.md round-8
+    * lesson). Scoring is a projection (integer HOF fold), ranking is
+    * map-capped TopKPerKey. */
+  def ivfPqKnn(queriesDf: DataFrame, corpus: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+               ksub: Int = 16, iters: Int = 2, maxTrain: Int = 65536,
+               rerankFactor: Int = 0): DataFrame = {
+    require(k >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (corpus.isEmpty)
+      return if (rerankFactor > 0)
+        Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor_id", "cos_sim", "rank")
+      else
+        Seq.empty[(Long, Long, Long, Int)].toDF("vec_id", "neighbor_id", "adc_dist", "rank")
+    val coarse = pqTrainCodebooks(corpus, 1, nlist, iters, maxTrain)(0)
+    val pqCbs = pqTrainCodebooks(corpus, m, ksub, iters, maxTrain)
+    val coarseBc = spark.sparkContext.broadcast(coarse)
+    val cbBc = spark.sparkContext.broadcast(pqCbs)
+
+    // corpus side: (vec_id, cell, codes) — the persisted form at scale
+    // (cell-partitioned parquet of 8-byte codes)
+    val corp = withNorm(corpus, "vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cc = coarseBc.value; val cbs = cbBc.value
+        it.map { case (id, vs) =>
+          val v = pqNormalize(vs.toArray)
+          val d = v.length; val dsub = d / m
+          val cell = pqNearest(v, 0, d, cc)
+          (id, cell, Array.tabulate(m)(s => pqNearest(v, s * dsub, dsub, cbs(s))))
+        }
+      }.toDF("neighbor_id", "cell", "codes")
+
+    // query side: nprobe nearest cells by (L2², cell) + the ADC table
+    val nk = k * math.max(rerankFactor, 1)
+    val q = withNorm(queriesDf, "vec_id", "embedding", "nrm")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cc = coarseBc.value; val cbs = cbBc.value
+        it.map { case (id, vs) =>
+          val v = pqNormalize(vs.toArray)
+          val d = v.length; val dsub = d / m
+          val nCells = cc.length / d
+          // bounded top-nprobe cell selection, (dist asc, cell asc)
+          val np = math.min(nprobe, nCells)
+          val pd = new Array[Double](np); val pc = new Array[Int](np)
+          var filled = 0; var c = 0
+          while (c < nCells) {
+            var dist = 0.0; var i = 0
+            while (i < d) { val diff = v(i) - cc(c * d + i); dist += diff * diff; i += 1 }
+            if (filled < np || dist < pd(filled - 1)) {
+              var pos = if (filled < np) filled else np - 1
+              while (pos > 0 && pd(pos - 1) > dist) {
+                pd(pos) = pd(pos - 1); pc(pos) = pc(pos - 1); pos -= 1
+              }
+              pd(pos) = dist; pc(pos) = c
+              if (filled < np) filled += 1
+            }
+            c += 1
+          }
+          val table = new Array[Long](m * ksub)
+          var s = 0
+          while (s < m) {
+            val cb = cbs(s); val cells = cb.length / dsub; val off = s * dsub
+            var j = 0
+            while (j < cells) {
+              var dist = 0.0; var i = 0
+              while (i < dsub) { val diff = v(off + i) - cb(j * dsub + i); dist += diff * diff; i += 1 }
+              table(s * ksub + j) = Math.round(dist * 1e6)
+              j += 1
+            }
+            s += 1
+          }
+          (id, pc.take(filled).toSeq, table)
+        }
+      }.toDF("vec_id", "cells", "table")
+
+    // numbered repartition: slim input, exploding output (see scaladoc)
+    val probes = q.select(col("vec_id"), explode(col("cells")).as("cell"), col("table"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cell"))
+    val scored = probes.join(corp, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("table"),
+            (s * ksub).cast("int") + element_at(col("codes"), (s + 1).cast("int")) + 1))
+          .as("adc_dist"))
+    val adcTop = graft.plans.TopKPerKey(scored,
+      keys = Seq(col("vec_id")),
+      order = Seq(col("adc_dist").asc, col("neighbor_id").asc),
+      k = nk, rankName = "rank")
+    if (rerankFactor > 0)
+      exactRerank(adcTop.select(col("vec_id"), col("neighbor_id")),
+        queriesDf, corpus, k)
+    else
+      adcTop.select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 }

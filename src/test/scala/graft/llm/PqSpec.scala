@@ -113,6 +113,37 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqKnn with exhaustive probes equals the full ADC scan") {
+    // nprobe = nlist means no candidate is pruned — the cell-join path
+    // must then reproduce pqKnn's broadcast-scan answer row for row
+    val full = Similarity.pqKnn(emb, k = 3, m = 4, ksub = 8, iters = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfPqKnn(emb, emb, k = 3, nlist = 6, nprobe = 6,
+      m = 4, ksub = 8, iters = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(ivf == full)
+  }
+
+  test("ivfPqKnn prunes: sparse probes score fewer pairs, stay in-cluster") {
+    val out = Similarity.ivfPqKnn(emb, emb, k = 3, nlist = 8, nprobe = 2,
+      m = 4, ksub = 8, iters = 3)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall { case (q, n) => q != n })
+    val purity = out.count { case (q, n) => q % 8 == n % 8 }.toDouble / out.length
+    assert(purity >= 0.95, s"ivfpq purity $purity")
+  }
+
+  test("ivfPqKnn rerank recovers brute recall on clustered data") {
+    val k = 5
+    val truth = Similarity.bruteKnn(emb, k)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqKnn(emb, emb, k, nlist = 8, nprobe = 4,
+      m = 4, ksub = 8, iters = 3, rerankFactor = 4)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.85, s"ivfpq refined recall $recall below 0.85")
+  }
+
   test("empty corpus yields an empty, well-typed result") {
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val out = Similarity.pqKnn(none, k = 3)
