@@ -1512,5 +1512,18 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         .withColumnRenamed("rank", "knn_rank")
     },
     baseDefs.find(_.name == "llm_ann_ivf")
+      .flatMap(_.oracle)) :+ QueryDef(
+    // same verbatim-oracle pin for the compressed index: the round-trip
+    // through parquet codebooks + cell-sorted codes must equal the
+    // in-memory ivfPqKnn answer exactly
+    "llm_ann_ivfpq_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-index-").toString
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqBuildIndex(emb, idx, nlist = 8, m = 4, ksub = 8, iters = 2)
+      Similarity.ivfPqSearchIndex(emb, idx, k = 3, nprobe = 2, excludeSelf = true)
+        .withColumnRenamed("rank", "knn_rank")
+    },
+    baseDefs.find(_.name == "llm_ann_ivfpq")
       .flatMap(_.oracle))
 }

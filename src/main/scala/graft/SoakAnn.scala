@@ -36,8 +36,8 @@ object SoakAnn {
     val lshProbeBits = if (args.length > 3) args(3).toInt else 1
     val ivfNprobe = if (args.length > 4) args(4).toInt else 2
     val paths = if (args.length > 5) args(5) else "both"
-    require(Set("lsh", "ivf", "both", "pq")(paths),
-      s"paths must be lsh|ivf|both|pq, got '$paths'")
+    require(Set("lsh", "ivf", "both", "pq", "ivfpq")(paths),
+      s"paths must be lsh|ivf|both|pq|ivfpq, got '$paths'")
     val d = 64
     val group = 50
     val spark = GraftSession.get()
@@ -107,7 +107,14 @@ object SoakAnn {
       // scan cuts 4k candidates, exact cosine re-ranks only those
       (paths == "pq") -> (() => audit("pq_rerank",
         graft.llm.Similarity.pqKnnRerank(emb, emb, k, rerankFactor = 4,
-          m = 8, ksub = 16, iters = 3, maxTrain = 16384)))
+          m = 8, ksub = 16, iters = 3, maxTrain = 16384))),
+      // IVFADC: coarse cells prune to ~nprobe/nlist of the corpus, PQ
+      // codes compress the scoring, exact refine on the ADC cut — the
+      // production configuration; nprobe rides the ivfNprobe arg
+      (paths == "ivfpq") -> (() => audit("ivfpq_rerank",
+        graft.llm.Similarity.ivfPqKnn(emb, emb, k, nlist = 4096,
+          nprobe = ivfNprobe, m = 8, ksub = 16, iters = 3,
+          maxTrain = 16384, rerankFactor = 4)))
     ).collect { case (true, run) => run() }
 
     println(s"""{"soak":"ann","n_vecs":$n,"d":$d,"k":$k,""" +

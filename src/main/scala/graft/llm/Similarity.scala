@@ -1139,10 +1139,26 @@ object Similarity {
     val pqCbs = pqTrainCodebooks(corpus, m, ksub, iters, maxTrain)
     val coarseBc = spark.sparkContext.broadcast(coarse)
     val cbBc = spark.sparkContext.broadcast(pqCbs)
+    val corp = ivfPqCorpusSide(corpus, coarseBc, cbBc, m)
+    val nk = k * math.max(rerankFactor, 1)
+    val q = ivfPqQuerySide(queriesDf, coarseBc, cbBc, m, ksub, nprobe)
+    val adcTop = ivfPqAdcTopK(q, corp, m, ksub, nk, excludeSelf = true)
+    if (rerankFactor > 0)
+      exactRerank(adcTop.select(col("vec_id"), col("neighbor_id")),
+        queriesDf, corpus, k)
+    else
+      adcTop.select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
 
-    // corpus side: (vec_id, cell, codes) — the persisted form at scale
-    // (cell-partitioned parquet of 8-byte codes)
-    val corp = withNorm(corpus, "vec_id", "embedding", "nrm")
+  /** (neighbor_id, cell, codes): the encoded corpus — the persisted form
+    * at scale (cell-partitioned parquet of m-byte codes). */
+  private def ivfPqCorpusSide(corpus: DataFrame,
+      coarseBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      cbBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      m: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    withNorm(corpus, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cc = coarseBc.value; val cbs = cbBc.value
@@ -1153,10 +1169,18 @@ object Similarity {
           (id, cell, Array.tabulate(m)(s => pqNearest(v, s * dsub, dsub, cbs(s))))
         }
       }.toDF("neighbor_id", "cell", "codes")
+  }
 
-    // query side: nprobe nearest cells by (L2², cell) + the ADC table
-    val nk = k * math.max(rerankFactor, 1)
-    val q = withNorm(queriesDf, "vec_id", "embedding", "nrm")
+  /** (vec_id, cells, table): per query the nprobe nearest coarse cells
+    * ranked by (L2², cell) and the flattened m×ksub ADC table in integer
+    * micro units. */
+  private def ivfPqQuerySide(queriesDf: DataFrame,
+      coarseBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      cbBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      m: Int, ksub: Int, nprobe: Int): DataFrame = {
+    val spark = queriesDf.sparkSession
+    import spark.implicits._
+    withNorm(queriesDf, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cc = coarseBc.value; val cbs = cbBc.value
@@ -1197,25 +1221,116 @@ object Similarity {
           (id, pc.take(filled).toSeq, table)
         }
       }.toDF("vec_id", "cells", "table")
+  }
 
-    // numbered repartition: slim input, exploding output (see scaladoc)
+  /** The one shuffle of the IVFADC plan: probe-cell equi-join
+    * (width-pinned numbered repartition against AQE's slim-input
+    * collapse), ADC scoring as an integer HOF-fold projection, map-capped
+    * TopKPerKey ranking (adc asc, id asc). */
+  private def ivfPqAdcTopK(q: DataFrame, corp: DataFrame, m: Int, ksub: Int,
+                           nk: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = q.sparkSession
     val probes = q.select(col("vec_id"), explode(col("cells")).as("cell"), col("table"))
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
-    val scored = probes.join(corp, Seq("cell"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
+    val joined = probes.join(corp, Seq("cell"))
+    val scored = (if (excludeSelf) joined.filter(col("vec_id") =!= col("neighbor_id"))
+                  else joined)
       .select(col("vec_id"), col("neighbor_id"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
           (acc, s) => acc + element_at(col("table"),
             (s * ksub).cast("int") + element_at(col("codes"), (s + 1).cast("int")) + 1))
           .as("adc_dist"))
-    val adcTop = graft.plans.TopKPerKey(scored,
+    graft.plans.TopKPerKey(scored,
       keys = Seq(col("vec_id")),
       order = Seq(col("adc_dist").asc, col("neighbor_id").asc),
       k = nk, rankName = "rank")
-    if (rerankFactor > 0)
-      exactRerank(adcTop.select(col("vec_id"), col("neighbor_id")),
-        queriesDf, corpus, k)
-    else
-      adcTop.select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+  }
+
+  /** Persist an IVFADC index: codebooks (coarse + per-subspace PQ, a
+    * handful of rows) and the corpus as (vec_id, cell, codes) — m
+    * small ints per vector instead of d floats — range-partitioned and
+    * sorted by cell so sparse-probe searches prune row groups. The
+    * build-once/query-many twin of [[ivfBuildIndex]] at 1/32nd the
+    * footprint: a billion-vector corpus is ~8 GB of codes. */
+  def ivfPqBuildIndex(emb: DataFrame, dir: String, nlist: Int = 16,
+                      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                      maxTrain: Int = 65536): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = pqTrainCodebooks(emb, 1, nlist, iters, maxTrain)(0)
+    val pqCbs = pqTrainCodebooks(emb, m, ksub, iters, maxTrain)
+    // kind 0 row = coarse codebook; kind 1 rows = PQ subspace s;
+    // kind 2 row = params (nlist, m, ksub) so search needs no inference
+    val metaRows = (0, 0, coarse.toSeq) +: (2, 0, Seq[Double](nlist, m, ksub)) +:
+      pqCbs.toSeq.zipWithIndex.map { case (cb, s) => (1, s, cb.toSeq) }
+    metaRows.toDF("kind", "s", "flat").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    ivfPqCorpusSide(emb, spark.sparkContext.broadcast(coarse),
+      spark.sparkContext.broadcast(pqCbs), m)
+      .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Frozen codebooks + params of a persisted IVFADC index: 2 + m rows
+    * — a bounded collect by construction. Returns (coarse flat, PQ
+    * codebooks, ksub). */
+  private def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]], Int) = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("kind"), col("s"), col("flat")).collect()
+    val coarse = rows.filter(_.getInt(0) == 0).head.getSeq[Double](2).toArray
+    val pq = rows.filter(_.getInt(0) == 1).sortBy(_.getInt(1))
+      .map(_.getSeq[Double](2).toArray)
+    val params = rows.filter(_.getInt(0) == 2).head.getSeq[Double](2)
+    require(coarse.nonEmpty && pq.nonEmpty, s"empty IVFADC index at $dir")
+    (coarse, pq, params(2).toInt)
+  }
+
+  /** Append vectors to a persisted IVFADC index against the FROZEN
+    * codebooks (cells and codes of existing rows stay valid; retrain
+    * drift by rebuilding) with the same range+sort discipline, so the
+    * appended files carry their own tight cell row-group stats. */
+  def ivfPqIndexAppend(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val (coarse, pqCbs, _) = loadPqCodebooks(spark, dir)
+    ivfPqCorpusSide(emb, spark.sparkContext.broadcast(coarse),
+      spark.sparkContext.broadcast(pqCbs), pqCbs.length)
+      .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k of `queries` against a persisted IVFADC index — row-
+    * identical to [[ivfPqKnn]] with the same knobs when `queries` IS the
+    * indexed corpus and `excludeSelf=true` (the llm_ann_ivfpq_index
+    * oracle reuses llm_ann_ivfpq's DuckDB twin verbatim to pin that).
+    * When the distinct probed cells are few, an IN filter on `cell`
+    * pushes into the codes scan and row-group pruning reads only the
+    * probed slices. */
+  def ivfPqSearchIndex(queries: DataFrame, dir: String, k: Int,
+                       nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val (coarse, pqCbs, ksub) = loadPqCodebooks(spark, dir)
+    val m = pqCbs.length
+    val q = ivfPqQuerySide(queries,
+      spark.sparkContext.broadcast(coarse),
+      spark.sparkContext.broadcast(pqCbs), m, ksub, nprobe)
+      .localCheckpoint(true) // probed-cell collect must not re-run the kernel
+    val index = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // distinct probed cells are <= nlist by construction — bounded
+    // collect; the IN filter pushes into the build-sorted codes scan
+    val nlist = coarse.length / math.max(pqCbs(0).length / ksub * m, 1)
+    val probed = q.select(explode(col("cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val corp =
+      if (probed.length < nlist)
+        index.filter(col("cell").isin(probed.map(Int.box): _*))
+      else index
+    ivfPqAdcTopK(q, corp, m, ksub, k, excludeSelf)
+      .select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
   }
 }

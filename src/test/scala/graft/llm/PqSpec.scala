@@ -144,6 +144,42 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, s"ivfpq refined recall $recall below 0.85")
   }
 
+  test("persisted IVFADC index round-trips: search == in-memory ivfPqKnn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+    Similarity.ivfPqBuildIndex(emb, dir, nlist = 8, m = 4, ksub = 8, iters = 2)
+    val direct = Similarity.ivfPqKnn(emb, emb, k = 3, nlist = 8, nprobe = 3,
+      m = 4, ksub = 8, iters = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val viaIndex = Similarity.ivfPqSearchIndex(emb, dir, k = 3, nprobe = 3,
+      excludeSelf = true)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(viaIndex == direct)
+  }
+
+  test("index append: frozen codebooks retrieve planted twins at distance 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app-").toString
+    Similarity.ivfPqBuildIndex(emb, dir, nlist = 6, m = 4, ksub = 8, iters = 2)
+    // plant exact duplicates of vectors 0..9 under new ids 1000..1009
+    val twins = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    Similarity.ivfPqIndexAppend(twins, dir)
+    // an exact twin shares the query's own code, and a query's own code
+    // is the argmin of every subspace table — so the twin must surface
+    // with the MINIMAL adc distance of that query's result set (ties
+    // with same-code cluster-mates are expected; k rides above the
+    // cluster size so the higher-id twin survives the tie-break)
+    val got = Similarity.ivfPqSearchIndex(emb.filter($"vec_id" < 10), dir,
+      k = 30, nprobe = 6, excludeSelf = true)
+      .as[(Long, Long, Long, Int)].collect()
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val minDist = rows.map(_._3).min
+      val twin = rows.find(_._2 == q + 1000L)
+      assert(twin.isDefined, s"query $q: twin ${q + 1000L} missing")
+      assert(twin.get._3 == minDist,
+        s"query $q: twin at ${twin.get._3}, min is $minDist")
+    }
+  }
+
   test("empty corpus yields an empty, well-typed result") {
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val out = Similarity.pqKnn(none, k = 3)
