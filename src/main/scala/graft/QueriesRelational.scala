@@ -684,6 +684,38 @@ object QueriesRelational {
         COUNT(*) AS n, TRUE AS hll_within_3rsd
         FROM lineitem GROUP BY 1""")),
 
+    // Count-Min heavy hitters (Cormode & Muthukrishnan 2005): a MERGEABLE
+    // frequency sketch built distributively (map-side partial sketches,
+    // one treeAggregate merge — never a key shuffle), then the top
+    // true-heavy keys are probed against it. The CMS guarantee is
+    // one-sided: estimate >= exact always, and <= exact + eps*N with the
+    // chosen confidence — like the HLL row, the sketch is engine-internal
+    // so the ORACLE checks the accuracy contract (the boolean), which is
+    // deterministic for a fixed seed. At 100 TB this is how per-key
+    // frequencies surface without shuffling the key universe: KB-sized
+    // partials merge on the driver/collector regardless of corpus size.
+    QueryDef("q51_count_min_heavy_hitters",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val eps = 0.001
+        val sketch = ev.stat.countMinSketch(col("user_id"), eps = eps,
+          confidence = 0.99, seed = 42)
+        val n = sketch.totalCount()
+        val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+          .sort(col("n_exact").desc, col("user_id")).limit(20)
+          .collect()
+          .map { r =>
+            val (uid, exact) = (r.getLong(0), r.getLong(1))
+            val est = sketch.estimateCount(Long.box(uid))
+            (uid, exact, est >= exact && est <= exact + (eps * n).ceil.toLong)
+          }.toSeq
+        import s.implicits._
+        top.toDF("user_id", "n_exact", "cms_within_eps")
+      },
+      Some("""SELECT user_id, n_exact, TRUE AS cms_within_eps FROM (
+        SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+        ORDER BY n_exact DESC, user_id LIMIT 20) t""")),
+
     // KMV (bottom-k / k-minimum-values) distinct estimator — the
     // oracle-checkable approximate-distinct rendering: the k smallest
     // splitmix64 hashes of the key bound the hash-space density, so

@@ -106,6 +106,8 @@ object ParamSchema {
     "core.meta_parser" -> Map("column" -> PString, "meta" -> PString),
     "core.topk" -> Map("keys" -> PStringList, "order" -> PStringList,
       "k" -> PLong, "rank_name" -> PString),
+    "core.upsert" -> Map("base" -> PString, "keys" -> PStringList,
+      "version" -> PString, "delete_flag" -> PString),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,

@@ -293,6 +293,22 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       graft.plans.TopKPerKey(inputOf(a.name), keys, order, k,
         p(a, "rank_name").getOrElse("rank"))
 
+    // keyed CDC merge: the flowing rows are the CHANGE feed, `base` is
+    // the snapshot table on disk; output = merged snapshot (operators.
+    // Upsert — last-writer-wins + tombstones in one key shuffle).
+    // (params: base, keys, version, delete_flag)
+    case "core.upsert" =>
+      val basePath = p(a, "base").getOrElse(sys.error(s"${a.name}: upsert needs base path"))
+      val keys = a.params.get("keys") match {
+        case Some(sq: Seq[_]) => sq.map(_.toString)
+        case Some(l: java.util.List[_]) =>
+          scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.map(_.toString).toSeq
+        case Some(one) => Seq(one.toString)
+        case None => Seq("id")
+      }
+      graft.operators.Upsert(spark.read.parquet(basePath), inputOf(a.name),
+        keys, p(a, "version").getOrElse("version"), p(a, "delete_flag"))
+
     // ---- LLM-curation actors (flowspark extension namespace) ----------
     // quality gate: score text, keep rows >= min_quality
     // (params: column, min_quality, score_column)

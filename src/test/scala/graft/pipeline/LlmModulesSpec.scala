@@ -269,4 +269,31 @@ class LlmModulesSpec extends SparkSpec {
     val langs = out.select("doc_id", "lang").as[(Long, String)].collect().toMap
     assert(langs(1L) == "en" && langs(5L) == "es")
   }
+
+  test("core.upsert actor merges a change feed into a base snapshot") {
+    val base = Files.createTempDirectory("graft-upsert-base-").toString
+    val feed = Files.createTempDirectory("graft-upsert-feed-").toString
+    Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("id", "payload", "version")
+      .write.mode("overwrite").parquet(base)
+    Seq((2L, "b2", 1L, false), (3L, "gone", 1L, true), (4L, "d", 1L, false))
+      .toDF("id", "payload", "version", "deleted")
+      .write.mode("overwrite").parquet(feed)
+    val yaml =
+      s"""actors:
+        |  changes: {module: core.receiver, params: {path: "$feed"}}
+        |  merge: {module: core.upsert, params: {base: "$base", keys: [id],
+        |    version: version, delete_flag: deleted}}
+        |  upsert_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  changes: {connect: [merge]}
+        |  merge: {connect: [upsert_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("upsert_out")
+      .select("id", "payload", "version").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    // 1 untouched, 2 updated, 3 tombstoned away, 4 inserted
+    assert(out.toSeq == Seq((1L, "a", 0L), (2L, "b2", 1L), (4L, "d", 1L)))
+  }
 }
