@@ -167,4 +167,22 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
     assert(plan.contains("RoundRobinPartitioning"), plan.take(3000))
   }
+
+  test("pqKnn fast path is a joinless broadcast scan") {
+    // the corpus rides as a BROADCAST code table into the query-side
+    // kernel: no join operator and no key shuffle may appear — the only
+    // exchange is the query spread (round-robin repartition)
+    val plan = planOf("llm_ann_pq")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+    assert(plan.contains("RoundRobinPartitioning"), plan.take(3000))
+  }
+
+  test("ivfPqKnn scores through one cell equi-join, never a cross product") {
+    val plan = planOf("llm_ann_ivfpq")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
 }
