@@ -716,6 +716,25 @@ object QueriesRelational {
         SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
         ORDER BY n_exact DESC, user_id LIMIT 20) t""")),
 
+    // approx_percentile accuracy contract (Greenwald–Khanna style
+    // quantile summary — mergeable, map-side partials): with accuracy
+    // 1000 the rank error is <= n/1000, far inside the exact 45th–55th
+    // percentile band used as the bound. Engine-internal summary, so the
+    // oracle checks the contract boolean (deterministic for fixed data)
+    // — same pattern as the HLL and Count-Min rows.
+    QueryDef("q52_approx_percentile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_med"),
+          expr("percentile(l_extendedprice, 0.45)").as("lo"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (col("approx_med") >= col("lo") && col("approx_med") <= col("hi"))
+            .as("approx_median_in_band")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n, TRUE AS approx_median_in_band
+        FROM lineitem GROUP BY 1""")),
+
     // KMV (bottom-k / k-minimum-values) distinct estimator — the
     // oracle-checkable approximate-distinct rendering: the k smallest
     // splitmix64 hashes of the key bound the hash-space density, so
