@@ -122,7 +122,14 @@ object Bench {
     // pipeline) — SF-independent, bounded row counts keep it a few
     // seconds; see BenchStream for a standalone run at larger N
     val stream = "{" + BenchStream.section(spark, nTcp = 100000, nHttp = 2000) + "}"
-    println(f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"stream":$stream,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"stream":$stream,"sf":"$sfDir"}"""
+    println(line)
+    // the metric object also lands in a file the driver can lift verbatim
+    // (the stdout line alone gets buried in the sbt [info] log tail, which
+    // left BENCH_r08's `parsed` field null)
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -960,7 +960,12 @@ object Similarity {
     if (corpus.isEmpty) return empty
     val codebooks = pqTrainCodebooks(corpus, m, ksub, iters, maxTrain)
     val cbBc = spark.sparkContext.broadcast(codebooks)
+    // persisted before the probe: without it the limit(blockSize+1)
+    // probe materializes the encode once and the block path's
+    // sort+toLocalIterator recomputes the whole corpus encode a second
+    // time from the unpersisted lineage
     val codes = pqEncode(corpus, codebooks).as[(Long, Array[Int])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     /** One corpus block (sorted by id) against all queries. */
     def scoreBlock(queries: org.apache.spark.sql.Dataset[(Long, Seq[Float])],
@@ -1030,8 +1035,11 @@ object Similarity {
       .as[(Long, Seq[Float])]
 
     val probe = codes.limit(blockSize + 1).collect()
-    if (probe.isEmpty) return empty
+    if (probe.isEmpty) { codes.unpersist(blocking = false); return empty }
     if (probe.length <= blockSize) {
+      // the single-block plan references only the collected probe (via
+      // broadcast), never the codes lineage — safe to release now
+      codes.unpersist(blocking = false)
       scoreBlock(queriesSide, probe.sortBy(_._1).toIndexedSeq, withRank = true)._1
     } else {
       // block-merge path — identical discipline to bruteKnnFor: bounded
@@ -1056,6 +1064,7 @@ object Similarity {
         .select(col("vec_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
       val out = result.localCheckpoint(eager = true)
       queries.unpersist(blocking = false)
+      codes.unpersist(blocking = false)
       partials.foreach(_.unpersist(blocking = false))
       out
     }
@@ -1275,9 +1284,13 @@ object Similarity {
 
   /** Frozen codebooks + params of a persisted IVFADC index: 2 + m rows
     * — a bounded collect by construction. Returns (coarse flat, PQ
-    * codebooks, ksub). */
+    * codebooks, ksub, nlist). nlist comes from the persisted params row,
+    * NOT from array shapes: inferring it as coarse.length / dsub·m is
+    * wrong when the training sample had fewer than ksub vectors (the
+    * trained codebook then has fewer cells than requested), which would
+    * mis-gate the cell IN-pushdown. */
   private def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Array[Double], Array[Array[Double]], Int) = {
+      dir: String): (Array[Double], Array[Array[Double]], Int, Int) = {
     val rows = spark.read.parquet(s"$dir/codebooks")
       .select(col("kind"), col("s"), col("flat")).collect()
     val coarse = rows.filter(_.getInt(0) == 0).head.getSeq[Double](2).toArray
@@ -1285,7 +1298,7 @@ object Similarity {
       .map(_.getSeq[Double](2).toArray)
     val params = rows.filter(_.getInt(0) == 2).head.getSeq[Double](2)
     require(coarse.nonEmpty && pq.nonEmpty, s"empty IVFADC index at $dir")
-    (coarse, pq, params(2).toInt)
+    (coarse, pq, params(2).toInt, params(0).toInt)
   }
 
   /** Append vectors to a persisted IVFADC index against the FROZEN
@@ -1294,7 +1307,7 @@ object Similarity {
     * appended files carry their own tight cell row-group stats. */
   def ivfPqIndexAppend(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
-    val (coarse, pqCbs, _) = loadPqCodebooks(spark, dir)
+    val (coarse, pqCbs, _, _) = loadPqCodebooks(spark, dir)
     ivfPqCorpusSide(emb, spark.sparkContext.broadcast(coarse),
       spark.sparkContext.broadcast(pqCbs), pqCbs.length)
       .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
@@ -1313,7 +1326,7 @@ object Similarity {
   def ivfPqSearchIndex(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    val (coarse, pqCbs, ksub) = loadPqCodebooks(spark, dir)
+    val (coarse, pqCbs, ksub, nlist) = loadPqCodebooks(spark, dir)
     val m = pqCbs.length
     val q = ivfPqQuerySide(queries,
       spark.sparkContext.broadcast(coarse),
@@ -1323,7 +1336,6 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     // distinct probed cells are <= nlist by construction — bounded
     // collect; the IN filter pushes into the build-sorted codes scan
-    val nlist = coarse.length / math.max(pqCbs(0).length / ksub * m, 1)
     val probed = q.select(explode(col("cells")).as("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
     val corp =

@@ -42,10 +42,19 @@ object Upsert {
       if (df.columns.contains(del)) df else df.withColumn(del, lit(false))
     val b = withDel(base).withColumn("_src", lit(0))
     val c = withDel(changes).withColumn("_src", lit(1))
-    val winners = graft.plans.TopKPerKey(b.unionByName(c),
+    // TopKPerKey requires a unique order: (version, _src) alone leaves two
+    // change rows with equal key+version to a nondeterministic winner, so a
+    // stable hash of the full payload is appended as the final tie-break
+    // (deterministic across runs and row orders; a change feed with unique
+    // (key, version) never reaches it)
+    val unioned = b.unionByName(c)
+    val payloadHash = xxhash64(unioned.columns.filterNot(_ == "_src").map(col): _*)
+    val winners = graft.plans.TopKPerKey(unioned,
       keys = keys.map(col),
-      order = Seq(col(versionCol).desc, col("_src").desc),
+      order = Seq(col(versionCol).desc, col("_src").desc, payloadHash.desc),
       k = 1, rankName = "_rn")
-    winners.filter(!col(del)).drop("_src", "_rn", del)
+    // null tombstone flag means NOT deleted (a bare !col(del) filters the
+    // row when del is NULL, silently treating null as a delete)
+    winners.filter(!coalesce(col(del), lit(false))).drop("_src", "_rn", del)
   }
 }

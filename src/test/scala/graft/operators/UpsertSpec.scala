@@ -49,6 +49,27 @@ class UpsertSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one shuffle, plan:\n$plan")
   }
 
+  test("a NULL tombstone flag means NOT deleted") {
+    val changes = Seq(
+      (2L, "b2", 1L, Some(false)),
+      (3L, "c2", 1L, None: Option[Boolean]), // null flag: must survive
+      (4L, "x", 6L, Some(true)))
+      .toDF("k", "payload", "version", "deleted")
+    val out = Upsert(base, changes, Seq("k"), "version", Some("deleted"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 0L), (2L, "b2", 1L), (3L, "c2", 1L)))
+  }
+
+  test("equal key+version duplicate changes pick a deterministic winner") {
+    val changes = Seq((2L, "left", 7L), (2L, "right", 7L))
+      .toDF("k", "payload", "version")
+    val runs = (1 to 3).map { _ =>
+      Upsert(base, changes.repartition(4), Seq("k"), "version")
+        .filter($"k" === 2L).as[(Long, String, Long)].collect().toSeq
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic winners: $runs")
+  }
+
   test("empty change batch is the identity") {
     val changes = Seq.empty[(Long, String, Long)].toDF("k", "payload", "version")
     val out = Upsert(base, changes, Seq("k"), "version")
