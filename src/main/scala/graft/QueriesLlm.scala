@@ -1525,5 +1525,23 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         .withColumnRenamed("rank", "knn_rank")
     },
     baseDefs.find(_.name == "llm_ann_ivfpq")
+      .flatMap(_.oracle)) :+ QueryDef(
+    // the retrieval family's build-once/query-many form: the persisted
+    // inverted index (Retrieval.bm25BuildIndex/bm25SearchIndex) must be
+    // row-identical to the ad-hoc bm25TopK over the same corpus, so it
+    // reuses llm_bm25_topk's DuckDB oracle VERBATIM — the round trip
+    // through term-bucketed postings + meta doc count is pinned to
+    // produce the same answer as never persisting
+    "llm_bm25_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
+      val docs = t(s, dir, "documents")
+      Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      Retrieval.bm25SearchIndex(queries, idx, k = 10)
+    },
+    baseDefs.find(_.name == "llm_bm25_topk")
       .flatMap(_.oracle))
 }

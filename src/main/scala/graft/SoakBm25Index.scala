@@ -1,0 +1,96 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scale soak for the persisted BM25 inverted index
+  * ([[graft.llm.Retrieval.bm25BuildIndex]] / `bm25SearchIndex` /
+  * `bm25IndexAppend`): a corpus far past the oracle SFs is indexed ONCE,
+  * then a query batch searches it — the standing-query loop the index
+  * exists for (the ad-hoc `bm25TopK` recomputes corpus term statistics
+  * on every call: a full-corpus tokenize+aggregate per query batch).
+  * Reports the observables the claim rests on: build wall + index bytes
+  * (one-time), search wall + bytes READ during the search (per-batch —
+  * with term-bucket catalog pruning this stays well under one full
+  * postings scan), result row count, and append wall. Results recorded
+  * in BASELINE.md; this main keeps them reproducible.
+  *
+  * {{{ runMain graft.SoakBm25Index [nCorpus] [nQueries] }}}
+  *
+  * Corpus shape (Column-generated, no driver loop): every doc is 30
+  * tokens drawn hash-pseudo-randomly from a 50k-term vocabulary. Query
+  * 2k asks for the leading 3 tokens of corpus doc (2k*7919 mod n) — so
+  * matches are guaranteed; query 2k+1 draws 3 disjoint-space tokens
+  * (mostly vocabulary misses). The query batch touches a bounded set of
+  * term buckets, which is what the bytes-read observable pins.
+  */
+object SoakBm25Index {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val nQ = if (args.length > 1) args(1).toLong else 1000L
+    val spark = GraftSession.get()
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-bm25-").toString
+
+    def toks(idExpr: String, count: Int): String =
+      s"transform(sequence(1, $count), i -> concat('w', pmod(hash(($idExpr) * 131 + i), 50000)))"
+
+    spark.range(n)
+      .selectExpr("id AS doc_id", s"concat_ws(' ', ${toks("id", 30)}) AS text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+
+    spark.range(nQ)
+      .selectExpr("id AS query_id",
+        s"""CASE WHEN id % 2 = 0
+           |  THEN concat_ws(' ', ${toks(s"(id * 7919) % $n", 3)})
+           |  ELSE concat_ws(' ', ${toks(s"id + ${2 * n}", 3)})
+           |END AS qtext""".stripMargin)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/queries")
+    val queries = spark.read.parquet(s"$dir/queries")
+
+    val bytesRead = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    })
+    def settleBytes(): Long = { Thread.sleep(2000); bytesRead.get() }
+
+    var t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25BuildIndex(corpus, "text", "doc_id", s"$dir/index")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val postingsBytes = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/index/postings"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+
+    val before = settleBytes()
+    t0 = System.nanoTime()
+    val hits = graft.llm.Retrieval.bm25SearchIndex(queries, s"$dir/index", k = 10)
+    val nHits = hits.count()
+    val searchSec = (System.nanoTime() - t0) / 1e9
+    val searchBytes = settleBytes() - before
+
+    // the ad-hoc path the index replaces, same queries, for the headline
+    // comparison (full corpus tokenize + aggregate per batch)
+    t0 = System.nanoTime()
+    val adhocRows = graft.llm.Retrieval.bm25TopK(corpus, queries, k = 10).count()
+    val adhocSec = (System.nanoTime() - t0) / 1e9
+
+    t0 = System.nanoTime()
+    val batch = spark.range(nQ)
+      .selectExpr(s"id + $n AS doc_id", s"concat_ws(' ', ${toks(s"id + ${3 * n}", 30)}) AS text")
+    graft.llm.Retrieval.bm25IndexAppend(batch, "text", "doc_id", s"$dir/index")
+    val appendSec = (System.nanoTime() - t0) / 1e9
+
+    println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
+      s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
+      s""""search_sec":${f"$searchSec%.1f"},"search_bytes_read":$searchBytes,""" +
+      s""""hits":$nHits,"adhoc_sec":${f"$adhocSec%.1f"},"adhoc_rows":$adhocRows,""" +
+      s""""append_sec":${f"$appendSec%.1f"}}""")
+    spark.stop()
+  }
+}

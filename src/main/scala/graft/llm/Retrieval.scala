@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval: BM25-shaped scoring over an inverted-index
@@ -56,6 +56,32 @@ object Retrieval {
     * @return (query_id, doc_id, score_ppm, rnk) with rnk 1..k per query,
     *         ties broken by ascending doc_id
     */
+  /** Shared scoring tail of the ad-hoc and persisted-index paths: join
+    * query terms to (already query-restricted) postings, fold per-term
+    * contributions, rank per query through the map-capped
+    * [[graft.plans.TopKPerKey]]. `postings` must carry (doc_id, term,
+    * tf), `dfreq` (term, df), `nDocs` one row (n). */
+  private def scoreTopK(qTerms: DataFrame, postings: DataFrame,
+                        dfreq: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+    val scored = qTerms
+      .join(postings, "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      // idf in ppm, tf saturation in permille: the asymmetric scales keep
+      // the product within int64 out to N ≈ 1.3e9 documents (idf_ppm ≤
+      // 2N*1e6/3 at df=1; × 1e3 < 2^63)
+      .withColumn("contrib_ppm", expr(
+        "(((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1))" +
+          " * ((tf * 1000) div (tf + 2)) div 1000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"))
+
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("score_ppm").desc, col("doc_id").asc),
+      k = k, rankName = "rnk")
+  }
+
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // distinct query terms: the broadcast driver of every downstream prune
     val qTerms = tokens(queries, "query_id", "qtext").distinct()
@@ -74,23 +100,109 @@ object Retrieval {
     // driver-side count
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
+    scoreTopK(qTerms, postings, dfreq, nDocs, k)
+  }
 
-    val scored = qTerms
-      .join(postings, "term")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(nDocs))
-      // idf in ppm, tf saturation in permille: the asymmetric scales keep
-      // the product within int64 out to N ≈ 1.3e9 documents (idf_ppm ≤
-      // 2N*1e6/3 at df=1; × 1e3 < 2^63)
-      .withColumn("contrib_ppm", expr(
-        "(((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1))" +
-          " * ((tf * 1000) div (tf + 2)) div 1000"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("contrib_ppm")).as("score_ppm"))
+  // ---- persisted inverted index (build once / query many) --------------
 
-    graft.plans.TopKPerKey(scored,
-      keys = Seq(col("query_id")),
-      order = Seq(col("score_ppm").desc, col("doc_id").asc),
-      k = k, rankName = "rnk")
+  /** Postings directories are keyed by `pmod(xxhash64(term), TermBuckets)`
+    * — same catalog-pruning discipline as [[Dedup.IndexIdBuckets]]: a
+    * query's term set touches a bounded (<= 256) set of bucket
+    * directories however large the corpus vocabulary, so the per-query
+    * scan opens only those slices instead of the whole postings file
+    * set. */
+  val TermBuckets = 256
+
+  private def termBucket(t: Column): Column =
+    pmod(xxhash64(t), lit(TermBuckets)).cast("int")
+
+  /** Build a persisted BM25 inverted index under `dir` — the
+    * build-once/query-many form of [[bm25TopK]], which recomputes corpus
+    * term statistics on every call (a full-corpus pass per query batch —
+    * exactly what an index retires at 100 TB). Mirrors the layout
+    * discipline of [[Dedup.lshBuildIndex]] / [[Similarity.ivfBuildIndex]]:
+    *
+    *  - `meta`: one row (n) — the corpus document count driving idf;
+    *  - `postings/` partitioned by `term_pt` (see [[TermBuckets]]):
+    *    (term, doc_id, tf), sorted by term within files so row-group
+    *    stats prune within a bucket too.
+    *
+    * Document frequency is NOT persisted: a search derives exact df for
+    * its query terms from the pruned postings slices it reads anyway
+    * (the bucket holds every posting of each term it owns), which makes
+    * append trivially correct — no incremental df merge to drift. The
+    * b=0 integer-exact scoring needs no doc-length/avgdl slice; a
+    * deployment flipping to length-normalized doubles would add one
+    * (doc_id, len) slice and an avgdl row in meta — plan shape unchanged.
+    */
+  def bm25BuildIndex(docs: DataFrame, textCol: String, idCol: String,
+                     dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(docs.count()).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    tokens(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_pt", termBucket(col("term")))
+      // co-locate each bucket's rows before the partitioned write (the
+      // lshBuildIndex small-files discipline), then sort by term so each
+      // file's row groups carry tight term ranges
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
+  }
+
+  /** Append new documents to a persisted BM25 index: postings of the
+    * batch land in their term buckets (appended files keep the
+    * sort-by-term discipline, so their row-group stats prune too) and
+    * the corpus count in `meta` advances — df needs no merge because
+    * searches derive it from the postings (see [[bm25BuildIndex]]).
+    * Assumes batch doc ids are new, like every other index append. */
+  def bm25IndexAppend(docs: DataFrame, textCol: String, idCol: String,
+                      dir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // collect the old count BEFORE overwriting the slice it comes from
+    val oldN = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val batchN = docs.count()
+    tokens(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/postings")
+    Seq(oldN + batchN).toDF("n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Top-`k` documents per query against a persisted index (see
+    * [[bm25BuildIndex]]) — row-identical to [[bm25TopK]] over the same
+    * corpus (the llm_bm25_index oracle reuses llm_bm25_topk's DuckDB twin
+    * verbatim to pin that).
+    *
+    * Scale shape: the query term set drives everything — its distinct
+    * term buckets (a bounded <= [[TermBuckets]] collect) prune the
+    * postings scan at the catalog level, the broadcast term semi-join
+    * drops non-query postings at the scan, df aggregates over only those
+    * pruned rows (exact: a bucket owns every posting of its terms), and
+    * ranking is the same map-capped TopKPerKey. The index side never
+    * shuffles corpus-sized data. */
+  def bm25SearchIndex(queries: DataFrame, dir: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qTerms = tokens(queries, "query_id", "qtext").distinct()
+      .localCheckpoint(true) // feeds the bucket collect, the semi-join, and scoring
+    val qTermSet = qTerms.select(col("term")).distinct()
+    // bounded by construction: <= TermBuckets distinct values
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.read.parquet(s"$dir/meta").select(col("n"))
+    scoreTopK(qTerms, postings, dfreq, nDocs, k)
   }
 }

@@ -73,4 +73,84 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the query-term semi-join to broadcast, got:\n$plan")
   }
+
+  // ---- persisted inverted index ---------------------------------------
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+    df.select($"query_id", $"doc_id", $"score_ppm", $"rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  test("index search is row-identical to the ad-hoc bm25TopK") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    val queries = Seq((1L, "the cat"), (2L, "zebra"), (3L, "dog log"))
+      .toDF("query_id", "qtext")
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) ==
+      rows(Retrieval.bm25TopK(docs, queries, k = 10)))
+  }
+
+  test("append extends the index: search equals ad-hoc over the full corpus") {
+    val dir = freshDir()
+    val (first, second) = (docs.filter($"doc_id" < 3), docs.filter($"doc_id" >= 3))
+    Retrieval.bm25BuildIndex(first, "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(second, "text", "doc_id", dir)
+    val queries = Seq((1L, "the cat zebra")).toDF("query_id", "qtext")
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) ==
+      rows(Retrieval.bm25TopK(docs, queries, k = 10)))
+    // df/idf reflect the appended corpus: meta count advanced to 5
+    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 5L)
+  }
+
+  test("postings lay out in term_pt directories and a search prunes to its buckets") {
+    val dir = freshDir()
+    // a vocabulary wide enough that buckets differ
+    val wide = (0L until 200L).map(i => (i, s"term$i common"))
+      .toDF("doc_id", "text")
+    Retrieval.bm25BuildIndex(wide, "text", "doc_id", dir)
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("term_pt=")).map(_.getName)
+    assert(parts.length > 1 && parts.length <= Retrieval.TermBuckets)
+
+    // one-term search: the postings scan carries a partition filter on
+    // term_pt (catalog pruning), so only that bucket's files open
+    val res = Retrieval.bm25SearchIndex(
+      Seq((1L, "term7")).toDF("query_id", "qtext"), dir, k = 5)
+    res.collect()
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("term_pt"),
+      s"expected a term_pt-pruned postings scan, got:\n$scan")
+
+    // bytes observable: the pruned single-term search reads strictly less
+    // of the postings than a full scan of them
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settled(): Long = { Thread.sleep(1500); bytes.get() }
+      val b0 = settled()
+      spark.read.parquet(s"$dir/postings").write.format("noop").mode("overwrite").save()
+      val fullScan = settled() - b0
+      val b1 = settled()
+      Retrieval.bm25SearchIndex(
+        Seq((1L, "term7")).toDF("query_id", "qtext"), dir, k = 5).collect()
+      val pruned = settled() - b1
+      assert(pruned < fullScan,
+        s"pruned search read $pruned bytes >= full postings scan $fullScan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a query with no indexed terms returns empty, not an error") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    assert(Retrieval.bm25SearchIndex(
+      Seq((1L, "nothing matches here")).toDF("query_id", "qtext"), dir, 10)
+      .count() == 0)
+  }
 }
