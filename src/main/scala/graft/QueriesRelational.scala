@@ -19,6 +19,22 @@ object QueriesRelational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The events table as a STREAMING source (file source over a
+    * symlinked drop-zone directory), schema taken from the file's own
+    * footer and `ts` normalized to micros — shared by the
+    * stream_*_window duality twins. See stream_tumbling_window's
+    * comments for the why of each step. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val dropZone = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    java.nio.file.Files.createSymbolicLink(
+      dropZone.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    Tables.normalizeTs(
+      graft.streaming.Streams.fileSource(s, dropZone.toString, raw), "ts")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- aggregation ----------------------------------------------------
@@ -905,19 +921,11 @@ object QueriesRelational {
         // file's own footer (via a batch read) rather than hardcoding one,
         // so fixture regeneration with a different ts encoding can't
         // silently corrupt the stream. normalizeTs then adapts either
-        // encoding (nanos-as-long or standard TIMESTAMP) to micros.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.read.parquet(s"$dir/events.parquet").schema
-        // the file streaming source monitors a DIRECTORY; expose the single
-        // table file through a temp dir symlink (the usual layout is a
-        // drop-zone directory of part files)
-        val dropZone = java.nio.file.Files.createTempDirectory("graft-stream-src-")
-        java.nio.file.Files.createSymbolicLink(
-          dropZone.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val src = graft.Tables.normalizeTs(
-          graft.streaming.Streams.fileSource(s, dropZone.toString, raw), "ts")
-        val agg = src.withWatermark("ts", "1 minute")
+        // encoding (nanos-as-long or standard TIMESTAMP) to micros. The
+        // file streaming source monitors a DIRECTORY; the single table
+        // file is exposed through a temp-dir symlink. (All shared with
+        // the sliding/session twins via eventsStream.)
+        val agg = eventsStream(s, dir).withWatermark("ts", "1 minute")
           .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .select(unix_timestamp(col("w.start")).as("window_start"),
@@ -929,6 +937,58 @@ object QueriesRelational {
         event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""")),
+
+    // q30's sliding window executed through Structured Streaming — the
+    // second oracle-pinned point of the batch/stream duality contract
+    // (SURVEY §1.2): identical rows to the batch q30 plan, same DuckDB
+    // twin. Complete output mode, as in the tumbling twin: AvailableNow
+    // processes the bounded drop-zone in one pass and windows near the
+    // max event time would never cross an append-mode watermark.
+    QueryDef("stream_sliding_window",
+      (s, dir) => {
+        val agg = eventsStream(s, dir).withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("w.start")).as("window_start"),
+            col("n"), col("sum_value"))
+        graft.streaming.Streams.runToMemory(s, agg,
+          s"stream_sliding_${System.nanoTime()}", outputMode = "complete")
+      },
+      Some("""WITH starts AS (
+          SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start, value FROM events
+          UNION ALL
+          SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300 AS window_start, value FROM events)
+        SELECT window_start, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM starts GROUP BY 1""")),
+
+    // ...and q31's session windows through the streaming session-window
+    // state operator — the HARD duality case (sessions must merge when
+    // later events bridge two provisional sessions; Spark's
+    // MergingSortWithSessionWindowStateIterator path). Same rows and
+    // DuckDB twin as the batch q31. Session windows require a non-window
+    // grouping key (user_id here) and support append/complete; complete
+    // is used for the same bounded-drop-zone reason as above.
+    QueryDef("stream_session_window",
+      (s, dir) => {
+        val agg = eventsStream(s, dir).withWatermark("ts", "1 minute")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+            col("n_events"), col("sum_value"))
+        graft.streaming.Streams.runToMemory(s, agg,
+          s"stream_session_${System.nanoTime()}", outputMode = "complete")
+      },
+      Some("""WITH x AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        SELECT user_id, epoch_us(min(ts)) AS session_start, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM y GROUP BY user_id, sid""")),
 
     QueryDef("q31_session_window",
       (s, dir) => t(s, dir, "events")
