@@ -552,10 +552,16 @@ object Dedup {
     *  - exact verify reads ONLY the shingle partitions the candidate ids
     *    hash into (a <= [[IndexIdBuckets]] bounded collect drives catalog
     *    partition pruning — `ivfSearchIndex`'s probed-cells discipline,
-    *    adapted to ids), then joins the slim candidate pairs broadcast.
+    *    adapted to ids), then joins the slim candidate pairs broadcast —
+    *    gated: the candidate count is known exactly (the set is an eager
+    *    checkpoint), and past `broadcastCandMaxRows` the verify join
+    *    degrades to a shuffle join instead of betting the driver on a
+    *    pathological batch colliding with much of the corpus (the
+    *    `resolveClusters` broadcastRootMaxRows discipline).
     */
   def lshIndexMatches(batch: DataFrame, textCol: String, idCol: String,
-                      dir: String, threshold: Double): DataFrame = {
+                      dir: String, threshold: Double,
+                      broadcastCandMaxRows: Long = 4L << 20): DataFrame = {
     val spark = batch.sparkSession
     val (shingleN, numBands, rowsPerBand) = readIndexMeta(spark, dir)
     val hashed = batch.repartition(spark.sparkContext.defaultParallelism)
@@ -576,7 +582,10 @@ object Dedup {
     val idxSh = spark.read.parquet(s"$dir/shingles")
       .filter(col("id_pt").isInCollection(hitBuckets.toSeq))
       .select(col("id"), col("sh").as("sh_b"))
-    val out = idxSh.join(broadcast(cands), "id")
+    // count is free: cands is an eager localCheckpoint
+    val candsSide =
+      if (cands.count() <= broadcastCandMaxRows) broadcast(cands) else cands
+    val out = idxSh.join(candsSide, "id")
       .join(hashed, "qid")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double") /

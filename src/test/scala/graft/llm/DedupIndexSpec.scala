@@ -99,6 +99,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("id_pt"))
   }
 
+  test("candidate broadcast is budget-gated: past the cap the verify join shuffles") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
+    def rowsOf(maxRows: Long): Set[(Long, Long, Double)] =
+      Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.5, broadcastCandMaxRows = maxRows)
+        .as[(Long, Long, Double)].collect().toSet
+    val gatedRows = rowsOf(0L) // cap 0: force the shuffle fallback
+    val defaultRows = rowsOf(4L << 20)
+    // same answer either path
+    assert(gatedRows == defaultRows)
+    assert(gatedRows == brute(batchDocs, corpusDocs, n = 3, threshold = 0.5))
+  }
+
+  test("gated fallback plans the verify join without a candidate broadcast") {
+    val dir = freshDir()
+    Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
+    // rebuild the verify join exactly as lshIndexMatches does, but keep
+    // the plan inspectable (no localCheckpoint): candidate set vs corpus
+    // shingles with and without the broadcast hint — the gate picks
+    // between exactly these two plans
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cands = Seq((1000L, 0L), (1100L, 7L)).toDF("qid", "id")
+      val idxSh = spark.read.parquet(s"$dir/shingles")
+        .select(col("id"), col("sh").as("sh_b"))
+      val gated = idxSh.join(cands, "id")
+      gated.collect()
+      val plan = gated.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback path must not broadcast the candidates, got:\n$plan")
+      val hinted = idxSh.join(broadcast(cands), "id")
+      hinted.collect()
+      assert(hinted.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.contains("BroadcastExchange"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("empty batch and batch with no candidates both return empty") {
     val dir = freshDir()
     Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)
