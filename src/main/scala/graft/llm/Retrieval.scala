@@ -177,6 +177,28 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Compact a persisted BM25 index's postings after a run of appends:
+    * each append lays its batch down as new files inside every touched
+    * term bucket, so a bucket's postings spread over ~N file generations
+    * and a search opens N times the files a fresh build would. Rewrites
+    * the postings back to the build layout (bucket-keyed, term-sorted)
+    * into a temp sibling, then atomically swaps directories — the same
+    * operational close as [[Similarity.ivfIndexCompact]]. Search results
+    * are unchanged; meta is untouched. */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit = {
+    val path = s"$dir/postings"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+  }
+
   /** Top-`k` documents per query against a persisted index (see
     * [[bm25BuildIndex]]) — row-identical to [[bm25TopK]] over the same
     * corpus (the llm_bm25_index oracle reuses llm_bm25_topk's DuckDB twin

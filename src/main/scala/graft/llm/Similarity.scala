@@ -612,6 +612,34 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/cells")
   }
 
+  /** Rewrite a cell-keyed index slice back to the fresh-build layout
+    * (one range-partitioned, cell-sorted file set): every append lays
+    * down its own parallelism-wide set of sorted files, so after N daily
+    * appends a probed cell's rows are spread over ~N file generations —
+    * the scan opens N times the files (and their footers) a fresh build
+    * would. Compaction is the operational close of the append loop:
+    * rewrite to a temp sibling, then atomically swap directories. Search
+    * results are unchanged (same rows, same layout discipline); only the
+    * file-count/bytes-read profile resets to fresh-build shape. */
+  private def compactCellSlice(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+  }
+
+  /** Compact a persisted IVF index's cell slices after a run of appends
+    * (see [[compactCellSlice]]); centroids are untouched. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit =
+    compactCellSlice(spark, s"$dir/cells")
+
   def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
                      excludeSelf: Boolean = false,
                      shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
@@ -1315,6 +1343,12 @@ object Similarity {
       .sortWithinPartitions(col("cell"))
       .write.mode("append").parquet(s"$dir/codes")
   }
+
+  /** Compact a persisted IVFADC index's code slices after a run of
+    * appends (see [[compactCellSlice]]); codebooks are untouched. */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit =
+    compactCellSlice(spark, s"$dir/codes")
 
   /** ADC top-k of `queries` against a persisted IVFADC index — row-
     * identical to [[ivfPqKnn]] with the same knobs when `queries` IS the

@@ -146,6 +146,29 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bm25IndexCompact: answers unchanged, per-bucket file sets shrink") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs.filter($"doc_id" < 2), "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 2 && $"doc_id" < 4),
+      "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 4), "text", "doc_id", dir)
+    def postingFiles(): Int = {
+      val root = java.nio.file.Paths.get(s"$dir/postings")
+      java.nio.file.Files.walk(root).filter(p => p.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val queries = Seq((1L, "the cat zebra")).toDF("query_id", "qtext")
+    val before = rows(Retrieval.bm25SearchIndex(queries, dir, k = 10))
+    val filesBefore = postingFiles()
+
+    Retrieval.bm25IndexCompact(spark, dir)
+
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == before)
+    assert(before.nonEmpty)
+    assert(postingFiles() < filesBefore,
+      s"compaction did not shrink the postings file set: $filesBefore")
+  }
+
   test("a query with no indexed terms returns empty, not an error") {
     val dir = freshDir()
     Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)

@@ -266,6 +266,59 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == 300) // 100 queries x k=3
   }
 
+  test("ivfIndexCompact: answers unchanged, file count back to fresh-build shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    Similarity.ivfBuildIndex(emb.filter($"vec_id" < 40), dir, nlist = 8)
+    // three append generations: each lays down its own sorted file set
+    Seq((40L, 60L), (60L, 80L), (80L, 100L)).foreach { case (lo, hi) =>
+      Similarity.ivfIndexAppend(emb.filter($"vec_id" >= lo && $"vec_id" < hi), dir)
+    }
+    def cellFiles(): Int = new java.io.File(s"$dir/cells").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
+        excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
+    val filesBefore = cellFiles()
+
+    Similarity.ivfIndexCompact(spark, dir)
+
+    val after = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
+        excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
+    assert(after == before)
+    assert(before.nonEmpty)
+    val filesAfter = cellFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the file set: $filesBefore -> $filesAfter")
+    // fresh-build shape: one generation's worth of files, i.e. no more
+    // than a fresh build over the same rows would produce
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    Similarity.ivfBuildIndex(emb, freshDir, nlist = 8)
+    val freshFiles = new java.io.File(s"$freshDir/cells").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(filesAfter <= freshFiles)
+  }
+
+  test("ivfPqIndexCompact: ADC answers unchanged, code file set shrinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx-").toString
+    Similarity.ivfPqBuildIndex(emb.filter($"vec_id" < 50), dir,
+      nlist = 8, m = 4, ksub = 8, iters = 2)
+    Seq((50L, 75L), (75L, 100L)).foreach { case (lo, hi) =>
+      Similarity.ivfPqIndexAppend(emb.filter($"vec_id" >= lo && $"vec_id" < hi), dir)
+    }
+    def codeFiles(): Int = new java.io.File(s"$dir/codes").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = Similarity.ivfPqSearchIndex(emb, dir, k = 3, nprobe = 8,
+        excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
+    val filesBefore = codeFiles()
+
+    Similarity.ivfPqIndexCompact(spark, dir)
+
+    val after = Similarity.ivfPqSearchIndex(emb, dir, k = 3, nprobe = 8,
+        excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
+    assert(after == before)
+    assert(before.nonEmpty)
+    assert(codeFiles() < filesBefore)
+  }
+
   test("shardCount divides before multiplying: extreme candidate counts do not overflow") {
     // 3e15 pairs x 768-dim rows overflows candRows*rowBytes in Long; the
     // divide-first form must still demand (capped) many shards, and a
