@@ -56,11 +56,18 @@ object GcraThrottler {
   /** [[throttle]] on Spark 4's `transformWithState` — same TAT algorithm
     * and results, state held in a RocksDB-backed ValueState (off-heap,
     * spillable: the modern home for keyed operator state at scale).
-    * TimeMode.None because GCRA is driven by EVENT time carried in the
-    * data, not processing-time timers — so no housekeeping batches and
-    * drain-based harnesses work unchanged.
-    */
-  class GcraProcessor(costNs: Long, burstNs: Long)
+    * Without a TTL, TimeMode.None: GCRA is driven by EVENT time carried
+    * in the data, not processing-time timers — no housekeeping batches,
+    * and drain-based harnesses work unchanged. With a TTL the state runs
+    * in TimeMode.ProcessingTime and the native TTL evicts idle keys —
+    * the unbounded-key-cardinality case (per-client rate limiting over a
+    * churning client population): an idle client's 8-byte TAT register
+    * disappears for free instead of accumulating forever, and a client
+    * returning after the TTL starts fresh — semantically sound, since a
+    * TAT older than the TTL can only admit anyway once
+    * ttl >= burst + cost. */
+  class GcraProcessor(costNs: Long, burstNs: Long,
+                      ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, Result] {
     @transient private var tatState:
       org.apache.spark.sql.streaming.ValueState[Long] = _
@@ -68,7 +75,8 @@ object GcraThrottler {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       tatState = getHandle.getValueState[Long]("tat", Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
 
     override def handleInputRows(key: String, it: Iterator[Event],
         tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Result] = {
@@ -84,14 +92,19 @@ object GcraThrottler {
     }
   }
 
-  def throttleTws(events: Dataset[Event], rps: Double): Dataset[Result] = {
+  def throttleTws(events: Dataset[Event], rps: Double,
+                  ttl: Option[java.time.Duration] = None): Dataset[Result] = {
     val costNs = (1e9 / rps).toLong
     val burstNs = math.max(0L, 1000000000L - costNs)
     implicit val resEnc = Encoders.product[Result]
     implicit val keyEnc = Encoders.STRING
     events.groupByKey(_.key)
-      .transformWithState(new GcraProcessor(costNs, burstNs),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .transformWithState(new GcraProcessor(costNs, burstNs, ttl),
+        // TTL requires processing-time tracking; without it stay in
+        // TimeMode.None so no housekeeping batches run
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Schema-generic GCRA: same admission algorithm over arbitrary rows —

@@ -72,6 +72,47 @@ class TtlDedupSpec extends SparkSpec {
     }
   }
 
+  test("GCRA TTL evicts idle keys: a post-TTL event is admitted afresh") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1700000000000000000L
+      val mem = MemoryStream[GcraThrottler.Event]
+      // ProcessingTime mode (needed for TTL) schedules housekeeping
+      // batches, so drive the sink by polling row counts, not
+      // processAllAvailable
+      val q = GcraThrottler.throttleTws(mem.toDS(), rps = 1.0,
+          ttl = Some(Duration.ofSeconds(2)))
+        .writeStream.format("memory").queryName("gcra_ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", Streams.newCheckpointDir())
+        .start()
+      def awaitRows(n: Int): Unit = {
+        var tries = 0
+        while (spark.table("gcra_ttl_out").count() < n && tries < 600) {
+          Thread.sleep(100); tries += 1
+        }
+        assert(spark.table("gcra_ttl_out").count() >= n,
+          s"sink never reached $n rows")
+      }
+      // id 1 admits and sets TAT; id 2 arrives 100ms later in event time
+      // WITHIN the TTL window -> throttled by the surviving state
+      mem.addData(GcraThrottler.Event("k", base, 1))
+      awaitRows(1)
+      mem.addData(GcraThrottler.Event("k", base + 100000000L, 2))
+      awaitRows(2)
+      // let the 2s TTL lapse, then send an event only 200ms later in
+      // EVENT time: with live state it would be throttled identically to
+      // id 2; eviction makes it admit afresh
+      Thread.sleep(3500)
+      mem.addData(GcraThrottler.Event("k", base + 200000000L, 3))
+      awaitRows(3)
+      q.stop()
+      val got = spark.table("gcra_ttl_out").as[GcraThrottler.Result]
+        .collect().map(r => r.id -> r.admitted).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+    }
+  }
+
   test("ttl variant analyzes and starts in ProcessingTime mode") {
     // the TTL path needs continuous housekeeping batches (unsuitable for
     // drain-and-stop harnesses) — assert it constructs, analyzes, and
