@@ -31,9 +31,18 @@ object Upsert {
     * @param deleteCol  optional boolean tombstone column on `changes`;
     *                   when the winning row has it true, the key is
     *                   dropped from the output
+    * @param maxPartialGroups map-side group bound for the TopKPerKey
+    *                   partial phase (k=1, so task memory is
+    *                   ~maxPartialGroups rows). The shuffle-carries-
+    *                   ≈-distinct-keys contract is exact only while a
+    *                   partition's distinct touched keys fit this bound
+    *                   (SoakUpsert measures both regimes); the default
+    *                   covers CDC batches of a few hundred thousand keys
+    *                   per partition
     */
   def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
-            versionCol: String, deleteCol: Option[String] = None): DataFrame = {
+            versionCol: String, deleteCol: Option[String] = None,
+            maxPartialGroups: Int = 1 << 18): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val del = deleteCol.getOrElse("_del")
     // the tombstone column may exist on either side (commonly only on
@@ -52,7 +61,7 @@ object Upsert {
     val winners = graft.plans.TopKPerKey(unioned,
       keys = keys.map(col),
       order = Seq(col(versionCol).desc, col("_src").desc, payloadHash.desc),
-      k = 1, rankName = "_rn")
+      k = 1, rankName = "_rn", maxPartialGroups = maxPartialGroups)
     // null tombstone flag means NOT deleted (a bare !col(del) filters the
     // row when del is NULL, silently treating null as a delete)
     winners.filter(!coalesce(col(del), lit(false))).drop("_src", "_rn", del)

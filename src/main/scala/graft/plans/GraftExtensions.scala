@@ -90,7 +90,8 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         val ks = conjuncts.flatMap(c => bound(c, rankAttr).map(c -> _))
         ks.headOption.map { case (matched, k) =>
           val residual = conjuncts.filterNot(_ eq matched)
-          val topk = TopKPerKey(part, ord, k, rankAttr, child)
+          val topk = TopKPerKey(part, ord, k, rankAttr, child,
+            BoundedTopK.FlushGroups)
           val wrapped = wrap(topk)
           if (residual.isEmpty) wrapped
           else Filter(residual.reduce(And), wrapped)

@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.IntegerType
   * Output = child columns + an integer rank column.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                      rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
+                      rankAttr: AttributeReference, child: LogicalPlan,
+                      maxPartialGroups: Int) extends UnaryNode {
   // rankAttr is a constructor param (not a val) so tree copies keep its
   // exprId stable — regenerating it would orphan upstream references
-  require(k >= 1)
+  require(k >= 1 && maxPartialGroups >= 1)
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
@@ -43,9 +44,17 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 object TopKPerKey {
-  /** DataFrame API. Registers the planner strategy on first use. */
+  /** DataFrame API. Registers the planner strategy on first use.
+    * `maxPartialGroups` bounds the map-side group map (memory is
+    * O(maxPartialGroups * k) rows per task): the partial cap is exact
+    * only while a partition's distinct keys fit the bound — past it the
+    * flush loop re-emits keys per flush window and the shuffle grows
+    * back toward |rows|. Callers that know their per-batch key
+    * cardinality (CDC upsert batches, say) raise it to keep the
+    * exchange at ~|keys|*k; the default suits unbounded keyspaces. */
   def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
-            rankName: String = "rank"): DataFrame = {
+            rankName: String = "rank",
+            maxPartialGroups: Int = BoundedTopK.FlushGroups): DataFrame = {
     val spark = df.sparkSession
     GraftBridge.addStrategy(spark, TopKStrategy)
     val sortOrders = order.map(c => GraftBridge.resolvedExpression(c) match {
@@ -55,7 +64,7 @@ object TopKPerKey {
     val raw = GraftBridge.ofRows(spark,
       TopKPerKey(keys.map(GraftBridge.resolvedExpression), sortOrders, k,
         AttributeReference(rankName, IntegerType, nullable = false)(),
-        GraftBridge.logicalPlan(df)))
+        GraftBridge.logicalPlan(df), maxPartialGroups))
     // top-level alias Project: DeduplicateRelations cannot regenerate
     // attributes produced by a custom node, so a self-join over the raw
     // result fails to resolve; aliasing every output gives the analyzer
@@ -69,7 +78,8 @@ object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKey =>
       FinalTopKExec(t.keys, t.order, t.k, t.rankAttr,
-        PartialTopKExec(t.keys, t.order, t.k, planLater(t.child))) :: Nil
+        PartialTopKExec(t.keys, t.order, t.k, planLater(t.child),
+          t.maxPartialGroups)) :: Nil
     case _ => Nil
   }
 }
@@ -172,13 +182,16 @@ private object BoundedTopK {
   * keys — bounded memory even when one partition holds the whole
   * keyspace). */
 case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                           child: SparkPlan) extends UnaryExecNode {
+                           child: SparkPlan,
+                           maxPartialGroups: Int = BoundedTopK.FlushGroups)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] = {
     // bind fields to locals: the closure must not capture the plan node
     val (keyExprs, ord, kk, attrs) = (keys, order, k, child.output)
+    val maxGroups = maxPartialGroups
     child.execute().mapPartitions { it =>
-      BoundedTopK.runFlushing(it, keyExprs, ord, kk, attrs)
+      BoundedTopK.runFlushing(it, keyExprs, ord, kk, attrs, maxGroups)
     }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
