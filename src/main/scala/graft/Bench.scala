@@ -32,7 +32,9 @@ object Bench {
     "llm_span_index", "llm_semdedup", "llm_decontaminate_cut",
     "mm_image_phash_pairs",
     // round 8: product-quantization compressed ANN
-    "llm_ann_pq", "llm_ann_pq_rerank", "llm_ann_ivfpq", "llm_ann_ivfpq_index")
+    "llm_ann_pq", "llm_ann_pq_rerank", "llm_ann_ivfpq", "llm_ann_ivfpq_index",
+    // round 9: persisted BM25 inverted index (build + search end-to-end)
+    "llm_bm25_index")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
