@@ -1508,6 +1508,9 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
       val emb = t(s, dir, "embeddings")
       Similarity.ivfBuildIndex(emb, idx, nlist = 16)
+      // compact inside the oracle gate: the layout rewrite must not
+      // change a single row of the search answer
+      Similarity.ivfIndexCompact(s, idx)
       Similarity.ivfSearchIndex(emb, idx, k = 3, nprobe = 4, excludeSelf = true)
         .withColumnRenamed("rank", "knn_rank")
     },
@@ -1521,6 +1524,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-index-").toString
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqBuildIndex(emb, idx, nlist = 8, m = 4, ksub = 8, iters = 2)
+      Similarity.ivfPqIndexCompact(s, idx)
       Similarity.ivfPqSearchIndex(emb, idx, k = 3, nprobe = 2, excludeSelf = true)
         .withColumnRenamed("rank", "knn_rank")
     },
@@ -1536,7 +1540,15 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     (s, dir) => {
       val idx = java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
       val docs = t(s, dir, "documents")
-      Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
+      // the full index lifecycle sits inside the oracle gate: build on
+      // half the corpus, append the other half, compact the append
+      // generations away — and the search must still be row-identical
+      // to the ad-hoc bm25TopK over the whole corpus
+      Retrieval.bm25BuildIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", idx)
+      Retrieval.bm25IndexAppend(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id", idx)
+      Retrieval.bm25IndexCompact(s, idx)
       val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
