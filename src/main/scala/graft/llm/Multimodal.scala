@@ -385,4 +385,114 @@ object Multimodal {
       }
       .toDF(idCol, "duration_sec", "sample_rate", "channels", "rms", "ok")
   }
+
+  // ---- REAL video container parsing (ISO-BMFF / MP4, no codec) --------
+
+  /** Parsed ISO-BMFF container metadata: (major brand, duration seconds,
+    * track count, presentation width, presentation height). Pure box
+    * walking per ISO/IEC 14496-12 — `ftyp` for the brand, `moov/mvhd`
+    * (v0 or v1) for timescale+duration, each `moov/trak/tkhd` for the
+    * 16.16 fixed-point presentation size (audio tracks carry 0x0; the
+    * max across tracks is the video size). None for anything that is
+    * not a plausible BMFF stream (short buffer, box sizes that escape
+    * the buffer, no moov). This is CONTAINER metadata — real and exact
+    * without any sample decode, which is what manifest building, length
+    * filtering, and aspect bucketing need at corpus scale; sample
+    * decode stays behind the codec-tier boundary documented above. */
+  private[llm] def parseMp4(bytes: Array[Byte]): Option[(String, Double, Int, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
+    def u16(at: Int): Int = bb.getShort(at) & 0xffff
+
+    /** (type, payloadStart, payloadEnd, nextBox) or None when malformed. */
+    def box(at: Int, limit: Int): Option[(String, Int, Int, Int)] = {
+      if (at + 8 > limit) return None
+      var size = u32(at)
+      var payload = at + 8
+      if (size == 1) { // 64-bit largesize
+        if (at + 16 > limit) return None
+        val ls = bb.getLong(at + 8)
+        if (ls < 16 || at + ls > limit) return None
+        size = ls; payload = at + 16
+      } else if (size == 0) size = (limit - at).toLong // box runs to end
+      if (size < 8 || at + size > limit) return None
+      val tag = new String(bytes, at + 4, 4, "ISO-8859-1")
+      Some((tag, payload, at + size.toInt, at + size.toInt))
+    }
+
+    def children(from: Int, to: Int): Iterator[(String, Int, Int)] =
+      Iterator.unfold(from) { at =>
+        if (at >= to) None
+        else box(at, to).map { case (tag, ps, pe, next) => ((tag, ps, pe), next) }
+      }
+
+    if (bytes.length < 16) return None
+    var brand = ""
+    var durationSec = 0.0
+    var nTracks = 0
+    var w = 0; var h = 0
+    var sawMoov = false
+    children(0, bytes.length).foreach {
+      case ("ftyp", ps, pe) if pe - ps >= 4 =>
+        brand = new String(bytes, ps, 4, "ISO-8859-1").trim
+      case ("moov", mps, mpe) =>
+        sawMoov = true
+        children(mps, mpe).foreach {
+          case ("mvhd", ps, pe) if pe - ps >= 4 =>
+            val v = bytes(ps) & 0xff
+            if (v == 1 && pe - ps >= 32) {
+              val timescale = u32(ps + 20)
+              val duration = bb.getLong(ps + 24)
+              if (timescale > 0) durationSec = duration.toDouble / timescale
+            } else if (v == 0 && pe - ps >= 20) {
+              val timescale = u32(ps + 12)
+              val duration = u32(ps + 16)
+              if (timescale > 0) durationSec = duration.toDouble / timescale
+            }
+          case ("trak", tps, tpe) =>
+            nTracks += 1
+            children(tps, tpe).foreach {
+              case ("tkhd", ps, pe) =>
+                val v = bytes(ps) & 0xff
+                // width/height are the LAST 8 payload bytes in both
+                // versions (v0 layout is 84 bytes, v1 is 96)
+                val need = if (v == 1) 96 else 84
+                if (pe - ps >= need) {
+                  val tw = (u32(pe - 8) >> 16).toInt // 16.16 fixed
+                  val th = (u32(pe - 4) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (sawMoov) Some((brand, durationSec, nTracks, w, h)) else None
+  }
+
+  /** REAL MP4/MOV container metadata as a stage: (id, bytes) ->
+    * (id, brand, duration_sec, n_tracks, width, height, ok) via the
+    * [[parseMp4]] box walker in the usual mapPartitions kernel shape —
+    * narrow, malformed rows degrade to ok = false. Closes the container-
+    * format half of the video story (SURVEY's documented divergence:
+    * the JDK ships no video CODEC, so sample decode remains the
+    * animated-GIF real path / stub tier, but manifest-grade container
+    * metadata is parsed for real). */
+  def videoContainerMeta(df: DataFrame, idCol: String = "media_id",
+                         bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseMp4(bytes) match {
+            case Some((brand, dur, n, w, h)) => (id, brand, dur, n, w, h, true)
+            case None => (id, "", 0.0, 0, 0, 0, false)
+          }
+        }
+      }
+      .toDF(idCol, "brand", "duration_sec", "n_tracks", "width", "height", "ok")
+  }
 }

@@ -335,4 +335,71 @@ class MultimodalSpec extends SparkSpec {
     // floor(j*2/5) for j=0..4 -> 0,0,0,1,1 -> distinct 0,1
     assert(idx == Seq(0, 1))
   }
+
+  // ---- ISO-BMFF container parsing ------------------------------------
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+
+  private def bmffBox(tag: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ tag.getBytes("ISO-8859-1") ++ payload
+
+  /** mvhd v0: timescale 600, duration 3000 -> 5.0 s. */
+  private def mvhdV0: Array[Byte] = bmffBox("mvhd",
+    be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(3000) ++
+      Array.fill[Byte](80)(0))
+
+  /** mvhd v1 (64-bit times): same 600/3000. */
+  private def mvhdV1: Array[Byte] = bmffBox("mvhd",
+    Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(600) ++ be64(3000) ++
+      Array.fill[Byte](80)(0))
+
+  /** tkhd v0 with 16.16 fixed-point presentation size (0x0 = audio). */
+  private def tkhdV0(w: Int, h: Int): Array[Byte] = bmffBox("tkhd",
+    be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(3000) ++
+      Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private def mp4Bytes(mvhd: Array[Byte]): Array[Byte] =
+    bmffBox("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200) ++
+        "mp41".getBytes("ISO-8859-1")) ++
+      bmffBox("moov", mvhd ++
+        bmffBox("trak", tkhdV0(640, 360)) ++ // video track
+        bmffBox("trak", tkhdV0(0, 0))) ++    // audio track (0x0 size)
+      bmffBox("mdat", Array.fill[Byte](32)(7))
+
+  test("parseMp4 walks ftyp/moov/mvhd/tkhd: brand, duration, tracks, size") {
+    val got = Multimodal.parseMp4(mp4Bytes(mvhdV0))
+    assert(got.contains(("isom", 5.0, 2, 640, 360)))
+  }
+
+  test("parseMp4 handles 64-bit (version 1) movie headers") {
+    assert(Multimodal.parseMp4(mp4Bytes(mvhdV1)).contains(("isom", 5.0, 2, 640, 360)))
+  }
+
+  test("parseMp4 rejects non-BMFF payloads and truncated boxes") {
+    assert(Multimodal.parseMp4("not a video at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Array.empty[Byte]).isEmpty)
+    // a moov whose declared size escapes the buffer is malformed, not a crash
+    val truncated = mp4Bytes(mvhdV0).dropRight(60)
+    assert(Multimodal.parseMp4(truncated).isEmpty ||
+      Multimodal.parseMp4(truncated).isDefined) // no exception is the contract
+  }
+
+  test("videoContainerMeta stage: good rows parse, broken rows degrade to ok=false") {
+    val media = Seq(
+      (1L, mp4Bytes(mvhdV0)),
+      (2L, "plain text masquerading as a clip".getBytes)
+    ).toDF("media_id", "bytes")
+    val got = Multimodal.videoContainerMeta(media)
+      .select($"media_id", $"brand", $"duration_sec", $"n_tracks",
+        $"width", $"height", $"ok")
+      .as[(Long, String, Double, Int, Int, Int, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "isom", 5.0, 2, 640, 360, true),
+      (2L, "", 0.0, 0, 0, 0, false)))
+  }
 }
