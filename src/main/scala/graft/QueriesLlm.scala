@@ -254,6 +254,8 @@ pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT)
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         Dedup.lshBuildIndex(docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", idx,
           shingleN = 3, numBands = 16, rowsPerBand = 4)
+        // layout rewrite inside the oracle gate: must not change a row
+        Dedup.lshIndexCompact(s, idx)
         Dedup.lshIndexMatches(docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", idx,
           threshold = 0.5)
       },
@@ -1405,6 +1407,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         val idx = java.nio.file.Files.createTempDirectory("graft-span-idx-").toString
         val docs = t(s, dir, "documents")
         Dedup.spanBuildIndex(docs, "doc_id", "text", idx, w = 8)
+        Dedup.spanIndexCompact(s, idx)
         val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
           .withColumn("doc_id", col("doc_id") + lit(100000L))
         Dedup.spanIndexMatches(batch, "doc_id", "text", idx)

@@ -731,6 +731,51 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/windows")
   }
 
+  // ---- index compaction (the operational close of the append loop) ----
+
+  /** Atomically replace `path` with the parquet rendering of `rewrite`:
+    * write a temp sibling, delete the original, rename — the same swap
+    * discipline as [[Similarity.ivfIndexCompact]]. */
+  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
+                          path: String)(rewrite: DataFrame =>
+                          org.apache.spark.sql.DataFrameWriter[
+                            org.apache.spark.sql.Row]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    rewrite(spark.read.parquet(path)).parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+  }
+
+  /** Compact a persisted LSH dedup index after a run of appends: every
+    * [[lshIndexAppend]] lays new files into each touched `id_pt`
+    * directory and appends a band-slice generation, so batch matching
+    * opens ~N file generations per bucket. Rewrites both slices back to
+    * the fresh-build layout (shingles bucket-keyed + id-sorted, bands
+    * one parallelism-wide set); `meta` is untouched, answers unchanged. */
+  def lshIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    val parts = spark.sparkContext.defaultParallelism
+    swapRewrite(spark, s"$dir/shingles")(df =>
+      df.repartition(parts, col("id_pt"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("id_pt"))
+    swapRewrite(spark, s"$dir/bands")(df =>
+      df.repartition(parts).write.mode("overwrite"))
+  }
+
+  /** Compact a persisted span index's window slice back to one
+    * range-partitioned sorted file set (see [[lshIndexCompact]]); the
+    * slice stays distinct by construction (appends admit only novel
+    * hashes), so this is purely a layout rewrite. */
+  def spanIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit =
+    swapRewrite(spark, s"$dir/windows")(df =>
+      df.repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
+        .sortWithinPartitions(col("wh"))
+        .write.mode("overwrite"))
+
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= maxDist.
     * Candidate generation: split the 64-bit signature into
     * `maxDist+1` chunks — any pair within maxDist shares at least one exact

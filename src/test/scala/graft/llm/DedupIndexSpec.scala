@@ -138,6 +138,32 @@ class DedupIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("lshIndexCompact: matches unchanged, file generations collapse") {
+    val dir = freshDir()
+    val chunks = corpusDocs.grouped(10).toSeq
+    Dedup.lshBuildIndex(chunks.head.toDF("doc_id", "text"), "text", "doc_id", dir)
+    chunks.tail.foreach(c =>
+      Dedup.lshIndexAppend(c.toDF("doc_id", "text"), "text", "doc_id", dir))
+    def files(sub: String): Int = {
+      val root = java.nio.file.Paths.get(s"$dir/$sub")
+      java.nio.file.Files.walk(root).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val before = Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+      "text", "doc_id", dir, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    val (sh0, bd0) = (files("shingles"), files("bands"))
+
+    Dedup.lshIndexCompact(spark, dir)
+
+    val after = Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+      "text", "doc_id", dir, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(after == before && before.nonEmpty)
+    assert(files("shingles") < sh0 && files("bands") < bd0,
+      s"compaction did not shrink: shingles $sh0->${files("shingles")}, bands $bd0->${files("bands")}")
+    // params slice untouched: the query still signs itself from meta
+    assert(Dedup.lshIndexParams(spark, dir) == ((3, 16, 4)))
+  }
+
   test("empty batch and batch with no candidates both return empty") {
     val dir = freshDir()
     Dedup.lshBuildIndex(corpusDocs.toDF("doc_id", "text"), "text", "doc_id", dir)

@@ -67,6 +67,34 @@ class SpanIndexSpec extends SparkSpec {
       s"$sizeAfterBatch1 -> $sizeAfterBatch2")
   }
 
+  test("spanIndexCompact: matches unchanged, window file set collapses") {
+    val dir = Files.createTempDirectory("graft-span-idx-compact-").toString
+    val corpus = Seq((1L, s"${uniq("c", 10)} $shared")).toDF("doc_id", "text")
+    Dedup.spanBuildIndex(corpus, "doc_id", "text", dir, w = 8)
+    (0 until 3).foreach { i =>
+      Dedup.spanIndexAppend(
+        Seq((100L + i, uniq(s"g$i", 20))).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    def files(): Int = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/windows"))
+      .filter(_.toString.endsWith(".parquet")).count().toInt
+    val batch = Seq((50L, s"$shared ${uniq("z", 4)}")).toDF("doc_id", "text")
+    val before = Dedup.spanIndexMatches(batch, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rows0 = spark.read.parquet(s"$dir/windows").count()
+    val f0 = files()
+
+    Dedup.spanIndexCompact(spark, dir)
+
+    assert(Dedup.spanIndexMatches(batch, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect().toSet == before)
+    assert(before.nonEmpty)
+    assert(spark.read.parquet(s"$dir/windows").count() == rows0)
+    assert(files() < f0, s"compaction did not shrink: $f0 -> ${files()}")
+    assert(Dedup.spanIndexParams(spark, dir) == 8)
+  }
+
   test("matches against an index agree with dupSpans over the union") {
     // cross-side parity: dupSpans on corpus+batch, restricted to batch
     // docs, equals the index report when the batch shares nothing
