@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Retrieval
+
+/** Streaming corpus ingest into a persisted BM25 inverted index
+  * ([[graft.llm.Retrieval.bm25BuildIndex]] family): each micro-batch's
+  * postings land in their term buckets via `bm25IndexAppend`, with an
+  * optional compaction cadence folding the append generations back to
+  * fresh-build layout — the retrieval twin of
+  * [[StreamingIndexDedup]]'s disk-resident admission loop. Searches
+  * (`bm25SearchIndex`) run against the index between or after batches;
+  * index state lives ON DISK, never in executor state stores, so the
+  * corpus horizon is unbounded.
+  *
+  * Bootstrap: when `indexDir` holds no index yet, the first non-empty
+  * batch BUILDS it (meta + postings) and later batches append — a
+  * drop-zone-to-index pipeline needs no separate seeding job.
+  *
+  * Delivery note: foreachBatch is at-least-once — a redelivered batch
+  * would append its postings twice and inflate tf/df for its terms.
+  * The checkpointed source makes that a crash-window-only event;
+  * a deployment needing exactly-once stamps each batch's files under a
+  * batchId-keyed staging path and commits by rename (the
+  * [[StreamingCC]] versioning discipline), which the layout here
+  * (bucket directories) supports but this loop keeps out of scope.
+  */
+object StreamingBm25Ingest {
+
+  /** Run the ingest loop over a streaming (idCol, textCol) frame with
+    * Trigger.AvailableNow, blocking until drained.
+    *
+    * @param compactEvery compact the postings after every N batches
+    *                     (0 = never)
+    * @param onBatch      callback with (batchId, rows appended) after
+    *                     each non-empty batch is committed
+    */
+  def run(docs: DataFrame, textCol: String, idCol: String, indexDir: String,
+          compactEvery: Int = 0,
+          onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      // rebuild the lineage before mixing with parquet reads (see
+      // StreamingIndexDedup: foreachBatch frames carry origin
+      // constraints with foreign attribute ids)
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(meta))
+          Retrieval.bm25IndexAppend(batch, textCol, idCol, indexDir)
+        else
+          Retrieval.bm25BuildIndex(batch, textCol, idCol, indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Retrieval.bm25IndexCompact(spark, indexDir)
+        onBatch(batchId, n)
+      }
+    })
+}
