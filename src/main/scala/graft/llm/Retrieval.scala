@@ -135,15 +135,37 @@ object Retrieval {
     * deployment flipping to length-normalized doubles would add one
     * (doc_id, len) slice and an avgdl row in meta — plan shape unchanged.
     */
+  /** (doc_id, term, tf, dl) for a batch: tf per posting plus the
+    * document length riding each row — dl = Σ tf over the doc's terms,
+    * denormalized onto the posting so length-normalized scoring
+    * ([[bm25SearchIndexNorm]]) needs NO query-time length join (+8
+    * bytes per posting buys a join-free scan at any corpus size). */
+  private def postingsWithLen(docs: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
+    val post = tokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    post.join(lens, "doc_id")
+  }
+
   def bm25BuildIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(docs.count()).toDF("n")
+    val post = postingsWithLen(docs, textCol, idCol)
+      .localCheckpoint(true) // feeds meta totals AND the postings write
+    // n and total token length in one meta row: avgdl = total_len / n is
+    // then O(1) at search time and exact under append
+    val totalLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(sum(col("dl"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    Seq((docs.count(), totalLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    tokens(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    post
       .withColumn("term_pt", termBucket(col("term")))
       // co-locate each bucket's rows before the partitioned write (the
       // lshBuildIndex small-files discipline), then sort by term so each
@@ -163,17 +185,22 @@ object Retrieval {
                       dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // collect the old count BEFORE overwriting the slice it comes from
-    val oldN = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    // collect the old totals BEFORE overwriting the slice they come from
+    val meta0 = spark.read.parquet(s"$dir/meta").head()
+    val (oldN, oldLen) = (meta0.getLong(0), meta0.getLong(1))
     val batchN = docs.count()
-    tokens(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val post = postingsWithLen(docs, textCol, idCol).localCheckpoint(true)
+    val batchLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(sum(col("dl"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    post
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/postings")
-    Seq(oldN + batchN).toDF("n")
+    Seq((oldN + batchN, oldLen + batchLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -226,5 +253,76 @@ object Retrieval {
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = spark.read.parquet(s"$dir/meta").select(col("n"))
     scoreTopK(qTerms, postings, dfreq, nDocs, k)
+  }
+
+  // ---- length-normalized (classic k1/b) scoring ------------------------
+
+  /** The classic real-valued BM25 scoring tail: Lucene-smoothed idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` × saturated-normalized tf
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`. Shares the prune/
+    * rank plan of [[scoreTopK]] exactly — only the score expression
+    * changes, which is the documented trade: double scores are NOT
+    * bit-reproducible across engines (summation order), so this path is
+    * spec-verified against an independent in-memory model instead of the
+    * DuckDB hash gate; rankings, not raw floats, are its contract.
+    * `postings` must carry (doc_id, term, tf, dl); `nDocs` one row
+    * (n, total_len). */
+  private def scoreTopKNorm(qTerms: DataFrame, postings: DataFrame,
+                            dfreq: DataFrame, nDocs: DataFrame, k: Int,
+                            k1: Double, b: Double): DataFrame = {
+    val scored = qTerms
+      .join(postings, "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("score").desc, col("doc_id").asc),
+      k = k, rankName = "rnk")
+  }
+
+  /** [[bm25TopK]] with classic length normalization (k1, b) — the
+    * real-number production scoring (b=0.75 penalizes long documents;
+    * the integer-exact sibling deliberately sets b=0 to stay
+    * hash-checkable). Same broadcast-prune plan shape. */
+  def bm25TopKNorm(docs: DataFrame, queries: DataFrame, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = tokens(queries, "query_id", "qtext").distinct()
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val postings = postingsWithLen(docs, "text", "doc_id")
+      .join(broadcast(qTermSet), "term")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = postingsWithLen(docs, "text", "doc_id")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
+    scoreTopKNorm(qTerms, postings, dfreq, nDocs, k, k1, b)
+  }
+
+  /** [[bm25SearchIndex]] with classic length normalization: dl rides
+    * every posting row and (n, total_len) ride meta, so the normalized
+    * search keeps the join-free pruned-scan plan — same buckets, same
+    * broadcast semi-join, only the score expression differs. */
+  def bm25SearchIndexNorm(queries: DataFrame, dir: String, k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val qTerms = tokens(queries, "query_id", "qtext").distinct()
+      .localCheckpoint(true)
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.read.parquet(s"$dir/meta")
+      .select(col("n"), col("total_len"))
+    scoreTopKNorm(qTerms, postings, dfreq, nDocs, k, k1, b)
   }
 }

@@ -169,6 +169,73 @@ class RetrievalSpec extends SparkSpec {
       s"compaction did not shrink the postings file set: $filesBefore")
   }
 
+  // ---- length-normalized (k1/b) scoring --------------------------------
+
+  test("normalized scoring matches an independent in-memory BM25 model") {
+    // exact same corpus statistics computed in plain Scala, summation
+    // order fixed; doubles compared with tolerance
+    val q = Seq((1L, "cat zebra")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopKNorm(docs, q, k = 10, k1 = 1.2, b = 0.75)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val corpus = Seq(
+      0L -> "the cat sat on the mat", 1L -> "the dog sat on the log",
+      2L -> "zebra zebra zebra runs", 3L -> "the the the the the",
+      4L -> "cat dog zebra")
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def df(term: String) = toks.values.count(_.contains(term))
+    def score(id: Long, terms: Seq[String]): Double = terms.map { term =>
+      val tf = toks(id).count(_ == term)
+      if (tf == 0) 0.0 else {
+        val idf = math.log(1.0 + (n - df(term) + 0.5) / (df(term) + 0.5))
+        idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * toks(id).size / avgdl))
+      }
+    }.sum
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - score(id, Seq("cat", "zebra"))) < 1e-9,
+        s"doc $id: got $s want ${score(id, Seq("cat", "zebra"))}")
+    }
+    assert(got.keySet == Set(2L, 4L, 0L)) // docs containing cat or zebra
+  }
+
+  test("b>0 penalizes length: same tf, shorter doc outranks; b=0 ties") {
+    val lenDocs = Seq(
+      (1L, "needle a b c"), // dl 4
+      (2L, "needle " + Seq.fill(20)("pad").mkString(" ")) // dl 21
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "needle")).toDF("query_id", "qtext")
+    val withB = Retrieval.bm25TopKNorm(lenDocs, q, k = 2, b = 0.75)
+      .orderBy($"rnk").select($"doc_id").as[Long].collect().toSeq
+    assert(withB == Seq(1L, 2L)) // shorter doc first
+    val noB = Retrieval.bm25TopKNorm(lenDocs, q, k = 2, b = 0.0)
+      .select($"score").as[Double].collect().toSet
+    assert(noB.size == 1) // identical scores -> same single value
+  }
+
+  test("normalized index search equals the ad-hoc normalized scoring") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    val q = Seq((1L, "the cat zebra"), (2L, "dog log")).toDF("query_id", "qtext")
+    val fromIndex = Retrieval.bm25SearchIndexNorm(q, dir, k = 10)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val adhoc = Retrieval.bm25TopKNorm(docs, q, k = 10)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(fromIndex.keySet == adhoc.keySet)
+    fromIndex.foreach { case (key, (s, rnk)) =>
+      assert(rnk == adhoc(key)._2, s"rank mismatch at $key")
+      assert(math.abs(s - adhoc(key)._1) < 1e-9, s"score mismatch at $key")
+    }
+    // meta carries both totals for O(1) avgdl
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getLong(0) == 5L && meta.getLong(1) == 24L) // 5 docs, 24 tokens
+  }
+
   test("a query with no indexed terms returns empty, not an error") {
     val dir = freshDir()
     Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
