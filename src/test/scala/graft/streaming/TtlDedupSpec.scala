@@ -72,44 +72,64 @@ class TtlDedupSpec extends SparkSpec {
     }
   }
 
-  test("GCRA TTL evicts idle keys: a post-TTL event is admitted afresh") {
-    withRocksDb {
-      implicit val sqlCtx = spark.sqlContext
-      val base = 1700000000000000000L
-      val mem = MemoryStream[GcraThrottler.Event]
-      // ProcessingTime mode (needed for TTL) schedules housekeeping
-      // batches, so drive the sink by polling row counts, not
-      // processAllAvailable
-      val q = GcraThrottler.throttleTws(mem.toDS(), rps = 1.0,
-          ttl = Some(Duration.ofSeconds(2)))
-        .writeStream.format("memory").queryName("gcra_ttl_out")
-        .outputMode("append")
-        .option("checkpointLocation", Streams.newCheckpointDir())
-        .start()
-      def awaitRows(n: Int): Unit = {
-        var tries = 0
-        while (spark.table("gcra_ttl_out").count() < n && tries < 600) {
-          Thread.sleep(100); tries += 1
-        }
-        assert(spark.table("gcra_ttl_out").count() >= n,
-          s"sink never reached $n rows")
+  // ProcessingTime mode (needed for TTL) schedules housekeeping
+  // batches, so these drive the sink by polling row counts, not
+  // processAllAvailable. Survival and eviction are pinned by SEPARATE
+  // queries whose assertions are each robust to scheduler delay in the
+  // direction delay pushes them: a slow box can only make the long-TTL
+  // state live longer and the short-TTL eviction more certain. (The
+  // first combined version raced the full-suite load: the within-TTL
+  // event's micro-batch could slip past a 2 s TTL.)
+  private def runGcraTtl(name: String, ttl: Duration)
+                        (drive: (MemoryStream[GcraThrottler.Event], Int => Unit) => Unit)
+      : Map[Long, Boolean] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GcraThrottler.Event]
+    val q = GcraThrottler.throttleTws(mem.toDS(), rps = 1.0, ttl = Some(ttl))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    def awaitRows(n: Int): Unit = {
+      var tries = 0
+      while (spark.table(name).count() < n && tries < 600) {
+        Thread.sleep(100); tries += 1
       }
-      // id 1 admits and sets TAT; id 2 arrives 100ms later in event time
-      // WITHIN the TTL window -> throttled by the surviving state
-      mem.addData(GcraThrottler.Event("k", base, 1))
-      awaitRows(1)
-      mem.addData(GcraThrottler.Event("k", base + 100000000L, 2))
-      awaitRows(2)
-      // let the 2s TTL lapse, then send an event only 200ms later in
-      // EVENT time: with live state it would be throttled identically to
-      // id 2; eviction makes it admit afresh
-      Thread.sleep(3500)
-      mem.addData(GcraThrottler.Event("k", base + 200000000L, 3))
-      awaitRows(3)
-      q.stop()
-      val got = spark.table("gcra_ttl_out").as[GcraThrottler.Result]
-        .collect().map(r => r.id -> r.admitted).toMap
-      assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+      assert(spark.table(name).count() >= n, s"sink never reached $n rows")
+    }
+    drive(mem, awaitRows)
+    q.stop()
+    spark.table(name).as[GcraThrottler.Result]
+      .collect().map(r => r.id -> r.admitted).toMap
+  }
+
+  test("GCRA TTL: state survives within a generous TTL (event throttled)") {
+    withRocksDb {
+      val base = 1700000000000000000L
+      val got = runGcraTtl("gcra_ttl_live", Duration.ofMinutes(5)) { (mem, await) =>
+        mem.addData(GcraThrottler.Event("k", base, 1))
+        await(1)
+        mem.addData(GcraThrottler.Event("k", base + 100000000L, 2)) // +100ms
+        await(2)
+      }
+      assert(got == Map(1L -> true, 2L -> false))
+    }
+  }
+
+  test("GCRA TTL: an idle key is evicted and a post-TTL event admits afresh") {
+    withRocksDb {
+      val base = 1700000000000000000L
+      val got = runGcraTtl("gcra_ttl_evict", Duration.ofSeconds(2)) { (mem, await) =>
+        mem.addData(GcraThrottler.Event("k", base, 1))
+        await(1)
+        // let the 2 s TTL lapse, then send an event only 200 ms later in
+        // EVENT time: live state would throttle it (see the survival
+        // test); eviction makes it admit afresh
+        Thread.sleep(3500)
+        mem.addData(GcraThrottler.Event("k", base + 200000000L, 3))
+        await(2)
+      }
+      assert(got == Map(1L -> true, 3L -> true))
     }
   }
 
