@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
-import graft.llm.{Dedup, Multimodal, Retrieval, Similarity}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -159,6 +159,59 @@ qtab AS MATERIALIZED (SELECT v.vec_id, v.s, cb.cell,
 pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT) AS adc_dist
   FROM qtab q JOIN codes c ON q.s = c.s AND q.cell = c.code
   WHERE q.vec_id <> c.vec_id GROUP BY 1, 2)"""
+
+  /** Merge count for llm_bpe_encode: each merge is one unrolled CTE
+    * pair in the DuckDB oracle, so the count stays small. */
+  private val BpeMerges = 8
+
+  /** The unrolled-training BPE oracle: s0 = per-word separator-wrapped
+    * char sequences weighted by corpus frequency; then k iterations of
+    * (mN = weighted adjacent-pair argmax with the (count desc, pair
+    * asc) tie-break, sN = literal rewrite); finally every document word
+    * encodes through the same k replaces in rank order. Mirrors
+    * [[graft.llm.Bpe]] exactly — identical u0001-wrapped rendering,
+    * identical replace semantics (both engines scan left-to-right,
+    * non-overlapping). Assumes the corpus yields at least k mergeable
+    * pairs (true for any real text corpus; Bpe.trainMerges stops early
+    * on tiny vocabularies, the oracle would diverge there by design). */
+  private def bpeOracleSql(k: Int): String = {
+    val c1 = "chr(1)"
+    val cc = "(chr(1) || chr(1))"
+    def step(n: Int): String = {
+      val prev = if (n == 1) "s0" else s"s${n - 1}"
+      s"""m$n AS MATERIALIZED (
+        SELECT string_split(pr, ' ')[1] AS l, string_split(pr, ' ')[2] AS r FROM (
+          SELECT a[i] || ' ' || a[i+1] AS pr, SUM(freq) AS cnt
+          FROM (SELECT freq, a, unnest(range(1, len(a))) AS i
+                FROM (SELECT freq, string_split(trim(s, $c1), $cc) AS a FROM $prev) t$n
+                WHERE len(a) >= 2) z$n
+          GROUP BY 1 ORDER BY cnt DESC, pr LIMIT 1) q$n),
+      s$n AS MATERIALIZED (
+        SELECT freq, replace(s, $c1 || l || $cc || r || $c1, $c1 || l || r || $c1) AS s
+        FROM $prev CROSS JOIN m$n)"""
+    }
+    val encodeChain = (1 to k).foldLeft(
+      s"$c1 || array_to_string(string_split(tk[i], ''), $cc) || $c1") {
+      (acc, n) =>
+        s"replace($acc, $c1 || m$n.l || $cc || m$n.r || $c1, $c1 || m$n.l || m$n.r || $c1)"
+    }
+    val crossJoins = (1 to k).map(n => s"CROSS JOIN m$n").mkString(" ")
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      hist AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM
+        (SELECT unnest(tk) AS w FROM tk) x WHERE w <> '' GROUP BY w),
+      s0 AS MATERIALIZED (SELECT freq,
+        $c1 || array_to_string(string_split(w, ''), $cc) || $c1 AS s FROM hist),
+      ${(1 to k).map(step).mkString(",\n      ")},
+      enc AS (SELECT doc_id, i,
+          trim(replace($encodeChain, $cc, ' '), $c1) AS p
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tk) w
+        $crossJoins
+        WHERE tk[i] <> '')
+      SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(len(string_split(p, ' '))) AS BIGINT) AS n_pieces,
+        string_agg(p, ' ' ORDER BY i) AS pieces
+      FROM enc GROUP BY doc_id"""
+  }
 
   private val baseDefs: Seq[QueryDef] = Seq(
 
@@ -1558,5 +1611,18 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       Retrieval.bm25SearchIndex(queries, idx, k = 10)
     },
     baseDefs.find(_.name == "llm_bm25_topk")
-      .flatMap(_.oracle))
+      .flatMap(_.oracle)) :+ QueryDef(
+    // REAL BPE (llm.Bpe): train `BpeMerges` merge rules over the corpus
+    // word histogram, encode every document with them. The oracle
+    // re-derives the ENTIRE training loop in DuckDB — each merge
+    // iteration unrolled as a MATERIALIZED CTE pair (pair-count argmax,
+    // then the literal piece rewrite), the k-means-oracle discipline —
+    // and then applies the same rank-ordered replace chain to encode.
+    // Both engines use identical separator-wrapped piece strings and
+    // identical (count desc, pair asc) tie-breaks, so the result is
+    // hash-exact.
+    "llm_bpe_encode",
+    (s, dir) => Bpe.trainEncode(t(s, dir, "documents"), "doc_id", "text",
+      numMerges = BpeMerges),
+    Some(bpeOracleSql(BpeMerges)))
 }

@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** BPE training + encoding against the classic hand-computable example
+  * (Sennrich et al.'s low/lower/newest/widest corpus): merge choices,
+  * tie-breaks, greedy overlap semantics, and encode composition are all
+  * independent pencil-and-paper answers. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // low x5, lower x2, newest x6, widest x3
+  private def corpus = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+    (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("trainMerges reproduces the hand-derived merge sequence with tie-breaks") {
+    // pair counts round 1: es 9, st 9 (tie -> 'e s' < 's t'), then est 9,
+    // then lo 7 ties ow 7 -> 'l o', then 'lo w' 7
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode applies merges in rank order: lowest -> low est") {
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 4)
+    val got = Bpe.encode(Seq((9L, "lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((9L, 1L, 2L, "low est")))
+  }
+
+  test("greedy left-to-right non-overlap: aaa under merge (a,a) -> aa a") {
+    val got = Bpe.encode(Seq((1L, "aaa aaaa")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "a")))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // aaa -> aa a ; aaaa -> aa aa ; chained merge (aa,aa) would need rank 2
+    assert(got == Seq((1L, 2L, 4L, "aa a aa aa")))
+  }
+
+  test("later merges consume earlier merges' output") {
+    val got = Bpe.encode(Seq((1L, "aaaa")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "a"), ("aa", "aa")))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, "aaaa")))
+  }
+
+  test("word order is preserved and words never merge across boundaries") {
+    val merges = Seq(("w", "x"))
+    val got = Bpe.encode(Seq((1L, "wx x w wx")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L, "wx x w wx")))
+  }
+
+  test("training stops early when the vocabulary is fully merged") {
+    val merges = Bpe.trainMerges(Seq((1L, "ab ab")).toDF("doc_id", "text"),
+      "text", numMerges = 10)
+    assert(merges == Seq(("a", "b"))) // one pair exists; then nothing
+  }
+}
