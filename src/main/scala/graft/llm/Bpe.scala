@@ -132,4 +132,37 @@ object Bpe {
   def trainEncode(docs: DataFrame, idCol: String, textCol: String,
                   numMerges: Int): DataFrame =
     encode(docs, idCol, textCol, trainMerges(docs, textCol, numMerges))
+
+  /** Pieces of one text value as a space-joined string — the ROW-WISE
+    * form for pipeline actors (each message annotated independently, no
+    * grouping). The per-word merge chain runs inside HOF lambdas, which
+    * Catalyst interprets rather than codegens — fine at per-message
+    * actor granularity; bulk jobs use [[encode]]'s explode+group plan. */
+  def piecesColumn(text: org.apache.spark.sql.Column,
+                   merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val perWord = (w: org.apache.spark.sql.Column) =>
+      trim(replace(applyMerges(
+        concat(lit(Sep), concat_ws(Sep + Sep, split(w, "")), lit(Sep)), merges),
+        lit(Sep + Sep), lit(" ")), Sep)
+    array_join(transform(filter(split(text, " "), w => w =!= ""), perWord), " ")
+  }
+
+  /** Persist a trained merge table (rank order preserved) — the model
+    * artifact a standing pipeline loads instead of retraining. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "l", "r")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table persisted by [[saveMerges]] — bounded collect
+    * (merge tables are vocabulary-sized). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("l"), col("r"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 }

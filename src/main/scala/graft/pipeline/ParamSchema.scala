@@ -112,6 +112,9 @@ object ParamSchema {
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
       "keep" -> PString), // comma-separated allowlist
+    "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
+      "merges_path" -> PString, "pieces_column" -> PString,
+      "count_column" -> PString),
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
       "score_column" -> PString, "min_score" -> PLong),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,

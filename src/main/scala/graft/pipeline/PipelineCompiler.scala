@@ -338,6 +338,24 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case None      => annotated
       }
 
+    // BPE tokenization annotate (params: column, pieces_column,
+    // count_column, and EITHER merges_path — a persisted Bpe.saveMerges
+    // table, the standing-pipeline shape — OR num_merges to self-train
+    // on the flowing batch, batch runs only). Each message gains its
+    // piece sequence and piece count; bulk jobs use Bpe.encode instead.
+    case "llm.bpe_encode" =>
+      val c = p(a, "column").getOrElse("text")
+      val piecesCol = p(a, "pieces_column").getOrElse("pieces")
+      val nCol = p(a, "count_column").getOrElse("n_pieces")
+      val in = inputOf(a.name)
+      val merges = p(a, "merges_path") match {
+        case Some(path) => graft.llm.Bpe.loadMerges(spark, path)
+        case None => graft.llm.Bpe.trainMerges(in, c,
+          p(a, "num_merges").map(_.toInt).getOrElse(16))
+      }
+      in.withColumn(piecesCol, graft.llm.Bpe.piecesColumn(col(c), merges))
+        .withColumn(nCol, size(split(col(piecesCol), " ")))
+
     // language annotate/gate (params: column, lang_column, keep: optional
     // comma-separated allowlist — absent = annotate only)
     case "llm.langid" =>

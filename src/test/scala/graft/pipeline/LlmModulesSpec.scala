@@ -296,4 +296,55 @@ class LlmModulesSpec extends SparkSpec {
     // 1 untouched, 2 updated, 3 tombstoned away, 4 inserted
     assert(out.toSeq == Seq((1L, "a", 0L), (2L, "b2", 1L), (4L, "d", 1L)))
   }
+
+  test("llm.bpe_encode actor: pretrained merges annotate each message") {
+    val in = Files.createTempDirectory("graft-bpe-pipe-in-").toString
+    val model = Files.createTempDirectory("graft-bpe-pipe-m-").toString + "/merges"
+    // classic Sennrich training corpus -> merges (e,s)(es,t)(l,o)(lo,w)
+    val trainDocs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    graft.llm.Bpe.saveMerges(spark,
+      graft.llm.Bpe.trainMerges(trainDocs, "text", 4), model)
+
+    Seq((10L, "lowest low"), (11L, "go"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  bpe: {module: llm.bpe_encode, params: {column: text, merges_path: "$model"}}
+        |  bpe_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [bpe]}
+        |  bpe: {connect: [bpe_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("bpe_pipe_out")
+      .select($"doc_id", $"pieces", $"n_pieces")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    // lowest -> low est; low -> low; go has no merges -> g o
+    assert(out == Seq((10L, "low est low", 3), (11L, "g o", 2)))
+  }
+
+  test("llm.bpe_encode actor: self-training on the batch when no model path") {
+    val in = Files.createTempDirectory("graft-bpe-pipe-in2-").toString
+    Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  bpe: {module: llm.bpe_encode, params: {column: text, num_merges: "4"}}
+        |  bpe_pipe_out2: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [bpe]}
+        |  bpe: {connect: [bpe_pipe_out2]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val got = spark.table("bpe_pipe_out2")
+      .filter($"doc_id" === 1L).select($"pieces").as[String].head()
+    // low x5 lower x2 under self-trained merges: low stays one piece
+    assert(got.startsWith("low low low low low low e r"))
+  }
 }
