@@ -43,6 +43,12 @@ object SoakBpe {
     encoded.write.format("noop").mode("overwrite").save()
     val encodeSec = (System.nanoTime() - t0) / 1e9
 
+    // the rank-lookup kernel (production path for big merge tables)
+    t0 = System.nanoTime()
+    graft.llm.Bpe.encodeFast(corpus, "doc_id", "text", merges)
+      .write.format("noop").mode("overwrite").save()
+    val fastSec = (System.nanoTime() - t0) / 1e9
+
     // piece compression: mean pieces per word after the learned merges
     val stats = encoded.selectExpr(
       "CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words) AS ppw").head()
@@ -51,6 +57,8 @@ object SoakBpe {
       s""""train_sec_per_merge":${f"${trainSec / merges.size}%.2f"},""" +
       s""""encode_sec":${f"$encodeSec%.1f"},""" +
       s""""encode_docs_per_sec":${(n / encodeSec).toLong},""" +
+      s""""encode_fast_sec":${f"$fastSec%.1f"},""" +
+      s""""encode_fast_docs_per_sec":${(n / fastSec).toLong},""" +
       s""""pieces_per_word":${f"${stats.getDouble(0)}%.2f"}}""")
     spark.stop()
   }

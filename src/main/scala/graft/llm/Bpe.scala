@@ -147,6 +147,73 @@ object Bpe {
     array_join(transform(filter(split(text, " "), w => w =!= ""), perWord), " ")
   }
 
+  /** [[encode]] with a rank-lookup KERNEL instead of the replace
+    * chain — the bulk path for production-size merge tables: the chain
+    * costs O(merges × word length) per word (fine at tens of merges,
+    * linear-in-vocabulary at thousands), while the kernel repeatedly
+    * merges the lowest-rank adjacent pair present, O(word length ×
+    * passes) with a broadcast hash lookup per pair — the reference
+    * GPT-2 `bpe()` loop. Row-identical to [[encode]] BY CONSTRUCTION:
+    * a learned pair's constituents always predate it in the vocabulary,
+    * so exhaustive rank-order application (what the replace chain does)
+    * and repeated min-rank application converge to the same pieces —
+    * BpeSpec pins the parity on adversarial inputs. */
+  def encodeFast(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankBc = spark.sparkContext.broadcast((
+      merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap,
+      merges.toArray))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (rank, mergeArr) = rankBc.value
+        def encodeWord(w: String): mutable.ArrayBuffer[String] = {
+          val pieces = mutable.ArrayBuffer.tabulate(w.length)(i => w.substring(i, i + 1))
+          var continue = pieces.length >= 2
+          while (continue) {
+            // lowest-rank adjacent pair present
+            var best = Int.MaxValue
+            var i = 0
+            while (i < pieces.length - 1) {
+              rank.get((pieces(i), pieces(i + 1))).foreach(r => if (r < best) best = r)
+              i += 1
+            }
+            if (best == Int.MaxValue) continue = false
+            else {
+              // merge ALL its occurrences, left-to-right non-overlapping
+              val (l, r) = mergeArr(best)
+              var j = 0
+              while (j < pieces.length - 1) {
+                if (pieces(j) == l && pieces(j + 1) == r) {
+                  pieces(j) = l + r
+                  pieces.remove(j + 1)
+                }
+                j += 1
+              }
+              continue = pieces.length >= 2
+            }
+          }
+          pieces
+        }
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nPieces = 0L
+          val sb = new StringBuilder
+          words.foreach { w =>
+            val ps = encodeWord(w)
+            nPieces += ps.length
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(ps.mkString(" "))
+          }
+          (id, words.length.toLong, nPieces, sb.toString)
+        }
+      }
+      .toDF(idCol, "n_words", "n_pieces", "pieces")
+      .filter(col("n_words") > 0) // encode's explode drops all-empty docs too
+  }
+
   /** Persist a trained merge table (rank order preserved) — the model
     * artifact a standing pipeline loads instead of retraining. */
   def saveMerges(spark: org.apache.spark.sql.SparkSession,

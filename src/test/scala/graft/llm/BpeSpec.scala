@@ -53,6 +53,30 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 4L, "wx x w wx")))
   }
 
+  test("encodeFast kernel is row-identical to the replace-chain encode") {
+    // adversarial corpus: repeated-char runs (overlap semantics), words
+    // that are prefixes of others, and random material — trained merges
+    // applied by both encoders must agree exactly
+    val rng = new scala.util.Random(41)
+    val alphabet = "abcde"
+    def word(): String =
+      Seq.fill(2 + rng.nextInt(8))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val docs = ((0L until 30L).map(i =>
+      (i, Seq.fill(12)(word()).mkString(" "))) ++ Seq(
+      (100L, "aaaa aaa aa a aaaaaaa"),
+      (101L, "ab aba abab ababab ba bab"),
+      (102L, "edcba abcde deed")
+    )).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 12)
+    assert(merges.size == 12)
+    val slow = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val fast = Bpe.encodeFast(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(fast == slow)
+    assert(slow.size == 33)
+  }
+
   test("training stops early when the vocabulary is fully merged") {
     val merges = Bpe.trainMerges(Seq((1L, "ab ab")).toDF("doc_id", "text"),
       "text", numMerges = 10)
