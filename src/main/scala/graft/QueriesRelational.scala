@@ -751,6 +751,35 @@ object QueriesRelational {
       Some("""SELECT l_returnflag, COUNT(*) AS n, TRUE AS approx_median_in_band
         FROM lineitem GROUP BY 1""")),
 
+    // large×large interval overlap join through the banded equi-join
+    // operator (operators.IntervalJoin): two event-derived interval sets
+    // (10-minute and 7-minute activity windows), joined shuffle-safe on
+    // 5-minute buckets with canonical-bucket dedup. The oracle is the
+    // plain quadratic theta join — the banding must be lossless and
+    // emit each pair exactly once.
+    QueryDef("q53_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.filter(pmod(col("event_id"), lit(40)) === 0)
+          .select(col("event_id").as("id_a"), unix_micros(col("ts")).as("a_s"),
+            (unix_micros(col("ts")) + 600000000L).as("a_e"))
+        val b = ev.filter(pmod(col("event_id"), lit(40)) === 1)
+          .select(col("event_id").as("id_b"), unix_micros(col("ts")).as("b_s"),
+            (unix_micros(col("ts")) + 420000000L).as("b_e"))
+        graft.operators.IntervalJoin
+          .overlaps(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 300000000L)
+          .select(col("id_a"), col("id_b"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      },
+      Some("""WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS a_s,
+          epoch_us(ts) + 600000000 AS a_e FROM events WHERE event_id % 40 = 0),
+        b AS (SELECT event_id AS id_b, epoch_us(ts) AS b_s,
+          epoch_us(ts) + 420000000 AS b_e FROM events WHERE event_id % 40 = 1)
+        SELECT id_a, id_b,
+          CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap_us
+        FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""")),
+
     // KMV (bottom-k / k-minimum-values) distinct estimator — the
     // oracle-checkable approximate-distinct rendering: the k smallest
     // splitmix64 hashes of the key bound the hash-space density, so

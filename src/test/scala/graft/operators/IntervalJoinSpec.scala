@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(as: Seq[(Long, Long, Long)], bs: Seq[(Long, Long, Long)])
+      : Set[(Long, Long)] =
+    (for {
+      (ia, sa, ea) <- as
+      (ib, sb, eb) <- bs
+      if sa <= eb && sb <= ea
+    } yield (ia, ib)).toSet
+
+  private val rng = new scala.util.Random(17)
+  private def randomIntervals(n: Int, idBase: Long): Seq[(Long, Long, Long)] =
+    (0 until n).map { i =>
+      val s = rng.nextInt(100000).toLong
+      (idBase + i, s, s + 1 + rng.nextInt(3000))
+    }
+
+  test("banded join equals the quadratic overlap join, each pair once") {
+    val as = randomIntervals(200, 0L)
+    val bs = randomIntervals(200, 10000L)
+    val got = IntervalJoin.overlaps(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    // exactly once per pair: no canonical-bucket duplicates
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == brute(as, bs))
+    assert(got.nonEmpty)
+  }
+
+  test("intervals spanning many buckets dedup to one emission") {
+    val as = Seq((1L, 0L, 100000L)) // covers ~50 buckets at width 2048
+    val bs = Seq((2L, 500L, 600L), (3L, 99000L, 120000L), (4L, 200000L, 200010L))
+    val got = IntervalJoin.overlaps(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L)))
+  }
+
+  test("plan is an equi-join: no cartesian or broadcast nested loop") {
+    val df = IntervalJoin.overlaps(
+      randomIntervals(50, 0L).toDF("id_a", "a_s", "a_e"),
+      randomIntervals(50, 1000L).toDF("id_b", "b_s", "b_e"),
+      "a_s", "a_e", "b_s", "b_e", bucketWidth = 1024L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a bucket equi-join, got:\n$plan")
+  }
+
+  test("touching endpoints overlap (closed intervals); disjoint do not") {
+    val as = Seq((1L, 0L, 10L)).toDF("id_a", "a_s", "a_e")
+    val bs = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("id_b", "b_s", "b_e")
+    val got = IntervalJoin.overlaps(as, bs, "a_s", "a_e", "b_s", "b_e", 4L)
+      .select($"id_b").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
+  test("overlapping column names are rejected loudly") {
+    val a = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlaps(a, a, "s", "e", "s", "e", 10L)
+    }
+  }
+}
