@@ -33,9 +33,10 @@ object Bench {
     "mm_image_phash_pairs",
     // round 8: product-quantization compressed ANN
     "llm_ann_pq", "llm_ann_pq_rerank", "llm_ann_ivfpq", "llm_ann_ivfpq_index",
-    // round 9: persisted BM25 inverted index (build + search end-to-end)
-    // and BPE train+encode (8 merges over the corpus histogram)
-    "llm_bm25_index", "llm_bpe_encode")
+    // round 9: persisted BM25 inverted index (build + search end-to-end),
+    // BPE train+encode (8 merges over the corpus histogram), and the
+    // banded interval join
+    "llm_bm25_index", "llm_bpe_encode", "q53_interval_join")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
