@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
-import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Sampling, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -817,6 +817,33 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         .agg(count(lit(1)).as("n_sampled")),
       Some("""SELECT source, COUNT(*) AS n_sampled FROM documents
         WHERE substr(md5(text), 1, 8) < '40000000' GROUP BY source""")),
+
+    // deterministic WEIGHTED sampling (Efraimidis–Spirtakis A-ES, see
+    // llm.Sampling): top-20 docs per source ranked by u^(1/w) with u
+    // md5-derived and w = the doc's token count — longer docs more
+    // likely kept, reproducibly, RNG-free. The oracle re-derives the
+    // identical rank key in DuckDB ((52 md5 bits + 0.5) / 2^52 is exact
+    // double arithmetic; pow rounded to 9 decimals on both sides
+    // absorbs libm last-ulp differences) and ranks with the same
+    // (key desc, id) window.
+    QueryDef("llm_weighted_sample",
+      (s, dir) => Sampling.weightedSample(
+        t(s, dir, "documents")
+          .withColumn("w", size(split(col("text"), " "))),
+        groupCols = Seq("source"), idCol = "doc_id", weightCol = "w", k = 20)
+        .select(col("source"), col("doc_id"), col("w").as("weight"),
+          col("sample_rank")),
+      Some("""WITH keyed AS (SELECT source, doc_id,
+          len(string_split(text, ' ')) AS weight,
+          round(pow(
+            (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+              / 4503599627370496.0,
+            1.0 / len(string_split(text, ' '))), 9) AS k
+        FROM documents WHERE len(string_split(text, ' ')) > 0)
+        SELECT source, doc_id, weight, sample_rank FROM (
+          SELECT source, doc_id, weight,
+            row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS sample_rank
+          FROM keyed) r WHERE sample_rank <= 20""")),
 
     // benchmark decontamination: training docs sharing 8-gram shingles
     // with the eval set (source 'src0' stands in for the benchmark).
