@@ -735,7 +735,9 @@ object Dedup {
 
   /** Atomically replace `path` with the parquet rendering of `rewrite`:
     * write a temp sibling, delete the original, rename — the same swap
-    * discipline as [[Similarity.ivfIndexCompact]]. */
+    * discipline as [[Similarity.ivfIndexCompact]], with the same
+    * quiesce contract (the delete-then-rename window is not readable;
+    * compact in the maintenance slot, not alongside live queries). */
   private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
                           path: String)(rewrite: DataFrame =>
                           org.apache.spark.sql.DataFrameWriter[

@@ -620,7 +620,9 @@ object Similarity {
     * would. Compaction is the operational close of the append loop:
     * rewrite to a temp sibling, then atomically swap directories. Search
     * results are unchanged (same rows, same layout discipline); only the
-    * file-count/bytes-read profile resets to fresh-build shape. */
+    * file-count/bytes-read profile resets to fresh-build shape.
+    * Quiesce searches during the swap: the delete-then-rename window is
+    * not readable — compact in the same maintenance slot as appends. */
   private def compactCellSlice(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
