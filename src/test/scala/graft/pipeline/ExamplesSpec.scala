@@ -67,6 +67,12 @@ class ExamplesSpec extends SparkSpec {
       .count() == 0)
     // surgical decontamination dropped the eval subset itself
     assert(out.filter($"source" === "src0").count() == 0)
+    // the BPE stage annotated every surviving row with a consistent
+    // piece count (pieces is space-joined, so its length is n_pieces)
+    assert(out.columns.contains("pieces") && out.columns.contains("n_pieces"))
+    assert(out.filter(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split($"pieces", " ")) =!= $"n_pieces")
+      .count() == 0)
   }
 
   test("demux_partitioned example writes one directory per event type") {
