@@ -115,6 +115,8 @@ object ParamSchema {
     "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
       "merges_path" -> PString, "pieces_column" -> PString,
       "count_column" -> PString),
+    "llm.weighted_sample" -> Map("id" -> PString, "weight_column" -> PString,
+      "k" -> PLong, "group" -> PString, "seed" -> PString),
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
       "score_column" -> PString, "min_score" -> PLong),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,

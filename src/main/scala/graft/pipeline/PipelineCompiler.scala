@@ -338,6 +338,23 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case None      => annotated
       }
 
+    // deterministic weighted sampling (params: id, weight_column, k,
+    // group: optional comma-separated strata columns — absent = one
+    // global group; seed: optional salt). Keeps k rows per group with
+    // inclusion odds ∝ weight, RNG-free (llm.Sampling scaladoc).
+    case "llm.weighted_sample" =>
+      val idc = p(a, "id").getOrElse("doc_id")
+      val wc = p(a, "weight_column").getOrElse("weight")
+      val k = p(a, "k").map(_.toInt).getOrElse(100)
+      val groups = p(a, "group").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+      val seed = p(a, "seed").getOrElse("")
+      val in = inputOf(a.name)
+      val grouped = if (groups.nonEmpty) in
+        else in.withColumn("_g", lit(0))
+      graft.llm.Sampling.weightedSample(grouped,
+          if (groups.nonEmpty) groups else Seq("_g"), idc, wc, k, seed)
+        .drop("_g")
+
     // BPE tokenization annotate (params: column, pieces_column,
     // count_column, and EITHER merges_path — a persisted Bpe.saveMerges
     // table, the standing-pipeline shape — OR num_merges to self-train

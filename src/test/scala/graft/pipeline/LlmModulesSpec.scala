@@ -327,6 +327,33 @@ class LlmModulesSpec extends SparkSpec {
     assert(out == Seq((10L, "low est low", 3), (11L, "g o", 2)))
   }
 
+  test("llm.weighted_sample actor keeps k per stratum, deterministically") {
+    val in = Files.createTempDirectory("graft-ws-pipe-in-").toString
+    (0L until 200L).map(i => (i, s"s${i % 2}", 1L + i % 5))
+      .toDF("doc_id", "src", "w")
+      .write.mode("overwrite").parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  samp: {module: llm.weighted_sample,
+        |    params: {id: doc_id, weight_column: w, k: "15", group: src}}
+        |  ws_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [samp]}
+        |  samp: {connect: [ws_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("ws_pipe_out")
+    val byG = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("s0" -> 15L, "s1" -> 15L))
+    // deterministic: rerunning the same pipeline yields the same ids
+    val ids1 = out.select($"doc_id").as[Long].collect().toSet
+    new PipelineCompiler(spark, PipelineConfig.parse(
+      yaml.replace("ws_pipe_out", "ws_pipe_out2"))).runBatch()
+    assert(spark.table("ws_pipe_out2").select($"doc_id")
+      .as[Long].collect().toSet == ids1)
+  }
+
   test("llm.bpe_encode actor: self-training on the batch when no model path") {
     val in = Files.createTempDirectory("graft-bpe-pipe-in2-").toString
     Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
