@@ -86,11 +86,36 @@ object SoakBm25Index {
     graft.llm.Retrieval.bm25IndexAppend(batch, "text", "doc_id", s"$dir/index")
     val appendSec = (System.nanoTime() - t0) / 1e9
 
+    // compaction observable at scale: 8 more append generations spread
+    // every bucket over ~10 file generations; the same search then reads
+    // more bytes (file/footer overhead per generation) until compact
+    // folds the layout back — post-compact bytes should return to the
+    // fresh-build neighborhood
+    (0 until 8).foreach { g =>
+      graft.llm.Retrieval.bm25IndexAppend(
+        spark.range(nQ).selectExpr(s"id + ${n + (g + 1) * nQ} AS doc_id",
+          s"concat_ws(' ', ${toks(s"id + ${(4 + g) * n}", 30)}) AS text"),
+        "text", "doc_id", s"$dir/index")
+    }
+    val beforeFrag = settleBytes()
+    graft.llm.Retrieval.bm25SearchIndex(queries, s"$dir/index", k = 10).count()
+    val fragBytes = settleBytes() - beforeFrag
+
+    t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25IndexCompact(spark, s"$dir/index")
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val beforeCompacted = settleBytes()
+    graft.llm.Retrieval.bm25SearchIndex(queries, s"$dir/index", k = 10).count()
+    val compactedBytes = settleBytes() - beforeCompacted
+
     println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
       s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
       s""""search_sec":${f"$searchSec%.1f"},"search_bytes_read":$searchBytes,""" +
       s""""hits":$nHits,"adhoc_sec":${f"$adhocSec%.1f"},"adhoc_rows":$adhocRows,""" +
-      s""""append_sec":${f"$appendSec%.1f"}}""")
+      s""""append_sec":${f"$appendSec%.1f"},""" +
+      s""""frag_search_bytes_after_9_appends":$fragBytes,""" +
+      s""""compact_sec":${f"$compactSec%.1f"},""" +
+      s""""search_bytes_post_compact":$compactedBytes}""")
     spark.stop()
   }
 }
