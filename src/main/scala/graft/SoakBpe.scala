@@ -38,6 +38,21 @@ object SoakBpe {
     val merges = graft.llm.Bpe.trainMerges(corpus, "text", numMerges)
     val trainSec = (System.nanoTime() - t0) / 1e9
 
+    // the r9 weak item head-on: the DRIVER-LOCAL incremental trainer at
+    // production merge depth (one histogram pass + zero Spark jobs in
+    // the merge loop) vs the distributed fallback's ~2 jobs per merge.
+    // deep = 1000 merges; the distributed loop is timed at `numMerges`
+    // only (its per-merge cost is what the driver path retires)
+    t0 = System.nanoTime()
+    val deepMerges = graft.llm.Bpe.trainMerges(corpus, "text", numMerges = 1000)
+    val deepSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val distMerges = graft.llm.Bpe.trainMerges(corpus, "text", numMerges,
+      driverBudget = 1) // force the distributed fallback
+    val distSec = (System.nanoTime() - t0) / 1e9
+    require(distMerges == merges,
+      "driver and distributed trainers diverged at soak scale")
+
     t0 = System.nanoTime()
     val encoded = graft.llm.Bpe.encode(corpus, "doc_id", "text", merges)
     encoded.write.format("noop").mode("overwrite").save()
@@ -55,6 +70,10 @@ object SoakBpe {
     println(s"""{"soak":"bpe","n_docs":$n,"num_merges":${merges.size},""" +
       s""""train_sec":${f"$trainSec%.1f"},""" +
       s""""train_sec_per_merge":${f"${trainSec / merges.size}%.2f"},""" +
+      s""""train_deep_merges":${deepMerges.size},""" +
+      s""""train_deep_sec":${f"$deepSec%.1f"},""" +
+      s""""train_distributed_sec":${f"$distSec%.1f"},""" +
+      s""""train_distributed_sec_per_merge":${f"${distSec / distMerges.size}%.2f"},""" +
       s""""encode_sec":${f"$encodeSec%.1f"},""" +
       s""""encode_docs_per_sec":${(n / encodeSec).toLong},""" +
       s""""encode_fast_sec":${f"$fastSec%.1f"},""" +

@@ -59,16 +59,188 @@ object Bpe {
   private val padded =
     concat(lit(Sep), concat_ws(Sep + Sep, split(col("w"), "")), lit(Sep))
 
+  /** Default row budget for collecting the word-frequency histogram to
+    * the driver (see [[trainMerges]]): 4M distinct words × ~40 bytes is
+    * a few hundred MB of driver heap — vocabulary-sized, never
+    * corpus-sized (a 100 TB web corpus still has a bounded distinct-word
+    * set after the usual pre-tokenizer splitting). */
+  val DriverHistBudget = 4000000
+
   /** Train `numMerges` merge rules over `docs`. Returns merges in rank
     * order as (left, right) piece pairs. Deterministic: winner per
-    * round = (weighted count desc, pair text asc). Stops early when no
-    * pair remains (vocabulary fully merged). */
-  def trainMerges(docs: DataFrame, textCol: String,
-                  numMerges: Int): Seq[(String, String)] = {
+    * round = (weighted count desc, pair text asc under UTF-8 binary
+    * order — both paths below agree on that comparator). Stops early
+    * when no pair remains (vocabulary fully merged).
+    *
+    * Cost structure: ONE corpus pass builds the word histogram; after
+    * that the corpus is never touched. When the histogram fits
+    * `driverBudget` rows (virtually always — it is vocabulary-sized),
+    * training runs the classic INCREMENTAL pair-count trainer on the
+    * driver ([[trainMergesLocal]]): pair counts in a lazy-invalidation
+    * heap, each merge updating only the words that contain the winning
+    * pair — the Sennrich/GPT-2 structure, thousands of merges in
+    * seconds with ZERO Spark jobs in the loop. Past the budget it falls
+    * back to [[trainMergesDistributed]], whose per-merge cost is one
+    * small aggregation over the histogram (~2 Spark jobs per merge —
+    * correct at any scale but scheduling-bound at production vocabulary
+    * sizes, which is exactly why the driver path exists). */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  driverBudget: Int = DriverHistBudget): Seq[(String, String)] = {
     require(numMerges >= 1)
-    var hist = docs.select(wordsOf(textCol))
+    val hist = docs.select(wordsOf(textCol))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // bounded probe: collect at most budget+1 rows — if the histogram
+    // fits, this IS the histogram (no second job); if not, fall back
+    val sample = hist.limit(driverBudget + 1).collect()
+    if (sample.length <= driverBudget)
+      trainMergesLocal(
+        sample.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
+    else
+      trainMergesDistributed(hist, numMerges)
+  }
+
+  /** UTF-8 binary comparison — Spark/DuckDB string ORDER BY semantics
+    * (Java's String.compareTo is UTF-16 code-unit order, which disagrees
+    * with byte order for non-BMP code points; merges must not depend on
+    * which engine ran the trainer). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Code-point pieces of a word — matches Spark's `split(w, "")`
+    * (Java regex zero-width matches never land inside a surrogate
+    * pair), so the driver trainer and the Catalyst encode chain see the
+    * same initial piece sequences. */
+  private def codePointPieces(w: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out
+  }
+
+  /** The classic incremental BPE trainer over a collected word
+    * histogram (Sennrich et al. 2016 §3; the structure GPT-2's trainer
+    * shares): maintain adjacent-pair counts across all words, pick the
+    * max-count pair per round from a lazy-invalidation max-heap, and
+    * rewrite ONLY the words containing it — updating just the pair
+    * counts adjacent to the rewrite. Per-merge cost is proportional to
+    * the occurrences of the winning pair, not the vocabulary, so a 32k
+    * vocabulary trains in seconds once the single histogram pass is
+    * paid. Pair counting matches [[trainMergesDistributed]] exactly:
+    * every adjacent position counts (overlapping runs included),
+    * weighted by word frequency; rewrites are left-to-right
+    * non-overlapping; ties break by "l r" text ascending in UTF-8
+    * order. */
+  private[llm] def trainMergesLocal(histogram: Seq[(String, Long)],
+                                    numMerges: Int): Seq[(String, String)] = {
+    val words = histogram.map { case (w, _) => codePointPieces(w) }.toArray
+    val freqs = histogram.map(_._2).toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    // words a pair has EVER occurred in — members may go stale after
+    // rewrites (cheaper to re-check at use than to maintain removals)
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+
+    // (count desc, pair text asc): heap is a max-heap, so equal counts
+    // must rank the UTF-8-smaller pair text HIGHER
+    implicit val ord: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) =>
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else utf8Compare(b._2 + " " + b._3, a._2 + " " + a._3)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    // EVERY count change pushes its new value — stale entries invalidate
+    // lazily at pop time (current-count check). Pushing on decrements
+    // too is load-bearing: a decremented-but-still-max pair must have a
+    // live heap entry or it would be skipped as stale.
+    def addPair(p: (String, String), wi: Int, f: Long): Unit = {
+      val c = pairCounts.getOrElse(p, 0L) + f
+      pairCounts(p) = c
+      val ws = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty)
+      if (ws.isEmpty || ws.last != wi) ws += wi
+      heap.enqueue((c, p._1, p._2))
+    }
+    def dropPair(p: (String, String), f: Long): Unit = {
+      val c = pairCounts(p) - f
+      if (c <= 0L) pairCounts.remove(p)
+      else { pairCounts(p) = c; heap.enqueue((c, p._1, p._2)) }
+    }
+
+    var wi = 0
+    while (wi < words.length) {
+      val ps = words(wi)
+      var i = 0
+      while (i < ps.length - 1) {
+        addPair((ps(i), ps(i + 1)), wi, freqs(wi))
+        i += 1
+      }
+      wi += 1
+    }
+
+    val merges = mutable.Buffer.empty[(String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // pop to the first LIVE entry (count still current)
+      var winner: (String, String) = null
+      while ((winner eq null) && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (pairCounts.getOrElse((l, r), 0L) == c) winner = (l, r)
+      }
+      if (winner eq null) done = true
+      else {
+        val (l, r) = winner
+        merges += winner
+        val merged = l + r
+        pairWords.remove(winner).foreach(_.foreach { w =>
+          val ps = words(w)
+          val f = freqs(w)
+          // does the pair still occur here? (membership may be stale)
+          var hit = false
+          var i = 0
+          while (!hit && i < ps.length - 1) {
+            hit = ps(i) == l && ps(i + 1) == r; i += 1
+          }
+          if (hit) {
+            i = 0
+            while (i < ps.length - 1) { dropPair((ps(i), ps(i + 1)), f); i += 1 }
+            // left-to-right non-overlapping rewrite — the same greedy
+            // pass the replace-chain encoder performs
+            i = 0
+            while (i < ps.length - 1) {
+              if (ps(i) == l && ps(i + 1) == r) { ps(i) = merged; ps.remove(i + 1) }
+              i += 1
+            }
+            i = 0
+            while (i < ps.length - 1) {
+              addPair((ps(i), ps(i + 1)), w, f); i += 1
+            }
+          }
+        })
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop — one small aggregation over the word
+    * histogram per merge. Kept as the past-[[DriverHistBudget]]
+    * fallback: correct at unbounded vocabulary, but each merge costs ~2
+    * Spark jobs of scheduling, so [[trainMerges]] prefers the driver
+    * trainer whenever the histogram fits. `hist` carries (w, freq). */
+  private[llm] def trainMergesDistributed(hist0: DataFrame,
+                                          numMerges: Int): Seq[(String, String)] = {
+    var hist = hist0
       .select(col("freq"), padded.as("s"))
       .localCheckpoint(true)
     val merges = mutable.Buffer.empty[(String, String)]
@@ -160,17 +332,25 @@ object Bpe {
     * BpeSpec pins the parity on adversarial inputs. */
   def encodeFast(docs: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rankBc = spark.sparkContext.broadcast((
+    val rankBc = docs.sparkSession.sparkContext.broadcast((
       merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap,
       merges.toArray))
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
+    // the id column passes through UNTOUCHED (Row-level kernel): casting
+    // it would null out non-numeric ids and break the documented
+    // row-identity with [[encode]], which never reshapes the id
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pieces",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    in.mapPartitions { it =>
         val (rank, mergeArr) = rankBc.value
         def encodeWord(w: String): mutable.ArrayBuffer[String] = {
-          val pieces = mutable.ArrayBuffer.tabulate(w.length)(i => w.substring(i, i + 1))
+          val pieces = codePointPieces(w)
           var continue = pieces.length >= 2
           while (continue) {
             // lowest-rank adjacent pair present
@@ -197,7 +377,8 @@ object Bpe {
           }
           pieces
         }
-        it.map { case (id, text) =>
+        it.map { row =>
+          val text = if (row.isNullAt(1)) "" else row.getString(1)
           val words = text.split(" ").filter(_.nonEmpty)
           var nPieces = 0L
           val sb = new StringBuilder
@@ -207,9 +388,10 @@ object Bpe {
             if (sb.nonEmpty) sb.append(' ')
             sb.append(ps.mkString(" "))
           }
-          (id, words.length.toLong, nPieces, sb.toString)
+          org.apache.spark.sql.Row(row.get(0), words.length.toLong, nPieces,
+            sb.toString)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(idCol, "n_words", "n_pieces", "pieces")
       .filter(col("n_words") > 0) // encode's explode drops all-empty docs too
   }

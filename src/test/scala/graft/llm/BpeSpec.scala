@@ -82,4 +82,66 @@ class BpeSpec extends SparkSpec {
       "text", numMerges = 10)
     assert(merges == Seq(("a", "b"))) // one pair exists; then nothing
   }
+
+  // ---- driver-local incremental trainer vs the distributed loop ------
+
+  private def histOf(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    df.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+  }
+
+  test("driver trainer == distributed trainer on the Sennrich corpus (tie-breaks)") {
+    val dist = Bpe.trainMergesDistributed(histOf(corpus), numMerges = 4)
+    val local = Bpe.trainMerges(corpus, "text", numMerges = 4) // driver path
+    assert(local == dist)
+    assert(local == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("driver trainer == distributed trainer on an adversarial corpus, deep") {
+    // repeated-char runs (overlap counting + non-overlapping rewrite),
+    // shared prefixes, skewed frequencies — 40 merges deep so the
+    // incremental pair-count maintenance is exercised well past the
+    // first rewrites
+    val rng = new scala.util.Random(97)
+    val alphabet = "abcd"
+    def word(): String =
+      Seq.fill(2 + rng.nextInt(9))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val docs = ((0L until 40L).map(i =>
+      (i, Seq.fill(10)(word()).mkString(" "))) ++ Seq(
+      (100L, "aaaaaa aaaa aa a"),
+      (101L, "abab ababab ba bab abba"),
+      (102L, "dcba abcd ddcc ccdd")
+    )).toDF("doc_id", "text")
+    val dist = Bpe.trainMergesDistributed(histOf(docs), numMerges = 40)
+    val local = Bpe.trainMerges(docs, "text", numMerges = 40)
+    assert(local == dist)
+    assert(local.size == 40)
+  }
+
+  test("past-budget dispatch falls back to the distributed trainer") {
+    // driverBudget = 1 cannot hold the histogram -> the distributed
+    // loop must produce the same merges the driver path does
+    val viaFallback = Bpe.trainMerges(corpus, "text", numMerges = 4,
+      driverBudget = 1)
+    assert(viaFallback == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("driver trainer early-stops when the vocabulary is fully merged") {
+    val merges = Bpe.trainMergesLocal(Seq(("ab", 2L)), numMerges = 10)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("encodeFast preserves non-numeric ids (no silent cast)") {
+    val docs = Seq(("doc-a", "lowest low"), ("doc-b", "newest"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+    val fast = Bpe.encodeFast(docs, "doc_id", "text", merges)
+      .as[(String, Long, Long, String)].collect().toSet
+    val slow = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(fast == slow)
+    assert(fast.map(_._1) == Set("doc-a", "doc-b"))
+  }
 }
