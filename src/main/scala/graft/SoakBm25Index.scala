@@ -108,6 +108,40 @@ object SoakBm25Index {
     graft.llm.Retrieval.bm25SearchIndex(queries, s"$dir/index", k = 10).count()
     val compactedBytes = settleBytes() - beforeCompacted
 
+    // hot-term bound (r9 "What's missing" #2): plant a term in 50% of a
+    // fresh corpus slice and query it — uncapped, its postings list is
+    // half the corpus flowing into scoring for ~zero idf; with
+    // maxDfFrac = 0.25 the term is skipped from the STATS slice alone
+    // and its postings never open. Same rare co-term in both runs so
+    // the query still retrieves.
+    // vocabulary stays the 50k token space (a unique-term filler would
+    // bloat the stats slice and drown the observable in rare-bucket
+    // reads); each query carries the hot term plus ONE rare term
+    val hotDir = s"$dir/hot-index"
+    spark.range(n / 2)
+      .selectExpr("id AS doc_id",
+        s"""concat_ws(' ',
+           |  CASE WHEN id % 2 = 0 THEN 'stopword'
+           |       ELSE concat('w', pmod(hash(id * 37), 50000)) END,
+           |  ${toks("id", 29)}) AS text""".stripMargin)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/hot-corpus")
+    graft.llm.Retrieval.bm25BuildIndex(spark.read.parquet(s"$dir/hot-corpus"),
+      "text", "doc_id", hotDir)
+    val hotQ = spark.range(20).selectExpr("id AS query_id",
+      s"concat('stopword ', concat_ws(' ', ${toks(s"(id * 7919) % ${n / 2}", 1)})) AS qtext")
+    val beforeHot = settleBytes()
+    t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25SearchIndex(hotQ, hotDir, k = 10).count()
+    val hotUncappedSec = (System.nanoTime() - t0) / 1e9
+    val hotUncappedBytes = settleBytes() - beforeHot
+    val beforeCap = settleBytes()
+    t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25SearchIndex(hotQ, hotDir, k = 10, maxDfFrac = 0.25)
+      .count()
+    val hotCappedSec = (System.nanoTime() - t0) / 1e9
+    val hotCappedBytes = settleBytes() - beforeCap
+
     println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
       s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
       s""""search_sec":${f"$searchSec%.1f"},"search_bytes_read":$searchBytes,""" +
@@ -115,7 +149,11 @@ object SoakBm25Index {
       s""""append_sec":${f"$appendSec%.1f"},""" +
       s""""frag_search_bytes_after_9_appends":$fragBytes,""" +
       s""""compact_sec":${f"$compactSec%.1f"},""" +
-      s""""search_bytes_post_compact":$compactedBytes}""")
+      s""""search_bytes_post_compact":$compactedBytes,""" +
+      s""""hot_term_uncapped_bytes":$hotUncappedBytes,""" +
+      s""""hot_term_uncapped_sec":${f"$hotUncappedSec%.1f"},""" +
+      s""""hot_term_capped_bytes":$hotCappedBytes,""" +
+      s""""hot_term_capped_sec":${f"$hotCappedSec%.1f"}}""")
     spark.stop()
   }
 }

@@ -733,21 +733,21 @@ object Dedup {
 
   // ---- index compaction (the operational close of the append loop) ----
 
-  /** Atomically replace `path` with the parquet rendering of `rewrite`:
-    * write a temp sibling, delete the original, rename — the same swap
-    * discipline as [[Similarity.ivfIndexCompact]], with the same
-    * quiesce contract (the delete-then-rename window is not readable;
-    * compact in the maintenance slot, not alongside live queries). */
+  /** Replace `path` with the parquet rendering of `rewrite` through the
+    * crash-safe rename protocol ([[IndexSwap]] — same discipline as
+    * [[Similarity.ivfIndexCompact]], every crash point heals on the
+    * next compact/recover), with the same quiesce contract (the aside
+    * window is not readable; compact in the maintenance slot, not
+    * alongside live queries). */
   private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
                           path: String)(rewrite: DataFrame =>
                           org.apache.spark.sql.DataFrameWriter[
                             org.apache.spark.sql.Row]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val tmp = IndexSwap.prepare(fs, p)
     rewrite(spark.read.parquet(path)).parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+    IndexSwap.commit(fs, p)
   }
 
   /** Compact a persisted LSH dedup index after a run of appends: every

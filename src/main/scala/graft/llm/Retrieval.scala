@@ -150,12 +150,36 @@ object Retrieval {
     post.join(lens, "doc_id")
   }
 
+  /** Per-term statistics slice: (term, df, max_tf) of one build/append
+    * generation, bucketed like the postings. Searches aggregate the
+    * generations (sum df / max max_tf — exact because appends carry
+    * only new doc ids), so appends need no read-modify-write. This is
+    * what lets a search DECIDE about a term — e.g. the [[bm25SearchIndex]]
+    * df/N hot-term cap, or a future max-score bound via max_tf —
+    * WITHOUT reading a single posting of it: the stats row is a few
+    * bytes where a stopword's postings list is near-corpus-sized. */
+  private def writeStats(post: DataFrame, dir: String, mode: String): Unit =
+    post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(post.sparkSession.sparkContext.defaultParallelism,
+        col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(mode).partitionBy("term_pt").parquet(s"$dir/stats")
+
   def bm25BuildIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // DISK_ONLY, not localCheckpoint: the postings feed meta totals AND
+    // the partitioned write, but caching them at MEMORY_AND_DISK races
+    // the (doc_id, term) partial aggregation for unified memory inside
+    // the same tasks (storage unroll vs execution pages — observed
+    // AGGREGATE_OUT_OF_MEMORY at 60M postings on an 8g heap); spilling
+    // the reused copy straight to disk keeps the aggregation's memory
+    // to itself
     val post = postingsWithLen(docs, textCol, idCol)
-      .localCheckpoint(true) // feeds meta totals AND the postings write
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // n and total token length in one meta row: avgdl = total_len / n is
     // then O(1) at search time and exact under append
     val totalLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
@@ -163,8 +187,6 @@ object Retrieval {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    Seq((docs.count(), totalLen)).toDF("n", "total_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     post
       .withColumn("term_pt", termBucket(col("term")))
       // co-locate each bucket's rows before the partitioned write (the
@@ -173,6 +195,18 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
+    post.unpersist()
+    // stats derive from the postings just WRITTEN: the scan prunes to
+    // (term, tf) — cheaper than re-aggregating the cached copy
+    writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
+      dir, "overwrite")
+    // meta is the COMMIT MARKER and therefore lands LAST (matching
+    // bm25IndexAppend's postings-then-meta order): a crash mid-build
+    // leaves postings without meta, which the ingest bootstrap treats
+    // as "no index" and re-builds — the reverse order would leave meta
+    // without postings and invite appends onto a missing corpus
+    Seq((docs.count(), totalLen)).toDF("n", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Append new documents to a persisted BM25 index: postings of the
@@ -189,7 +223,8 @@ object Retrieval {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldN, oldLen) = (meta0.getLong(0), meta0.getLong(1))
     val batchN = docs.count()
-    val post = postingsWithLen(docs, textCol, idCol).localCheckpoint(true)
+    val post = postingsWithLen(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // see bm25BuildIndex
     val batchLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(sum(col("dl"))).head() match {
         case r if r.isNullAt(0) => 0L
@@ -200,6 +235,8 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/postings")
+    writeStats(post, dir, "append")
+    post.unpersist()
     Seq((oldN + batchN, oldLen + batchLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -209,21 +246,47 @@ object Retrieval {
     * term bucket, so a bucket's postings spread over ~N file generations
     * and a search opens N times the files a fresh build would. Rewrites
     * the postings back to the build layout (bucket-keyed, term-sorted)
-    * into a temp sibling, then atomically swaps directories — the same
-    * operational close as [[Similarity.ivfIndexCompact]]. Search results
-    * are unchanged; meta is untouched. */
+    * into a temp sibling, then swaps it in through the crash-safe
+    * rename protocol ([[IndexSwap]] — a crash can no longer leave meta
+    * alive over missing postings). Search results are unchanged; meta
+    * is untouched. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
     val path = s"$dir/postings"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val tmp = IndexSwap.prepare(fs, p)
     spark.read.parquet(path)
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+    IndexSwap.commit(fs, p)
+    // fold the stats generations to one row per term (sum df / max
+    // max_tf — the same aggregation searches apply on read), absent on
+    // pre-stats indexes
+    val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    if (fs.exists(sp)) {
+      val stmp = IndexSwap.prepare(fs, sp)
+      spark.read.parquet(sp.toString)
+        .groupBy(col("term"), col("term_pt"))
+        .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"))
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(stmp.toString)
+      IndexSwap.commit(fs, sp)
+    }
+  }
+
+  /** Heal any interrupted compaction swap and report whether `dir`
+    * holds a complete index (meta AND postings). Ingest bootstraps call
+    * this before choosing append over build — meta existence alone is
+    * not proof of postings (see [[IndexSwap]]). */
+  def bm25IndexRecover(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, p)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) && fs.exists(p)
   }
 
   /** Top-`k` documents per query against a persisted index (see
@@ -238,10 +301,53 @@ object Retrieval {
     * pruned rows (exact: a bucket owns every posting of its terms), and
     * ranking is the same map-capped TopKPerKey. The index side never
     * shuffles corpus-sized data. */
-  def bm25SearchIndex(queries: DataFrame, dir: String, k: Int): DataFrame = {
+  /** Query terms surviving the df/N hot-term cap, decided ENTIRELY from
+    * the persisted stats slice — no posting of a skipped term is ever
+    * read (the point: a stopword-frequency term's postings list is
+    * near-corpus-sized while its idf contribution is ~zero; without a
+    * bound it flows whole into scoring). df aggregates across append
+    * generations (sum — exact, appends carry only new doc ids); the
+    * collect is bounded by the query term count. Returns the pruned
+    * qTerms frame (checkpointed, ready to drive bucket pruning and
+    * scoring). maxDfFrac = 1.0 disables the cap and touches no stats. */
+  private def capHotTerms(spark: org.apache.spark.sql.SparkSession,
+                          qTerms: DataFrame, dir: String,
+                          maxDfFrac: Double): DataFrame = {
+    if (maxDfFrac >= 1.0) return qTerms
+    require(maxDfFrac > 0.0, "maxDfFrac must be in (0, 1]")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+      s"df cap requires the stats slice; $dir predates it — re-build or " +
+        "compact after one append with the current version")
+    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0))
+    val hot = spark.read.parquet(s"$dir/stats")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > lit(maxDfFrac) * lit(n))
+      .select(col("term")).collect().map(_.getString(0))
+    if (hot.isEmpty) qTerms
+    else qTerms.filter(!col("term").isInCollection(hot.toSeq))
+      .localCheckpoint(true)
+  }
+
+  /** @param maxDfFrac skip query terms present in more than this
+    *        fraction of the corpus (default 1.0 = exact, no skipping).
+    *        The capped ranking equals scoring with those terms deleted
+    *        from the queries — the classic stopword-pruning
+    *        approximation (cf. max-score/WAND bounds), bounded
+    *        bytes-read per query however degenerate the term. */
+  def bm25SearchIndex(queries: DataFrame, dir: String, k: Int,
+                      maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
-    val qTerms = tokens(queries, "query_id", "qtext").distinct()
-      .localCheckpoint(true) // feeds the bucket collect, the semi-join, and scoring
+    val qTerms = capHotTerms(spark,
+      tokens(queries, "query_id", "qtext").distinct()
+        .localCheckpoint(true), // feeds bucket collect, semi-join, scoring
+      dir, maxDfFrac)
     val qTermSet = qTerms.select(col("term")).distinct()
     // bounded by construction: <= TermBuckets distinct values
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
@@ -298,9 +404,15 @@ object Retrieval {
     val postings = postingsWithLen(docs, "text", "doc_id")
       .join(broadcast(qTermSet), "term")
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = postingsWithLen(docs, "text", "doc_id")
-      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
+    // n counts EVERY document (empty-text docs included) — the same
+    // count bm25TopK and bm25BuildIndex use — so the ad-hoc and
+    // persisted-index Norm paths compute identical idf/avgdl on corpora
+    // containing empty documents; total_len over postings is unaffected
+    // (empty docs contribute zero length either way)
+    val nDocs = docs.agg(count(lit(1)).as("n")).crossJoin(
+      postingsWithLen(docs, "text", "doc_id")
+        .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("total_len")))
     scoreTopKNorm(qTerms, postings, dfreq, nDocs, k, k1, b)
   }
 
@@ -309,10 +421,13 @@ object Retrieval {
     * search keeps the join-free pruned-scan plan — same buckets, same
     * broadcast semi-join, only the score expression differs. */
   def bm25SearchIndexNorm(queries: DataFrame, dir: String, k: Int,
-                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                          k1: Double = 1.2, b: Double = 0.75,
+                          maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
-    val qTerms = tokens(queries, "query_id", "qtext").distinct()
-      .localCheckpoint(true)
+    val qTerms = capHotTerms(spark,
+      tokens(queries, "query_id", "qtext").distinct()
+        .localCheckpoint(true),
+      dir, maxDfFrac)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))

@@ -627,13 +627,14 @@ object Similarity {
                                path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    // crash-safe swap (IndexSwap): delete-then-rename had an
+    // unrecoverable window where no live slice existed
+    val tmp = IndexSwap.prepare(fs, p)
     spark.read.parquet(path)
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+    IndexSwap.commit(fs, p)
   }
 
   /** Compact a persisted IVF index's cell slices after a run of appends

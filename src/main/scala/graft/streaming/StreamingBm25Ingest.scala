@@ -49,9 +49,11 @@ object StreamingBm25Ingest {
         .localCheckpoint(true)
       val n = batch.count()
       if (n > 0) {
-        val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(meta))
+        // bm25IndexRecover heals any interrupted compaction swap and
+        // demands meta AND postings before append — meta existence
+        // alone could be a half-built or gutted index, and appending
+        // to one silently overcounts lost documents forever
+        if (Retrieval.bm25IndexRecover(spark, indexDir))
           Retrieval.bm25IndexAppend(batch, textCol, idCol, indexDir)
         else
           Retrieval.bm25BuildIndex(batch, textCol, idCol, indexDir)

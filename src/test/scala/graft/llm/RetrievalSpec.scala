@@ -243,4 +243,134 @@ class RetrievalSpec extends SparkSpec {
       Seq((1L, "nothing matches here")).toDF("query_id", "qtext"), dir, 10)
       .count() == 0)
   }
+
+  // ---- hot-term df/N cap ----------------------------------------------
+
+  test("df cap: non-degenerate queries are ranking-identical with the cap on") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    // 'cat' df=2/5, 'zebra' df=2/5 — under a 0.5 cap, nothing skipped
+    val q = Seq((1L, "cat zebra"), (2L, "dog log")).toDF("query_id", "qtext")
+    assert(rows(Retrieval.bm25SearchIndex(q, dir, k = 10, maxDfFrac = 0.5)) ==
+      rows(Retrieval.bm25SearchIndex(q, dir, k = 10)))
+  }
+
+  test("df cap: a hot term scores as if deleted from the query, postings unread") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    // 'the' df=3/5 = 0.6 > 0.5 cap -> skipped; 'zebra' df=2/5 kept
+    val hotQ = Seq((1L, "the zebra")).toDF("query_id", "qtext")
+    val prunedQ = Seq((1L, "zebra")).toDF("query_id", "qtext")
+    val capped = Retrieval.bm25SearchIndex(hotQ, dir, k = 10, maxDfFrac = 0.5)
+    assert(rows(capped) == rows(Retrieval.bm25SearchIndex(prunedQ, dir, k = 10)))
+
+    // bytes observable: the capped search reads strictly less than the
+    // uncapped one. Needs a corpus where the hot term's postings dwarf
+    // the stats slice (vocabulary << postings, the real-corpus shape):
+    // 2000 docs all containing 'common', 20 rare terms
+    val dir2 = freshDir()
+    (0L until 2000L).map(i => (i, s"common w${i % 20}"))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("_hot_corpus")
+    Retrieval.bm25BuildIndex(spark.table("_hot_corpus"), "text", "doc_id", dir2)
+    val hq = Seq((1L, "common w7")).toDF("query_id", "qtext")
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settled(): Long = { Thread.sleep(1500); bytes.get() }
+      val b0 = settled()
+      Retrieval.bm25SearchIndex(hq, dir2, k = 10).collect()
+      val uncapped = settled() - b0
+      val b1 = settled()
+      Retrieval.bm25SearchIndex(hq, dir2, k = 10, maxDfFrac = 0.5).collect()
+      val cappedBytes = settled() - b1
+      assert(cappedBytes < uncapped,
+        s"capped search read $cappedBytes bytes >= uncapped $uncapped")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("df cap: stats generations sum across appends and survive compaction") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    // 'the' df over BOTH generations = 3 of 5 docs > 0.5 -> skipped
+    val hotQ = Seq((1L, "the zebra")).toDF("query_id", "qtext")
+    val want = rows(Retrieval.bm25SearchIndex(
+      Seq((1L, "zebra")).toDF("query_id", "qtext"), dir, k = 10))
+    assert(rows(Retrieval.bm25SearchIndex(hotQ, dir, 10, maxDfFrac = 0.5)) == want)
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(rows(Retrieval.bm25SearchIndex(hotQ, dir, 10, maxDfFrac = 0.5)) == want)
+    // compaction folded the stats to one row per term
+    val statRows = spark.read.parquet(s"$dir/stats")
+      .groupBy($"term").count().filter($"count" > 1).count()
+    assert(statRows == 0, "stats not folded to one generation per term")
+  }
+
+  // ---- crash-safe swap + bootstrap verification -----------------------
+
+  test("interrupted compaction swap heals: recover finishes the rename") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    val queries = Seq((1L, "the cat zebra")).toDF("query_id", "qtext")
+    val want = rows(Retrieval.bm25SearchIndex(queries, dir, k = 10))
+    // simulate a crash BETWEEN the aside rename and the swap-in: live
+    // postings renamed aside, completed tmp sibling left behind
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/postings.compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/postings.compact-old")
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live)) // the gutted-index window
+    // bootstrap check: recover heals it and reports a complete index
+    assert(Retrieval.bm25IndexRecover(spark, dir))
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == want)
+    assert(!fs.exists(tmp) && !fs.exists(old))
+  }
+
+  test("half-built index (meta missing) reports incomplete -> rebuild not append") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // crash mid-build: postings written, meta (the commit marker) not yet
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    assert(!Retrieval.bm25IndexRecover(spark, dir))
+    // and the reverse gutting: meta alive, postings gone
+    val dir2 = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/postings"), true)
+    assert(!Retrieval.bm25IndexRecover(spark, dir2))
+  }
+
+  // ---- empty-document corpora (ad-hoc vs index Norm consistency) -------
+
+  test("Norm paths agree on corpora containing empty documents") {
+    val withEmpty = docs.union(Seq((5L, ""), (6L, " ")).toDF("doc_id", "text"))
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(withEmpty, "text", "doc_id", dir)
+    // n counts all 7 docs in BOTH paths (empty ones included)
+    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 7L)
+    val q = Seq((1L, "cat zebra"), (2L, "the dog")).toDF("query_id", "qtext")
+    val fromIndex = Retrieval.bm25SearchIndexNorm(q, dir, k = 10)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val adhoc = Retrieval.bm25TopKNorm(withEmpty, q, k = 10)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(fromIndex.keySet == adhoc.keySet && fromIndex.nonEmpty)
+    fromIndex.foreach { case (key, (s, rnk)) =>
+      assert(rnk == adhoc(key)._2, s"rank mismatch at $key")
+      assert(math.abs(s - adhoc(key)._1) < 1e-9, s"score mismatch at $key")
+    }
+  }
 }
