@@ -73,10 +73,36 @@ object SoakIntervalJoin {
     // each 2000-long left interval spans 2 buckets at width 2000; each
     // 1000-long right interval spans 1-2 — the banding's full shuffle
     val bandedBound = 2 * nL + 2 * nR
+
+    // hybrid leg (r9 next-round #5): plant corpus-spanning outliers —
+    // under pure banding EACH would explode into span/width ≈ nL bucket
+    // rows (20 outliers ≈ 2x the whole join's shuffle); the hybrid
+    // split routes them through a broadcast theta join instead, so the
+    // shuffle stays at the short-mass banded bound and the explode
+    // factor is bounded by longFactor + 1 BY CONSTRUCTION
+    val nOut = 20L
+    val span = math.max(nL, nR) * 1000L + 2000L
+    val outliers = spark.range(nOut)
+      .selectExpr(s"id + ${3 * (nL + nR)} AS id_a", "CAST(0 AS LONG) AS a_s",
+        s"CAST($span AS LONG) AS a_e")
+    val r1 = settle()
+    val t1 = System.nanoTime()
+    val hybridPairs = graft.operators.IntervalJoin.overlapsHybrid(
+      left.unionByName(outliers), right,
+      "a_s", "a_e", "b_s", "b_e") // auto width from the median length
+      .count()
+    val hybridWall = (System.nanoTime() - t1) / 1e9
+    val hybridShuffled = settle() - r1
+    val hybridExpected = exact + nOut * nR // each outlier overlaps every right
+
     println(s"""{"soak":"interval_join","n_left":$nL,"n_right":$nR,""" +
       s""""wall_sec":${f"$wallSec%.1f"},"pairs":$nPairs,""" +
       s""""expected_pairs":$exact,"match":${nPairs == exact},""" +
-      s""""shuffle_records":$shuffled,"banded_rows_bound":$bandedBound}""")
+      s""""shuffle_records":$shuffled,"banded_rows_bound":$bandedBound,""" +
+      s""""hybrid_outliers":$nOut,"hybrid_wall_sec":${f"$hybridWall%.1f"},""" +
+      s""""hybrid_pairs":$hybridPairs,"hybrid_expected":$hybridExpected,""" +
+      s""""hybrid_match":${hybridPairs == hybridExpected},""" +
+      s""""hybrid_shuffle_records":$hybridShuffled}""")
     spark.stop()
   }
 }

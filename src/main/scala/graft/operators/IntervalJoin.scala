@@ -57,4 +57,56 @@ object IntervalJoin {
       .filter(col("__bkt") === bucketOf(greatest(col(lStart), col(rStart))))
       .drop("__bkt")
   }
+
+  /** [[overlaps]] with hybrid handling of pathologically LONG intervals
+    * (the documented failure mode of pure banding: an interval of
+    * length L explodes into L/width bucket rows — a corpus-spanning
+    * outlier alone can dwarf the whole join's shuffle). Inputs split at
+    * `longFactor × bucketWidth`:
+    *
+    *  - the short mass (explode factor <= longFactor + 1, BOUNDED by
+    *    construction) goes through the banded equi-join;
+    *  - long outliers — few, by the skewed-length assumption this
+    *    operator encodes — BROADCAST into theta joins against the other
+    *    side (a long×N nested-loop probe is cheap when long is small,
+    *    and it shuffles nothing).
+    *
+    * The three legs partition the pair space exactly (short×short
+    * banded; long-left × all-right; short-left × long-right), so the
+    * union needs no dedup. Results are row-identical to [[overlaps]].
+    *
+    * `bucketWidth = 0` (the default) AUTO-PICKS the width as the
+    * approximate median interval length over both sides — one
+    * single-pass columnar aggregate — which keeps the typical explode
+    * factor ~2 without the caller knowing the length distribution.
+    */
+  def overlapsHybrid(left: DataFrame, right: DataFrame,
+                     lStart: String, lEnd: String,
+                     rStart: String, rEnd: String,
+                     bucketWidth: Long = 0L,
+                     longFactor: Long = 16): DataFrame = {
+    require(longFactor >= 1, "longFactor must be >= 1")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column names must be disjoint, both have: $dup")
+    def len(s: String, e: String) = col(e).cast("long") - col(s).cast("long")
+    val w =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val med = left.select(len(lStart, lEnd).as("__len"))
+          .unionAll(right.select(len(rStart, rEnd).as("__len")))
+          .agg(expr("approx_percentile(__len, 0.5, 100)")).head().getLong(0)
+        math.max(1L, med)
+      }
+    val thr = w * longFactor
+    val shortL = left.filter(len(lStart, lEnd) <= thr)
+    val longL = left.filter(len(lStart, lEnd) > thr)
+    val shortR = right.filter(len(rStart, rEnd) <= thr)
+    val longR = right.filter(len(rStart, rEnd) > thr)
+    val overlapPred = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    overlaps(shortL, shortR, lStart, lEnd, rStart, rEnd, w)
+      .unionByName(org.apache.spark.sql.functions.broadcast(longL)
+        .join(right, overlapPred))
+      .unionByName(shortL
+        .join(org.apache.spark.sql.functions.broadcast(longR), overlapPred))
+  }
 }

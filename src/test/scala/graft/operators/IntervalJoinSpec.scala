@@ -72,4 +72,48 @@ class IntervalJoinSpec extends SparkSpec {
       IntervalJoin.overlaps(a, a, "s", "e", "s", "e", 10L)
     }
   }
+
+  // ---- hybrid long-interval handling ----------------------------------
+
+  test("hybrid equals brute on a mixed-length corpus (auto width)") {
+    // short mass + planted corpus-spanning outliers on BOTH sides —
+    // the shape that makes pure banding explode
+    val as = randomIntervals(150, 0L) ++ Seq(
+      (9000L, 0L, 10000000L), (9001L, 50000L, 9000000L))
+    val bs = randomIntervals(150, 10000L) ++ Seq(
+      (9100L, 100L, 20000000L))
+    val got = IntervalJoin.overlapsHybrid(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e") // bucketWidth auto-picked
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    assert(got.toSet == brute(as, bs))
+    // the outliers matched everything alive in their span
+    assert(got.count(_._1 == 9000L) == bs.size)
+  }
+
+  test("hybrid equals the pure banded join when no interval is long") {
+    val as = randomIntervals(120, 0L)
+    val bs = randomIntervals(120, 10000L)
+    val banded = IntervalJoin.overlaps(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hybrid = IntervalJoin.overlapsHybrid(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(hybrid == banded)
+  }
+
+  test("hybrid legs partition the space: long x long pairs appear exactly once") {
+    val as = Seq((1L, 0L, 1000000L), (2L, 5L, 10L))
+    val bs = Seq((3L, 0L, 2000000L), (4L, 7L, 12L))
+    val got = IntervalJoin.overlapsHybrid(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 4L, longFactor = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == brute(as, bs))
+  }
 }
