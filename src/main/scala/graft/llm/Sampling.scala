@@ -36,6 +36,15 @@ object Sampling {
     (conv(substring(md5(concat(id.cast("string"), lit(seed))), 1, 13), 16, 10)
       .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
 
+  /** The A-ES rank key as a column — shared verbatim by the batch
+    * sampler below and the streaming reservoir
+    * ([[graft.streaming.StreamingWeightedSample]]), which is what makes
+    * their samples identical on identical data (the key is a pure row
+    * function; only the top-k maintenance differs). */
+  private[graft] def rankKey(id: Column, weight: Column,
+                             seed: String): Column =
+    round(pow(uniformOf(id, seed), lit(1.0) / weight.cast("double")), 9)
+
   /** @param groupCols strata; k rows kept per distinct combination
     * @param idCol     unique row id (drives the deterministic u and the
     *                  final tie-break)
@@ -46,9 +55,7 @@ object Sampling {
   def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
                      weightCol: String, k: Int, seed: String = ""): DataFrame = {
     require(k >= 1)
-    val key = round(
-      pow(uniformOf(col(idCol), seed), lit(1.0) / col(weightCol).cast("double")),
-      9)
+    val key = rankKey(col(idCol), col(weightCol), seed)
     graft.plans.TopKPerKey(
       df.filter(col(weightCol).cast("double") > 0).withColumn("_wkey", key),
       keys = groupCols.map(col),
