@@ -135,5 +135,11 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
+    // ... and the bare line goes to STDERR too, where sbt's logger does
+    // not prefix it with "[info] " — BENCH_r09 still parsed null off
+    // stdout despite the file above, so emit on every channel. Printed
+    // AFTER spark.stop() so it is the process's last output line.
+    System.err.println(line)
+    System.err.flush()
   }
 }

@@ -389,17 +389,22 @@ object Multimodal {
   // ---- REAL video container parsing (ISO-BMFF / MP4, no codec) --------
 
   /** Parsed ISO-BMFF container metadata: (major brand, duration seconds,
-    * track count, presentation width, presentation height). Pure box
-    * walking per ISO/IEC 14496-12 — `ftyp` for the brand, `moov/mvhd`
-    * (v0 or v1) for timescale+duration, each `moov/trak/tkhd` for the
-    * 16.16 fixed-point presentation size (audio tracks carry 0x0; the
-    * max across tracks is the video size). None for anything that is
-    * not a plausible BMFF stream (short buffer, box sizes that escape
-    * the buffer, no moov). This is CONTAINER metadata — real and exact
-    * without any sample decode, which is what manifest building, length
-    * filtering, and aspect bucketing need at corpus scale; sample
-    * decode stays behind the codec-tier boundary documented above. */
-  private[llm] def parseMp4(bytes: Array[Byte]): Option[(String, Double, Int, Int, Int)] = {
+    * track count, presentation width, presentation height, codec
+    * fourccs). Pure box walking per ISO/IEC 14496-12 — `ftyp` for the
+    * brand, `moov/mvhd` (v0 or v1) for timescale+duration, each
+    * `moov/trak/tkhd` for the 16.16 fixed-point presentation size
+    * (audio tracks carry 0x0; the max across tracks is the video
+    * size), and each `trak/mdia/minf/stbl/stsd` for the sample-entry
+    * codec fourccs (avc1/hvc1/mp4a/...) — the field a real curation
+    * filter keys on ("keep h264 only"), distinct in track order. None
+    * for anything that is not a plausible BMFF stream (short buffer,
+    * box sizes that escape the buffer, no moov). This is CONTAINER
+    * metadata — real and exact without any sample decode, which is
+    * what manifest building, length filtering, aspect bucketing, and
+    * codec filtering need at corpus scale; sample decode stays behind
+    * the codec-tier boundary documented above. */
+  private[llm] def parseMp4(bytes: Array[Byte])
+      : Option[(String, Double, Int, Int, Int, Seq[String])] = {
     val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
     def u16(at: Int): Int = bb.getShort(at) & 0xffff
@@ -432,6 +437,32 @@ object Multimodal {
     var nTracks = 0
     var w = 0; var h = 0
     var sawMoov = false
+    val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    /** Codec fourccs from an `stsd` payload: version+flags (4),
+      * entry_count (4), then sample entries each led by (size, format).
+      * Malformed entry sizes stop the walk, never escape the box. */
+    def stsdCodecs(ps: Int, pe: Int): Unit = {
+      if (pe - ps < 8) return
+      var at = ps + 8
+      var n = u32(ps + 4)
+      while (n > 0 && at + 8 <= pe) {
+        val sz = u32(at)
+        if (sz < 8 || at + sz > pe) return
+        codecs += new String(bytes, at + 4, 4, "ISO-8859-1").trim
+        at += sz.toInt
+        n -= 1
+      }
+    }
+    def walkToStsd(tps: Int, tpe: Int): Unit =
+      children(tps, tpe).foreach {
+        case ("mdia", ps, pe) => walkToStsd(ps, pe)
+        case ("minf", ps, pe) => walkToStsd(ps, pe)
+        case ("stbl", ps, pe) => walkToStsd(ps, pe)
+        case ("stsd", ps, pe) => stsdCodecs(ps, pe)
+        case _ => ()
+      }
+
     children(0, bytes.length).foreach {
       case ("ftyp", ps, pe) if pe - ps >= 4 =>
         brand = new String(bytes, ps, 4, "ISO-8859-1").trim
@@ -462,19 +493,24 @@ object Multimodal {
                   val th = (u32(pe - 4) >> 16).toInt
                   if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
                 }
+              case ("mdia", ps, pe) => walkToStsd(ps, pe)
               case _ => ()
             }
           case _ => ()
         }
       case _ => ()
     }
-    if (sawMoov) Some((brand, durationSec, nTracks, w, h)) else None
+    if (sawMoov) Some((brand, durationSec, nTracks, w, h, codecs.toSeq))
+    else None
   }
 
   /** REAL MP4/MOV container metadata as a stage: (id, bytes) ->
-    * (id, brand, duration_sec, n_tracks, width, height, ok) via the
-    * [[parseMp4]] box walker in the usual mapPartitions kernel shape —
-    * narrow, malformed rows degrade to ok = false. Closes the container-
+    * (id, brand, duration_sec, n_tracks, width, height, codecs, ok)
+    * via the [[parseMp4]] box walker in the usual mapPartitions kernel
+    * shape — narrow, malformed rows degrade to ok = false. `codecs`
+    * carries the stsd sample-entry fourccs (avc1/hvc1/mp4a/...), so a
+    * "keep h264 only" curation filter is `array_contains(codecs,
+    * 'avc1')` over manifest metadata, no decode. Closes the container-
     * format half of the video story (SURVEY's documented divergence:
     * the JDK ships no video CODEC, so sample decode remains the
     * animated-GIF real path / stub tier, but manifest-grade container
@@ -488,11 +524,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           parseMp4(bytes) match {
-            case Some((brand, dur, n, w, h)) => (id, brand, dur, n, w, h, true)
-            case None => (id, "", 0.0, 0, 0, 0, false)
+            case Some((brand, dur, n, w, h, cs)) =>
+              (id, brand, dur, n, w, h, cs, true)
+            case None => (id, "", 0.0, 0, 0, 0, Seq.empty[String], false)
           }
         }
       }
-      .toDF(idCol, "brand", "duration_sec", "n_tracks", "width", "height", "ok")
+      .toDF(idCol, "brand", "duration_sec", "n_tracks", "width", "height",
+        "codecs", "ok")
   }
 }

@@ -93,8 +93,34 @@ final class AdminServer(spark: SparkSession,
         s""""deadLetteredRows":$rows}"""
     }.mkString("[", ",", "]")
 
+  private def htmlEsc(s: String): String =
+    s.flatMap { case '<' => "&lt;" case '>' => "&gt;" case '&' => "&amp;"
+                case c => c.toString }
+
+  /** Human-rendered pipeline topology: the DOT's edges as an HTML list
+    * (readable without a graphviz install) plus the DOT source for
+    * tooling — the browser-facing half of /pipeline/describe. */
+  private def pipelineHtml(): String = {
+    val d = dot()
+    val edge = """"([^"]+)"\s*->\s*"([^"]+)"""".r
+    val edges = edge.findAllMatchIn(d)
+      .map(m => s"<li>${htmlEsc(m.group(1))} &rarr; ${htmlEsc(m.group(2))}</li>")
+      .mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><title>graft pipeline</title></head><body>
+       |<h1>pipeline topology</h1>
+       |<ul>
+       |$edges
+       |</ul>
+       |<h2>DOT source</h2>
+       |<pre>${htmlEsc(d)}</pre>
+       |</body></html>
+       |""".stripMargin
+  }
+
   route("/config", "text/plain; charset=utf-8", explainConfig)
   route("/pipeline/describe", "text/vnd.graphviz; charset=utf-8", dot)
+  route("/pipeline/html", "text/html; charset=utf-8", () => pipelineHtml())
   route("/progress", "application/json", () => progressJson())
   route("/sinks", "application/json", () => sinksJson())
 
@@ -109,6 +135,7 @@ final class AdminServer(spark: SparkSession,
       |<ul>
       |<li><a href="/config">/config</a> &mdash; resolved config, one provenance line per key</li>
       |<li><a href="/pipeline/describe">/pipeline/describe</a> &mdash; pipeline DAG as Graphviz DOT</li>
+      |<li><a href="/pipeline/html">/pipeline/html</a> &mdash; pipeline DAG rendered as HTML</li>
       |<li><a href="/progress">/progress</a> &mdash; live streaming-query progress (JSON)</li>
       |<li><a href="/sinks">/sinks</a> &mdash; per-sink dead-letter counters (JSON)</li>
       |</ul></body></html>

@@ -96,6 +96,19 @@ object GcraThrottler {
                   ttl: Option[java.time.Duration] = None): Dataset[Result] = {
     val costNs = (1e9 / rps).toLong
     val burstNs = math.max(0L, 1000000000L - costNs)
+    // TTL soundness: a TAT older than the TTL must only be able to
+    // admit — otherwise eviction forgets live throttle debt and
+    // over-admits. ttl >= burst + cost guarantees it (the TAT can lead
+    // an event's time by at most burst + cost ns). ENFORCED, not just
+    // documented. Caveat: the native TTL evicts on PROCESSING time
+    // while the TAT advances on EVENT time — a replay/backfill whose
+    // batches are spaced further apart on the wall clock than in event
+    // time can still evict live state between batches; size the TTL to
+    // wall-clock batch spacing for backfill workloads (or run the
+    // backfill with ttl = None).
+    ttl.foreach(t => require(t.toNanos >= burstNs + costNs,
+      s"ttl must be >= burst + cost (${burstNs + costNs} ns) for sound " +
+        s"eviction; got ${t.toNanos} ns"))
     implicit val resEnc = Encoders.product[Result]
     implicit val keyEnc = Encoders.STRING
     events.groupByKey(_.key)

@@ -362,6 +362,17 @@ class MultimodalSpec extends SparkSpec {
       Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
       be32(w.toLong << 16) ++ be32(h.toLong << 16))
 
+  /** Minimal stsd with one sample entry of the given codec fourcc
+    * (16-byte entry: size + format + 6 reserved + data_ref_index). */
+  private def stsdBox(fourcc: String): Array[Byte] = bmffBox("stsd",
+    be32(0) ++ be32(1) ++
+      be32(16) ++ fourcc.getBytes("ISO-8859-1") ++ Array.fill[Byte](8)(0))
+
+  /** The trak/mdia/minf/stbl nesting stsd really lives under. */
+  private def trakWithCodec(tkhd: Array[Byte], fourcc: String): Array[Byte] =
+    bmffBox("trak", tkhd ++
+      bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsdBox(fourcc)))))
+
   private def mp4Bytes(mvhd: Array[Byte]): Array[Byte] =
     bmffBox("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200) ++
         "mp41".getBytes("ISO-8859-1")) ++
@@ -370,13 +381,27 @@ class MultimodalSpec extends SparkSpec {
         bmffBox("trak", tkhdV0(0, 0))) ++    // audio track (0x0 size)
       bmffBox("mdat", Array.fill[Byte](32)(7))
 
+  private def mp4WithCodecs: Array[Byte] =
+    bmffBox("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200) ++
+        "mp41".getBytes("ISO-8859-1")) ++
+      bmffBox("moov", mvhdV0 ++
+        trakWithCodec(tkhdV0(640, 360), "avc1") ++
+        trakWithCodec(tkhdV0(0, 0), "mp4a")) ++
+      bmffBox("mdat", Array.fill[Byte](16)(7))
+
   test("parseMp4 walks ftyp/moov/mvhd/tkhd: brand, duration, tracks, size") {
     val got = Multimodal.parseMp4(mp4Bytes(mvhdV0))
-    assert(got.contains(("isom", 5.0, 2, 640, 360)))
+    assert(got.contains(("isom", 5.0, 2, 640, 360, Seq.empty[String])))
   }
 
   test("parseMp4 handles 64-bit (version 1) movie headers") {
-    assert(Multimodal.parseMp4(mp4Bytes(mvhdV1)).contains(("isom", 5.0, 2, 640, 360)))
+    assert(Multimodal.parseMp4(mp4Bytes(mvhdV1))
+      .contains(("isom", 5.0, 2, 640, 360, Seq.empty[String])))
+  }
+
+  test("parseMp4 walks stbl/stsd: per-track codec fourccs in track order") {
+    val got = Multimodal.parseMp4(mp4WithCodecs)
+    assert(got.contains(("isom", 5.0, 2, 640, 360, Seq("avc1", "mp4a"))))
   }
 
   test("parseMp4 rejects non-BMFF payloads and truncated boxes") {
@@ -391,15 +416,21 @@ class MultimodalSpec extends SparkSpec {
   test("videoContainerMeta stage: good rows parse, broken rows degrade to ok=false") {
     val media = Seq(
       (1L, mp4Bytes(mvhdV0)),
-      (2L, "plain text masquerading as a clip".getBytes)
+      (2L, "plain text masquerading as a clip".getBytes),
+      (3L, mp4WithCodecs)
     ).toDF("media_id", "bytes")
     val got = Multimodal.videoContainerMeta(media)
       .select($"media_id", $"brand", $"duration_sec", $"n_tracks",
-        $"width", $"height", $"ok")
-      .as[(Long, String, Double, Int, Int, Int, Boolean)]
+        $"width", $"height", $"codecs", $"ok")
+      .as[(Long, String, Double, Int, Int, Int, Seq[String], Boolean)]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      (1L, "isom", 5.0, 2, 640, 360, true),
-      (2L, "", 0.0, 0, 0, 0, false)))
+      (1L, "isom", 5.0, 2, 640, 360, Seq.empty[String], true),
+      (2L, "", 0.0, 0, 0, 0, Seq.empty[String], false),
+      (3L, "isom", 5.0, 2, 640, 360, Seq("avc1", "mp4a"), true)))
+    // the curation filter the codecs column exists for
+    assert(Multimodal.videoContainerMeta(media)
+      .filter(array_contains($"codecs", "avc1"))
+      .select($"media_id").as[Long].collect().toSeq == Seq(3L))
   }
 }

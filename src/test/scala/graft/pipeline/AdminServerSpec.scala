@@ -13,14 +13,17 @@ import graft.streaming.{AdminServer, Streams}
 class AdminServerSpec extends SparkSpec {
   import spark.implicits._
 
-  private def get(port: Int, path: String): (Int, String) = {
+  private def get(port: Int, path: String): (Int, String) =
+    getWithType(port, path) match { case (c, b, _) => (c, b) }
+
+  private def getWithType(port: Int, path: String): (Int, String, String) = {
     val conn = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("GET")
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = new String(is.readAllBytes(), "UTF-8")
-    (code, body)
+    (code, body, String.valueOf(conn.getContentType))
   }
 
   test("admin endpoints serve config, DOT and live progress during a streaming run") {
@@ -83,12 +86,23 @@ class AdminServerSpec extends SparkSpec {
       assert(get(admin.boundPort, "/nope")._1 == 404)
 
       // `/` serves the HTML index enumerating every endpoint as a link
-      // (reference web/app/agent/index.go discoverability surface)
-      val (ci, idx) = get(admin.boundPort, "/")
+      // (reference web/app/agent/index.go discoverability surface),
+      // with the content-type a browser needs to render it
+      val (ci, idx, idxType) = getWithType(admin.boundPort, "/")
       assert(ci == 200, idx)
+      assert(idxType.startsWith("text/html"), s"index content-type: $idxType")
       assert(idx.contains("<html>") || idx.contains("<!DOCTYPE html>"), idx)
-      Seq("/config", "/pipeline/describe", "/progress").foreach(ep =>
-        assert(idx.contains(s"""href="$ep""""), s"index must link $ep: $idx"))
+      Seq("/config", "/pipeline/describe", "/pipeline/html", "/progress")
+        .foreach(ep =>
+          assert(idx.contains(s"""href="$ep""""), s"index must link $ep: $idx"))
+
+      // /pipeline/html: the DAG rendered for a browser — edges as an
+      // HTML list plus the DOT source, served as text/html
+      val (cph, ph, phType) = getWithType(admin.boundPort, "/pipeline/html")
+      assert(cph == 200, ph)
+      assert(phType.startsWith("text/html"), s"pipeline/html content-type: $phType")
+      assert(ph.contains("src &rarr; out"), ph)
+      assert(ph.contains("digraph pipeline"), ph) // DOT source embedded
 
       // HEAD is GET without a body (health probes): 200, headers, no bytes
       val head = new java.net.URL(s"http://127.0.0.1:${admin.boundPort}/")

@@ -103,6 +103,18 @@ class TtlDedupSpec extends SparkSpec {
       .collect().map(r => r.id -> r.admitted).toMap
   }
 
+  test("GCRA TTL soundness guard: ttl < burst + cost is rejected") {
+    // rps = 1 -> cost 1 s, burst 0: a 500 ms TTL could evict live
+    // throttle debt and over-admit — the constructor must refuse it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GcraThrottler.Event]
+    val e = intercept[IllegalArgumentException] {
+      GcraThrottler.throttleTws(mem.toDS(), rps = 1.0,
+        ttl = Some(Duration.ofMillis(500)))
+    }
+    assert(e.getMessage.contains("burst + cost"))
+  }
+
   test("GCRA TTL: state survives within a generous TTL (event throttled)") {
     withRocksDb {
       val base = 1700000000000000000L
