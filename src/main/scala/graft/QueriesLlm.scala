@@ -1651,5 +1651,47 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     "llm_bpe_encode",
     (s, dir) => Bpe.trainEncode(t(s, dir, "documents"), "doc_id", "text",
       numMerges = BpeMerges),
-    Some(bpeOracleSql(BpeMerges)))
+    Some(bpeOracleSql(BpeMerges))) :+ QueryDef(
+    // the hot-term df/N cap (Retrieval.bm25SearchIndex maxDfFrac): terms
+    // present in more than 78.5% of the corpus are skipped FROM THE
+    // STATS SLICE ALONE — their postings never open — and the capped
+    // ranking must equal scoring with those terms deleted from the
+    // queries. The oracle re-derives exactly that: full-corpus df per
+    // term, query terms filtered by df <= 0.785*n, then the verbatim
+    // integer-exact scoring pipeline. 0.785*n never lands on an integer
+    // df (n = 500 -> 392.5), so the threshold is boundary-safe in both
+    // engines' double arithmetic.
+    "llm_bm25_capped",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-capped-").toString
+      val docs = t(s, dir, "documents")
+      Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      Retrieval.bm25SearchIndex(queries, idx, k = 10, maxDfFrac = 0.785)
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      post AS (SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS term FROM tk) x
+        WHERE term <> '' GROUP BY doc_id, term),
+      q0 AS (SELECT DISTINCT doc_id AS query_id, term
+        FROM (SELECT doc_id, unnest(tk[1:5]) AS term FROM tk WHERE doc_id % 20 = 0) y
+        WHERE term <> ''),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      dfall AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+      q AS (SELECT q0.query_id, q0.term FROM q0 JOIN dfall d ON d.term = q0.term
+        CROSS JOIN n WHERE d.df <= 0.785 * n.n),
+      dfreq AS (SELECT p.term, COUNT(*) AS df FROM post p
+        WHERE p.term IN (SELECT term FROM q) GROUP BY p.term),
+      scored AS (SELECT q.query_id, p.doc_id,
+          CAST(SUM((((2 * n.n - 2 * d.df + 1) * 1000000) // (2 * d.df + 1))
+            * ((p.tf * 1000) // (p.tf + 2)) // 1000) AS BIGINT) AS score_ppm
+        FROM q JOIN post p ON q.term = p.term
+        JOIN dfreq d ON d.term = q.term CROSS JOIN n
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id, score_ppm, rnk FROM (
+        SELECT query_id, doc_id, score_ppm,
+          row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rnk
+        FROM scored) r WHERE rnk <= 10"""))
 }

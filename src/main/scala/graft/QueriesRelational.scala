@@ -780,6 +780,41 @@ object QueriesRelational {
           CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap_us
         FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""")),
 
+    // the hybrid long-interval form (IntervalJoin.overlapsHybrid):
+    // every 10th left interval spans 10 HOURS — under pure banding each
+    // would explode into span/width bucket rows; the hybrid split
+    // routes them through a broadcast theta join while the short mass
+    // keeps the banded equi-join, with the bucket width auto-picked
+    // from the median interval length. The oracle stays the plain
+    // quadratic theta join — the split must be lossless and emit each
+    // pair exactly once whatever leg it lands in.
+    QueryDef("q54_interval_join_hybrid",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.filter(pmod(col("event_id"), lit(40)) === 0)
+          .select(col("event_id").as("id_a"), unix_micros(col("ts")).as("a_s"),
+            (unix_micros(col("ts")) +
+              when(pmod(col("event_id"), lit(400)) === 0, lit(36000000000L))
+                .otherwise(lit(600000000L))).as("a_e"))
+        val b = ev.filter(pmod(col("event_id"), lit(40)) === 1)
+          .select(col("event_id").as("id_b"), unix_micros(col("ts")).as("b_s"),
+            (unix_micros(col("ts")) + 420000000L).as("b_e"))
+        graft.operators.IntervalJoin
+          .overlapsHybrid(a, b, "a_s", "a_e", "b_s", "b_e") // auto width
+          .select(col("id_a"), col("id_b"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      },
+      Some("""WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS a_s,
+          epoch_us(ts) + CASE WHEN event_id % 400 = 0
+            THEN 36000000000 ELSE 600000000 END AS a_e
+          FROM events WHERE event_id % 40 = 0),
+        b AS (SELECT event_id AS id_b, epoch_us(ts) AS b_s,
+          epoch_us(ts) + 420000000 AS b_e FROM events WHERE event_id % 40 = 1)
+        SELECT id_a, id_b,
+          CAST(least(a_e, b_e) - greatest(a_s, b_s) AS BIGINT) AS overlap_us
+        FROM a JOIN b ON a_s <= b_e AND b_s <= a_e""")),
+
     // KMV (bottom-k / k-minimum-values) distinct estimator — the
     // oracle-checkable approximate-distinct rendering: the k smallest
     // splitmix64 hashes of the key bound the hash-space density, so

@@ -162,8 +162,11 @@ object Retrieval {
     post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
       .withColumn("term_pt", termBucket(col("term")))
-      .repartition(post.sparkSession.sparkContext.defaultParallelism,
-        col("term_pt"))
+      // AQE-sized repartition (no fixed N): the stats slice is
+      // vocabulary-sized — often a single small partition at batch
+      // granularity, where a fixed 32-way exchange just mints 32×256
+      // near-empty bucket files per generation
+      .repartition(col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode(mode).partitionBy("term_pt").parquet(s"$dir/stats")
 
@@ -270,7 +273,7 @@ object Retrieval {
       spark.read.parquet(sp.toString)
         .groupBy(col("term"), col("term_pt"))
         .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"))
-        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .repartition(col("term_pt")) // AQE-sized, see writeStats
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("term_pt").parquet(stmp.toString)
       IndexSwap.commit(fs, sp)
