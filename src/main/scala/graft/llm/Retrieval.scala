@@ -160,7 +160,8 @@ object Retrieval {
     * bytes where a stopword's postings list is near-corpus-sized. */
   private def writeStats(post: DataFrame, dir: String, mode: String): Unit =
     post.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
+        sum(col("tf")).as("sum_tf"))
       .withColumn("term_pt", termBucket(col("term")))
       // AQE-sized repartition (no fixed N): the stats slice is
       // vocabulary-sized — often a single small partition at batch
@@ -174,23 +175,17 @@ object Retrieval {
                      dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // DISK_ONLY, not localCheckpoint: the postings feed meta totals AND
-    // the partitioned write, but caching them at MEMORY_AND_DISK races
-    // the (doc_id, term) partial aggregation for unified memory inside
-    // the same tasks (storage unroll vs execution pages — observed
-    // AGGREGATE_OUT_OF_MEMORY at 60M postings on an 8g heap); spilling
-    // the reused copy straight to disk keeps the aggregation's memory
-    // to itself
-    val post = postingsWithLen(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // n and total token length in one meta row: avgdl = total_len / n is
-    // then O(1) at search time and exact under append
-    val totalLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(sum(col("dl"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    post
+    // ONE streamed pass over the corpus postings, no caching: the
+    // postings land in their bucket layout directly, and every derived
+    // total comes from what was just written — stats from the (term,
+    // tf)-pruned postings read, total_len = Σ sum_tf over the
+    // vocabulary-sized stats slice (every token lands in exactly one
+    // posting's tf). Earlier shapes either re-aggregated a cached
+    // postings copy (MEMORY_AND_DISK caching raced the partial
+    // aggregation for unified memory — observed AGGREGATE_OUT_OF_MEMORY
+    // at 60M postings on an 8g heap) or paid a second full postings
+    // pass for the length total.
+    postingsWithLen(docs, textCol, idCol)
       .withColumn("term_pt", termBucket(col("term")))
       // co-locate each bucket's rows before the partitioned write (the
       // lshBuildIndex small-files discipline), then sort by term so each
@@ -198,11 +193,13 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
-    post.unpersist()
-    // stats derive from the postings just WRITTEN: the scan prunes to
-    // (term, tf) — cheaper than re-aggregating the cached copy
     writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
       dir, "overwrite")
+    val totalLen = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("sum_tf"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     // meta is the COMMIT MARKER and therefore lands LAST (matching
     // bm25IndexAppend's postings-then-meta order): a crash mid-build
     // leaves postings without meta, which the ingest bootstrap treats
@@ -228,11 +225,10 @@ object Retrieval {
     val batchN = docs.count()
     val post = postingsWithLen(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // see bm25BuildIndex
-    val batchLen = post.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(sum(col("dl"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    val batchLen = post.agg(sum(col("tf"))).head() match { // Σ tf, see build
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     post
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))

@@ -267,30 +267,37 @@ class RetrievalSpec extends SparkSpec {
     // bytes observable: the capped search reads strictly less than the
     // uncapped one. Needs a corpus where the hot term's postings dwarf
     // the stats slice (vocabulary << postings, the real-corpus shape):
-    // 2000 docs all containing 'common', 20 rare terms
+    // 20k docs all containing 'common', 20 rare terms
     val dir2 = freshDir()
-    (0L until 2000L).map(i => (i, s"common w${i % 20}"))
-      .toDF("doc_id", "text")
+    spark.range(20000L)
+      .selectExpr("id AS doc_id", "concat('common w', id % 20) AS text")
       .createOrReplaceTempView("_hot_corpus")
     Retrieval.bm25BuildIndex(spark.table("_hot_corpus"), "text", "doc_id", dir2)
+    // RECORDS read, not bytes: parquet RLE packs 20k identical-term
+    // postings into a handful of bytes at this scale (the 2M-doc soak
+    // pins the bytes observable), but record counts can't hide — the
+    // uncapped search must drag every 'common' posting through the
+    // scan, the capped one must not read a single one
     val hq = Seq((1L, "common w7")).toDF("query_id", "qtext")
-    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null)
-          bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+          records.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      def settled(): Long = { Thread.sleep(1500); bytes.get() }
+      def settled(): Long = { Thread.sleep(1500); records.get() }
       val b0 = settled()
       Retrieval.bm25SearchIndex(hq, dir2, k = 10).collect()
       val uncapped = settled() - b0
       val b1 = settled()
       Retrieval.bm25SearchIndex(hq, dir2, k = 10, maxDfFrac = 0.5).collect()
-      val cappedBytes = settled() - b1
-      assert(cappedBytes < uncapped,
-        s"capped search read $cappedBytes bytes >= uncapped $uncapped")
+      val capped = settled() - b1
+      // uncapped: >= 20k 'common' postings + 1k 'w7'; capped: the w7
+      // bucket + the vocabulary-sized stats slice (~21 rows)
+      assert(capped < uncapped / 4,
+        s"capped search read $capped records vs uncapped $uncapped")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
