@@ -36,7 +36,10 @@ object Bench {
     // round 9: persisted BM25 inverted index (build + search end-to-end),
     // BPE train+encode (8 merges over the corpus histogram), and the
     // banded interval join
-    "llm_bm25_index", "llm_bpe_encode", "q53_interval_join")
+    "llm_bm25_index", "llm_bpe_encode", "q53_interval_join",
+    // round 10: the df/N-capped index search and the hybrid
+    // long-interval join
+    "llm_bm25_capped", "q54_interval_join_hybrid")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
