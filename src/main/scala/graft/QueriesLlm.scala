@@ -1652,6 +1652,19 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     (s, dir) => Bpe.trainEncode(t(s, dir, "documents"), "doc_id", "text",
       numMerges = BpeMerges),
     Some(bpeOracleSql(BpeMerges))) :+ QueryDef(
+    // the encodeFast rank-lookup kernel (the production path for
+    // 32k-merge vocabularies — flat in merge-table size where the
+    // replace chain is linear) must be ROW-IDENTICAL to the chain, so
+    // it reuses llm_bpe_encode's DuckDB-unrolled oracle VERBATIM: the
+    // same trained merges applied by the JVM kernel hash-match the
+    // replace-chain rendering re-derived inside DuckDB
+    "llm_bpe_encode_fast",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.encodeFast(docs, "doc_id", "text",
+        Bpe.trainMerges(docs, "text", numMerges = BpeMerges))
+    },
+    Some(bpeOracleSql(BpeMerges))) :+ QueryDef(
     // the hot-term df/N cap (Retrieval.bm25SearchIndex maxDfFrac): terms
     // present in more than 78.5% of the corpus are skipped FROM THE
     // STATS SLICE ALONE — their postings never open — and the capped

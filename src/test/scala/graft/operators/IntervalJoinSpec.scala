@@ -106,6 +106,24 @@ class IntervalJoinSpec extends SparkSpec {
     assert(hybrid == banded)
   }
 
+  test("hybrid plan: banded equi-join for the short mass, broadcast NL for outliers") {
+    val as = randomIntervals(80, 0L) ++ Seq((9000L, 0L, 10000000L))
+    val bs = randomIntervals(80, 10000L)
+    val df = IntervalJoin.overlapsHybrid(
+      as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+      "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // no cartesian anywhere; the outlier legs are broadcast nested
+    // loops (bounded by the few-long assumption), the short mass stays
+    // a bucket equi-join
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("hybrid legs partition the space: long x long pairs appear exactly once") {
     val as = Seq((1L, 0L, 1000000L), (2L, 5L, 10L))
     val bs = Seq((3L, 0L, 2000000L), (4L, 7L, 12L))
