@@ -767,6 +767,30 @@ object Dedup {
       df.repartition(parts).write.mode("overwrite"))
   }
 
+  /** Heal any interrupted compaction swap on a persisted LSH dedup
+    * index and report whether `dir` holds a complete index (meta,
+    * shingles AND bands) — the bootstrap check of
+    * [[graft.streaming.StreamingIndexDedup]]; same contract as
+    * [[Retrieval.bm25IndexRecover]]. */
+  def lshIndexRecover(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = Seq(s"$dir/shingles", s"$dir/bands")
+      .map(new org.apache.hadoop.fs.Path(_))
+    val fs = paths.head.getFileSystem(conf)
+    paths.foreach(IndexSwap.recover(fs, _))
+    (new org.apache.hadoop.fs.Path(s"$dir/meta") +: paths).forall(fs.exists)
+  }
+
+  /** [[lshIndexRecover]] for the span index's single window slice. */
+  def spanIndexRecover(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/windows")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, p)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) && fs.exists(p)
+  }
+
   /** Compact a persisted span index's window slice back to one
     * range-partitioned sorted file set (see [[lshIndexCompact]]); the
     * slice stays distinct by construction (appends admit only novel

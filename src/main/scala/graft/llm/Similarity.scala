@@ -643,6 +643,18 @@ object Similarity {
                       dir: String): Unit =
     compactCellSlice(spark, s"$dir/cells")
 
+  /** Heal any interrupted compaction swap and report whether `dir`
+    * holds a complete IVF index (centroids AND cells) — same bootstrap
+    * contract as [[Retrieval.bm25IndexRecover]]. */
+  def ivfIndexRecover(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Boolean = {
+    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, cells)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) &&
+      fs.exists(cells)
+  }
+
   def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
                      excludeSelf: Boolean = false,
                      shuffleBudgetBytes: Long = 32L << 30): DataFrame = {
@@ -1352,6 +1364,16 @@ object Similarity {
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit =
     compactCellSlice(spark, s"$dir/codes")
+
+  /** [[ivfIndexRecover]] for an IVFADC index (codebooks AND codes). */
+  def ivfPqIndexRecover(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Boolean = {
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, codes)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks")) &&
+      fs.exists(codes)
+  }
 
   /** ADC top-k of `queries` against a persisted IVFADC index — row-
     * identical to [[ivfPqKnn]] with the same knobs when `queries` IS the

@@ -36,7 +36,13 @@ object StreamingIndexDedup {
     * batch id. */
   def run(docs: DataFrame, textCol: String, idCol: String, indexDir: String,
           threshold: Double,
-          onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+          onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    // heal any interrupted compaction swap before trusting the index
+    // (see IndexSwap) and refuse to run against an incomplete one —
+    // appending novel docs to a gutted index would silently lose the
+    // pre-crash dedup horizon
+    require(Dedup.lshIndexRecover(docs.sparkSession, indexDir),
+      s"incomplete LSH index at $indexDir (build it first)")
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       // rebuild the lineage before mixing with parquet reads: foreachBatch
@@ -61,4 +67,5 @@ object StreamingIndexDedup {
         onBatch(admitted, batchId)
       }
     })
+  }
 }

@@ -31,7 +31,11 @@ object StreamingSpanCut {
     * receives each batch's cleaned (idCol, textCol) frame (already
     * admitted to the index) and the batch id. */
   def run(docs: DataFrame, textCol: String, idCol: String, indexDir: String,
-          onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+          onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    // heal any interrupted compaction swap, refuse an incomplete index
+    // (same bootstrap contract as StreamingIndexDedup / Bm25Ingest)
+    require(Dedup.spanIndexRecover(docs.sparkSession, indexDir),
+      s"incomplete span index at $indexDir (build it first)")
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       // rebuild the lineage before mixing with parquet reads (see
@@ -55,4 +59,5 @@ object StreamingSpanCut {
         onBatch(cleaned, batchId)
       }
     })
+  }
 }
