@@ -1706,5 +1706,60 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       SELECT query_id, doc_id, score_ppm, rnk FROM (
         SELECT query_id, doc_id, score_ppm,
           row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rnk
-        FROM scored) r WHERE rnk <= 10"""))
+        FROM scored) r WHERE rnk <= 10""")) :+ QueryDef(
+    // positional EXACT-PHRASE search (Retrieval.phraseTopK): a phrase
+    // occurs at document position a iff every phrase offset i matches a
+    // posting at a+i, so anchors = pos - off grouped per (query, doc,
+    // anchor) counting DISTINCT offsets — one broadcast semi-join + one
+    // anchor shuffle, never all positions of all documents. Queries =
+    // tokens 2..4 of every 50th document (guaranteed self-match at
+    // anchor 1). The oracle re-derives the identical anchor pipeline
+    // over DuckDB's lockstep unnest positions.
+    "llm_phrase_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+      Retrieval.phraseTopK(docs, queries, k = 10)
+    },
+    Some(phraseOracleSql)) :+ QueryDef(
+    // the persisted positional index must be row-identical to the
+    // ad-hoc phrase search over the same corpus — oracle reused
+    // verbatim (the bm25/ivf index-pinning discipline)
+    "llm_phrase_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-phrase-index-").toString
+      val docs = t(s, dir, "documents")
+      Retrieval.phraseBuildIndex(docs, "text", "doc_id", idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+      Retrieval.phraseSearchIndex(queries, idx, k = 10)
+    },
+    Some(phraseOracleSql))
+
+  /** def, not val: referenced from the `defs` initializer above — a val
+    * declared below it would still be null at that point. */
+  private def phraseOracleSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      posts AS (SELECT * FROM (
+          SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x
+        WHERE term <> ''),
+      q AS (SELECT * FROM (
+          SELECT query_id, unnest(qk) AS term, unnest(range(len(qk))) AS off
+          FROM (SELECT doc_id AS query_id, tk[2:4] AS qk FROM tk
+                WHERE doc_id % 50 = 0) y) z
+        WHERE term <> ''),
+      qlen AS (SELECT query_id, COUNT(DISTINCT off) AS m FROM q GROUP BY 1),
+      anchors AS (SELECT q.query_id, p.doc_id, p.pos - q.off AS anchor,
+          COUNT(DISTINCT q.off) AS hits
+        FROM q JOIN posts p ON q.term = p.term GROUP BY 1, 2, 3),
+      occ AS (SELECT a.query_id, a.doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+        FROM anchors a JOIN qlen l ON a.query_id = l.query_id
+        WHERE a.hits = l.m GROUP BY 1, 2)
+      SELECT query_id, doc_id, phrase_tf, rnk FROM (
+        SELECT query_id, doc_id, phrase_tf,
+          row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id) AS rnk
+        FROM occ) r WHERE rnk <= 10"""
 }

@@ -360,6 +360,98 @@ object Retrieval {
     scoreTopK(qTerms, postings, dfreq, nDocs, k)
   }
 
+  // ---- positional phrase search ---------------------------------------
+
+  /** (id, term, pos) with positions indexed over the ORIGINAL token
+    * array (empties dropped after positioning, so adjacency is
+    * preserved exactly as written). */
+  private def positionalTokens(df: DataFrame, id: String, textCol: String) =
+    df.select(col(id), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Shared anchor pipeline of the ad-hoc and persisted-index phrase
+    * paths. `qTerms` carries (query_id, off, term) — the phrase's terms
+    * with their offsets; `posts` (doc_id, term, pos), already
+    * query-term-restricted. A phrase occurrence at document position a
+    * exists iff every phrase offset i matches a posting at a + i, so
+    * anchors = pos - off grouped per (query, doc, anchor) counting
+    * DISTINCT offsets (repeated terms in a phrase — "a a" — make one
+    * posting hit several offsets; distinct-ness keeps the test exact).
+    * phrase_tf = number of complete anchors per document; ranking by
+    * (phrase_tf desc, doc_id asc) through the map-capped TopKPerKey.
+    *
+    * Scale shape: ONE broadcast semi-join prunes the corpus to
+    * query-relevant postings, then one shuffle on (query_id, doc_id,
+    * anchor) — never all positions of all documents; phrase length only
+    * multiplies the pruned join fan-out, not the shuffle key space. */
+  private def phraseRank(qTerms: DataFrame, posts: DataFrame, k: Int): DataFrame = {
+    val qLen = qTerms.groupBy(col("query_id"))
+      .agg(countDistinct(col("off")).as("m"))
+    val scored = qTerms
+      .join(posts, "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("off"))
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("hits"))
+      .join(broadcast(qLen), "query_id")
+      .filter(col("hits") === col("m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"))
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("phrase_tf").desc, col("doc_id").asc),
+      k = k, rankName = "rnk")
+  }
+
+  /** Top-`k` documents per EXACT PHRASE query: documents containing the
+    * query's tokens consecutively, ranked by occurrence count. Queries
+    * carry `query_id` and `qtext` (the phrase, same tokenization as the
+    * corpus). */
+  def phraseTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qTerms = positionalTokens(queries, "query_id", "qtext")
+      .withColumnRenamed("pos", "off")
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val posts = positionalTokens(docs, "doc_id", "text")
+      .join(broadcast(qTermSet), "term")
+    phraseRank(qTerms, posts, k)
+  }
+
+  /** Build a persisted POSITIONAL index under `dir`: (term, doc_id,
+    * pos) in the same term-hash-bucketed, term-sorted layout as the
+    * BM25 postings — the artifact phrase search prunes instead of
+    * re-tokenizing the corpus per query batch. Positions make it ~dl/|V|
+    * larger per document than the tf postings; deployments that never
+    * phrase-search skip building it. */
+  def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
+                       dir: String): Unit = {
+    val spark = docs.sparkSession
+    positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol)
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/positions")
+  }
+
+  /** [[phraseTopK]] against a persisted positional index — row-identical
+    * over the same corpus (the gated query reuses the ad-hoc oracle
+    * verbatim). Same pruning discipline as [[bm25SearchIndex]]: bounded
+    * bucket collect → catalog pruning → broadcast term semi-join. */
+  def phraseSearchIndex(queries: DataFrame, dir: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qTerms = positionalTokens(queries, "query_id", "qtext")
+      .withColumnRenamed("pos", "off")
+      .localCheckpoint(true)
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0))
+    val posts = spark.read.parquet(s"$dir/positions")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .select(col("doc_id"), col("term"), col("pos"))
+    phraseRank(qTerms, posts, k)
+  }
+
   // ---- length-normalized (classic k1/b) scoring ------------------------
 
   /** The classic real-valued BM25 scoring tail: Lucene-smoothed idf

@@ -244,6 +244,50 @@ class RetrievalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ---- positional phrase search ---------------------------------------
+
+  test("phrase search matches consecutive tokens only, in order") {
+    val q = Seq((1L, "the cat")).toDF("query_id", "qtext")
+    val corpus = docs.union(Seq((10L, "cat the sat")).toDF("doc_id", "text"))
+    val got = Retrieval.phraseTopK(corpus, q, k = 10)
+      .select($"doc_id", $"phrase_tf").as[(Long, Long)].collect().toMap
+    // doc 0 has 'the cat' consecutively; doc 10 has both words reversed
+    assert(got == Map(0L -> 1L))
+  }
+
+  test("repeated-term phrases: 'a a' occurs twice in 'a a a' (overlaps count)") {
+    val corpus = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val q = Seq((1L, "a a")).toDF("query_id", "qtext")
+    val got = Retrieval.phraseTopK(corpus, q, k = 10)
+      .select($"doc_id", $"phrase_tf", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
+
+  test("phrase ranking: more occurrences rank higher, ties by doc_id") {
+    val corpus = Seq(
+      (1L, "x y z x y"), (2L, "x y x y x y"), (3L, "x y")
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "x y")).toDF("query_id", "qtext")
+    val got = Retrieval.phraseTopK(corpus, q, k = 10)
+      .orderBy($"rnk").select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L, 3L)) // tf 3, 2, 1
+  }
+
+  test("phrase index search is row-identical to the ad-hoc phrase search") {
+    val dir = freshDir()
+    Retrieval.phraseBuildIndex(docs, "text", "doc_id", dir)
+    val q = Seq((1L, "the cat"), (2L, "sat on"), (3L, "zebra zebra"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val fromIndex = rows(Retrieval.phraseSearchIndex(q, dir, k = 10))
+    assert(fromIndex == rows(Retrieval.phraseTopK(docs, q, k = 10)))
+    assert(fromIndex.nonEmpty)
+    // 'zebra zebra' occurs in doc 2 ('zebra zebra zebra' -> 2 overlaps)
+    assert(fromIndex.contains((3L, 2L, 2L, 1)))
+  }
+
   // ---- hot-term df/N cap ----------------------------------------------
 
   test("df cap: non-degenerate queries are ranking-identical with the cap on") {
