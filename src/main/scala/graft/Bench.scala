@@ -37,9 +37,11 @@ object Bench {
     // BPE train+encode (8 merges over the corpus histogram), and the
     // banded interval join
     "llm_bm25_index", "llm_bpe_encode", "q53_interval_join",
-    // round 10: the df/N-capped index search and the hybrid
+    // round 10: the df/N-capped index search, the lossless max-score
+    // search, the positional phrase family, and the hybrid
     // long-interval join
-    "llm_bm25_capped", "q54_interval_join_hybrid")
+    "llm_bm25_capped", "llm_bm25_maxscore", "llm_phrase_topk",
+    "llm_phrase_index", "llm_bpe_encode_fast", "q54_interval_join_hybrid")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -1724,6 +1724,27 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       Retrieval.phraseTopK(docs, queries, k = 10)
     },
     Some(phraseOracleSql)) :+ QueryDef(
+    // LOSSLESS max-score two-phase search: unlike the df/N cap (which
+    // deletes hot terms), this is row-identical to the uncapped exact
+    // search — rare terms score exactly, hot terms are admitted only
+    // for candidates the stats-derived upper bound cannot exclude, and
+    // queries where the bound can't close fall back to full scoring.
+    // Pinned by reusing llm_bm25_topk's oracle VERBATIM: exactness is
+    // the whole point. documents' terms sit at df 0.75-0.8, so at
+    // hotDfFrac = 0.5 most query terms are hot and both the pruned and
+    // fallback legs execute.
+    "llm_bm25_maxscore",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-ms-").toString
+      val docs = t(s, dir, "documents")
+      Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      Retrieval.bm25SearchIndexMaxScore(queries, idx, k = 10, hotDfFrac = 0.5)
+    },
+    baseDefs.find(_.name == "llm_bm25_topk")
+      .flatMap(_.oracle)) :+ QueryDef(
     // the persisted positional index must be row-identical to the
     // ad-hoc phrase search over the same corpus — oracle reused
     // verbatim (the bm25/ivf index-pinning discipline)

@@ -141,6 +141,13 @@ object SoakBm25Index {
       .count()
     val hotCappedSec = (System.nanoTime() - t0) / 1e9
     val hotCappedBytes = settleBytes() - beforeCap
+    // the LOSSLESS alternative: exact results, hot postings joined only
+    // against the bound-surviving candidates — wall sits between the
+    // full scan and the (approximating) cap
+    t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25SearchIndexMaxScore(hotQ, hotDir, k = 10,
+      hotDfFrac = 0.25).count()
+    val hotMaxScoreSec = (System.nanoTime() - t0) / 1e9
 
     println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
       s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
@@ -153,7 +160,8 @@ object SoakBm25Index {
       s""""hot_term_uncapped_bytes":$hotUncappedBytes,""" +
       s""""hot_term_uncapped_sec":${f"$hotUncappedSec%.1f"},""" +
       s""""hot_term_capped_bytes":$hotCappedBytes,""" +
-      s""""hot_term_capped_sec":${f"$hotCappedSec%.1f"}}""")
+      s""""hot_term_capped_sec":${f"$hotCappedSec%.1f"},""" +
+      s""""hot_term_maxscore_sec":${f"$hotMaxScoreSec%.1f"}}""")
     spark.stop()
   }
 }

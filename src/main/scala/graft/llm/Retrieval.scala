@@ -360,6 +360,143 @@ object Retrieval {
     scoreTopK(qTerms, postings, dfreq, nDocs, k)
   }
 
+  // ---- lossless max-score (WAND-style) two-phase search ----------------
+
+  /** EXACT top-k against a persisted index while touching hot-term
+    * postings only for a bounded candidate set — the lossless
+    * counterpart of the [[bm25SearchIndex]] df/N cap (which
+    * approximates by deleting hot terms). The classic max-score /
+    * WAND argument, rendered for a batch engine:
+    *
+    *  1. split query terms at `hotDfFrac`: rare terms score exactly
+    *     (phase 1), hot terms get an UPPER BOUND from the stats slice
+    *     (ub = contribution at max_tf — the score expression is
+    *     monotonic in tf, every quantity integer-exact);
+    *  2. θ_q = the k-th best phase-1 score. Any document's final score
+    *     is its phase-1 score plus at most Σ ub(hot terms of q), so
+    *     docs with score1 < θ_q − Σub can never displace the top k
+    *     (strictly: the k phase-1 leaders already hold final ≥ θ_q),
+    *     and docs with NO rare term top out at Σub < θ_q;
+    *  3. hot postings are read bucket-pruned and joined ONLY against
+    *     the surviving candidates (broadcast — candidate count is
+    *     within Σub of the k-th score, small when hot terms carry the
+    *     near-zero idf that made them hot), exact scores re-rank.
+    *
+    * Queries where the bound cannot close (< k phase-1 docs, or
+    * Σub >= θ_q — a no-rare-term doc could tie into the top k) fall
+    * back to the full exact scoring, so the result is ROW-IDENTICAL to
+    * [[bm25SearchIndex]] with no cap for EVERY query — the gated
+    * llm_bm25_maxscore reuses llm_bm25_topk's oracle verbatim to pin
+    * exactly that. */
+  def bm25SearchIndexMaxScore(queries: DataFrame, dir: String, k: Int,
+                              hotDfFrac: Double = 0.1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(hotDfFrac > 0.0 && hotDfFrac <= 1.0, "hotDfFrac must be in (0, 1]")
+    val qTerms = tokens(queries, "query_id", "qtext").distinct()
+      .localCheckpoint(true)
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+
+    // per-query-term stats — bounded collect (<= #query terms)
+    val termStats = spark.read.parquet(s"$dir/stats")
+      .filter(col("term_pt").isInCollection(hitBuckets))
+      .join(broadcast(qTermSet), "term")
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def idfPpm(df: Long): Long = ((2 * n - 2 * df + 1) * 1000000L) / (2 * df + 1)
+    def contribOf(df: Long, tf: Long): Long =
+      idfPpm(df) * ((tf * 1000L) / (tf + 2)) / 1000L
+    val hot = termStats.filter { case (_, (df, _)) => df > hotDfFrac * n }
+    if (hot.isEmpty) return bm25SearchIndex(queries, dir, k)
+    val hotUb = hot.map { case (t, (df, maxTf)) => t -> contribOf(df, maxTf) }
+    val hotTerms = hot.keySet.toSeq
+
+    // Σub per query over ITS hot terms (distributed; no per-query collect)
+    val ubDf = hotUb.toSeq.toDF("term", "ub")
+    val qUb = qTerms.join(broadcast(ubDf), "term")
+      .groupBy(col("query_id")).agg(sum(col("ub")).as("ub_hot"))
+
+    // phase 1: exact scoring over rare terms only
+    val rareQTerms = qTerms.filter(!col("term").isInCollection(hotTerms))
+    val rarePostings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_pt").isInCollection(hitBuckets))
+      .join(broadcast(rareQTerms.select(col("term")).distinct()), "term")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val rareDf = rarePostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = spark.read.parquet(s"$dir/meta").select(col("n"))
+    val scored1 = rareQTerms
+      .join(rarePostings, "term")
+      .join(broadcast(rareDf), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("contrib_ppm", expr(
+        "(((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1))" +
+          " * ((tf * 1000) div (tf + 2)) div 1000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score1"))
+      .localCheckpoint(true) // feeds θ, the candidate cut, and rescoring
+
+    // θ_q = k-th phase-1 score; absent when a query scored < k docs
+    val theta = graft.plans.TopKPerKey(scored1,
+        keys = Seq(col("query_id")),
+        order = Seq(col("score1").desc, col("doc_id").asc),
+        k = k, rankName = "r1")
+      .filter(col("r1") === k)
+      .select(col("query_id"), col("score1").as("theta"))
+
+    // per-query verdict: prune (bound closes) or fall back
+    val verdict = qTerms.select(col("query_id")).distinct()
+      .join(theta, Seq("query_id"), "left")
+      .join(qUb, Seq("query_id"), "left")
+      .withColumn("ub_hot", coalesce(col("ub_hot"), lit(0L)))
+      .withColumn("prune",
+        col("theta").isNotNull && col("ub_hot") < col("theta"))
+      .localCheckpoint(true) // one row per query — bounded
+    val fallbackIds = verdict.filter(!col("prune")).select(col("query_id"))
+    val pruneMeta = broadcast(
+      verdict.filter(col("prune"))
+        .select(col("query_id"), col("theta"), col("ub_hot")))
+
+    // candidates: phase-1 docs within Σub of θ — exact final scores are
+    // score1 + hot contributions, joined candidate-first so hot
+    // postings shrink to candidate rows before any aggregation
+    val candidates = scored1.join(pruneMeta, "query_id")
+      .filter(col("score1") >= col("theta") - col("ub_hot"))
+      .select(col("query_id"), col("doc_id"), col("score1"))
+      .localCheckpoint(true) // bounded: within Σub of the k-th score
+    val hotQTerms = qTerms.filter(col("term").isInCollection(hotTerms))
+      .join(pruneMeta.select(col("query_id")), "query_id")
+    val hotDfDf = hot.toSeq.map { case (t, (df, _)) => (t, df) }.toDF("term", "hdf")
+    val candKeys = candidates
+      .select(col("query_id").as("c_qid"), col("doc_id").as("c_did")).distinct()
+    val hotContrib = spark.read.parquet(s"$dir/postings")
+      .filter(col("term_pt").isInCollection(hitBuckets))
+      .join(broadcast(hotQTerms), "term")
+      .join(broadcast(candKeys),
+        col("query_id") === col("c_qid") && col("doc_id") === col("c_did"))
+      .join(broadcast(hotDfDf), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("contrib_ppm", expr(
+        "(((2 * n - 2 * hdf + 1) * 1000000) div (2 * hdf + 1))" +
+          " * ((tf * 1000) div (tf + 2)) div 1000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("hot_sum"))
+    val prunedFinal = graft.plans.TopKPerKey(
+      candidates.join(hotContrib, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          (col("score1") + coalesce(col("hot_sum"), lit(0L))).as("score_ppm")),
+      keys = Seq(col("query_id")),
+      order = Seq(col("score_ppm").desc, col("doc_id").asc),
+      k = k, rankName = "rnk")
+
+    // fallback queries run the plain full exact search
+    val fallbackQueries = queries.join(broadcast(fallbackIds), "query_id")
+    prunedFinal.unionByName(bm25SearchIndex(fallbackQueries, dir, k))
+  }
+
   // ---- positional phrase search ---------------------------------------
 
   /** (id, term, pos) with positions indexed over the ORIGINAL token

@@ -244,6 +244,54 @@ class RetrievalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ---- lossless max-score two-phase search -----------------------------
+
+  test("max-score search is row-identical to the plain index search") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    // mixed queries: rare-only, hot+rare, hot-only ('the' df 3/5 = 0.6
+    // is hot at 0.5), and no-match — every verdict path exercised
+    val q = Seq((1L, "zebra"), (2L, "the cat"), (3L, "the"),
+      (4L, "cat dog zebra the"), (5L, "nothing here"))
+      .toDF("query_id", "qtext")
+    for (k <- Seq(1, 2, 10)) {
+      val exact = rows(Retrieval.bm25SearchIndex(q, dir, k))
+      val ms = rows(Retrieval.bm25SearchIndexMaxScore(q, dir, k,
+        hotDfFrac = 0.5))
+      assert(ms == exact, s"k=$k")
+      assert(exact.nonEmpty)
+    }
+  }
+
+  test("max-score pruning engages and stays exact on a hot-heavy corpus") {
+    val dir = freshDir()
+    // 400 docs with a universal stopword + distinctive rare terms:
+    // theta from rare terms is high, sum-ub of the stopword is low
+    spark.range(400L)
+      .selectExpr("id AS doc_id",
+        "concat('stop w', id % 40, ' w', id % 40, ' w', id % 40) AS text")
+      .createOrReplaceTempView("_ms_corpus")
+    val corpus = spark.table("_ms_corpus")
+    Retrieval.bm25BuildIndex(corpus, "text", "doc_id", dir)
+    val q = (0L until 10L).map(i => (i, s"stop w${i * 3}"))
+      .toDF("query_id", "qtext")
+    val exact = rows(Retrieval.bm25SearchIndex(q, dir, k = 5))
+    val ms = rows(Retrieval.bm25SearchIndexMaxScore(q, dir, k = 5,
+      hotDfFrac = 0.5))
+    assert(ms == exact && exact.nonEmpty)
+
+    // the pruning must actually ENGAGE here (no silent always-fallback:
+    // rare-term theta is high — every query has 10 exact-copy docs —
+    // while the stopword's sum-ub is the near-zero idf of df = 1.0n),
+    // pinned by the plan: the pruned leg's hot-postings join is against
+    // a BROADCAST candidate set, which only exists when pruning ran
+    val ms2 = Retrieval.bm25SearchIndexMaxScore(q, dir, k = 5, hotDfFrac = 0.5)
+    ms2.collect()
+    val plan = ms2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
   // ---- positional phrase search ---------------------------------------
 
   test("phrase search matches consecutive tokens only, in order") {
