@@ -41,7 +41,9 @@ object Bench {
     // search, the positional phrase family, and the hybrid
     // long-interval join
     "llm_bm25_capped", "llm_bm25_maxscore", "llm_phrase_topk",
-    "llm_phrase_index", "llm_bpe_encode_fast", "q54_interval_join_hybrid")
+    "llm_phrase_index", "llm_bpe_encode_fast", "q54_interval_join_hybrid",
+    // the CCNet-style LM quality scorer and its persisted-model twin
+    "llm_lm_score", "llm_lm_index")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

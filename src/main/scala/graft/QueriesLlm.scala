@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
-import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Sampling, Similarity}
+import graft.llm.{Bpe, Dedup, Lm, Multimodal, Retrieval, Sampling, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -1758,7 +1758,70 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
       Retrieval.phraseSearchIndex(queries, idx, k = 10)
     },
-    Some(phraseOracleSql))
+    Some(phraseOracleSql)) :+ QueryDef(
+    // CCNet-style n-gram LM quality scoring (Lm.lmScore): bigram +
+    // unigram counts with stupid backoff, every step integer
+    // fixed-point (ppm with floor division) so the score is hash-exact
+    // across engines. Train split = even doc ids, score = the whole
+    // corpus — odd documents exercise the unseen-context backoff and
+    // unseen-token zero paths. The oracle re-derives counts and the
+    // three-branch contribution CASE verbatim over DuckDB's lockstep
+    // unnest positions.
+    "llm_lm_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Lm.lmScore(docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+        "text", "doc_id")
+    },
+    Some(lmOracleSql)) :+ QueryDef(
+    // the persisted LM lifecycle: build on one train half, append the
+    // other (generations fold on read), compact through the crash-safe
+    // swap, completeness-check, score against the folded model — must
+    // be row-identical to the ad-hoc path over the same training
+    // corpus (%4 in {0,2} == %2 == 0), so the oracle is reused
+    // VERBATIM (the bm25/ivf index-pinning discipline)
+    "llm_lm_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-lm-index-").toString
+      val docs = t(s, dir, "documents")
+      Lm.lmBuildIndex(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", "doc_id", idx)
+      Lm.lmIndexAppend(docs.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "text", "doc_id", idx)
+      Lm.lmIndexCompact(s, idx)
+      require(Lm.lmIndexRecover(s, idx), "complete LM index expected")
+      Lm.lmScoreIndex(docs, "text", "doc_id", idx)
+    },
+    Some(lmOracleSql))
+
+  /** DuckDB twin of Lm.lmScore with train = doc_id % 2 = 0: counts over
+    * lockstep-unnest token positions, prev via a pos-1 self-join, the
+    * same three-branch fixed-point contribution, floor division
+    * everywhere (`//` == Spark `div` on nonnegative operands). */
+  private def lmOracleSql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+      rs AS (SELECT doc_id, term, pos FROM (
+          SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
+      tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
+      uni AS (SELECT term, COUNT(*) AS c1 FROM tr GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t FROM uni),
+      bi AS (SELECT a.term AS prev, b.term AS term, COUNT(*) AS c2
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      sc AS (SELECT r.doc_id, r.pos, p.term AS prev, r.term
+        FROM rs r LEFT JOIN rs p ON p.doc_id = r.doc_id AND p.pos = r.pos - 1),
+      contrib AS (SELECT s.doc_id,
+          CASE WHEN s.pos = 0 THEN COALESCE((u2.c1 * 1000000) // t.t, 0)
+               WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 1000000) // u1.c1
+               ELSE COALESCE((u2.c1 * 400000) // t.t, 0) END AS c
+        FROM sc s
+        LEFT JOIN bi ON bi.prev = s.prev AND bi.term = s.term
+        LEFT JOIN uni u1 ON u1.term = s.prev
+        LEFT JOIN uni u2 ON u2.term = s.term
+        CROSS JOIN tot t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+        CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_score_ppm
+      FROM contrib GROUP BY doc_id"""
 
   /** def, not val: referenced from the `defs` initializer above — a val
     * declared below it would still be null at that point. */

@@ -1,0 +1,269 @@
+package graft.llm
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet-style corpus
+  * filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", 2020): train a count LM on a trusted
+  * reference split, score every candidate document by how predictable
+  * its token stream is under that model, and keep/bucket documents by
+  * the score. Bigram + unigram counts with STUPID BACKOFF smoothing
+  * (Brants et al., "Large Language Models in Machine Translation",
+  * 2007 — the backoff designed for exactly this distributed count-based
+  * setting: no discounting pass, score quality approaches Kneser–Ney as
+  * counts grow).
+  *
+  * Scoring is INTEGER-EXACT on purpose (the [[Retrieval]] BM25
+  * discipline): per-token "probability" in parts-per-million with
+  * floor division at every step, so the result is bit-identical across
+  * engines and row orders and the operator stays DuckDB-oracle-
+  * checkable (log-space floats would hash-mismatch on summation order).
+  * For token position i of a document (tokens split on single spaces,
+  * empties dropped before adjacency):
+  *
+  *  - i = 0 (no context):          c1(w) * 1e6  div T
+  *  - c2(prev, w) > 0:             c2(prev, w) * 1e6 div c1(prev)
+  *  - else (backoff, alpha = 0.4): c1(w) * 4e5  div T
+  *
+  * with 0 for unseen tokens. Document score = sum(contrib) div ntok —
+  * a mean per-token predictability in ppm (high = fluent under the
+  * reference model, low = gibberish/boilerplate/wrong-language), the
+  * quality signal CCNet thresholds into head/middle/tail buckets.
+  * Exact while T * 1e6 < 2^63, i.e. models up to ~9.2e12 training
+  * tokens per shard; past that, shard the model and sum scores.
+  *
+  * Scale shape (100 TB):
+  *  - training = two groupBy shuffles over the train token stream
+  *    (unigrams, bigram pairs), both map-side combined; the model is
+  *    vocabulary-sized, orders of magnitude smaller than the corpus;
+  *  - scoring pre-aggregates the candidate stream to per-document
+  *    DISTINCT (prev, term) pairs with multiplicity, so each document
+  *    joins each of its pairs once however often it repeats (floor'd
+  *    contributions of identical pairs are equal — multiplying by m is
+  *    exact);
+  *  - the three count joins (bigram, context unigram, token unigram)
+  *    broadcast when the model fits the budget and fall back to
+  *    shuffle joins keyed by the model side otherwise; count tables
+  *    never shuffle corpus-sized data;
+  *  - the persisted-index form prunes both count slices to the scored
+  *    batch's term buckets at the catalog level before reading — a
+  *    small batch against a 100-TB-trained model reads only its own
+  *    terms' slices.
+  *
+  * Reference analog: none (the reference has no analytical layer);
+  * part of the LLM-data extension surface (SURVEY.md "LLM-data
+  * extension"), sitting beside the heuristic `llm_quality_score` as
+  * the model-based quality signal.
+  */
+object Lm {
+
+  /** Same catalog-pruning bucket space as [[Retrieval.TermBuckets]]. */
+  val TermBuckets = 256
+
+  private def bucket(c: Column): Column =
+    pmod(xxhash64(c), lit(TermBuckets)).cast("int")
+
+  /** (doc_id, first, prev, term) per token: prev = preceding token
+    * AFTER empty removal (adjacency over the cleaned stream), null at
+    * position 0. Built map-side from the token array — zip with its
+    * null-prefixed shift — so no positional self-join ever shuffles.
+    * The zip/slice operators are O(len) per row (no per-element lambda
+    * over a recomputed split — the interpreted-HOF trap). */
+  private def pairRows(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), posexplode(zip_with(
+        col("tk"),
+        // null-prefixed shift: zip index i pairs token i with token
+        // i-1; the one-longer right array adds a trailing (null, last)
+        // row dropped by the term filter
+        concat(array(lit(null).cast("string")), col("tk")),
+        (t, p) => struct(t.as("term"), p.as("prev")))).as(Seq("p0", "tp")))
+      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"), (col("p0") === 0).as("first"),
+        col("tp.prev").as("prev"), col("tp.term").as("term"))
+  }
+
+  /** (unigrams (term, c1), bigrams (prev, term, c2), total (t)) of a
+    * training corpus — all lazy frames, no driver materialization. */
+  private def counts(train: DataFrame, textCol: String, idCol: String) = {
+    val rows = pairRows(train, textCol, idCol)
+    val uni = rows.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val bi = rows.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    val total = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("t"))
+    (uni, bi, total)
+  }
+
+  /** Shared scoring tail of the ad-hoc and persisted-index paths.
+    * `uni` (term, c1), `bi` (prev, term, c2), `total` one row (t). */
+  private def scoreWith(docs: DataFrame, textCol: String, idCol: String,
+                        uni: DataFrame, bi: DataFrame,
+                        total: DataFrame): DataFrame = {
+    val rows = pairRows(docs, textCol, idCol)
+      .groupBy(col("doc_id"), col("first"), col("prev"), col("term"))
+      .agg(count(lit(1)).as("m"))
+    val uniPrev = uni.select(col("term").as("prev"), col("c1").as("c1_prev"))
+    val uniTerm = uni.select(col("term"), col("c1").as("c1_term"))
+    rows
+      .join(bi, Seq("prev", "term"), "left")
+      .join(uniPrev, Seq("prev"), "left")
+      .join(uniTerm, Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      // c1_prev >= c2 > 0 whenever the bigram branch fires (both counts
+      // come from the same training rows), so no ANSI zero-division;
+      // unseen tokens null out the arithmetic and coalesce to 0
+      .withColumn("contrib_ppm",
+        when(col("first"), coalesce(expr("(c1_term * 1000000) div t"), lit(0L)))
+          .when(col("c2").isNotNull, expr("(c2 * 1000000) div c1_prev"))
+          .otherwise(coalesce(expr("(c1_term * 400000) div t"), lit(0L))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("ntok"),
+        sum(col("m") * col("contrib_ppm")).as("s"))
+      .select(col("doc_id"), col("ntok"),
+        expr("s div ntok").as("lm_score_ppm"))
+  }
+
+  /** Score `docs` under a model trained ad-hoc on `train` — one row
+    * (doc_id, ntok, lm_score_ppm) per document with at least one
+    * token. The build-once/query-many form is [[lmBuildIndex]] /
+    * [[lmScoreIndex]]; this path re-counts the training corpus per
+    * call, which an index retires at scale. */
+  def lmScore(train: DataFrame, docs: DataFrame, textCol: String,
+              idCol: String): DataFrame = {
+    val (uni, bi, total) = counts(train, textCol, idCol)
+    scoreWith(docs, textCol, idCol, uni, bi, total)
+  }
+
+  /** Persist an LM count model under `dir`:
+    *
+    *  - `unigrams/` (term, c1) partitioned by `term_pt`;
+    *  - `bigrams/` (prev, term, c2) partitioned by `prev_pt` — both
+    *    hash-bucketed so scoring prunes to a batch's terms at the
+    *    catalog level ([[Retrieval.bm25BuildIndex]] discipline);
+    *  - `meta` one row (t, n_docs), written LAST as the commit marker
+    *    (a crash mid-build leaves counts without meta, which reads as
+    *    "no index" — never the reverse).
+    *
+    * Appends lay generation rows beside existing ones (counts are
+    * additive; reads fold with sum), so no read-modify-write. */
+  def lmBuildIndex(train: DataFrame, textCol: String, idCol: String,
+                   dir: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val (uni, bi, total) = counts(train, textCol, idCol)
+    bi.withColumn("prev_pt", bucket(col("prev")))
+      // AQE-sized: the model is vocabulary-sized — a fixed N-way
+      // exchange would mint N x 256 near-empty bucket files
+      .repartition(col("prev_pt"))
+      .sortWithinPartitions(col("prev"), col("term"))
+      .write.mode("overwrite").partitionBy("prev_pt").parquet(s"$dir/bigrams")
+    uni.withColumn("term_pt", bucket(col("term")))
+      .repartition(col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/unigrams")
+    val t = total.head().getLong(0)
+    Seq((t, train.count())).toDF("t", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a training batch's counts as a new generation: count rows
+    * land beside the existing ones (reads fold with sum — exact, counts
+    * are additive), meta totals advance. Old totals are read BEFORE any
+    * write ([[Retrieval.bm25IndexAppend]] ordering), meta lands last. */
+  def lmIndexAppend(train: DataFrame, textCol: String, idCol: String,
+                    dir: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val meta0 = spark.read.parquet(s"$dir/meta").head()
+    val (oldT, oldN) = (meta0.getLong(0), meta0.getLong(1))
+    val (uni, bi, total) = counts(train, textCol, idCol)
+    bi.withColumn("prev_pt", bucket(col("prev")))
+      .repartition(col("prev_pt"))
+      .sortWithinPartitions(col("prev"), col("term"))
+      .write.mode("append").partitionBy("prev_pt").parquet(s"$dir/bigrams")
+    uni.withColumn("term_pt", bucket(col("term")))
+      .repartition(col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/unigrams")
+    val batchT = total.head().getLong(0)
+    Seq((oldT + batchT, oldN + train.count())).toDF("t", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold append generations back to one row per n-gram through the
+    * crash-safe [[IndexSwap]] protocol. `minBigramCount` > 1 applies
+    * the classic count-cutoff model pruning (Brants et al. §4: drop
+    * rare bigrams, let those contexts fall to backoff) — an explicit
+    * APPROXIMATION that shrinks the model, off by default; unigrams are
+    * never pruned (backoff mass and T depend on them). */
+  def lmIndexCompact(spark: SparkSession, dir: String,
+                     minBigramCount: Long = 1L): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val biP = new Path(s"$dir/bigrams")
+    val fs = biP.getFileSystem(conf)
+    val biTmp = IndexSwap.prepare(fs, biP)
+    spark.read.parquet(biP.toString)
+      .groupBy(col("prev"), col("term"), col("prev_pt"))
+      .agg(sum(col("c2")).as("c2"))
+      .filter(col("c2") >= minBigramCount)
+      .repartition(col("prev_pt"))
+      .sortWithinPartitions(col("prev"), col("term"))
+      .write.mode("overwrite").partitionBy("prev_pt").parquet(biTmp.toString)
+    IndexSwap.commit(fs, biP)
+    val uniP = new Path(s"$dir/unigrams")
+    val uniTmp = IndexSwap.prepare(fs, uniP)
+    spark.read.parquet(uniP.toString)
+      .groupBy(col("term"), col("term_pt"))
+      .agg(sum(col("c1")).as("c1"))
+      .repartition(col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(uniTmp.toString)
+    IndexSwap.commit(fs, uniP)
+  }
+
+  /** Heal any interrupted compaction swap and report whether `dir`
+    * holds a complete model (meta AND both count slices) — ingest
+    * bootstraps call this before choosing append over build. */
+  def lmIndexRecover(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val biP = new Path(s"$dir/bigrams")
+    val fs = biP.getFileSystem(conf)
+    IndexSwap.recover(fs, biP)
+    IndexSwap.recover(fs, new Path(s"$dir/unigrams"))
+    fs.exists(new Path(s"$dir/meta")) && fs.exists(biP) &&
+      fs.exists(new Path(s"$dir/unigrams"))
+  }
+
+  /** Score `docs` against a persisted model — row-identical to
+    * [[lmScore]] over the same training corpus (the llm_lm_index
+    * oracle reuses llm_lm_score's DuckDB twin verbatim to pin that).
+    * The scored batch's distinct terms drive catalog pruning on both
+    * count slices (bounded <= [[TermBuckets]] bucket collect) and a
+    * broadcast semi-join drops non-batch model rows at the scan; T
+    * comes from meta (the FULL training total — pruned unigram rows
+    * must not shrink it). */
+  def lmScoreIndex(docs: DataFrame, textCol: String, idCol: String,
+                   dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val batchTerms = pairRows(docs, textCol, idCol)
+      .select(col("term")).distinct()
+      .localCheckpoint(true) // feeds the bucket collect and both semi-joins
+    val hitBuckets = batchTerms.select(bucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val uni = spark.read.parquet(s"$dir/unigrams")
+      .filter(col("term_pt").isInCollection(hitBuckets))
+      .join(broadcast(batchTerms), "term")
+      .groupBy(col("term")).agg(sum(col("c1")).as("c1"))
+    val bi = spark.read.parquet(s"$dir/bigrams")
+      .filter(col("prev_pt").isInCollection(hitBuckets))
+      .join(broadcast(batchTerms.select(col("term").as("prev"))), "prev")
+      .join(broadcast(batchTerms), "term")
+      .groupBy(col("prev"), col("term")).agg(sum(col("c2")).as("c2"))
+    val total = spark.read.parquet(s"$dir/meta").select(col("t"))
+    scoreWith(docs, textCol, idCol, uni, bi, total)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Lm]]: CCNet-style bigram/stupid-backoff quality scoring, the
+  * integer fixed-point arithmetic hand-checked, and the persisted model
+  * lifecycle (build/append/compact/recover) pinned row-identical to the
+  * ad-hoc path. */
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // train = even ids (the oracle's doc_id % 2 = 0 discipline)
+  private lazy val corpus = Seq(
+    (0L, "a b a"),
+    (1L, "b c"),
+    (2L, "a b"),
+    (3L, "a a"),
+    (4L, ""),
+    (5L, "a b a b")
+  ).toDF("doc_id", "text")
+  private lazy val train = corpus.filter($"doc_id" % 2 === 0)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-lm-spec-").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select($"doc_id", $"ntok", $"lm_score_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+
+  // Hand-derivation. Train rows: d0 [a b a], d2 [a b], d4 [] ->
+  // T = 5, c1: a=3 b=2; c2: (a,b)=2 (b,a)=1.
+  //  d0 "a b a":   600000 + 2000000 div 3 + 500000 = 1766666 -> div 3 = 588888
+  //  d1 "b c":     400000 + 0 (c unseen)           =  400000 -> div 2 = 200000
+  //  d2 "a b":     600000 + 666666                 = 1266666 -> div 2 = 633333
+  //  d3 "a a":     600000 + backoff 1200000 div 5  =  840000 -> div 2 = 420000
+  //  d5 "a b a b": 600000 + 666666 + 500000 + 666666 = 2433332 -> div 4 = 608333
+  //  d4 "": no tokens -> no row
+  private val expected = Set(
+    (0L, 3L, 588888L), (1L, 2L, 200000L), (2L, 2L, 633333L),
+    (3L, 2L, 420000L), (5L, 4L, 608333L))
+
+  test("stupid-backoff fixed-point scoring matches the hand derivation") {
+    assert(rows(Lm.lmScore(train, corpus, "text", "doc_id")) == expected)
+  }
+
+  test("empty training corpus scores every document 0") {
+    val got = rows(Lm.lmScore(corpus.filter($"doc_id" < 0), corpus,
+      "text", "doc_id"))
+    assert(got.nonEmpty && got.forall(_._3 == 0L))
+  }
+
+  test("empty-string tokens drop before adjacency (double spaces)") {
+    val spaced = Seq((0L, "a  b a"), (2L, "a b "), (4L, "  "))
+      .toDF("doc_id", "text")
+    // same cleaned token streams as train -> identical model, and the
+    // all-spaces doc neither trains nor scores
+    val a = rows(Lm.lmScore(spaced, corpus, "text", "doc_id"))
+    val b = rows(Lm.lmScore(train, corpus, "text", "doc_id"))
+    assert(a == b)
+  }
+
+  test("persisted model: build+append+compact is row-identical to ad-hoc") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(corpus.filter($"doc_id" === 0L), "text", "doc_id", dir)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 4L), "text", "doc_id", dir)
+    // pre-compact: generations fold on read
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected)
+    Lm.lmIndexCompact(spark, dir)
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected)
+    // meta totals advanced across appends: t = 5 train tokens, 3 docs
+    val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long)].head()
+    assert(meta == ((5L, 3L)))
+  }
+
+  test("count-cutoff pruning drops rare bigrams to backoff") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(train, "text", "doc_id", dir)
+    Lm.lmIndexCompact(spark, dir, minBigramCount = 2L)
+    // c2(b,a)=1 pruned -> d0 pos2 backs off: 600000 + 666666 + 240000
+    // = 1506666 div 3 = 502222; d5 likewise loses its (b,a) pair
+    val got = rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir))
+    assert(got == Set(
+      (0L, 3L, 502222L), (1L, 2L, 200000L), (2L, 2L, 633333L),
+      (3L, 2L, 420000L),
+      (5L, 4L, (600000L + 666666L + 240000L + 666666L) / 4)))
+  }
+
+  test("interrupted compaction swap heals: recover finishes the rename") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(train, "text", "doc_id", dir)
+    // simulate a crash between aside and swap-in: live -> tmp by hand
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/bigrams")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/bigrams.compact-tmp")
+    assert(fs.rename(live, tmp))
+    assert(!fs.exists(live))
+    assert(Lm.lmIndexRecover(spark, dir), "recover must heal to complete")
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected)
+  }
+
+  test("half-built model (no meta) reports incomplete") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(train, "text", "doc_id", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    assert(!Lm.lmIndexRecover(spark, dir))
+  }
+}
