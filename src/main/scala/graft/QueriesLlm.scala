@@ -1745,14 +1745,21 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     },
     baseDefs.find(_.name == "llm_bm25_topk")
       .flatMap(_.oracle)) :+ QueryDef(
-    // the persisted positional index must be row-identical to the
-    // ad-hoc phrase search over the same corpus — oracle reused
+    // the persisted positional index's WHOLE lifecycle — build half the
+    // corpus, append the other half, compact through the crash-safe
+    // swap, completeness-check, search — must be row-identical to the
+    // ad-hoc phrase search over the same corpus: oracle reused
     // verbatim (the bm25/ivf index-pinning discipline)
     "llm_phrase_index",
     (s, dir) => {
       val idx = java.nio.file.Files.createTempDirectory("graft-phrase-index-").toString
       val docs = t(s, dir, "documents")
-      Retrieval.phraseBuildIndex(docs, "text", "doc_id", idx)
+      Retrieval.phraseBuildIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", idx)
+      Retrieval.phraseIndexAppend(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id", idx)
+      Retrieval.phraseIndexCompact(s, idx)
+      require(Retrieval.phraseIndexRecover(s, idx), "complete positions index expected")
       val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))

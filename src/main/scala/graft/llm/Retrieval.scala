@@ -570,6 +570,48 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/positions")
   }
 
+  /** Append new documents' positions to a persisted positional index:
+    * batch rows land beside the existing generations in their term
+    * buckets (position rows are independent facts — no statistic to
+    * merge), keeping the sort-by-term file discipline. Assumes batch
+    * doc ids are new, like every other index append. */
+  def phraseIndexAppend(docs: DataFrame, textCol: String, idCol: String,
+                        dir: String): Unit = {
+    val spark = docs.sparkSession
+    positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol)
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/positions")
+  }
+
+  /** Rewrite the positions back to the fresh-build layout after a run
+    * of appends (each append spreads every touched bucket over another
+    * file generation) through the crash-safe [[IndexSwap]] protocol.
+    * Search results are unchanged. */
+  def phraseIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = IndexSwap.prepare(fs, p)
+    spark.read.parquet(p.toString)
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
+    IndexSwap.commit(fs, p)
+  }
+
+  /** Heal any interrupted compaction swap and report whether `dir`
+    * holds a positional index. */
+  def phraseIndexRecover(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexSwap.recover(fs, p)
+    fs.exists(p)
+  }
+
   /** [[phraseTopK]] against a persisted positional index — row-identical
     * over the same corpus (the gated query reuses the ad-hoc oracle
     * verbatim). Same pruning discipline as [[bm25SearchIndex]]: bounded

@@ -336,6 +336,28 @@ class RetrievalSpec extends SparkSpec {
     assert(fromIndex.contains((3L, 2L, 2L, 1)))
   }
 
+  test("phrase index lifecycle: append + compact stay row-identical; crash heals") {
+    val dir = freshDir()
+    val q = Seq((1L, "the cat"), (2L, "sat on"), (3L, "zebra zebra"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val adhoc = rows(Retrieval.phraseTopK(docs, q, k = 10))
+    Retrieval.phraseBuildIndex(docs.filter($"doc_id" < 2), "text", "doc_id", dir)
+    Retrieval.phraseIndexAppend(docs.filter($"doc_id" >= 2), "text", "doc_id", dir)
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+    Retrieval.phraseIndexCompact(spark, dir)
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+    // crash between aside and swap-in: live renamed away, tmp complete
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$dir/positions.compact-tmp")))
+    assert(Retrieval.phraseIndexRecover(spark, dir))
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+  }
+
   // ---- hot-term df/N cap ----------------------------------------------
 
   test("df cap: non-degenerate queries are ranking-identical with the cap on") {
