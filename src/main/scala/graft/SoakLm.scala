@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Scale soak for the n-gram LM quality scorer
+  * ([[graft.llm.Lm.lmScore]] / the persisted `lmBuildIndex` family): a
+  * training corpus far past the oracle SFs builds the count model once,
+  * then scoring batches run against it — the CCNet loop (train on the
+  * trusted corpus, score the crawl). Observables: train wall + model
+  * rows/bytes (one-time), full-corpus scoring wall (the bulk-curation
+  * pass), small-batch scoring bytes-read (the catalog-pruning claim: a
+  * trickle batch must NOT read the whole model), append + compact wall,
+  * and an index-vs-ad-hoc parity count at scale (lossless persistence).
+  *
+  * {{{ runMain graft.SoakLm [nCorpus] }}}
+  *
+  * Corpus shape: the SoakBm25Index generator — 30 tokens per doc drawn
+  * hash-pseudo-randomly from a 50k-term vocabulary. Uniform-random
+  * bigrams are the model's WORST case (nearly every adjacent pair is
+  * distinct → bigram table ~ token count); real text's Zipf head would
+  * shrink it by orders of magnitude, so the numbers here are a ceiling.
+  */
+object SoakLm {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val spark = GraftSession.get()
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-lm-").toString
+
+    def toks(idExpr: String, count: Int): String =
+      s"transform(sequence(1, $count), i -> concat('w', pmod(hash(($idExpr) * 131 + i), 50000)))"
+
+    spark.range(n)
+      .selectExpr("id AS doc_id", s"concat_ws(' ', ${toks("id", 30)}) AS text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+
+    val bytesRead = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    })
+    def settleBytes(): Long = { Thread.sleep(2000); bytesRead.get() }
+
+    var t0 = System.nanoTime()
+    graft.llm.Lm.lmBuildIndex(corpus, "text", "doc_id", s"$dir/model")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val modelBytes = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/model"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    val biRows = spark.read.parquet(s"$dir/model/bigrams").count()
+
+    // bulk curation pass: score the whole corpus against the model
+    t0 = System.nanoTime()
+    val nScored = graft.llm.Lm
+      .lmScoreIndex(corpus, "text", "doc_id", s"$dir/model").count()
+    val scoreAllSec = (System.nanoTime() - t0) / 1e9
+
+    // trickle batch: 5 docs touch <=150 of the 256 term buckets — the
+    // catalog-pruning observable (bytes read << model bytes)
+    val trickle = corpus.filter("doc_id % 400000 = 7").localCheckpoint(true)
+    val beforeTrickle = settleBytes()
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmScoreIndex(trickle, "text", "doc_id", s"$dir/model").count()
+    val trickleSec = (System.nanoTime() - t0) / 1e9
+    val trickleBytes = settleBytes() - beforeTrickle
+
+    // parity at scale: persisted-model scores == ad-hoc scores (1k docs)
+    val sample = corpus.filter("doc_id % 2000 = 3").localCheckpoint(true)
+    val fromIndex = graft.llm.Lm
+      .lmScoreIndex(sample, "text", "doc_id", s"$dir/model")
+    val adhoc = graft.llm.Lm.lmScore(corpus, sample, "text", "doc_id")
+    val parityDiff = fromIndex.unionByName(adhoc)
+      .groupBy("doc_id", "ntok", "lm_score_ppm").count()
+      .filter("count <> 2").count()
+
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmIndexAppend(
+      spark.range(n, n + 100000L)
+        .selectExpr("id AS doc_id", s"concat_ws(' ', ${toks("id", 30)}) AS text"),
+      "text", "doc_id", s"$dir/model")
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmIndexCompact(spark, s"$dir/model")
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    // count-cutoff pruning: at uniform-random bigrams nearly all pairs
+    // are singletons, so minBigramCount=2 collapses the model to the
+    // (tiny) repeated-pair head — the size lever a deployment pulls
+    val prePrune = spark.read.parquet(s"$dir/model/bigrams").count()
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmIndexCompact(spark, s"$dir/model", minBigramCount = 2L)
+    val pruneSec = (System.nanoTime() - t0) / 1e9
+    val postPrune = spark.read.parquet(s"$dir/model/bigrams").count()
+
+    println(s"""{"soak":"lm","n_corpus":$n,"build_sec":${f"$buildSec%.1f"},""" +
+      s""""model_bytes":$modelBytes,"bigram_rows":$biRows,""" +
+      s""""score_all_sec":${f"$scoreAllSec%.1f"},"scored":$nScored,""" +
+      s""""trickle_sec":${f"$trickleSec%.1f"},"trickle_bytes_read":$trickleBytes,""" +
+      s""""parity_mismatches":$parityDiff,""" +
+      s""""append_sec":${f"$appendSec%.1f"},"compact_sec":${f"$compactSec%.1f"},""" +
+      s""""prune_sec":${f"$pruneSec%.1f"},""" +
+      s""""bigrams_pre_prune":$prePrune,"bigrams_post_prune":$postPrune}""")
+    spark.stop()
+  }
+}

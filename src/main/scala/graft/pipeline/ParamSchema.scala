@@ -119,6 +119,9 @@ object ParamSchema {
       "k" -> PLong, "group" -> PString, "seed" -> PString),
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
       "score_column" -> PString, "min_score" -> PLong),
+    "llm.lm_score" -> Map("column" -> PString, "id" -> PString,
+      "model_path" -> PString, "score_column" -> PString,
+      "min_score_ppm" -> PLong),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,
       "window" -> PLong),
     "llm.decontaminate_cut" -> Map("column" -> PString, "id" -> PString,

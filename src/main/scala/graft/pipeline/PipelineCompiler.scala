@@ -373,6 +373,29 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       in.withColumn(piecesCol, graft.llm.Bpe.piecesColumn(col(c), merges))
         .withColumn(nCol, size(split(col(piecesCol), " ")))
 
+    // n-gram LM quality annotate/gate (params: column, id, score_column,
+    // min_score_ppm: optional — absent = annotate only, and EITHER
+    // model_path — a persisted Lm.lmBuildIndex model, the standing-
+    // pipeline shape — OR nothing to self-score the flowing batch, the
+    // self-perplexity form that flags gibberish/boilerplate without a
+    // reference corpus). Each message gains its mean per-token
+    // predictability in ppm (Lm scaladoc); empty-text rows score 0.
+    case "llm.lm_score" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val scoreCol = p(a, "score_column").getOrElse("lm_score_ppm")
+      val in = inputOf(a.name)
+      val scores = (p(a, "model_path") match {
+        case Some(path) => graft.llm.Lm.lmScoreIndex(in, c, idc, path)
+        case None       => graft.llm.Lm.lmScore(in, in, c, idc)
+      }).select(col("doc_id").as(idc), col("lm_score_ppm").as(scoreCol))
+      val annotated = in.join(scores, Seq(idc), "left")
+        .withColumn(scoreCol, coalesce(col(scoreCol), lit(0L)))
+      p(a, "min_score_ppm") match {
+        case Some(min) => annotated.filter(col(scoreCol) >= min.toLong)
+        case None      => annotated
+      }
+
     // language annotate/gate (params: column, lang_column, keep: optional
     // comma-separated allowlist — absent = annotate only)
     case "llm.langid" =>

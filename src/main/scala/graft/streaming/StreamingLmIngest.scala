@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Lm
+
+/** Streaming training ingest into a persisted n-gram LM
+  * ([[graft.llm.Lm.lmBuildIndex]] family): each micro-batch's bigram/
+  * unigram counts land as a new generation via `lmIndexAppend` (counts
+  * are additive — reads fold with sum, so no read-modify-write), with
+  * an optional compaction cadence folding generations back to one row
+  * per n-gram. Scoring (`lmScoreIndex`) runs against the model between
+  * or after batches; model state lives ON DISK, never in executor
+  * state stores, so the training horizon is unbounded — the "keep the
+  * reference LM fresh as the trusted corpus grows" loop of a CCNet-
+  * style curation pipeline.
+  *
+  * Bootstrap: when `indexDir` holds no complete model yet (recover
+  * demands meta AND both count slices — the [[StreamingBm25Ingest]]
+  * half-built-index lesson), the first non-empty batch BUILDS it and
+  * later batches append.
+  *
+  * Delivery note: foreachBatch is at-least-once — a redelivered batch
+  * would double its counts. Same trade and same exactly-once upgrade
+  * path (batchId-keyed staging + rename commit) as
+  * [[StreamingBm25Ingest]]; kept out of scope here.
+  */
+object StreamingLmIngest {
+
+  /** Run the ingest loop over a streaming (idCol, textCol) frame with
+    * Trigger.AvailableNow, blocking until drained.
+    *
+    * @param compactEvery compact the count slices after every N batches
+    *                     (0 = never)
+    * @param onBatch      callback with (batchId, docs trained) after
+    *                     each non-empty batch is committed
+    */
+  def run(docs: DataFrame, textCol: String, idCol: String, indexDir: String,
+          compactEvery: Int = 0,
+          onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      // rebuild the lineage before mixing with parquet reads (the
+      // StreamingIndexDedup constraint-rewrite pitfall)
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        if (Lm.lmIndexRecover(spark, indexDir))
+          Lm.lmIndexAppend(batch, textCol, idCol, indexDir)
+        else
+          Lm.lmBuildIndex(batch, textCol, idCol, indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Lm.lmIndexCompact(spark, indexDir)
+        onBatch(batchId, n)
+      }
+    })
+}

@@ -374,4 +374,44 @@ class LlmModulesSpec extends SparkSpec {
     // low x5 lower x2 under self-trained merges: low stays one piece
     assert(got.startsWith("low low low low low low e r"))
   }
+
+  test("llm.lm_score actor annotates from a persisted model and gates") {
+    val in = Files.createTempDirectory("graft-lm-pipe-").toString
+    writeDocs(in)
+    val model = Files.createTempDirectory("graft-lm-pipe-model-").toString
+    // reference model = the well-formed English docs only
+    val docs = spark.read.parquet(in)
+    graft.llm.Lm.lmBuildIndex(docs.filter($"doc_id" === 1L || $"doc_id" === 4L),
+      "text", "doc_id", model)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  lm: {module: llm.lm_score, params: {column: text, id: doc_id, model_path: "$model"}}
+        |  lm_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [lm]}
+        |  lm: {connect: [lm_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val ann = spark.table("lm_pipe_out")
+    assert(ann.count() == 5 && ann.columns.contains("lm_score_ppm"))
+    val scores = ann.select($"doc_id", $"lm_score_ppm").as[(Long, Long)]
+      .collect().toMap
+    // the annotation equals the query-surface contract
+    val direct = graft.llm.Lm.lmScoreIndex(docs, "text", "doc_id", model)
+      .select($"doc_id", $"lm_score_ppm").as[(Long, Long)].collect().toMap
+    assert(scores == direct)
+    // fluent-under-the-model text outscores junk and Spanish
+    assert(scores(1L) > scores(3L) && scores(1L) > scores(5L))
+
+    // gate between the observed scores
+    val cut = scores(5L) + 1
+    val gateYaml = yaml
+      .replace("model_path: \"" + model + "\"",
+        "model_path: \"" + model + "\", min_score_ppm: \"" + cut + "\"")
+      .replace("lm_pipe_out", "lm_gate_out")
+    new PipelineCompiler(spark, PipelineConfig.parse(gateYaml)).runBatch()
+    assert(spark.table("lm_gate_out").select($"doc_id").as[Long].collect().toSet
+      == scores.filter(_._2 >= cut).keySet)
+  }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Lm
+
+/** Streaming training ingest into the persisted n-gram LM: micro-batches
+  * append count generations (first batch bootstraps the model), and the
+  * drained model scores row-identically to an ad-hoc model over the
+  * union of every batch. */
+class StreamingLmIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (0L, "a b a"),
+    (2L, "a b"),
+    (4L, ""),
+    (6L, "b a b"),
+    (8L, "a c"),
+    (10L, "c a"))
+
+  private val scored = Seq(
+    (0L, "a b a"), (1L, "b c"), (3L, "a a"), (5L, "a b a b"))
+    .toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select($"doc_id", $"ntok", $"lm_score_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def runIngest(compactEvery: Int): String = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-sli-idx-").toString + "/model"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sli-src-").toString
+    train.grouped(2).foreach(b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val src = Streams.fileSource(spark, srcDir, schema, maxFilesPerTrigger = Some(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    StreamingLmIngest.run(src, "text", "doc_id", idx,
+      compactEvery = compactEvery, (_, n) => seen += n)
+    assert(seen.sum == train.length, s"trained docs: $seen")
+    assert(seen.size == 3) // one callback per non-empty micro-batch
+    idx
+  }
+
+  test("drained ingest scores identically to an ad-hoc model on the union") {
+    val idx = runIngest(compactEvery = 0)
+    assert(rows(Lm.lmScoreIndex(scored, "text", "doc_id", idx)) ==
+      rows(Lm.lmScore(train.toDF("doc_id", "text"), scored, "text", "doc_id")))
+    // meta totals reflect the full admitted training set
+    val meta = spark.read.parquet(s"$idx/meta").as[(Long, Long)].head()
+    assert(meta == ((12L, 6L))) // 12 tokens, 6 docs (one empty)
+  }
+
+  test("per-batch compaction cadence preserves scores") {
+    val idx = runIngest(compactEvery = 1)
+    assert(rows(Lm.lmScoreIndex(scored, "text", "doc_id", idx)) ==
+      rows(Lm.lmScore(train.toDF("doc_id", "text"), scored, "text", "doc_id")))
+  }
+}
