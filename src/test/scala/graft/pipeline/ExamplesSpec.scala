@@ -62,6 +62,9 @@ class ExamplesSpec extends SparkSpec {
     assert(out.select($"text").distinct().count() == out.count())
     // classifier annotated every surviving row
     assert(out.columns.contains("clf_score"))
+    // LM self-perplexity annotated and nonnegative on every row
+    assert(out.columns.contains("lm_score_ppm"))
+    assert(out.filter($"lm_score_ppm" < 0L).count() == 0)
     // span-cut removed every cross-doc duplicated 8-token run
     assert(graft.llm.Dedup.dupSpans(out.select($"doc_id", $"text"), w = 8)
       .count() == 0)
