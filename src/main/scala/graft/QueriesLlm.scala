@@ -1799,7 +1799,74 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       require(Lm.lmIndexRecover(s, idx), "complete LM index expected")
       Lm.lmScoreIndex(docs, "text", "doc_id", idx)
     },
-    Some(lmOracleSql))
+    Some(lmOracleSql)) :+ QueryDef(
+    // trigram order (two-level stupid backoff: tri -> 0.4 bi -> 0.16
+    // uni) — the next rung toward CCNet's 5-gram; the oracle re-derives
+    // all three count orders and the five-branch contribution CASE
+    "llm_lm3_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Lm.lmScore3(docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+        "text", "doc_id")
+    },
+    Some(lm3OracleSql)) :+ QueryDef(
+    // the order-3 persisted lifecycle (build %4==0 / append %4==2 /
+    // compact / recover / score) against the SAME trigram oracle —
+    // order rides meta, appends keep the trigram slice in step
+    "llm_lm3_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-lm3-index-").toString
+      val docs = t(s, dir, "documents")
+      Lm.lmBuildIndex(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", "doc_id", idx, order = 3)
+      Lm.lmIndexAppend(docs.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "text", "doc_id", idx)
+      Lm.lmIndexCompact(s, idx)
+      require(Lm.lmIndexRecover(s, idx), "complete order-3 LM index expected")
+      Lm.lmScoreIndex(docs, "text", "doc_id", idx)
+    },
+    Some(lm3OracleSql))
+
+  /** DuckDB twin of Lm.lmScore3 (same split): trigram counts via two
+    * pos self-joins, the five-branch two-level backoff CASE, floor
+    * division everywhere. */
+  private def lm3OracleSql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+      rs AS (SELECT doc_id, term, pos FROM (
+          SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
+      tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
+      uni AS (SELECT term, COUNT(*) AS c1 FROM tr GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t FROM uni),
+      bi AS (SELECT a.term AS prev, b.term AS term, COUNT(*) AS c2
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      tri AS (SELECT a.term AS prev2, b.term AS prev, c.term AS term, COUNT(*) AS c3
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        GROUP BY 1, 2, 3),
+      sc AS (SELECT r.doc_id, r.pos, p2.term AS prev2, p1.term AS prev, r.term
+        FROM rs r LEFT JOIN rs p1 ON p1.doc_id = r.doc_id AND p1.pos = r.pos - 1
+                  LEFT JOIN rs p2 ON p2.doc_id = r.doc_id AND p2.pos = r.pos - 2),
+      contrib AS (SELECT s.doc_id,
+          CASE WHEN s.pos = 0 THEN COALESCE((u2.c1 * 1000000) // t.t, 0)
+               WHEN s.pos = 1 THEN
+                 CASE WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 1000000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 400000) // t.t, 0) END
+               ELSE
+                 CASE WHEN tri.c3 IS NOT NULL THEN (tri.c3 * 1000000) // bc.c2
+                      WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 400000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 160000) // t.t, 0) END
+          END AS c
+        FROM sc s
+        LEFT JOIN tri ON tri.prev2 = s.prev2 AND tri.prev = s.prev AND tri.term = s.term
+        LEFT JOIN bi bc ON bc.prev = s.prev2 AND bc.term = s.prev
+        LEFT JOIN bi ON bi.prev = s.prev AND bi.term = s.term
+        LEFT JOIN uni u1 ON u1.term = s.prev
+        LEFT JOIN uni u2 ON u2.term = s.term
+        CROSS JOIN tot t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+        CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_score_ppm
+      FROM contrib GROUP BY doc_id"""
 
   /** DuckDB twin of Lm.lmScore with train = doc_id % 2 = 0: counts over
     * lockstep-unnest token positions, prev via a pos-1 self-join, the

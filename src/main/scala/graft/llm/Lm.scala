@@ -87,6 +87,26 @@ object Lm {
         col("tp.prev").as("prev"), col("tp.term").as("term"))
   }
 
+  /** (doc_id, p0, prev2, prev, term) per token — [[pairRows]] extended
+    * one context level (prev2 = token at p0-2, null for p0 < 2), built
+    * by nesting the same null-prefixed zip so the trigram context also
+    * never needs a positional self-join. */
+  private def tripleRows(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val nul = lit(null).cast("string")
+    docs.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), posexplode(zip_with(
+        zip_with(col("tk"), concat(array(nul), col("tk")),
+          (t, p) => struct(t.as("term"), p.as("prev"))),
+        concat(array(nul, nul), col("tk")),
+        (tp, p2) => struct(tp.getField("term").as("term"),
+          tp.getField("prev").as("prev"), p2.as("prev2")))).as(Seq("p0", "tp")))
+      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"), col("p0"), col("tp.prev2").as("prev2"),
+        col("tp.prev").as("prev"), col("tp.term").as("term"))
+  }
+
   /** (unigrams (term, c1), bigrams (prev, term, c2), total (t)) of a
     * training corpus — all lazy frames, no driver materialization. */
   private def counts(train: DataFrame, textCol: String, idCol: String) = {
@@ -97,6 +117,13 @@ object Lm {
     val total = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("t"))
     (uni, bi, total)
   }
+
+  /** Trigram counts (prev2, prev, term, c3) of a training corpus. */
+  private def triCounts(train: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    tripleRows(train, textCol, idCol).filter(col("prev2").isNotNull)
+      .groupBy(col("prev2"), col("prev"), col("term"))
+      .agg(count(lit(1)).as("c3"))
 
   /** Shared scoring tail of the ad-hoc and persisted-index paths.
     * `uni` (term, c1), `bi` (prev, term, c2), `total` one row (t). */
@@ -138,6 +165,60 @@ object Lm {
     scoreWith(docs, textCol, idCol, uni, bi, total)
   }
 
+  /** Trigram scoring tail: two-level stupid backoff
+    * (tri → 0.4·bi → 0.16·uni), token positions 0/1 scored by the
+    * shorter orders they have context for. `tri` (prev2, prev, term,
+    * c3); the trigram denominator is the CONTEXT bigram's count
+    * c2(prev2, prev) — guaranteed present and >= c3 whenever the
+    * trigram row exists (both counted from the same training rows). */
+  private def scoreWith3(docs: DataFrame, textCol: String, idCol: String,
+                         uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                         total: DataFrame): DataFrame = {
+    val rows = tripleRows(docs, textCol, idCol)
+      .withColumn("lvl", least(col("p0"), lit(2)))
+      .groupBy(col("doc_id"), col("lvl"), col("prev2"), col("prev"),
+        col("term"))
+      .agg(count(lit(1)).as("m"))
+    val biCtx = bi.select(col("prev").as("prev2"), col("term").as("prev"),
+      col("c2").as("c2_ctx"))
+    val biPt = bi.withColumnRenamed("c2", "c2_pt")
+    val uniPrev = uni.select(col("term").as("prev"), col("c1").as("c1_prev"))
+    val uniTerm = uni.select(col("term"), col("c1").as("c1_term"))
+    rows
+      .join(tri, Seq("prev2", "prev", "term"), "left")
+      .join(biCtx, Seq("prev2", "prev"), "left")
+      .join(biPt, Seq("prev", "term"), "left")
+      .join(uniPrev, Seq("prev"), "left")
+      .join(uniTerm, Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("contrib_ppm",
+        when(col("lvl") === 0,
+          coalesce(expr("(c1_term * 1000000) div t"), lit(0L)))
+        .when(col("lvl") === 1,
+          when(col("c2_pt").isNotNull, expr("(c2_pt * 1000000) div c1_prev"))
+            .otherwise(coalesce(expr("(c1_term * 400000) div t"), lit(0L))))
+        .otherwise(
+          when(col("c3").isNotNull, expr("(c3 * 1000000) div c2_ctx"))
+            .when(col("c2_pt").isNotNull, expr("(c2_pt * 400000) div c1_prev"))
+            .otherwise(coalesce(expr("(c1_term * 160000) div t"), lit(0L)))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("ntok"),
+        sum(col("m") * col("contrib_ppm")).as("s"))
+      .select(col("doc_id"), col("ntok"),
+        expr("s div ntok").as("lm_score_ppm"))
+  }
+
+  /** [[lmScore]] at trigram order — the next rung toward CCNet's
+    * 5-gram KenLM, same integer-exact discipline (the llm_lm3 oracles
+    * re-derive the whole three-order chain in DuckDB). Build/append/
+    * compact/score the persisted form with `order = 3`. */
+  def lmScore3(train: DataFrame, docs: DataFrame, textCol: String,
+               idCol: String): DataFrame = {
+    val (uni, bi, total) = counts(train, textCol, idCol)
+    scoreWith3(docs, textCol, idCol, uni, bi,
+      triCounts(train, textCol, idCol), total)
+  }
+
   /** Persist an LM count model under `dir`:
     *
     *  - `unigrams/` (term, c1) partitioned by `term_pt`;
@@ -151,10 +232,17 @@ object Lm {
     * Appends lay generation rows beside existing ones (counts are
     * additive; reads fold with sum), so no read-modify-write. */
   def lmBuildIndex(train: DataFrame, textCol: String, idCol: String,
-                   dir: String): Unit = {
+                   dir: String, order: Int = 2): Unit = {
     val spark = train.sparkSession
     import spark.implicits._
+    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
     val (uni, bi, total) = counts(train, textCol, idCol)
+    if (order == 3)
+      triCounts(train, textCol, idCol)
+        .withColumn("prev2_pt", bucket(col("prev2")))
+        .repartition(col("prev2_pt"))
+        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
+        .write.mode("overwrite").partitionBy("prev2_pt").parquet(s"$dir/trigrams")
     bi.withColumn("prev_pt", bucket(col("prev")))
       // AQE-sized: the model is vocabulary-sized — a fixed N-way
       // exchange would mint N x 256 near-empty bucket files
@@ -166,7 +254,7 @@ object Lm {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/unigrams")
     val t = total.head().getLong(0)
-    Seq((t, train.count())).toDF("t", "n_docs")
+    Seq((t, train.count(), order.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -179,8 +267,15 @@ object Lm {
     val spark = train.sparkSession
     import spark.implicits._
     val meta0 = spark.read.parquet(s"$dir/meta").head()
-    val (oldT, oldN) = (meta0.getLong(0), meta0.getLong(1))
+    val (oldT, oldN, ord) =
+      (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2))
     val (uni, bi, total) = counts(train, textCol, idCol)
+    if (ord == 3L) // the model's order rides meta — appends can't drift it
+      triCounts(train, textCol, idCol)
+        .withColumn("prev2_pt", bucket(col("prev2")))
+        .repartition(col("prev2_pt"))
+        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
+        .write.mode("append").partitionBy("prev2_pt").parquet(s"$dir/trigrams")
     bi.withColumn("prev_pt", bucket(col("prev")))
       .repartition(col("prev_pt"))
       .sortWithinPartitions(col("prev"), col("term"))
@@ -190,16 +285,18 @@ object Lm {
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/unigrams")
     val batchT = total.head().getLong(0)
-    Seq((oldT + batchT, oldN + train.count())).toDF("t", "n_docs")
+    Seq((oldT + batchT, oldN + train.count(), ord)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Fold append generations back to one row per n-gram through the
     * crash-safe [[IndexSwap]] protocol. `minBigramCount` > 1 applies
     * the classic count-cutoff model pruning (Brants et al. §4: drop
-    * rare bigrams, let those contexts fall to backoff) — an explicit
-    * APPROXIMATION that shrinks the model, off by default; unigrams are
-    * never pruned (backoff mass and T depend on them). */
+    * rare higher-order n-grams — the bigram slice, and the trigram
+    * slice of an order-3 model — and let those contexts fall to
+    * backoff) — an explicit APPROXIMATION that shrinks the model, off
+    * by default; unigrams are never pruned (backoff mass and T depend
+    * on them). */
   def lmIndexCompact(spark: SparkSession, dir: String,
                      minBigramCount: Long = 1L): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -214,6 +311,18 @@ object Lm {
       .sortWithinPartitions(col("prev"), col("term"))
       .write.mode("overwrite").partitionBy("prev_pt").parquet(biTmp.toString)
     IndexSwap.commit(fs, biP)
+    val triP = new Path(s"$dir/trigrams")
+    if (fs.exists(triP)) { // order-3 models fold (and prune) this slice too
+      val triTmp = IndexSwap.prepare(fs, triP)
+      spark.read.parquet(triP.toString)
+        .groupBy(col("prev2"), col("prev"), col("term"), col("prev2_pt"))
+        .agg(sum(col("c3")).as("c3"))
+        .filter(col("c3") >= minBigramCount)
+        .repartition(col("prev2_pt"))
+        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
+        .write.mode("overwrite").partitionBy("prev2_pt").parquet(triTmp.toString)
+      IndexSwap.commit(fs, triP)
+    }
     val uniP = new Path(s"$dir/unigrams")
     val uniTmp = IndexSwap.prepare(fs, uniP)
     spark.read.parquet(uniP.toString)
@@ -234,8 +343,12 @@ object Lm {
     val fs = biP.getFileSystem(conf)
     IndexSwap.recover(fs, biP)
     IndexSwap.recover(fs, new Path(s"$dir/unigrams"))
-    fs.exists(new Path(s"$dir/meta")) && fs.exists(biP) &&
+    IndexSwap.recover(fs, new Path(s"$dir/trigrams"))
+    val base = fs.exists(new Path(s"$dir/meta")) && fs.exists(biP) &&
       fs.exists(new Path(s"$dir/unigrams"))
+    // an order-3 model additionally demands its trigram slice
+    base && (spark.read.parquet(s"$dir/meta").head().getLong(2) != 3L ||
+      fs.exists(new Path(s"$dir/trigrams")))
   }
 
   /** Score `docs` against a persisted model — row-identical to
@@ -251,7 +364,7 @@ object Lm {
     val spark = docs.sparkSession
     val batchTerms = pairRows(docs, textCol, idCol)
       .select(col("term")).distinct()
-      .localCheckpoint(true) // feeds the bucket collect and both semi-joins
+      .localCheckpoint(true) // feeds the bucket collect and every semi-join
     val hitBuckets = batchTerms.select(bucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val uni = spark.read.parquet(s"$dir/unigrams")
@@ -264,6 +377,15 @@ object Lm {
       .join(broadcast(batchTerms), "term")
       .groupBy(col("prev"), col("term")).agg(sum(col("c2")).as("c2"))
     val total = spark.read.parquet(s"$dir/meta").select(col("t"))
-    scoreWith(docs, textCol, idCol, uni, bi, total)
+    if (spark.read.parquet(s"$dir/meta").head().getLong(2) == 3L) {
+      val tri = spark.read.parquet(s"$dir/trigrams")
+        .filter(col("prev2_pt").isInCollection(hitBuckets))
+        .join(broadcast(batchTerms.select(col("term").as("prev2"))), "prev2")
+        .join(broadcast(batchTerms.select(col("term").as("prev"))), "prev")
+        .join(broadcast(batchTerms), "term")
+        .groupBy(col("prev2"), col("prev"), col("term"))
+        .agg(sum(col("c3")).as("c3"))
+      scoreWith3(docs, textCol, idCol, uni, bi, tri, total)
+    } else scoreWith(docs, textCol, idCol, uni, bi, total)
   }
 }

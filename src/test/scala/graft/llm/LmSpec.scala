@@ -70,9 +70,49 @@ class LmSpec extends SparkSpec {
     assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected)
     Lm.lmIndexCompact(spark, dir)
     assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected)
-    // meta totals advanced across appends: t = 5 train tokens, 3 docs
-    val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long)].head()
-    assert(meta == ((5L, 3L)))
+    // meta totals advanced across appends: t = 5 train tokens, 3 docs,
+    // order 2 preserved
+    val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long, Long)].head()
+    assert(meta == ((5L, 3L, 2L)))
+  }
+
+  // Trigram hand-derivation over the same train (c3: only (a,b,a)=1 from d0):
+  //  d0 "a b a":   600000 + 666666 + tri 1000000 div 2 = 1766666 -> 588888
+  //  d1 "b c":     400000 + 0                          ->  200000
+  //  d2 "a b":     600000 + 666666                     ->  633333
+  //  d3 "a a":     600000 + backoff 240000             ->  420000
+  //  d5 "a b a b": 600000 + 666666 + 500000
+  //                + (b,a,b) unseen -> bi backoff (a,b): 2*400000 div 3
+  //                = 266666 -> 2033332 div 4 = 508333 (bigram model: 608333)
+  private val expected3 = Set(
+    (0L, 3L, 588888L), (1L, 2L, 200000L), (2L, 2L, 633333L),
+    (3L, 2L, 420000L), (5L, 4L, 508333L))
+
+  test("trigram scoring matches the hand derivation (two-level backoff)") {
+    assert(rows(Lm.lmScore3(train, corpus, "text", "doc_id")) == expected3)
+  }
+
+  test("order-3 persisted model: lifecycle is row-identical to ad-hoc trigram") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(corpus.filter($"doc_id" === 0L), "text", "doc_id", dir,
+      order = 3)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 4L), "text", "doc_id", dir)
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected3)
+    Lm.lmIndexCompact(spark, dir)
+    assert(Lm.lmIndexRecover(spark, dir))
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) == expected3)
+    val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long, Long)].head()
+    assert(meta == ((5L, 3L, 3L))) // appends preserve the order
+  }
+
+  test("order-3 model missing its trigram slice reports incomplete") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(train, "text", "doc_id", dir, order = 3)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/trigrams"), true)
+    assert(!Lm.lmIndexRecover(spark, dir))
   }
 
   test("count-cutoff pruning drops rare bigrams to backoff") {

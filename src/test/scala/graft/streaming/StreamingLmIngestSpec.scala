@@ -46,8 +46,8 @@ class StreamingLmIngestSpec extends SparkSpec {
     assert(rows(Lm.lmScoreIndex(scored, "text", "doc_id", idx)) ==
       rows(Lm.lmScore(train.toDF("doc_id", "text"), scored, "text", "doc_id")))
     // meta totals reflect the full admitted training set
-    val meta = spark.read.parquet(s"$idx/meta").as[(Long, Long)].head()
-    assert(meta == ((12L, 6L))) // 12 tokens, 6 docs (one empty)
+    val meta = spark.read.parquet(s"$idx/meta").as[(Long, Long, Long)].head()
+    assert(meta == ((12L, 6L, 2L))) // 12 tokens, 6 docs (one empty)
   }
 
   test("per-batch compaction cadence preserves scores") {
