@@ -43,8 +43,9 @@ object Bench {
     "llm_bm25_capped", "llm_bm25_maxscore", "llm_phrase_topk",
     "llm_phrase_index", "llm_bpe_encode_fast", "q54_interval_join_hybrid",
     // the CCNet-style LM quality scorer and its persisted-model twin,
-    // plus the trigram order
-    "llm_lm_score", "llm_lm_index", "llm_lm3_score", "llm_lm3_index")
+    // plus the trigram order, plus the candidate-pruned phrase search
+    "llm_lm_score", "llm_lm_index", "llm_lm3_score", "llm_lm3_index",
+    "llm_phrase_selective")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -1766,6 +1766,21 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       Retrieval.phraseSearchIndex(queries, idx, k = 10)
     },
     Some(phraseOracleSql)) :+ QueryDef(
+    // rarest-term candidate pruning (phraseSearchIndexSelective): the
+    // anchor shuffle carries only candidate-doc positions — EXACT by
+    // the containment argument (every occurrence holds the rarest
+    // term), so the oracle is the unchanged ad-hoc phrase twin
+    "llm_phrase_selective",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-phrase-sel-").toString
+      val docs = t(s, dir, "documents")
+      Retrieval.phraseBuildIndex(docs, "text", "doc_id", idx)
+      val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+      Retrieval.phraseSearchIndexSelective(queries, idx, k = 10)
+    },
+    Some(phraseOracleSql)) :+ QueryDef(
     // CCNet-style n-gram LM quality scoring (Lm.lmScore): bigram +
     // unigram counts with stupid backoff, every step integer
     // fixed-point (ppm with floor division) so the score is hash-exact

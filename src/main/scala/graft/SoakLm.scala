@@ -96,6 +96,18 @@ object SoakLm {
     val pruneSec = (System.nanoTime() - t0) / 1e9
     val postPrune = spark.read.parquet(s"$dir/model/bigrams").count()
 
+    // trigram leg: order-3 build + full scoring — the added slice is
+    // another ~token-count rows at this worst-case corpus, so the
+    // build/score deltas here bound the real-text cost from above
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmBuildIndex(corpus, "text", "doc_id", s"$dir/model3",
+      order = 3)
+    val build3Sec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val nScored3 = graft.llm.Lm
+      .lmScoreIndex(corpus, "text", "doc_id", s"$dir/model3").count()
+    val score3Sec = (System.nanoTime() - t0) / 1e9
+
     println(s"""{"soak":"lm","n_corpus":$n,"build_sec":${f"$buildSec%.1f"},""" +
       s""""model_bytes":$modelBytes,"bigram_rows":$biRows,""" +
       s""""score_all_sec":${f"$scoreAllSec%.1f"},"scored":$nScored,""" +
@@ -103,7 +115,9 @@ object SoakLm {
       s""""parity_mismatches":$parityDiff,""" +
       s""""append_sec":${f"$appendSec%.1f"},"compact_sec":${f"$compactSec%.1f"},""" +
       s""""prune_sec":${f"$pruneSec%.1f"},""" +
-      s""""bigrams_pre_prune":$prePrune,"bigrams_post_prune":$postPrune}""")
+      s""""bigrams_pre_prune":$prePrune,"bigrams_post_prune":$postPrune,""" +
+      s""""build3_sec":${f"$build3Sec%.1f"},""" +
+      s""""score3_all_sec":${f"$score3Sec%.1f"},"scored3":$nScored3}""")
     spark.stop()
   }
 }

@@ -521,11 +521,16 @@ object Retrieval {
     * query-relevant postings, then one shuffle on (query_id, doc_id,
     * anchor) — never all positions of all documents; phrase length only
     * multiplies the pruned join fan-out, not the shuffle key space. */
-  private def phraseRank(qTerms: DataFrame, posts: DataFrame, k: Int): DataFrame = {
+  private def phraseRank(qTerms: DataFrame, posts: DataFrame, k: Int): DataFrame =
+    anchorRank(qTerms.join(posts, "term"), qTerms, k)
+
+  /** Anchor pipeline tail over an already-joined (query_id, off,
+    * doc_id, pos) pair stream — shared by [[phraseRank]] and the
+    * candidate-pruned [[phraseSearchIndexSelective]]. */
+  private def anchorRank(qp: DataFrame, qTerms: DataFrame, k: Int): DataFrame = {
     val qLen = qTerms.groupBy(col("query_id"))
       .agg(countDistinct(col("off")).as("m"))
-    val scored = qTerms
-      .join(posts, "term")
+    val scored = qp
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("off")).as("anchor"), col("off"))
       .groupBy(col("query_id"), col("doc_id"), col("anchor"))
@@ -559,6 +564,19 @@ object Retrieval {
     * re-tokenizing the corpus per query batch. Positions make it ~dl/|V|
     * larger per document than the tf postings; deployments that never
     * phrase-search skip building it. */
+  /** Per-term position counts (term, n_pos) of one build/append
+    * generation, bucketed like the positions — what lets the selective
+    * search pick each phrase's RAREST term from a few bytes instead of
+    * counting a stopword's near-corpus-sized position list. Summed on
+    * read across generations, folded by compact. */
+  private def writePhraseStats(pos: DataFrame, dir: String,
+                               mode: String): Unit =
+    pos.groupBy(col("term")).agg(count(lit(1)).as("n_pos"))
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(col("term_pt")) // AQE-sized, see writeStats
+      .sortWithinPartitions(col("term"))
+      .write.mode(mode).partitionBy("term_pt").parquet(s"$dir/stats")
+
   def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
                        dir: String): Unit = {
     val spark = docs.sparkSession
@@ -568,6 +586,8 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/positions")
+    writePhraseStats(spark.read.parquet(s"$dir/positions").select(col("term")),
+      dir, "overwrite")
   }
 
   /** Append new documents' positions to a persisted positional index:
@@ -578,12 +598,16 @@ object Retrieval {
   def phraseIndexAppend(docs: DataFrame, textCol: String, idCol: String,
                         dir: String): Unit = {
     val spark = docs.sparkSession
-    positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+    val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    pos
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/positions")
+    writePhraseStats(pos.select(col("term")), dir, "append")
+    pos.unpersist()
   }
 
   /** Rewrite the positions back to the fresh-build layout after a run
@@ -600,6 +624,18 @@ object Retrieval {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
     IndexSwap.commit(fs, p)
+    // fold the stats generations (absent on pre-stats indexes)
+    val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    if (fs.exists(sp)) {
+      val stmp = IndexSwap.prepare(fs, sp)
+      spark.read.parquet(sp.toString)
+        .groupBy(col("term"), col("term_pt"))
+        .agg(sum(col("n_pos")).as("n_pos"))
+        .repartition(col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(stmp.toString)
+      IndexSwap.commit(fs, sp)
+    }
   }
 
   /** Heal any interrupted compaction swap and report whether `dir`
@@ -629,6 +665,60 @@ object Retrieval {
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
     phraseRank(qTerms, posts, k)
+  }
+
+  /** [[phraseSearchIndex]] with RAREST-TERM candidate pruning — exact
+    * results (a complete phrase occurrence contains every phrase term,
+    * in particular the rarest, so restricting to documents holding it
+    * loses nothing), but the anchor shuffle carries only candidate-doc
+    * positions: a phrase containing a stopword no longer drags the
+    * stopword's near-corpus position list through the exchange for
+    * documents that can't match anyway. The rarest term per query is
+    * chosen from the stats slice alone ([[writePhraseStats]] — a few
+    * bytes per term; requires an index built/compacted with the
+    * current version); a query term absent from the index zeroes its
+    * query's candidates outright (the phrase cannot occur). When the
+    * candidate set exceeds `maxCandBroadcast`, falls back to the plain
+    * unpruned search — same results, no oversized broadcast. */
+  def phraseSearchIndexSelective(queries: DataFrame, dir: String, k: Int,
+                                 maxCandBroadcast: Long = 2000000L): DataFrame = {
+    val spark = queries.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+      s"selective phrase search requires the stats slice; $dir predates " +
+        "it — re-build, or compact after one append with the current version")
+    val qTerms = positionalTokens(queries, "query_id", "qtext")
+      .withColumnRenamed("pos", "off")
+      .localCheckpoint(true)
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
+      .distinct().collect().map(_.getInt(0))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .groupBy(col("term")).agg(sum(col("n_pos")).as("n_pos"))
+    // rarest term per query (ties by term); an unindexed term joins as
+    // n_pos = 0 and wins the min — its (empty) position list then
+    // empties the candidate set, which is the right answer
+    val rarest = qTerms.select(col("query_id"), col("term")).distinct()
+      .join(broadcast(stats), Seq("term"), "left")
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("n_pos"), col("term"))).as("r"))
+      .select(col("query_id"), col("r.term").as("term"))
+    val posts = spark.read.parquet(s"$dir/positions")
+      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .join(broadcast(qTermSet), "term")
+      .select(col("doc_id"), col("term"), col("pos"))
+    val candKeys = rarest.join(posts, "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint(true) // bounded: docs holding each rarest term
+    if (candKeys.count() > maxCandBroadcast)
+      return phraseSearchIndex(queries, dir, k)
+    anchorRank(qTerms.join(posts, "term")
+      .join(broadcast(candKeys), Seq("query_id", "doc_id"), "left_semi"),
+      qTerms, k)
   }
 
   // ---- length-normalized (classic k1/b) scoring ------------------------

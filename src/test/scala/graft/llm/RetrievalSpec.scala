@@ -358,6 +358,68 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
   }
 
+  test("selective phrase search is row-identical across rare/hot/unseen phrases") {
+    val dir = freshDir()
+    Retrieval.phraseBuildIndex(docs, "text", "doc_id", dir)
+    // 'the cat' (hot+rare), 'sat on' (mid), 'zebra zebra' (rare,
+    // repeated term), 'the the' (hot-only), 'the unicorn' (unseen term
+    // -> empty candidates, empty result)
+    val q = Seq((1L, "the cat"), (2L, "sat on"), (3L, "zebra zebra"),
+      (4L, "the the"), (5L, "the unicorn")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val plain = rows(Retrieval.phraseSearchIndex(q, dir, k = 10))
+    val sel = rows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10))
+    assert(sel == plain && plain.nonEmpty)
+    assert(!plain.exists(_._1 == 5L)) // unseen-term phrase matches nothing
+    // past the broadcast cap the fallback path must agree too
+    assert(rows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10,
+      maxCandBroadcast = 0L)) == plain)
+    // stats survive append + compact: parity on the grown corpus
+    Retrieval.phraseIndexAppend(
+      Seq((100L, "the cat sat the cat")).toDF("doc_id", "text"),
+      "text", "doc_id", dir)
+    Retrieval.phraseIndexCompact(spark, dir)
+    val grown = docs.union(Seq((100L, "the cat sat the cat")).toDF("doc_id", "text"))
+    assert(rows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10)) ==
+      rows(Retrieval.phraseTopK(grown, q, k = 10)))
+  }
+
+  test("selective phrase search shuffles only candidate-doc anchor rows") {
+    val dir = freshDir()
+    // 20k docs all containing the stopword; only docs 0..19 contain
+    // 'needle' — the phrase 'stop needle' occurs in those 20 docs
+    spark.range(20000L)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id < 20 THEN 'stop needle end' ELSE concat('stop w', id % 40) END AS text")
+      .createOrReplaceTempView("_sel_corpus")
+    Retrieval.phraseBuildIndex(spark.table("_sel_corpus"), "text", "doc_id", dir)
+    val q = Seq((1L, "stop needle")).toDF("query_id", "qtext")
+    def shuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { df.collect(); Thread.sleep(1500) } // let task-end events drain
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val plainRows = Retrieval.phraseSearchIndex(q, dir, k = 10)
+    val selRows = Retrieval.phraseSearchIndexSelective(q, dir, k = 10)
+    assert(selRows.collect().length == 10)
+    val plainShuffle = shuffleRecords(Retrieval.phraseSearchIndex(q, dir, k = 10))
+    val selShuffle = shuffleRecords(Retrieval.phraseSearchIndexSelective(q, dir, k = 10))
+    // plain drags all 20k 'stop' positions through the anchor exchange;
+    // selective carries only the 20 candidate docs' rows (plus the
+    // vocabulary-sized stats/rarest legs)
+    assert(selShuffle * 10 < plainShuffle,
+      s"selective=$selShuffle plain=$plainShuffle")
+  }
+
   // ---- hot-term df/N cap ----------------------------------------------
 
   test("df cap: non-degenerate queries are ranking-identical with the cap on") {
