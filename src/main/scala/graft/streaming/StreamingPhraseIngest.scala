@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Retrieval
+
+/** Streaming corpus ingest into a persisted POSITIONAL phrase index
+  * ([[graft.llm.Retrieval.phraseBuildIndex]] family): each
+  * micro-batch's position rows land in their term buckets via
+  * `phraseIndexAppend` (positions are independent facts — generations
+  * need no merge), with an optional compaction cadence folding the
+  * layout (and the stats slice) back to fresh-build shape. Phrase
+  * searches (`phraseSearchIndex` / the rarest-term-pruned
+  * `phraseSearchIndexSelective`) run against the on-disk index between
+  * or after batches; no executor state, unbounded corpus horizon.
+  *
+  * Bootstrap: recover heals any interrupted swap and the first
+  * non-empty batch builds when no positions directory exists yet.
+  * Same at-least-once caveat and exactly-once upgrade path as
+  * [[StreamingBm25Ingest]].
+  */
+object StreamingPhraseIngest {
+
+  /** Run the ingest loop over a streaming (idCol, textCol) frame with
+    * Trigger.AvailableNow, blocking until drained.
+    *
+    * @param compactEvery compact after every N batches (0 = never)
+    * @param onBatch      callback with (batchId, rows appended) after
+    *                     each non-empty batch is committed
+    */
+  def run(docs: DataFrame, textCol: String, idCol: String, indexDir: String,
+          compactEvery: Int = 0,
+          onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      // rebuild the lineage before mixing with parquet reads (the
+      // StreamingIndexDedup constraint-rewrite pitfall)
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        if (Retrieval.phraseIndexRecover(spark, indexDir))
+          Retrieval.phraseIndexAppend(batch, textCol, idCol, indexDir)
+        else
+          Retrieval.phraseBuildIndex(batch, textCol, idCol, indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Retrieval.phraseIndexCompact(spark, indexDir)
+        onBatch(batchId, n)
+      }
+    })
+}
