@@ -1828,6 +1828,17 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     // the order-3 persisted lifecycle (build %4==0 / append %4==2 /
     // compact / recover / score) against the SAME trigram oracle —
     // order rides meta, appends keep the trigram slice in step
+    // the Bloom-prefiltered contamination sweep must be ROW-IDENTICAL
+    // to the plain broadcast sweep (no false negatives + exact verify),
+    // so llm_decontaminate's oracle is reused VERBATIM; the 1M-bit
+    // filter is deliberately modest so some false positives flow into
+    // the verify join and get discarded there
+    "llm_decontaminate_bloom",
+    (s, dir) => Dedup.contaminationBloomSweep(t(s, dir, "documents"),
+      "doc_id", "text", "source", "src0", n = 8, minShared = 20L,
+      estimatedEvalItems = 100000L, numBits = 1024L * 1024),
+    baseDefs.find(_.name == "llm_decontaminate")
+      .flatMap(_.oracle)) :+ QueryDef(
     "llm_lm3_index",
     (s, dir) => {
       val idx = java.nio.file.Files.createTempDirectory("graft-lm3-index-").toString

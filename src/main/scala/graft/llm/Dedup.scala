@@ -713,6 +713,67 @@ object Dedup {
     applySpanCuts(train, spans, idCol, textCol)
   }
 
+  /** Benchmark-contamination sweep (the llm_decontaminate shape: docs
+    * sharing >= `minShared` distinct `n`-gram shingles with the
+    * eval-source rows) with a BLOOM prefilter — EXACT results: Bloom
+    * filters have no false negatives, so the prefiltered train
+    * shingles are a superset of the true hits, and the exact verify
+    * join removes every false positive (the llm_decontaminate_bloom
+    * oracle reuses the plain sweep's DuckDB twin verbatim to pin
+    * that).
+    *
+    * Why it exists: the plain sweep BROADCASTS the exact eval shingle
+    * set — right when eval benchmarks are small, impossible when the
+    * "eval" side is itself corpus-scale (e.g. decontaminating against
+    * an entire held-out split). Here the eval set is condensed to
+    * `numBits` bits built and probed by Spark's own runtime-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain` —
+    * no UDF boundary, the probe stays inside codegen), so the train
+    * stream is pruned map-side to ~true hits + fpp of the stream, and
+    * only those survivors enter the exact verify join's shuffle —
+    * which AQE then sizes off the (small) surviving side. */
+  def contaminationBloomSweep(docs: DataFrame, idCol: String,
+                              textCol: String, sourceCol: String,
+                              evalValue: String, n: Int = 8,
+                              minShared: Long = 20L,
+                              estimatedEvalItems: Long = 4000000L,
+                              numBits: Long = 8L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val spark = docs.sparkSession
+    val sh = docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("__src"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism) // HOF lesson
+      .select(col("doc_id"), col("__src"),
+        explode(expr("array_distinct(transform(" +
+          s"sequence(0, greatest(size(toks)-$n, 0))," +
+          s" i -> concat_ws(' ', slice(toks, i+1, $n))))")).as("s"))
+    val evalSh = sh.filter(col("__src") === evalValue)
+      .select(col("s")).distinct()
+    def xx(c: Column) =
+      new XxHash64(Seq(GraftBridge.resolvedExpression(c)), 42L)
+    val bloomBytes = evalSh
+      .agg(GraftBridge.column(new BloomFilterAggregate(xx(col("s")),
+          Literal(estimatedEvalItems), Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // an empty eval set yields a null filter: nothing can be shared
+    if (bloomBytes == null)
+      return sh.filter(lit(false))
+        .select(col("doc_id"), lit(0L).as("shared_ngrams"),
+          lit(false).as("contaminated"))
+    val survivors = sh.filter(col("__src") =!= evalValue)
+      .filter(GraftBridge.column(new BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType), xx(col("s")))))
+    survivors.join(evalSh, "s") // exact verify: no broadcast needed
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") >= minShared)
+  }
+
   /** Admit a batch's windows into the index: append ONLY hashes the
     * index has never seen (novel = batch distinct minus one streamed
     * intersection scan), sorted into their own tight-stat files. On a
