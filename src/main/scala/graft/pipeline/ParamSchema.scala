@@ -136,7 +136,7 @@ object ParamSchema {
       "collapse_exact" -> PBool),
     "llm.decontaminate" -> Map("column" -> PString, "id" -> PString,
       "source_column" -> PString, "eval_value" -> PString,
-      "ngram_n" -> PLong, "min_shared" -> PLong),
+      "ngram_n" -> PLong, "min_shared" -> PLong, "bloom" -> PBool),
     "core.sink" -> Map("format" -> PString, "path" -> PString,
       "mode" -> PString, "partition_by" -> PStringList, "rows" -> PLong,
       "checkpoint" -> PString, // daemon-restart resume (startStreaming)

@@ -516,19 +516,29 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val n = p(a, "ngram_n").map(_.toInt).getOrElse(8)
       val minShared = p(a, "min_shared").map(_.toLong).getOrElse(20L)
       val in = inputOf(a.name)
-      val sh = in
-        .select(col(idc), col(srcCol),
-          graft.functions.TextFunctions.tokens(col(c)).as("__toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col(idc), col(srcCol),
-          explode(expr("array_distinct(transform(" +
-            s"sequence(0, greatest(size(__toks)-$n, 0))," +
-            s" i -> concat_ws(' ', slice(__toks, i+1, $n))))")).as("__s"))
-      val evalSh = sh.filter(col(srcCol) === evalV).select(col("__s")).distinct()
-      val contaminated = sh.filter(col(srcCol) =!= evalV)
-        .join(broadcast(evalSh), "__s")
-        .groupBy(col(idc)).agg(count_distinct(col("__s")).as("__shared"))
-        .filter(col("__shared") >= minShared).select(col(idc))
+      // bloom: "true" condenses the eval shingle set to a Bloom filter
+      // instead of an exact broadcast — same answers (no false
+      // negatives, exact verify), for eval sides past broadcast size
+      val contaminated =
+        if (p(a, "bloom").exists(_.toBoolean))
+          graft.llm.Dedup.contaminationBloomSweep(in, idc, c, srcCol,
+              evalV, n, minShared)
+            .filter(col("contaminated")).select(col("doc_id").as(idc))
+        else {
+          val sh = in
+            .select(col(idc), col(srcCol),
+              graft.functions.TextFunctions.tokens(col(c)).as("__toks"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(col(idc), col(srcCol),
+              explode(expr("array_distinct(transform(" +
+                s"sequence(0, greatest(size(__toks)-$n, 0))," +
+                s" i -> concat_ws(' ', slice(__toks, i+1, $n))))")).as("__s"))
+          val evalSh = sh.filter(col(srcCol) === evalV).select(col("__s")).distinct()
+          sh.filter(col(srcCol) =!= evalV)
+            .join(broadcast(evalSh), "__s")
+            .groupBy(col(idc)).agg(count_distinct(col("__s")).as("__shared"))
+            .filter(col("__shared") >= minShared).select(col(idc))
+        }
       in.filter(col(srcCol) =!= evalV)
         .join(contaminated, Seq(idc), "left_anti")
 

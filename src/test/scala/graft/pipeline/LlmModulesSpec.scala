@@ -249,6 +249,15 @@ class LlmModulesSpec extends SparkSpec {
     // doc 2 shares >= 2 distinct 5-grams with the eval doc -> dropped;
     // the eval row itself is excluded from the training output
     assert(ids == Set(3L))
+
+    // bloom: "true" must keep the exact same survivors (Bloom prune +
+    // exact verify — see Dedup.contaminationBloomSweep)
+    val bloomYaml = yaml
+      .replace("min_shared: \"2\"", "min_shared: \"2\", bloom: \"true\"")
+      .replace("llm_pipe4_out", "llm_pipe4b_out")
+    new PipelineCompiler(spark, PipelineConfig.parse(bloomYaml)).runBatch()
+    assert(spark.table("llm_pipe4b_out").select("doc_id").as[Long]
+      .collect().toSet == ids)
   }
 
   test("langid without keep only annotates") {
