@@ -376,8 +376,9 @@ object Lm {
       .join(broadcast(batchTerms.select(col("term").as("prev"))), "prev")
       .join(broadcast(batchTerms), "term")
       .groupBy(col("prev"), col("term")).agg(sum(col("c2")).as("c2"))
-    val total = spark.read.parquet(s"$dir/meta").select(col("t"))
-    if (spark.read.parquet(s"$dir/meta").head().getLong(2) == 3L) {
+    val meta = spark.read.parquet(s"$dir/meta")
+    val total = meta.select(col("t"))
+    if (meta.head().getLong(2) == 3L) {
       val tri = spark.read.parquet(s"$dir/trigrams")
         .filter(col("prev2_pt").isInCollection(hitBuckets))
         .join(broadcast(batchTerms.select(col("term").as("prev2"))), "prev2")
