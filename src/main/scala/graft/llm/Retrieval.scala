@@ -580,21 +580,32 @@ object Retrieval {
   def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
                        dir: String): Unit = {
     val spark = docs.sparkSession
-    positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+    val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // stats first, positions LAST as the commit marker (recover keys
+    // completeness on the positions directory): a crash between the two
+    // writes reads as "no index" and re-builds — the reverse order
+    // would leave a recover-complete index missing its stats slice
+    writePhraseStats(pos.select(col("term")), dir, "overwrite")
+    pos
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/positions")
-    writePhraseStats(spark.read.parquet(s"$dir/positions").select(col("term")),
-      dir, "overwrite")
+    pos.unpersist()
   }
 
   /** Append new documents' positions to a persisted positional index:
     * batch rows land beside the existing generations in their term
     * buckets (position rows are independent facts — no statistic to
     * merge), keeping the sort-by-term file discipline. Assumes batch
-    * doc ids are new, like every other index append. */
+    * doc ids are new, like every other index append. A crash between
+    * the two writes can only leave a positions generation without its
+    * stats generation — an EFFICIENCY-only tear: candidate sets always
+    * derive from the positions themselves (any query term's candidates
+    * are lossless by containment), stats merely pick which term
+    * prunes; the next compact folds the tear away. */
   def phraseIndexAppend(docs: DataFrame, textCol: String, idCol: String,
                         dir: String): Unit = {
     val spark = docs.sparkSession
