@@ -157,8 +157,16 @@ object Retrieval {
     * what lets a search DECIDE about a term — e.g. the [[bm25SearchIndex]]
     * df/N hot-term cap, or a future max-score bound via max_tf —
     * WITHOUT reading a single posting of it: the stats row is a few
-    * bytes where a stopword's postings list is near-corpus-sized. */
-  private def writeStats(post: DataFrame, dir: String, mode: String): Unit =
+    * bytes where a stopword's postings list is near-corpus-sized.
+    *
+    * COVERAGE INVARIANT: a stats slice, when present, covers EVERY
+    * postings generation. Builds create it whole, appends extend it
+    * only when it already exists (see [[bm25IndexAppend]]), and compact
+    * regenerates it from the postings — so a search may trust any
+    * stats slice it finds (a partial slice would under-count df/max_tf
+    * and silently invalidate the max-score upper bounds). */
+  private def writeStats(post: DataFrame, statsPath: String,
+                         mode: String): Unit =
     post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         sum(col("tf")).as("sum_tf"))
@@ -169,7 +177,7 @@ object Retrieval {
       // near-empty bucket files per generation
       .repartition(col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode(mode).partitionBy("term_pt").parquet(s"$dir/stats")
+      .write.mode(mode).partitionBy("term_pt").parquet(statsPath)
 
   def bm25BuildIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String): Unit = {
@@ -194,7 +202,7 @@ object Retrieval {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
     writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
-      dir, "overwrite")
+      s"$dir/stats", "overwrite")
     val totalLen = spark.read.parquet(s"$dir/stats")
       .agg(sum(col("sum_tf"))).head() match {
         case r if r.isNullAt(0) => 0L
@@ -234,7 +242,15 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/postings")
-    writeStats(post, dir, "append")
+    // stats append ONLY onto an existing slice: creating one here on a
+    // pre-stats index would cover just this batch, and any search
+    // trusting it would under-count df/max_tf — invalid max-score
+    // bounds, silently broken row-identity. The coverage invariant
+    // (see [[writeStats]]) holds either way; a pre-stats index gains
+    // its slice at the next compact, which regenerates from postings.
+    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statsP)) writeStats(post, statsP.toString, "append")
     post.unpersist()
     Seq((oldN + batchN, oldLen + batchLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -260,20 +276,19 @@ object Retrieval {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
     IndexSwap.commit(fs, p)
-    // fold the stats generations to one row per term (sum df / max
-    // max_tf — the same aggregation searches apply on read), absent on
-    // pre-stats indexes
+    // REGENERATE stats from the compacted postings instead of folding
+    // existing generations: a pre-stats index that later took appends
+    // would carry a stats slice covering only the appended batches, and
+    // a fold preserves the under-count forever (invalid max-score upper
+    // bounds, partial hot-term df). Recounting from the postings is
+    // exact whatever the index's history, restores the build-shape
+    // sum_tf column, and upgrades pre-stats indexes in the same pass —
+    // compact IS the migration path the search errors recommend.
     val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    if (fs.exists(sp)) {
-      val stmp = IndexSwap.prepare(fs, sp)
-      spark.read.parquet(sp.toString)
-        .groupBy(col("term"), col("term_pt"))
-        .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"))
-        .repartition(col("term_pt")) // AQE-sized, see writeStats
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("term_pt").parquet(stmp.toString)
-      IndexSwap.commit(fs, sp)
-    }
+    val stmp = IndexSwap.prepare(fs, sp)
+    writeStats(spark.read.parquet(path).select(col("term"), col("tf")),
+      stmp.toString, "overwrite")
+    IndexSwap.commit(fs, sp)
   }
 
   /** Heal any interrupted compaction swap and report whether `dir`
@@ -317,8 +332,9 @@ object Retrieval {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
-      s"df cap requires the stats slice; $dir predates it — re-build or " +
-        "compact after one append with the current version")
+      s"df cap requires the stats slice; $dir predates it — re-build, or " +
+        "run bm25IndexCompact with the current version (compact " +
+        "regenerates full-coverage stats from the postings)")
     val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
@@ -387,12 +403,26 @@ object Retrieval {
     * back to the full exact scoring, so the result is ROW-IDENTICAL to
     * [[bm25SearchIndex]] with no cap for EVERY query — the gated
     * llm_bm25_maxscore reuses llm_bm25_topk's oracle verbatim to pin
-    * exactly that. */
+    * exactly that.
+    *
+    * The candidate set is DATA-DEPENDENT (a term just past `hotDfFrac`
+    * with a high max_tf widens the θ − Σub cut toward corpus scale), so
+    * its broadcast is budget-gated like
+    * [[phraseSearchIndexSelective]]'s: past `maxCandBroadcast`
+    * surviving candidates, the whole call falls back to the plain exact
+    * search — same rows, no oversized broadcast. */
   def bm25SearchIndexMaxScore(queries: DataFrame, dir: String, k: Int,
-                              hotDfFrac: Double = 0.1): DataFrame = {
+                              hotDfFrac: Double = 0.1,
+                              maxCandBroadcast: Long = 2000000L): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     require(hotDfFrac > 0.0 && hotDfFrac <= 1.0, "hotDfFrac must be in (0, 1]")
+    val fsMs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsMs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+      s"max-score search requires the stats slice; $dir predates it — " +
+        "re-build, or run bm25IndexCompact with the current version " +
+        "(compact regenerates full-coverage stats from the postings)")
     val qTerms = tokens(queries, "query_id", "qtext").distinct()
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
@@ -466,7 +496,15 @@ object Retrieval {
     val candidates = scored1.join(pruneMeta, "query_id")
       .filter(col("score1") >= col("theta") - col("ub_hot"))
       .select(col("query_id"), col("doc_id"), col("score1"))
-      .localCheckpoint(true) // bounded: within Σub of the k-th score
+      .localCheckpoint(true) // materialized: feeds the gate count + joins
+    // BUDGET GATE on the data-dependent broadcast (the
+    // phraseSearchIndexSelective discipline): θ − Σub usually cuts the
+    // candidates to ~k per query, but a mid-df/high-max_tf term can
+    // leave it corpus-scale — count before broadcasting, and past the
+    // budget run every query through the plain exact search instead
+    // (row-identical by the documented contract)
+    if (candidates.count() > maxCandBroadcast)
+      return bm25SearchIndex(queries, dir, k)
     val hotQTerms = qTerms.filter(col("term").isInCollection(hotTerms))
       .join(pruneMeta.select(col("query_id")), "query_id")
     val hotDfDf = hot.toSeq.map { case (t, (df, _)) => (t, df) }.toDF("term", "hdf")
@@ -569,13 +607,13 @@ object Retrieval {
     * search pick each phrase's RAREST term from a few bytes instead of
     * counting a stopword's near-corpus-sized position list. Summed on
     * read across generations, folded by compact. */
-  private def writePhraseStats(pos: DataFrame, dir: String,
+  private def writePhraseStats(pos: DataFrame, statsPath: String,
                                mode: String): Unit =
     pos.groupBy(col("term")).agg(count(lit(1)).as("n_pos"))
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(col("term_pt")) // AQE-sized, see writeStats
       .sortWithinPartitions(col("term"))
-      .write.mode(mode).partitionBy("term_pt").parquet(s"$dir/stats")
+      .write.mode(mode).partitionBy("term_pt").parquet(statsPath)
 
   def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
                        dir: String): Unit = {
@@ -587,7 +625,7 @@ object Retrieval {
     // completeness on the positions directory): a crash between the two
     // writes reads as "no index" and re-builds — the reverse order
     // would leave a recover-complete index missing its stats slice
-    writePhraseStats(pos.select(col("term")), dir, "overwrite")
+    writePhraseStats(pos.select(col("term")), s"$dir/stats", "overwrite")
     pos
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
@@ -617,7 +655,15 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("append").partitionBy("term_pt").parquet(s"$dir/positions")
-    writePhraseStats(pos.select(col("term")), dir, "append")
+    // append stats ONLY onto an existing slice (the bm25IndexAppend
+    // discipline): a batch-only slice on a pre-stats index would feed
+    // wrong n_pos into rarest-term selection — efficiency-only for
+    // phrases (candidates stay lossless by containment), but the
+    // coverage invariant is worth keeping uniform across families
+    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fsA = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsA.exists(statsP))
+      writePhraseStats(pos.select(col("term")), statsP.toString, "append")
     pos.unpersist()
   }
 
@@ -635,18 +681,14 @@ object Retrieval {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
     IndexSwap.commit(fs, p)
-    // fold the stats generations (absent on pre-stats indexes)
+    // regenerate stats from the compacted positions (the
+    // bm25IndexCompact discipline): exact whatever the index's history,
+    // and upgrades pre-stats indexes in the same pass
     val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    if (fs.exists(sp)) {
-      val stmp = IndexSwap.prepare(fs, sp)
-      spark.read.parquet(sp.toString)
-        .groupBy(col("term"), col("term_pt"))
-        .agg(sum(col("n_pos")).as("n_pos"))
-        .repartition(col("term_pt"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("term_pt").parquet(stmp.toString)
-      IndexSwap.commit(fs, sp)
-    }
+    val stmp = IndexSwap.prepare(fs, sp)
+    writePhraseStats(spark.read.parquet(p.toString).select(col("term")),
+      stmp.toString, "overwrite")
+    IndexSwap.commit(fs, sp)
   }
 
   /** Heal any interrupted compaction swap and report whether `dir`
@@ -698,7 +740,8 @@ object Retrieval {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
       s"selective phrase search requires the stats slice; $dir predates " +
-        "it — re-build, or compact after one append with the current version")
+        "it — re-build, or run phraseIndexCompact with the current version " +
+        "(compact regenerates full-coverage stats from the positions)")
     val qTerms = positionalTokens(queries, "query_id", "qtext")
       .withColumnRenamed("pos", "off")
       .localCheckpoint(true)

@@ -79,12 +79,20 @@ object IntervalJoin {
     * approximate median interval length over both sides — one
     * single-pass columnar aggregate — which keeps the typical explode
     * factor ~2 without the caller knowing the length distribution.
+    *
+    * The skewed-length assumption is CHECKED, not trusted: the long
+    * outliers are counted before broadcasting, and past
+    * `maxLongBroadcast` rows the outlier legs run as plain
+    * (non-broadcast) theta joins instead — Spark plans a shuffled
+    * cartesian, slower but bounded-memory and exact, where an ungated
+    * broadcast of a long-heavy workload is an executor OOM.
     */
   def overlapsHybrid(left: DataFrame, right: DataFrame,
                      lStart: String, lEnd: String,
                      rStart: String, rEnd: String,
                      bucketWidth: Long = 0L,
-                     longFactor: Long = 16): DataFrame = {
+                     longFactor: Long = 16,
+                     maxLongBroadcast: Long = 4000000L): DataFrame = {
     require(longFactor >= 1, "longFactor must be >= 1")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both have: $dup")
@@ -92,10 +100,12 @@ object IntervalJoin {
     val w =
       if (bucketWidth > 0) bucketWidth
       else {
-        val med = left.select(len(lStart, lEnd).as("__len"))
+        val medRow = left.select(len(lStart, lEnd).as("__len"))
           .unionAll(right.select(len(rStart, rEnd).as("__len")))
-          .agg(expr("approx_percentile(__len, 0.5, 100)")).head().getLong(0)
-        math.max(1L, med)
+          .agg(expr("approx_percentile(__len, 0.5, 100)")).head()
+        // approx_percentile over ZERO rows is null — default the width
+        // so empty inputs return an empty join like plain overlaps
+        math.max(1L, if (medRow.isNullAt(0)) 1L else medRow.getLong(0))
       }
     val thr = w * longFactor
     val shortL = left.filter(len(lStart, lEnd) <= thr)
@@ -103,10 +113,16 @@ object IntervalJoin {
     val shortR = right.filter(len(rStart, rEnd) <= thr)
     val longR = right.filter(len(rStart, rEnd) > thr)
     val overlapPred = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+    // count the outliers before committing them to a broadcast — two
+    // scan-side counts, cheap next to the join they protect
+    val nLong = longL.count() + longR.count()
+    val (legL, legR) =
+      if (nLong <= maxLongBroadcast)
+        (org.apache.spark.sql.functions.broadcast(longL),
+          org.apache.spark.sql.functions.broadcast(longR))
+      else (longL, longR) // shuffled theta fallback, see scaladoc
     overlaps(shortL, shortR, lStart, lEnd, rStart, rEnd, w)
-      .unionByName(org.apache.spark.sql.functions.broadcast(longL)
-        .join(right, overlapPred))
-      .unionByName(shortL
-        .join(org.apache.spark.sql.functions.broadcast(longR), overlapPred))
+      .unionByName(legL.join(right, overlapPred))
+      .unionByName(shortL.join(legR, overlapPred))
   }
 }

@@ -106,16 +106,19 @@ final class AdminServer(spark: SparkSession,
     val edges = edge.findAllMatchIn(d)
       .map(m => s"<li>${htmlEsc(m.group(1))} &rarr; ${htmlEsc(m.group(2))}</li>")
       .mkString("\n")
-    s"""<!DOCTYPE html>
+    // stripMargin runs on the STATIC template halves only: interpolating
+    // the DOT/edge content first would let any content line starting
+    // with '|' be eaten by the margin strip
+    val head = """<!DOCTYPE html>
        |<html><head><title>graft pipeline</title></head><body>
        |<h1>pipeline topology</h1>
        |<ul>
-       |$edges
+       |""".stripMargin
+    val mid = """
        |</ul>
        |<h2>DOT source</h2>
-       |<pre>${htmlEsc(d)}</pre>
-       |</body></html>
-       |""".stripMargin
+       |<pre>""".stripMargin
+    head + edges + mid + htmlEsc(d) + "</pre>\n</body></html>\n"
   }
 
   route("/config", "text/plain; charset=utf-8", explainConfig)

@@ -49,7 +49,10 @@ object StreamingIntervalJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both have: $dup")
     val delay = s"${watermarkDelay.getSeconds} seconds"
-    val maxLen = math.max(1L, maxIntervalLen.getSeconds)
+    // round the bound UP to whole seconds: getSeconds truncates toward
+    // zero, and an under-sized bound (e.g. 1500 ms -> 1 s) silently
+    // drops overlapping pairs whose start delta falls in the gap
+    val maxLen = math.max(1L, (maxIntervalLen.toMillis + 999) / 1000)
     // Spark requires an EQUALITY key on stream-stream joins, so the
     // batch operator's banding reappears here: bucket starts at width
     // maxLen — overlap with lengths <= maxLen implies the two starts

@@ -71,12 +71,24 @@ object StreamingWeightedSample {
   }
 
   /** @param groupCol stratum column (rendered to string for keying)
-    * @param idCol    unique row id — drives the deterministic rank key
+    * @param idCol    unique row id — drives the deterministic rank key.
+    *                 MUST be an integral column (checked loudly below):
+    *                 the reservoir's tie-break is numeric id order, the
+    *                 same order the batch sampler applies to integral
+    *                 ids — a string id rendered through a silent cast
+    *                 would null out and crash the tuple encoder deep in
+    *                 the stream instead
     * @param weightCol positive weight; non-positive rows are excluded
     * @param seed     same seed as the batch sampler = same sample */
   def sample(docs: DataFrame, groupCol: String, idCol: String,
              weightCol: String, k: Int, seed: String = ""): Dataset[Kept] = {
     require(k >= 1)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "long", "integer")
+        .contains(idType.typeName),
+      s"streaming weighted sample requires an integral id column for the " +
+        s"batch-identical numeric tie-break; '$idCol' is ${idType.typeName} — " +
+        "derive a numeric id (e.g. xxhash64) upstream")
     implicit val inEnc = Encoders.product[(String, Long, Double, Double)]
     implicit val outEnc = Encoders.product[Kept]
     implicit val keyEnc = Encoders.STRING

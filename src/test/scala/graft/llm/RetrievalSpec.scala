@@ -292,6 +292,84 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
 
+  test("max-score candidate broadcast is budget-gated: fallback stays exact") {
+    val dir = freshDir()
+    // the hot-heavy shape where pruning engages at the default budget
+    // (previous test) — at budget 0 the same call must detour to the
+    // plain exact search instead of broadcasting the candidate set
+    spark.range(400L)
+      .selectExpr("id AS doc_id",
+        "concat('stop w', id % 40, ' w', id % 40, ' w', id % 40) AS text")
+      .createOrReplaceTempView("_msg_corpus")
+    Retrieval.bm25BuildIndex(spark.table("_msg_corpus"), "text", "doc_id", dir)
+    val q = (0L until 10L).map(i => (i, s"stop w${i * 3}"))
+      .toDF("query_id", "qtext")
+    val exact = rows(Retrieval.bm25SearchIndex(q, dir, k = 5))
+    assert(rows(Retrieval.bm25SearchIndexMaxScore(q, dir, k = 5,
+      hotDfFrac = 0.5, maxCandBroadcast = 0L)) == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("pre-stats index + append mints no partial stats; compact regenerates") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    // simulate a pre-stats (round-9) index, then append with the
+    // current version — the ADVICE migration path
+    fs.delete(statsP, true)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    // the append must NOT have minted a batch-only slice: a search
+    // trusting it would under-count df/max_tf and silently break the
+    // max-score row-identity contract
+    assert(!fs.exists(statsP), "append created a partial stats slice")
+    // stats-dependent paths refuse loudly instead of mis-pruning
+    val hotQ = Seq((1L, "the zebra")).toDF("query_id", "qtext")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25SearchIndex(hotQ, dir, 10, maxDfFrac = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25SearchIndexMaxScore(hotQ, dir, 10, hotDfFrac = 0.5)
+    }
+    // compact IS the migration: stats regenerate from the postings with
+    // FULL coverage — 'the' sits in 3 of 5 docs across both generations
+    Retrieval.bm25IndexCompact(spark, dir)
+    val want = rows(Retrieval.bm25SearchIndex(
+      Seq((1L, "zebra")).toDF("query_id", "qtext"), dir, k = 10))
+    assert(rows(Retrieval.bm25SearchIndex(hotQ, dir, 10, maxDfFrac = 0.5)) == want)
+    assert(rows(Retrieval.bm25SearchIndexMaxScore(hotQ, dir, 10, hotDfFrac = 0.5)) ==
+      rows(Retrieval.bm25SearchIndex(hotQ, dir, 10)))
+    // regenerated rows carry the true df/max_tf over ALL generations
+    val truth = spark.read.parquet(s"$dir/postings").groupBy($"term")
+      .agg(max($"tf").as("mtf"), count(lit(1)).as("tdf"))
+    val drift = spark.read.parquet(s"$dir/stats")
+      .join(truth, "term")
+      .filter($"max_tf" =!= $"mtf" || $"df" =!= $"tdf").count()
+    assert(drift == 0, "compact-regenerated stats disagree with postings")
+  }
+
+  test("pre-stats phrase index: append mints no slice; compact regenerates") {
+    val dir = freshDir()
+    Retrieval.phraseBuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    fs.delete(statsP, true)
+    Retrieval.phraseIndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    assert(!fs.exists(statsP), "append created a partial stats slice")
+    val q = Seq((1L, "the cat")).toDF("query_id", "qtext")
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseSearchIndexSelective(q, dir, k = 10)
+    }
+    Retrieval.phraseIndexCompact(spark, dir)
+    def phRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    assert(phRows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10)) ==
+      phRows(Retrieval.phraseTopK(docs, q, k = 10)))
+  }
+
   // ---- positional phrase search ---------------------------------------
 
   test("phrase search matches consecutive tokens only, in order") {

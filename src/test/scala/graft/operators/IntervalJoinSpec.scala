@@ -124,6 +124,39 @@ class IntervalJoinSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hybrid on empty inputs returns empty (auto width has no median)") {
+    val e = Seq.empty[(Long, Long, Long)].toDF("id_a", "a_s", "a_e")
+    val f = Seq.empty[(Long, Long, Long)].toDF("id_b", "b_s", "b_e")
+    // approx_percentile over zero rows is null — must not NPE
+    assert(IntervalJoin.overlapsHybrid(e, f, "a_s", "a_e", "b_s", "b_e")
+      .count() == 0L)
+  }
+
+  test("long-heavy corpus: broadcast gate engages, shuffled theta stays exact") {
+    val as = randomIntervals(40, 0L) ++
+      (0 until 30).map(i => (8000L + i, i * 10L, 5000000L + i))
+    val bs = randomIntervals(40, 10000L)
+    // suppress Spark's own size-based auto-broadcast so the plan shows
+    // the gate's choice, not the optimizer's small-input shortcut
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = IntervalJoin.overlapsHybrid(
+        as.toDF("id_a", "a_s", "a_e"), bs.toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 2048L,
+        maxLongBroadcast = 0L) // gate always engages
+      val got = df.select($"id_a", $"id_b").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size)
+      assert(got.toSet == brute(as, bs))
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // past the budget the outlier legs run shuffled (cartesian), never
+      // a driver-fed broadcast of a long-heavy side
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+      assert(plan.contains("CartesianProduct"), plan.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hybrid legs partition the space: long x long pairs appear exactly once") {
     val as = Seq((1L, 0L, 1000000L), (2L, 5L, 10L))
     val bs = Seq((3L, 0L, 2000000L), (4L, 7L, 12L))

@@ -114,6 +114,21 @@ class AdminServerSpec extends SparkSpec {
     } finally admin.stop()
   }
 
+  test("/pipeline/html preserves interpolated lines starting with '|'") {
+    // stripMargin must run on the static template only: a DOT line whose
+    // content begins with '|' (legal in node names/labels) would
+    // otherwise be truncated at render time
+    val dot = "digraph pipeline {\n  \"a|x\" -> \"|b\"\n  |weird label line\n}"
+    val admin = new graft.streaming.AdminServer(spark, () => "", () => dot)
+      .start()
+    try {
+      val (c, body) = get(admin.boundPort, "/pipeline/html")
+      assert(c == 200, body)
+      assert(body.contains("|weird label line"), body)
+      assert(body.contains("a|x &rarr; |b"), body)
+    } finally admin.stop()
+  }
+
   test("progress advances across micro-batches while a tcp bind receiver ingests") {
     // the daemon composition an operator actually runs: a YAML pipeline
     // with a live socket receiver in --follow mode, introspected over

@@ -67,6 +67,33 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("sub-second maxIntervalLen rounds UP: 1500 ms keeps a 1.5 s start delta") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Timestamp)]
+    val memR = MemoryStream[(Long, Timestamp, Timestamp)]
+    val joined = StreamingIntervalJoin.overlaps(
+        memL.toDF().toDF("id_a", "a_s", "a_e"),
+        memR.toDF().toDF("id_b", "b_s", "b_e"),
+        "a_s", "a_e", "b_s", "b_e",
+        maxIntervalLen = Duration.ofMillis(1500),
+        watermarkDelay = Duration.ofHours(1))
+      .select($"id_a", $"id_b")
+    val q = joined.writeStream.format("memory").queryName("sij_subsec")
+      .outputMode("append")
+      .option("checkpointLocation", Streams.newCheckpointDir())
+      .start()
+    // left [0 ms, 1500 ms], right [1500 ms, 3000 ms]: closed-interval
+    // overlap at the touching endpoint, start delta exactly 1.5 s —
+    // a bound truncated to 1 s drops it; the rounded-up 2 s bound keeps it
+    val t0 = base * 1000L
+    memL.addData((1L, new Timestamp(t0), new Timestamp(t0 + 1500)))
+    memR.addData((2L, new Timestamp(t0 + 1500), new Timestamp(t0 + 3000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sij_subsec").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("watermark + range bound evicts join state (state is bounded)") {
     implicit val sqlCtx = spark.sqlContext
     val memL = MemoryStream[(Long, Timestamp, Timestamp)]

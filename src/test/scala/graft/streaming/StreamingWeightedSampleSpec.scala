@@ -49,6 +49,17 @@ class StreamingWeightedSampleSpec extends SparkSpec {
         .map(r => (r.group, r.id) -> r.sample_rank).toMap
     }
 
+  test("string id columns are rejected loudly (numeric tie-break contract)") {
+    // a silent cast("long") would null string ids and crash the tuple
+    // encoder deep inside the stream; the schema check names the
+    // contract (batch ties break by NUMERIC id order) up front
+    val df = Seq(("a", "g", 1.0)).toDF("id", "g", "w")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingWeightedSample.sample(df, "g", "id", "w", k = 2)
+    }
+    assert(ex.getMessage.contains("integral id column"), ex.getMessage)
+  }
+
   test("drained stream == batch sample, across multiple micro-batches") {
     val rows = (0L until 400L).map(i => (i, s"g${i % 3}", 1L + i % 9))
     val streamed = drained(rows, k = 12, batches = 5, "wsample_parity")
