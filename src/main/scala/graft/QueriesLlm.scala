@@ -1851,7 +1851,111 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       require(Lm.lmIndexRecover(s, idx), "complete order-3 LM index expected")
       Lm.lmScoreIndex(docs, "text", "doc_id", idx)
     },
-    Some(lm3OracleSql))
+    Some(lm3OracleSql)) :+ QueryDef(
+    // CCNet's production order: 5-gram with four-level stupid backoff
+    // (0.4^j down the orders), through the ORDER-GENERAL scorer
+    // (Lm.lmScoreK — the hand-rolled 2/3 paths are its spec-pinned
+    // special cases). The oracle re-derives all five count orders and
+    // the fifteen-branch contribution CASE over lockstep unnest
+    // positions, floor division everywhere.
+    "llm_lm5_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Lm.lmScoreK(docs.filter(pmod(col("doc_id"), lit(2)) === 0), docs,
+        "text", "doc_id", k = 5)
+    },
+    Some(lm5OracleSql)) :+ QueryDef(
+    // the order-5 persisted lifecycle (build %4==0 / append %4==2 /
+    // compact / recover / score) against the SAME 5-gram oracle —
+    // order rides meta, every grams_n slice stays in step
+    "llm_lm5_index",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-lm5-index-").toString
+      val docs = t(s, dir, "documents")
+      Lm.lmBuildIndexK(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", "doc_id", idx, k = 5)
+      Lm.lmIndexAppendK(docs.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "text", "doc_id", idx)
+      Lm.lmIndexCompactK(s, idx)
+      require(Lm.lmIndexRecoverK(s, idx), "complete order-5 LM index expected")
+      Lm.lmScoreIndexK(docs, "text", "doc_id", idx)
+    },
+    Some(lm5OracleSql))
+
+  /** DuckDB twin of Lm.lmScoreK at k = 5 (same split): counts for all
+    * five orders via pos self-joins, prev1..prev4 context via four
+    * left self-joins, the fifteen-branch four-level backoff CASE
+    * (factor 0.4^j in ppm per level skipped), floor division
+    * everywhere. */
+  private def lm5OracleSql: String =
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+      rs AS (SELECT doc_id, term, pos FROM (
+          SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
+      tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
+      uni AS (SELECT term, COUNT(*) AS c1 FROM tr GROUP BY 1),
+      tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t FROM uni),
+      bi AS (SELECT a.term AS prev, b.term AS term, COUNT(*) AS c2
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      tri AS (SELECT a.term AS prev2, b.term AS prev, c.term AS term, COUNT(*) AS c3
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        GROUP BY 1, 2, 3),
+      qd AS (SELECT a.term AS p3, b.term AS p2, c.term AS p1, d.term AS term, COUNT(*) AS c4
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+                  JOIN tr d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+        GROUP BY 1, 2, 3, 4),
+      qn AS (SELECT a.term AS p4, b.term AS p3, c.term AS p2, d.term AS p1, e.term AS term, COUNT(*) AS c5
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+                  JOIN tr d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+                  JOIN tr e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+        GROUP BY 1, 2, 3, 4, 5),
+      sc AS (SELECT r.doc_id, r.pos, p4.term AS prev4, p3.term AS prev3,
+          p2.term AS prev2, p1.term AS prev, r.term
+        FROM rs r LEFT JOIN rs p1 ON p1.doc_id = r.doc_id AND p1.pos = r.pos - 1
+                  LEFT JOIN rs p2 ON p2.doc_id = r.doc_id AND p2.pos = r.pos - 2
+                  LEFT JOIN rs p3 ON p3.doc_id = r.doc_id AND p3.pos = r.pos - 3
+                  LEFT JOIN rs p4 ON p4.doc_id = r.doc_id AND p4.pos = r.pos - 4),
+      contrib AS (SELECT s.doc_id,
+          CASE WHEN s.pos = 0 THEN COALESCE((u2.c1 * 1000000) // t.t, 0)
+               WHEN s.pos = 1 THEN
+                 CASE WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 1000000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 400000) // t.t, 0) END
+               WHEN s.pos = 2 THEN
+                 CASE WHEN tri.c3 IS NOT NULL THEN (tri.c3 * 1000000) // bc.c2
+                      WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 400000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 160000) // t.t, 0) END
+               WHEN s.pos = 3 THEN
+                 CASE WHEN qd.c4 IS NOT NULL THEN (qd.c4 * 1000000) // tc.c3
+                      WHEN tri.c3 IS NOT NULL THEN (tri.c3 * 400000) // bc.c2
+                      WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 160000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 64000) // t.t, 0) END
+               ELSE
+                 CASE WHEN qn.c5 IS NOT NULL THEN (qn.c5 * 1000000) // qc.c4
+                      WHEN qd.c4 IS NOT NULL THEN (qd.c4 * 400000) // tc.c3
+                      WHEN tri.c3 IS NOT NULL THEN (tri.c3 * 160000) // bc.c2
+                      WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 64000) // u1.c1
+                      ELSE COALESCE((u2.c1 * 25600) // t.t, 0) END
+          END AS c
+        FROM sc s
+        LEFT JOIN qn ON qn.p4 = s.prev4 AND qn.p3 = s.prev3 AND qn.p2 = s.prev2
+          AND qn.p1 = s.prev AND qn.term = s.term
+        LEFT JOIN qd qc ON qc.p3 = s.prev4 AND qc.p2 = s.prev3
+          AND qc.p1 = s.prev2 AND qc.term = s.prev
+        LEFT JOIN qd ON qd.p3 = s.prev3 AND qd.p2 = s.prev2
+          AND qd.p1 = s.prev AND qd.term = s.term
+        LEFT JOIN tri tc ON tc.prev2 = s.prev3 AND tc.prev = s.prev2 AND tc.term = s.prev
+        LEFT JOIN tri ON tri.prev2 = s.prev2 AND tri.prev = s.prev AND tri.term = s.term
+        LEFT JOIN bi bc ON bc.prev = s.prev2 AND bc.term = s.prev
+        LEFT JOIN bi ON bi.prev = s.prev AND bi.term = s.term
+        LEFT JOIN uni u1 ON u1.term = s.prev
+        LEFT JOIN uni u2 ON u2.term = s.term
+        CROSS JOIN tot t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+        CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_score_ppm
+      FROM contrib GROUP BY doc_id"""
 
   /** DuckDB twin of Lm.lmScore3 (same split): trigram counts via two
     * pos self-joins, the five-branch two-level backoff CASE, floor

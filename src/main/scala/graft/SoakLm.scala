@@ -108,6 +108,28 @@ object SoakLm {
       .lmScoreIndex(corpus, "text", "doc_id", s"$dir/model3").count()
     val score3Sec = (System.nanoTime() - t0) / 1e9
 
+    // order-5 leg through the ORDER-GENERAL family (CCNet's production
+    // order): four count slices past unigrams, gram keys as space-joined
+    // strings — at uniform-random tokens every 5-gram is distinct, so
+    // slice sizes ~ token count bound the real-text cost from above.
+    // The trickle leg re-checks catalog pruning at the widest order.
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmBuildIndexK(corpus, "text", "doc_id", s"$dir/model5", k = 5)
+    val build5Sec = (System.nanoTime() - t0) / 1e9
+    val model5Bytes = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$dir/model5"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    t0 = System.nanoTime()
+    val nScored5 = graft.llm.Lm
+      .lmScoreIndexK(corpus, "text", "doc_id", s"$dir/model5").count()
+    val score5Sec = (System.nanoTime() - t0) / 1e9
+    val before5 = settleBytes()
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmScoreIndexK(trickle, "text", "doc_id", s"$dir/model5").count()
+    val trickle5Sec = (System.nanoTime() - t0) / 1e9
+    val trickle5Bytes = settleBytes() - before5
+
     println(s"""{"soak":"lm","n_corpus":$n,"build_sec":${f"$buildSec%.1f"},""" +
       s""""model_bytes":$modelBytes,"bigram_rows":$biRows,""" +
       s""""score_all_sec":${f"$scoreAllSec%.1f"},"scored":$nScored,""" +
@@ -117,7 +139,10 @@ object SoakLm {
       s""""prune_sec":${f"$pruneSec%.1f"},""" +
       s""""bigrams_pre_prune":$prePrune,"bigrams_post_prune":$postPrune,""" +
       s""""build3_sec":${f"$build3Sec%.1f"},""" +
-      s""""score3_all_sec":${f"$score3Sec%.1f"},"scored3":$nScored3}""")
+      s""""score3_all_sec":${f"$score3Sec%.1f"},"scored3":$nScored3,""" +
+      s""""build5_sec":${f"$build5Sec%.1f"},"model5_bytes":$model5Bytes,""" +
+      s""""score5_all_sec":${f"$score5Sec%.1f"},"scored5":$nScored5,""" +
+      s""""trickle5_sec":${f"$trickle5Sec%.1f"},"trickle5_bytes_read":$trickle5Bytes}""")
     spark.stop()
   }
 }

@@ -219,6 +219,249 @@ object Lm {
       triCounts(train, textCol, idCol), total)
   }
 
+  // ---- order-general (k as a parameter) ---------------------------------
+  //
+  // CCNet's production filter is a 5-gram model; hand-rolling one order
+  // at a time (lmScore bigram, lmScore3 trigram) multiplies code and
+  // oracles per rung. The order-k family below generalizes the
+  // null-prefixed zip to k context levels and the backoff to
+  // 0.4^j · c_n/c_{n-1} over space-joined gram strings (tokens are
+  // split on single spaces, so a space-joined n-gram is an injective
+  // key — and the same key works verbatim in the DuckDB oracle).
+  // lmScoreK(k=2/3) is spec-pinned row-identical to lmScore/lmScore3.
+
+  /** (doc_id, p0, prev1..prev_{k-1}, term) per token — [[pairRows]]
+    * generalized: prev_j = the token j positions back after empty
+    * removal (null for p0 < j), built by FOLDING the null-prefixed zip
+    * one context level at a time. Each level is one more top-level
+    * reference to the token array (k × O(len) per row total), never a
+    * per-element lambda over recomputed state — the interpreted-HOF
+    * trap pairRows documents. */
+  private def kRows(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val nul = lit(null).cast("string")
+    // zip_with pads the shorter side with nulls, so each level's extra
+    // trailing entries carry term = null and drop at the filter
+    var acc: Column = transform(col("tk"), t => struct(t.as("term")))
+    for (j <- 1 until k) {
+      val shifted = concat(array(Seq.fill(j)(nul): _*), col("tk"))
+      val fields = "term" +: (1 until j).map(i => s"prev$i")
+      acc = zip_with(acc, shifted, (a, p) =>
+        struct(fields.map(f => a.getField(f).as(f)) :+ p.as(s"prev$j"): _*))
+    }
+    docs.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), posexplode(acc).as(Seq("p0", "tp")))
+      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id") +: col("p0") +:
+        (1 until k).map(j => col(s"tp.prev$j").as(s"prev$j")) :+
+        col("tp.term").as("term"): _*)
+  }
+
+  /** Count tables (gram → c) for every order 1..k over one training
+    * pass lineage, plus the unigram total. Gram keys are space-joined
+    * token runs (injective: tokens cannot contain spaces). */
+  private def kGramCounts(train: DataFrame, textCol: String, idCol: String,
+                          k: Int): (Map[Int, DataFrame], DataFrame) = {
+    val rows = kRows(train, textCol, idCol, k)
+    val cnts = (1 to k).map { n =>
+      val grouped =
+        if (n == 1) rows.groupBy(col("term").as("gram"))
+        else rows.filter(col(s"prev${n - 1}").isNotNull)
+          .groupBy(concat_ws(" ",
+            ((n - 1) to 1 by -1).map(j => col(s"prev$j")) :+ col("term"): _*)
+            .as("gram"))
+      n -> grouped.agg(count(lit(1)).as("c"))
+    }.toMap
+    val total = cnts(1).agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+    (cnts, total)
+  }
+
+  /** Exact 0.4^j backoff factors in ppm (1e6, 4e5, 1.6e5, 64000,
+    * 25600, ...) as a Spark SQL array literal — integer-exact out to
+    * j = 8 (4^8 · 10^{-2} = 655.36 would break; ks above 8 are refused
+    * upstream, j ≤ k-1 = 7 → 40.96... let's see: j=5 → 10240, j=6 →
+    * 4096, j=7 → 1638.4 NOT integral — hence the k ≤ 7 bound below). */
+  private def backoffFactors(k: Int): Seq[Long] =
+    (0 until k).scanLeft(1000000L)((f, _) => f * 2 / 5).take(k)
+
+  /** The order-k scoring tail. `cnts(n)` carries (gram, c) for order n;
+    * `total` one row (t). For token position p0, the usable context
+    * level is lvl = min(p0, k-1); the highest order n with a counted
+    * gram scores 0.4^(lvl+1-n) · c_n(g_n)/c_{n-1}(x_n) (floor ppm at
+    * every step), falling to the unigram 0.4^lvl · c_1(term)/T, and 0
+    * for unseen tokens — exactly the lmScore/lmScore3 chain continued
+    * upward. c_{n-1}(x_n) ≥ c_n(g_n) > 0 whenever the order-n branch
+    * fires (both counted from the same training rows), so no ANSI
+    * zero-division. */
+  private def scoreWithK(docs: DataFrame, textCol: String, idCol: String,
+                         cnts: Map[Int, DataFrame], total: DataFrame,
+                         k: Int): DataFrame = {
+    val prevCols = (1 until k).map(j => s"prev$j")
+    var rows = kRows(docs, textCol, idCol, k)
+      .withColumn("lvl", least(col("p0"), lit(k - 1)))
+      .groupBy(("doc_id" +: "lvl" +: prevCols :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("m"))
+    for (n <- 2 to k) {
+      // prev_j null only at doc starts (monotone in j), so guarding the
+      // deepest context token suffices — concat_ws would silently SKIP
+      // null members and alias a shorter gram otherwise
+      val ws = ((n - 1) to 1 by -1).map(j => col(s"prev$j")) :+ col("term")
+      rows = rows
+        .withColumn(s"g_$n", when(col(s"prev${n - 1}").isNotNull,
+          concat_ws(" ", ws: _*)))
+        .withColumn(s"x_$n", when(col(s"prev${n - 1}").isNotNull,
+          concat_ws(" ", ws.dropRight(1): _*)))
+    }
+    var joined = rows.join(
+      cnts(1).select(col("gram").as("term"), col("c").as("c1_term")),
+      Seq("term"), "left")
+    for (n <- 2 to k) joined = joined
+      .join(cnts(n).select(col("gram").as(s"g_$n"), col("c").as(s"c_$n")),
+        Seq(s"g_$n"), "left")
+      .join(cnts(n - 1).select(col("gram").as(s"x_$n"), col("c").as(s"cx_$n")),
+        Seq(s"x_$n"), "left")
+    val factSql = backoffFactors(k).mkString("array(", "L, ", "L)")
+    var contrib: Column = coalesce(
+      expr(s"(c1_term * element_at($factSql, lvl + 1)) div t"), lit(0L))
+    for (n <- 2 to k) // ascending, so the HIGHEST order ends outermost
+      contrib = when(col(s"c_$n").isNotNull,
+        expr(s"(c_$n * element_at($factSql, lvl + 2 - $n)) div cx_$n"))
+        .otherwise(contrib)
+    joined
+      .crossJoin(broadcast(total))
+      .withColumn("contrib_ppm", contrib)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("ntok"),
+        sum(col("m") * col("contrib_ppm")).as("s"))
+      .select(col("doc_id"), col("ntok"),
+        expr("s div ntok").as("lm_score_ppm"))
+  }
+
+  private def requireOrder(k: Int): Unit =
+    require(k >= 2 && k <= 7,
+      s"order must be in [2, 7], got $k (0.4^j ppm factors stay integral " +
+        "through j = 6; higher orders would break the integer-exact contract)")
+
+  /** [[lmScore]] at order `k` — spec-pinned row-identical to
+    * [[lmScore]]/[[lmScore3]] at k = 2/3, and the llm_lm5 oracles
+    * re-derive the whole five-order chain in DuckDB at k = 5. */
+  def lmScoreK(train: DataFrame, docs: DataFrame, textCol: String,
+               idCol: String, k: Int): DataFrame = {
+    requireOrder(k)
+    val (cnts, total) = kGramCounts(train, textCol, idCol, k)
+    scoreWithK(docs, textCol, idCol, cnts, total, k)
+  }
+
+  /** Persist an order-k model: one `grams_n/` slice per order (gram,
+    * c), partitioned by the hash bucket of the gram's FIRST token —
+    * every token of a gram a scored batch needs is a batch token, so
+    * the batch's term buckets prune every slice at the catalog level
+    * (the [[lmScoreIndex]] discipline, order-general). Meta (t, n_docs,
+    * ord) lands LAST as the commit marker. */
+  def lmBuildIndexK(train: DataFrame, textCol: String, idCol: String,
+                    dir: String, k: Int): Unit = {
+    requireOrder(k)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val (cnts, total) = kGramCounts(train, textCol, idCol, k)
+    for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
+    val t = total.head().getLong(0)
+    Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def writeGramSlice(cnt: DataFrame, path: String,
+                             mode: String): Unit =
+    cnt.withColumn("pt", bucket(substring_index(col("gram"), " ", 1)))
+      .repartition(col("pt")) // AQE-sized: the model is vocabulary-sized
+      .sortWithinPartitions(col("gram"))
+      .write.mode(mode).partitionBy("pt").parquet(path)
+
+  /** Append a training batch as a new generation of every slice (reads
+    * fold with sum — counts are additive); meta totals advance last. */
+  def lmIndexAppendK(train: DataFrame, textCol: String, idCol: String,
+                     dir: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val meta0 = spark.read.parquet(s"$dir/meta").head()
+    val (oldT, oldN, ord) =
+      (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
+    val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
+    for (n <- ord to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "append")
+    val batchT = total.head().getLong(0)
+    Seq((oldT + batchT, oldN + train.count(), ord.toLong))
+      .toDF("t", "n_docs", "ord")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold append generations of every slice to one row per gram
+    * through the crash-safe [[IndexSwap]] protocol. `minCount` > 1
+    * prunes rare HIGHER-order grams (orders 2..k; unigrams never —
+    * backoff mass and T depend on them), the Brants count cutoff. */
+  def lmIndexCompactK(spark: SparkSession, dir: String,
+                      minCount: Long = 1L): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
+    for (n <- 1 to ord) {
+      val p = new Path(s"$dir/grams_$n")
+      val fs = p.getFileSystem(conf)
+      val tmp = IndexSwap.prepare(fs, p)
+      spark.read.parquet(p.toString)
+        .groupBy(col("gram"), col("pt"))
+        .agg(sum(col("c")).as("c"))
+        .filter(if (n == 1) lit(true) else col("c") >= minCount)
+        .repartition(col("pt"))
+        .sortWithinPartitions(col("gram"))
+        .write.mode("overwrite").partitionBy("pt").parquet(tmp.toString)
+      IndexSwap.commit(fs, p)
+    }
+  }
+
+  /** Heal interrupted swaps and report whether `dir` holds a complete
+    * order-k model (meta plus every grams_1..grams_ord slice). */
+  def lmIndexRecoverK(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaP = new Path(s"$dir/meta")
+    val fs = metaP.getFileSystem(conf)
+    if (!fs.exists(metaP)) return false
+    val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
+    (1 to ord).forall { n =>
+      val p = new Path(s"$dir/grams_$n")
+      IndexSwap.recover(fs, p)
+      fs.exists(p)
+    }
+  }
+
+  /** Score `docs` against a persisted order-k model — row-identical to
+    * [[lmScoreK]] over the same training corpus. The batch's distinct
+    * terms drive catalog pruning on every slice (any gram the batch
+    * needs starts with a batch token) and a broadcast first-token
+    * semi-join drops non-batch grams at the scan; generations fold
+    * with sum; T comes from meta. */
+  def lmScoreIndexK(docs: DataFrame, textCol: String, idCol: String,
+                    dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (t, ord) = (meta.getLong(0), meta.getLong(2).toInt)
+    import spark.implicits._
+    val batchTerms = docs
+      .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w1"))
+      .distinct()
+      .localCheckpoint(true) // feeds the bucket collect and every semi-join
+    val hitBuckets = batchTerms.select(bucket(col("w1")).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cnts = (1 to ord).map { n =>
+      n -> spark.read.parquet(s"$dir/grams_$n")
+        .filter(col("pt").isInCollection(hitBuckets))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+        .join(broadcast(batchTerms), "w1")
+        .groupBy(col("gram")).agg(sum(col("c")).as("c"))
+    }.toMap
+    val total = Seq(t).toDF("t")
+    scoreWithK(docs, textCol, idCol, cnts, total, ord)
+  }
+
   /** Persist an LM count model under `dir`:
     *
     *  - `unigrams/` (term, c1) partitioned by `term_pt`;

@@ -150,4 +150,77 @@ class LmSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
     assert(!Lm.lmIndexRecover(spark, dir))
   }
+
+  // ---- order-general (k as a parameter) --------------------------------
+
+  test("order-k scorer at k = 2 and 3 is row-identical to the hand-rolled paths") {
+    assert(rows(Lm.lmScoreK(train, corpus, "text", "doc_id", k = 2)) == expected)
+    assert(rows(Lm.lmScoreK(train, corpus, "text", "doc_id", k = 3)) == expected3)
+  }
+
+  // 5-gram hand-derivation. Train (even ids): d0 [v w x y z],
+  // d2 [v w x y q] -> T = 10; c1: v,w,x,y = 2, z,q = 1; the full
+  // 2..5-gram chains of both docs with counts 2 on shared prefixes.
+  //  d0 "v w x y z": 200000 + 1e6 + 1e6 + 1e6 + (c5=1)*1e6 div (c4=2)
+  //                 = 3700000 div 5 = 740000  (d2, d3 identical shape)
+  //  d1 "w x y z q": 200000 + 1e6 + 1e6 + (c4=1)*1e6 div (c3=2)
+  //                 + q unseen in every order -> uni backoff
+  //                   0.4^4: (1 * 25600) div 10 = 2560
+  //                 = 2702560 div 5 = 540512
+  private lazy val corpus5 = Seq(
+    (0L, "v w x y z"), (1L, "w x y z q"),
+    (2L, "v w x y q"), (3L, "v w x y z")
+  ).toDF("doc_id", "text")
+  private val expected5 = Set(
+    (0L, 5L, 740000L), (1L, 5L, 540512L),
+    (2L, 5L, 740000L), (3L, 5L, 740000L))
+
+  test("order-5 scoring matches the hand derivation (four-level backoff)") {
+    val train5 = corpus5.filter($"doc_id" % 2 === 0)
+    assert(rows(Lm.lmScoreK(train5, corpus5, "text", "doc_id", k = 5)) ==
+      expected5)
+  }
+
+  test("order-5 persisted lifecycle is row-identical to the ad-hoc scorer") {
+    val dir = freshDir()
+    val train5 = corpus5.filter($"doc_id" % 2 === 0)
+    Lm.lmBuildIndexK(corpus5.filter($"doc_id" === 0L), "text", "doc_id",
+      dir, k = 5)
+    Lm.lmIndexAppendK(corpus5.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    assert(rows(Lm.lmScoreIndexK(corpus5, "text", "doc_id", dir)) == expected5)
+    Lm.lmIndexCompactK(spark, dir)
+    assert(Lm.lmIndexRecoverK(spark, dir))
+    assert(rows(Lm.lmScoreIndexK(corpus5, "text", "doc_id", dir)) == expected5)
+    val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long, Long)].head()
+    assert(meta == ((10L, 2L, 5L))) // t, n_docs, order ride meta
+    // every order's slice folded to one generation per gram
+    val unfolded = spark.read.parquet(s"$dir/grams_5")
+      .groupBy($"gram").count().filter($"count" > 1).count()
+    assert(unfolded == 0, "compact left multiple generations per gram")
+    // ad-hoc parity on the identical train split
+    assert(rows(Lm.lmScoreK(train5, corpus5, "text", "doc_id", k = 5)) ==
+      rows(Lm.lmScoreIndexK(corpus5, "text", "doc_id", dir)))
+  }
+
+  test("order-k lifecycle matches the order-2 family on the same corpus") {
+    val dir = freshDir()
+    Lm.lmBuildIndexK(train, "text", "doc_id", dir, k = 2)
+    assert(rows(Lm.lmScoreIndexK(corpus, "text", "doc_id", dir)) == expected)
+  }
+
+  test("order-k model missing a slice reports incomplete; bad orders refused") {
+    val dir = freshDir()
+    Lm.lmBuildIndexK(corpus5.filter($"doc_id" % 2 === 0), "text", "doc_id",
+      dir, k = 5)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/grams_4"), true)
+    assert(!Lm.lmIndexRecoverK(spark, dir))
+    intercept[IllegalArgumentException] {
+      Lm.lmScoreK(train, corpus, "text", "doc_id", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Lm.lmScoreK(train, corpus, "text", "doc_id", k = 8)
+    }
+  }
 }

@@ -55,4 +55,43 @@ class StreamingLmIngestSpec extends SparkSpec {
     assert(rows(Lm.lmScoreIndex(scored, "text", "doc_id", idx)) ==
       rows(Lm.lmScore(train.toDF("doc_id", "text"), scored, "text", "doc_id")))
   }
+
+  test("a scorer between batches sees exactly the model of batches 0..N") {
+    // the standing CCNet loop: ingest advances the on-disk model while a
+    // scorer reads it BETWEEN batches — after each commit, index scores
+    // must equal an ad-hoc model trained on precisely the batches
+    // admitted so far (the on-disk artifact IS the ingest frontier)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sli-live-")
+      .toString + "/model"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sli-lsrc-").toString
+    // one file per batch, DISTINCT sizes so the callback's row count
+    // identifies which file was admitted (file order isn't guaranteed)
+    val files = Seq(
+      Seq((0L, "a b a")),
+      Seq((2L, "a b"), (4L, "b c a")),
+      Seq((6L, "b a b"), (8L, "a c"), (10L, "c a")))
+    files.foreach(f =>
+      f.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir))
+    val bySize = files.map(f => f.size.toLong -> f).toMap
+    val schema = spark.read.parquet(srcDir).schema
+    val src = Streams.fileSource(spark, srcDir, schema, maxFilesPerTrigger = Some(1))
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // (batch rows, index scores, ad-hoc scores) captured per commit;
+    // asserted after the drain so a mismatch fails the test, not the
+    // stream thread
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long)], Set[(Long, Long, Long)])]
+    StreamingLmIngest.run(src, "text", "doc_id", idx, compactEvery = 0,
+      (_, n) => {
+        admitted ++= bySize(n)
+        snaps += ((n,
+          rows(Lm.lmScoreIndex(scored, "text", "doc_id", idx)),
+          rows(Lm.lmScore(admitted.toSeq.toDF("doc_id", "text"), scored,
+            "text", "doc_id"))))
+      })
+    assert(snaps.size == 3, s"expected 3 commits, saw ${snaps.size}")
+    snaps.zipWithIndex.foreach { case ((n, got, want), i) =>
+      assert(got == want, s"after batch $i (rows=$n): index != ad-hoc(0..$i)")
+    }
+  }
 }
