@@ -164,6 +164,14 @@ pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT)
     * pair in the DuckDB oracle, so the count stays small. */
   private val BpeMerges = 8
 
+  /** DuckDB tokenization twin of [[graft.llm.Bpe.preTokens]]: the same
+    * RE2/Java-compatible pattern, leading space rendered as chr(288)
+    * (U+0120 'Ġ'). */
+  private val PreTkSql: String =
+    "list_transform(regexp_extract_all(text, " +
+      s"'${graft.llm.Bpe.PreTokenPattern.replace("'", "''")}'), " +
+      "x -> replace(x, ' ', chr(288)))"
+
   /** The unrolled-training BPE oracle: s0 = per-word separator-wrapped
     * char sequences weighted by corpus frequency; then k iterations of
     * (mN = weighted adjacent-pair argmax with the (count desc, pair
@@ -174,7 +182,8 @@ pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT)
     * non-overlapping). Assumes the corpus yields at least k mergeable
     * pairs (true for any real text corpus; Bpe.trainMerges stops early
     * on tiny vocabularies, the oracle would diverge there by design). */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int,
+                           tkExpr: String = "string_split(text, ' ')"): String = {
     val c1 = "chr(1)"
     val cc = "(chr(1) || chr(1))"
     def step(n: Int): String = {
@@ -196,7 +205,7 @@ pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT)
         s"replace($acc, $c1 || m$n.l || $cc || m$n.r || $c1, $c1 || m$n.l || m$n.r || $c1)"
     }
     val crossJoins = (1 to k).map(n => s"CROSS JOIN m$n").mkString(" ")
-    s"""WITH tk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, $tkExpr AS tk FROM documents),
       hist AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM
         (SELECT unnest(tk) AS w FROM tk) x WHERE w <> '' GROUP BY w),
       s0 AS MATERIALIZED (SELECT freq,
@@ -1665,6 +1674,18 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         Bpe.trainMerges(docs, "text", numMerges = BpeMerges))
     },
     Some(bpeOracleSql(BpeMerges))) :+ QueryDef(
+    // GPT-2-STYLE PRE-TOKENIZATION ahead of the same trainer/encoder:
+    // contractions split off, letter/digit/punct runs, ONE leading
+    // space claimed per token and rendered as U+0120 'Ġ' — the merge
+    // alphabet a real vocabulary run trains over, instead of bare
+    // space-split words. The pattern is lookahead-free on purpose so
+    // DuckDB's RE2 and Spark's Java regex tokenize identically
+    // (leftmost-first ordered alternation in both); the oracle is the
+    // same unrolled-training CTE chain with the tokenization swapped.
+    "llm_bpe_encode_pre",
+    (s, dir) => Bpe.trainEncodePre(t(s, dir, "documents"), "doc_id", "text",
+      numMerges = BpeMerges),
+    Some(bpeOracleSql(BpeMerges, PreTkSql))) :+ QueryDef(
     // the hot-term df/N cap (Retrieval.bm25SearchIndex maxDfFrac): terms
     // present in more than 78.5% of the corpus are skipped FROM THE
     // STATS SLICE ALONE — their postings never open — and the capped

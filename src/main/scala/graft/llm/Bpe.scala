@@ -42,6 +42,34 @@ object Bpe {
   private def wordsOf(textCol: String) =
     explode(split(col(textCol), " ")).as("w")
 
+  // ---- GPT-2-style pre-tokenization ------------------------------------
+
+  /** Simplified GPT-2 pre-tokenization pattern (the reference GPT-2
+    * pattern minus its trailing-whitespace lookahead, which RE2 — and
+    * therefore the DuckDB oracle — cannot express): contractions split
+    * off first, then letter runs, digit runs, and punctuation runs,
+    * each optionally claiming ONE leading space. Documented divergences
+    * from the exact GPT-2 pattern: whitespace runs beyond the claimed
+    * leading space are dropped (never part of any token), and the
+    * alphabet is code points, not bytes. Alternation is ordered and
+    * both engines match leftmost-first, so Spark and DuckDB tokenize
+    * identically — what makes the pre-tokenized trainer
+    * oracle-checkable. */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** U+0120 'Ġ' — GPT-2's printable stand-in for a token's leading
+    * space. Mapping it BEFORE training keeps every piece space-free, so
+    * the space-joined `pieces` output stays unambiguous. */
+  val SpaceMark = "Ġ"
+
+  /** Pre-tokens of a text column: regex matches with the leading space
+    * rendered as [[SpaceMark]] (the only space a match can contain, by
+    * the pattern's character classes). */
+  private[llm] def preTokens(text: org.apache.spark.sql.Column) =
+    transform(regexp_extract_all(text, lit(PreTokenPattern), lit(0)),
+      t => replace(t, lit(" "), lit(SpaceMark)))
+
   /** Piece-boundary separator (u0001, written `|` below). Each piece
     * is wrapped in its OWN separators -- `|c||h||a||r||s|` for a 5-char
     * word -- and a merge of (l, r) rewrites `|l||r|` -> `|lr|`. Because
@@ -283,10 +311,14 @@ object Bpe {
     * `pieces` the space-joined concatenation over words. One explode +
     * one grouped fold — the merge chain itself is projection-only. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: Seq[(String, String)]): DataFrame = {
-    val words = docs
+             merges: Seq[(String, String)]): DataFrame =
+    encodeTail(docs
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= ""), idCol, merges)
+
+  /** Shared encode tail over an exploded (idCol, pos, w) word frame. */
+  private def encodeTail(words: DataFrame, idCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
     words
       // back to human form: inner piece boundaries (doubled separator)
       // become spaces, the outer wrappers trim away
@@ -298,12 +330,47 @@ object Bpe {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("p")))),
           x => x.getField("p")), " ").as("pieces"))
-  }
 
   /** Train-then-encode in one call — the llm_bpe_encode query shape. */
   def trainEncode(docs: DataFrame, idCol: String, textCol: String,
                   numMerges: Int): DataFrame =
     encode(docs, idCol, textCol, trainMerges(docs, textCol, numMerges))
+
+  // ---- pre-tokenized (GPT-2-style) train + encode ----------------------
+
+  /** [[trainMerges]] over [[PreTokenPattern]] pre-tokens instead of
+    * space-split words: contractions, letter/digit/punct runs, and
+    * leading spaces (as [[SpaceMark]]) become the merge alphabet — what
+    * a real vocabulary run trains on. Same histogram-once cost
+    * structure, same driver/distributed split, same comparator. */
+  def trainMergesPre(docs: DataFrame, textCol: String, numMerges: Int,
+                     driverBudget: Int = DriverHistBudget): Seq[(String, String)] = {
+    require(numMerges >= 1)
+    val hist = docs.select(explode(preTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val sample = hist.limit(driverBudget + 1).collect()
+    if (sample.length <= driverBudget)
+      trainMergesLocal(
+        sample.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
+    else
+      trainMergesDistributed(hist, numMerges)
+  }
+
+  /** [[encode]] over the same pre-tokens the pre trainer saw. `pieces`
+    * stays a space-joined string (pre-tokens are space-free once the
+    * leading space renders as [[SpaceMark]]); `n_words` counts
+    * pre-tokens. */
+  def encodePre(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    encodeTail(docs
+      .select(col(idCol), posexplode(preTokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= ""), idCol, merges)
+
+  /** Pre-tokenized train-then-encode — the llm_bpe_encode_pre shape. */
+  def trainEncodePre(docs: DataFrame, idCol: String, textCol: String,
+                     numMerges: Int): DataFrame =
+    encodePre(docs, idCol, textCol, trainMergesPre(docs, textCol, numMerges))
 
   /** Pieces of one text value as a space-joined string — the ROW-WISE
     * form for pipeline actors (each message annotated independently, no
@@ -331,7 +398,21 @@ object Bpe {
     * and repeated min-rank application converge to the same pieces —
     * BpeSpec pins the parity on adversarial inputs. */
   def encodeFast(docs: DataFrame, idCol: String, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
+                 merges: Seq[(String, String)]): DataFrame =
+    encodeFastWith(docs, idCol, textCol, merges, usePreTokens = false)
+
+  /** [[encodeFast]] over [[PreTokenPattern]] pre-tokens — the bulk
+    * kernel twin of [[encodePre]], row-identical to it by the same
+    * rank-order/min-rank convergence argument (BpeSpec pins the
+    * parity). The kernel compiles the SAME Java regex Spark's
+    * `regexp_extract_all` runs, so the token streams agree. */
+  def encodeFastPre(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame =
+    encodeFastWith(docs, idCol, textCol, merges, usePreTokens = true)
+
+  private def encodeFastWith(docs: DataFrame, idCol: String, textCol: String,
+                             merges: Seq[(String, String)],
+                             usePreTokens: Boolean): DataFrame = {
     val rankBc = docs.sparkSession.sparkContext.broadcast((
       merges.zipWithIndex.map { case ((l, r), i) => (l, r) -> i }.toMap,
       merges.toArray))
@@ -349,6 +430,17 @@ object Bpe {
         org.apache.spark.sql.types.StringType, nullable = true)))
     in.mapPartitions { it =>
         val (rank, mergeArr) = rankBc.value
+        val preTok =
+          if (usePreTokens) java.util.regex.Pattern.compile(PreTokenPattern)
+          else null
+        def tokensOf(text: String): Array[String] =
+          if (preTok == null) text.split(" ").filter(_.nonEmpty)
+          else {
+            val m = preTok.matcher(text)
+            val out = mutable.ArrayBuffer.empty[String]
+            while (m.find()) out += m.group().replace(" ", SpaceMark)
+            out.toArray
+          }
         def encodeWord(w: String): mutable.ArrayBuffer[String] = {
           val pieces = codePointPieces(w)
           var continue = pieces.length >= 2
@@ -379,7 +471,7 @@ object Bpe {
         }
         it.map { row =>
           val text = if (row.isNullAt(1)) "" else row.getString(1)
-          val words = text.split(" ").filter(_.nonEmpty)
+          val words = tokensOf(text)
           var nPieces = 0L
           val sb = new StringBuilder
           words.foreach { w =>

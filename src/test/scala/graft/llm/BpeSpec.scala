@@ -144,4 +144,59 @@ class BpeSpec extends SparkSpec {
     assert(fast == slow)
     assert(fast.map(_._1) == Set("doc-a", "doc-b"))
   }
+
+  // ---- GPT-2-style pre-tokenization ------------------------------------
+
+  /** Pre-tokens of one string through the Spark column path. */
+  private def preToksOf(s: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    Seq(Tuple1(s)).toDF("text")
+      .select(explode(graft.llm.Bpe.preTokens(col("text"))).as("t"))
+      .as[String].collect().toSeq
+  }
+
+  test("pre-tokenizer: contractions, leading spaces, digit and punct runs") {
+    // contraction splits off; the space before 'world' attaches as Ġ
+    assert(preToksOf("don't stop") == Seq("don", "'t", "Ġstop"))
+    assert(preToksOf("hello world") == Seq("hello", "Ġworld"))
+    // digit runs split from letters; punctuation runs split from both
+    assert(preToksOf("abc123 x!?") == Seq("abc", "123", "Ġx", "!?"))
+    // whitespace runs beyond the claimed leading space drop (documented
+    // divergence from the exact GPT-2 pattern: no lookahead in RE2)
+    assert(preToksOf("a  b") == Seq("a", "Ġb"))
+    // leading punctuation without a word: one punct run
+    assert(preToksOf("'hello") == Seq("'", "hello"))
+  }
+
+  test("pre-tokenized train+encode: merges learn over Ġ-marked tokens") {
+    val docs = Seq((1L, "the cat the cat"), (2L, "the dog"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesPre(docs, "text", numMerges = 30)
+    // the leading space is part of the alphabet: some learned piece
+    // must carry Ġ (' the' repeats, bare 'the' appears once per doc)
+    assert(merges.exists { case (l, r) => (l + r).contains("Ġ") })
+    val enc = Bpe.encodePre(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    // doc 1 pre-tokens: the, Ġcat, Ġthe, Ġcat -> 4 "words"; with 30
+    // merges on this tiny corpus every token collapses to one piece
+    assert(enc(1L)._1 == 4L)
+    assert(enc(1L)._2 == "the Ġcat Ġthe Ġcat")
+    assert(enc(2L)._2 == "the Ġdog")
+  }
+
+  test("encodeFastPre kernel is row-identical to the pre replace chain") {
+    val docs = Seq(
+      (1L, "don't stop believing"),
+      (2L, "it's 1999, let's go!"),
+      (3L, "  spaced   out  "),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesPre(docs, "text", numMerges = 12)
+    val slow = Bpe.encodePre(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val fast = Bpe.encodeFastPre(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(fast == slow && slow.nonEmpty)
+  }
 }
