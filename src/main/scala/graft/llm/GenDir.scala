@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Generation-directory protocol: crash-safe index compaction whose
+  * rewrites are CONCURRENT WITH READS — the serving upgrade over
+  * [[IndexSwap]], whose rename-aside window requires a read quiesce.
+  * BM25 ([[Retrieval]]) is the template family; the other index
+  * families keep IndexSwap until they need standing-query serving.
+  *
+  * Layout for an artifact base path `P` (e.g. `dir/postings`):
+  *
+  *  - the plain directory `P` is generation 0 (the fresh-build layout,
+  *    and what pre-generation indexes already look like on disk);
+  *  - a compaction writes generation N+1 to `P.gen-(N+1)` and, only
+  *    after the write completes, creates the `_GEN_COMMITTED` marker
+  *    file inside it (single-file create = atomic visibility; the
+  *    leading underscore keeps parquet readers from treating it as
+  *    data);
+  *  - readers [[resolve]] to the HIGHEST committed generation — a
+  *    reader racing a compaction sees either N (marker not yet there)
+  *    or N+1 (marker landed), both complete and row-identical, never a
+  *    half state;
+  *  - after committing, the compactor garbage-collects all but the two
+  *    newest committed generations (the previous one stays on disk so
+  *    in-flight readers that resolved it finish their scans).
+  *
+  * Crash points: a compactor dying before the marker leaves an
+  * uncommitted `P.gen-*` directory that readers never resolve and
+  * [[recover]] deletes; dying between marker and GC leaves extra old
+  * generations that the next compaction's GC sweeps. No crash window
+  * ever leaves the resolvable state incomplete — and unlike the rename
+  * protocol there is no moment when NO live directory exists.
+  *
+  * Writer contract (unchanged from IndexSwap): ONE writer at a time —
+  * appends land in the current generation, so an append racing a
+  * compaction could write rows into a generation about to be
+  * superseded. Reads are what this protocol makes concurrent.
+  */
+private[graft] object GenDir {
+
+  private val Marker = "_GEN_COMMITTED"
+
+  /** Committed generations of `base`, ascending (gen, path); the plain
+    * base directory, when present, is generation 0. */
+  private def committed(fs: FileSystem, base: Path): Seq[(Long, Path)] = {
+    val parent = base.getParent
+    val prefix = base.getName + ".gen-"
+    val gens =
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .flatMap { st =>
+            st.getPath.getName.stripPrefix(prefix).toLongOption
+              .filter(_ => fs.exists(new Path(st.getPath, Marker)))
+              .map(_ -> st.getPath)
+          }
+      else Nil
+    val legacy = if (fs.exists(base)) Seq(0L -> base) else Nil
+    (legacy ++ gens).sortBy(_._1)
+  }
+
+  /** Path readers should scan: the highest committed generation, or
+    * the plain base when no generation exists (fresh build / missing —
+    * the caller's existence checks keep their meaning). */
+  def resolve(fs: FileSystem, base: Path): Path =
+    committed(fs, base).lastOption.map(_._2).getOrElse(base)
+
+  /** Target directory for the NEXT generation's write (not yet
+    * committed — call [[commitGen]] after the write completes). */
+  def nextGenPath(fs: FileSystem, base: Path): Path = {
+    val cur = committed(fs, base).lastOption.map(_._1).getOrElse(0L)
+    new Path(base.toString + ".gen-" + (cur + 1))
+  }
+
+  /** Make a fully-written generation visible to readers. */
+  def commitGen(fs: FileSystem, genPath: Path): Unit =
+    fs.create(new Path(genPath, Marker), true).close()
+
+  /** Drop all but the two newest committed generations (the previous
+    * generation stays for in-flight readers) plus any uncommitted
+    * leftovers OLDER than the newest — run by the compactor after its
+    * commit. */
+  def gc(fs: FileSystem, base: Path): Unit = {
+    val done = committed(fs, base)
+    done.dropRight(2).foreach { case (_, p) => fs.delete(p, true) }
+    uncommitted(fs, base).foreach(fs.delete(_, true))
+  }
+
+  private def uncommitted(fs: FileSystem, base: Path): Seq[Path] = {
+    val parent = base.getParent
+    val prefix = base.getName + ".gen-"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath)
+        .filter(p => !fs.exists(new Path(p, Marker)))
+    else Nil
+  }
+
+  /** Heal crash leftovers: delete uncommitted generation directories
+    * (a compactor died mid-write; readers never resolved them).
+    * Committed generations are complete by construction and stay. */
+  def recover(fs: FileSystem, base: Path): Unit =
+    uncommitted(fs, base).foreach(fs.delete(_, true))
+
+  /** Remove every generation of `base` (committed or not) — a fresh
+    * build starting the artifact over at generation 0. */
+  def reset(fs: FileSystem, base: Path): Unit = {
+    committed(fs, base).foreach { case (_, p) => fs.delete(p, true) }
+    uncommitted(fs, base).foreach(fs.delete(_, true))
+  }
+}

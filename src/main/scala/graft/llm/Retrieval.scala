@@ -116,6 +116,20 @@ object Retrieval {
   private def termBucket(t: Column): Column =
     pmod(xxhash64(t), lit(TermBuckets)).cast("int")
 
+  /** Live (highest committed generation) path of a BM25 index artifact.
+    * BM25 is the [[GenDir]] template family: reads resolve the
+    * generation pointer, so searches run CONCURRENTLY with a compaction
+    * writing generation N+1 — the serving upgrade over the other
+    * families' [[IndexSwap]] quiesce window. Fresh builds and
+    * pre-generation indexes resolve to the plain directory
+    * (generation 0) unchanged. */
+  private def liveArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.resolve(fs, p).toString
+  }
+
   /** Build a persisted BM25 inverted index under `dir` — the
     * build-once/query-many form of [[bm25TopK]], which recomputes corpus
     * term statistics on every call (a full-corpus pass per query batch —
@@ -183,6 +197,13 @@ object Retrieval {
                      dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a fresh build starts the generation history over: drop every
+    // postings/stats generation so reads resolve the plain (gen-0)
+    // layout the overwrite below creates
+    val pBase = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fsB = pBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.reset(fsB, pBase)
+    GenDir.reset(fsB, new org.apache.hadoop.fs.Path(s"$dir/stats"))
     // ONE streamed pass over the corpus postings, no caching: the
     // postings land in their bucket layout directly, and every derived
     // total comes from what was just written — stats from the (term,
@@ -241,16 +262,21 @@ object Retrieval {
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/postings")
+      // appends land in the CURRENT generation (single-writer contract;
+      // see [[GenDir]]) so the next compaction folds them forward
+      .write.mode("append").partitionBy("term_pt")
+      .parquet(liveArtifact(spark, s"$dir/postings"))
     // stats append ONLY onto an existing slice: creating one here on a
     // pre-stats index would cover just this batch, and any search
     // trusting it would under-count df/max_tf — invalid max-score
     // bounds, silently broken row-identity. The coverage invariant
     // (see [[writeStats]]) holds either way; a pre-stats index gains
     // its slice at the next compact, which regenerates from postings.
-    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(statsP)) writeStats(post, statsP.toString, "append")
+    val statsLive = liveArtifact(spark, s"$dir/stats")
+    val fs = new org.apache.hadoop.fs.Path(statsLive)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(statsLive)))
+      writeStats(post, statsLive, "append")
     post.unpersist()
     Seq((oldN + batchN, oldLen + batchLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -259,48 +285,59 @@ object Retrieval {
   /** Compact a persisted BM25 index's postings after a run of appends:
     * each append lays its batch down as new files inside every touched
     * term bucket, so a bucket's postings spread over ~N file generations
-    * and a search opens N times the files a fresh build would. Rewrites
-    * the postings back to the build layout (bucket-keyed, term-sorted)
-    * into a temp sibling, then swaps it in through the crash-safe
-    * rename protocol ([[IndexSwap]] — a crash can no longer leave meta
-    * alive over missing postings). Search results are unchanged; meta
-    * is untouched. */
+    * and a search opens N times the files a fresh build would. The
+    * rewrite lands as the NEXT [[GenDir]] generation — readers keep
+    * resolving generation N until the commit marker of N+1 appears, so
+    * standing queries run concurrently with the compaction (the
+    * maintenance-slot quiesce the other families' [[IndexSwap]] still
+    * requires). Search results are unchanged; meta is untouched.
+    *
+    * Stats REGENERATE from the compacted postings instead of folding
+    * existing generations: a pre-stats index that later took appends
+    * would carry a stats slice covering only the appended batches, and
+    * a fold preserves the under-count forever (invalid max-score upper
+    * bounds, partial hot-term df). Recounting from the postings is
+    * exact whatever the index's history, restores the build-shape
+    * sum_tf column, and upgrades pre-stats indexes in the same pass —
+    * compact IS the migration path the search errors recommend. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    val path = s"$dir/postings"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = IndexSwap.prepare(fs, p)
-    spark.read.parquet(path)
+    val pBase = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = pBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.recover(fs, pBase) // sweep stale uncommitted attempts first
+    val live = GenDir.resolve(fs, pBase)
+    val next = GenDir.nextGenPath(fs, pBase)
+    spark.read.parquet(live.toString)
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
-    IndexSwap.commit(fs, p)
-    // REGENERATE stats from the compacted postings instead of folding
-    // existing generations: a pre-stats index that later took appends
-    // would carry a stats slice covering only the appended batches, and
-    // a fold preserves the under-count forever (invalid max-score upper
-    // bounds, partial hot-term df). Recounting from the postings is
-    // exact whatever the index's history, restores the build-shape
-    // sum_tf column, and upgrades pre-stats indexes in the same pass —
-    // compact IS the migration path the search errors recommend.
-    val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val stmp = IndexSwap.prepare(fs, sp)
-    writeStats(spark.read.parquet(path).select(col("term"), col("tf")),
-      stmp.toString, "overwrite")
-    IndexSwap.commit(fs, sp)
+      .write.mode("overwrite").partitionBy("term_pt").parquet(next.toString)
+    GenDir.commitGen(fs, next)
+    val sBase = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    GenDir.recover(fs, sBase)
+    val sNext = GenDir.nextGenPath(fs, sBase)
+    writeStats(spark.read.parquet(next.toString).select(col("term"), col("tf")),
+      sNext.toString, "overwrite")
+    GenDir.commitGen(fs, sNext)
+    // previous generations stay for in-flight readers; older ones go
+    GenDir.gc(fs, pBase)
+    GenDir.gc(fs, sBase)
   }
 
-  /** Heal any interrupted compaction swap and report whether `dir`
-    * holds a complete index (meta AND postings). Ingest bootstraps call
-    * this before choosing append over build — meta existence alone is
-    * not proof of postings (see [[IndexSwap]]). */
+  /** Heal any interrupted compaction and report whether `dir` holds a
+    * complete index (meta AND resolvable postings). Ingest bootstraps
+    * call this before choosing append over build — meta existence alone
+    * is not proof of postings. Heals BOTH protocols: [[GenDir]]
+    * uncommitted leftovers (the current compaction) and [[IndexSwap]]
+    * rename crashes (indexes compacted by earlier versions). */
   def bm25IndexRecover(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexSwap.recover(fs, p)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) && fs.exists(p)
+    GenDir.recover(fs, p)
+    GenDir.recover(fs, new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      fs.exists(GenDir.resolve(fs, p))
   }
 
   /** Top-`k` documents per query against a persisted index (see
@@ -331,7 +368,8 @@ object Retrieval {
     require(maxDfFrac > 0.0, "maxDfFrac must be in (0, 1]")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+    val statsLive = liveArtifact(spark, s"$dir/stats")
+    require(fs.exists(new org.apache.hadoop.fs.Path(statsLive)),
       s"df cap requires the stats slice; $dir predates it — re-build, or " +
         "run bm25IndexCompact with the current version (compact " +
         "regenerates full-coverage stats from the postings)")
@@ -339,7 +377,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val hot = spark.read.parquet(s"$dir/stats")
+    val hot = spark.read.parquet(statsLive)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -367,7 +405,7 @@ object Retrieval {
     // bounded by construction: <= TermBuckets distinct values
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = spark.read.parquet(liveArtifact(spark, s"$dir/postings"))
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -419,10 +457,12 @@ object Retrieval {
     require(hotDfFrac > 0.0 && hotDfFrac <= 1.0, "hotDfFrac must be in (0, 1]")
     val fsMs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fsMs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+    val statsLiveMs = liveArtifact(spark, s"$dir/stats")
+    require(fsMs.exists(new org.apache.hadoop.fs.Path(statsLiveMs)),
       s"max-score search requires the stats slice; $dir predates it — " +
         "re-build, or run bm25IndexCompact with the current version " +
         "(compact regenerates full-coverage stats from the postings)")
+    val postingsLiveMs = liveArtifact(spark, s"$dir/postings")
     val qTerms = tokens(queries, "query_id", "qtext").distinct()
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
@@ -431,7 +471,7 @@ object Retrieval {
     val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
 
     // per-query-term stats — bounded collect (<= #query terms)
-    val termStats = spark.read.parquet(s"$dir/stats")
+    val termStats = spark.read.parquet(statsLiveMs)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term"))
@@ -452,7 +492,7 @@ object Retrieval {
 
     // phase 1: exact scoring over rare terms only
     val rareQTerms = qTerms.filter(!col("term").isInCollection(hotTerms))
-    val rarePostings = spark.read.parquet(s"$dir/postings")
+    val rarePostings = spark.read.parquet(postingsLiveMs)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(rareQTerms.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -510,7 +550,7 @@ object Retrieval {
     val hotDfDf = hot.toSeq.map { case (t, (df, _)) => (t, df) }.toDF("term", "hdf")
     val candKeys = candidates
       .select(col("query_id").as("c_qid"), col("doc_id").as("c_did")).distinct()
-    val hotContrib = spark.read.parquet(s"$dir/postings")
+    val hotContrib = spark.read.parquet(postingsLiveMs)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(hotQTerms), "term")
       .join(broadcast(candKeys),
@@ -845,7 +885,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = spark.read.parquet(liveArtifact(spark, s"$dir/postings"))
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))

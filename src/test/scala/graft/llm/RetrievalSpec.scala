@@ -79,6 +79,17 @@ class RetrievalSpec extends SparkSpec {
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
 
+  /** The artifact path searches actually read — the highest committed
+    * [[GenDir]] generation (compactions move BM25 artifacts to `.gen-N`
+    * siblings; the plain directory is generation 0). */
+  private def live(dir: String, artifact: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$artifact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // local filesystem path (no file: scheme) — usable by both Spark
+    // reads and java.nio walks
+    GenDir.resolve(fs, p).toUri.getPath
+  }
+
   private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
     df.select($"query_id", $"doc_id", $"score_ppm", $"rnk")
       .as[(Long, Long, Long, Int)].collect().toSet
@@ -153,7 +164,7 @@ class RetrievalSpec extends SparkSpec {
       "text", "doc_id", dir)
     Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 4), "text", "doc_id", dir)
     def postingFiles(): Int = {
-      val root = java.nio.file.Paths.get(s"$dir/postings")
+      val root = java.nio.file.Paths.get(live(dir, "postings"))
       java.nio.file.Files.walk(root).filter(p => p.toString.endsWith(".parquet"))
         .count().toInt
     }
@@ -341,9 +352,9 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25SearchIndexMaxScore(hotQ, dir, 10, hotDfFrac = 0.5)) ==
       rows(Retrieval.bm25SearchIndex(hotQ, dir, 10)))
     // regenerated rows carry the true df/max_tf over ALL generations
-    val truth = spark.read.parquet(s"$dir/postings").groupBy($"term")
+    val truth = spark.read.parquet(live(dir, "postings")).groupBy($"term")
       .agg(max($"tf").as("mtf"), count(lit(1)).as("tdf"))
-    val drift = spark.read.parquet(s"$dir/stats")
+    val drift = spark.read.parquet(live(dir, "stats"))
       .join(truth, "term")
       .filter($"max_tf" =!= $"mtf" || $"df" =!= $"tdf").count()
     assert(drift == 0, "compact-regenerated stats disagree with postings")
@@ -567,9 +578,63 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.bm25IndexCompact(spark, dir)
     assert(rows(Retrieval.bm25SearchIndex(hotQ, dir, 10, maxDfFrac = 0.5)) == want)
     // compaction folded the stats to one row per term
-    val statRows = spark.read.parquet(s"$dir/stats")
+    val statRows = spark.read.parquet(live(dir, "stats"))
       .groupBy($"term").count().filter($"count" > 1).count()
     assert(statRows == 0, "stats not folded to one generation per term")
+  }
+
+  test("searches resolve generation N while N+1 is mid-write (concurrent compact)") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    Retrieval.bm25IndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    val queries = Seq((1L, "the cat zebra")).toDF("query_id", "qtext")
+    val want = rows(Retrieval.bm25SearchIndex(queries, dir, k = 10))
+    assert(want.nonEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a compaction MID-WRITE: an uncommitted next-generation
+    // directory holding garbage — readers must never resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/postings.gen-1")
+    fs.mkdirs(midWrite)
+    fs.create(new org.apache.hadoop.fs.Path(midWrite, "part-junk.parquet"), true)
+      .close()
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == want,
+      "a search resolved an uncommitted generation")
+    // a real compaction (it sweeps the stale attempt first) flips
+    // readers atomically at the commit marker — results byte-identical
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/postings.gen-1/_GEN_COMMITTED")))
+    // the PREVIOUS generation (the legacy dir) survives for in-flight
+    // readers; the next compaction garbage-collects it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")))
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")),
+      "two-generation retention should have GC'd generation 0")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/postings.gen-2/_GEN_COMMITTED")))
+    // append + search keep working against the generation layout
+    Retrieval.bm25IndexAppend(
+      Seq((100L, "zebra zebra")).toDF("doc_id", "text"), "text", "doc_id", dir)
+    val grown = docs.union(Seq((100L, "zebra zebra")).toDF("doc_id", "text"))
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) ==
+      rows(Retrieval.bm25TopK(grown, queries, k = 10)))
+  }
+
+  test("uncommitted generation from a crashed compactor is swept by recover") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndex(docs, "text", "doc_id", dir)
+    val queries = Seq((1L, "the cat zebra")).toDF("query_id", "qtext")
+    val want = rows(Retrieval.bm25SearchIndex(queries, dir, k = 10))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"$dir/postings.gen-7")
+    fs.mkdirs(stale)
+    assert(Retrieval.bm25IndexRecover(spark, dir), "index must stay complete")
+    assert(!fs.exists(stale), "recover must sweep uncommitted generations")
+    assert(rows(Retrieval.bm25SearchIndex(queries, dir, k = 10)) == want)
   }
 
   // ---- crash-safe swap + bootstrap verification -----------------------
