@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM instead of
+// re-logging each line with an "[info] "/"[error] " prefix: graft.Bench
+// prints one bare JSON metric line that downstream tooling greps from
+// the raw process output, and the logger decoration was hiding it
+// (BENCH rounds 8-10 parsed null off the prefixed tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
