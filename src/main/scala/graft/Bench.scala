@@ -45,7 +45,10 @@ object Bench {
     // the CCNet-style LM quality scorer and its persisted-model twin,
     // plus the trigram order, plus the candidate-pruned phrase search
     "llm_lm_score", "llm_lm_index", "llm_lm3_score", "llm_lm3_index",
-    "llm_phrase_selective", "llm_decontaminate_bloom")
+    "llm_phrase_selective", "llm_decontaminate_bloom",
+    // round 11: the order-general LM at CCNet's production order and
+    // the GPT-2-style pre-tokenized BPE
+    "llm_lm5_score", "llm_lm5_index", "llm_bpe_encode_pre")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -149,6 +149,41 @@ object SoakBm25Index {
       hotDfFrac = 0.25).count()
     val hotMaxScoreSec = (System.nanoTime() - t0) / 1e9
 
+    // CANDIDATE-GATE leg (the r10 weak item): a mid-df co-term gives
+    // every doc holding it the IDENTICAL phase-1 score, so θ equals
+    // that score and the θ−Σub cut admits every one of them — the
+    // candidate set goes from ~k to ~df(co-term) per query (here
+    // ~n/20 docs × 20 queries ≈ n keys), exactly the data-dependent
+    // blow-up the budget gate exists for. At a 100k budget the gate
+    // trips and the call falls back to the plain exact search;
+    // parity between the gated call and the plain search is checked
+    // row-for-row.
+    val gateDir = s"$dir/gate-index"
+    spark.range(n / 2)
+      .selectExpr("id AS doc_id",
+        s"""concat_ws(' ',
+           |  CASE WHEN id % 2 = 0 THEN 'stopword' ELSE 'filler0' END,
+           |  concat('mid', id % 10),
+           |  ${toks("id", 28)}) AS text""".stripMargin)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/gate-corpus")
+    graft.llm.Retrieval.bm25BuildIndex(spark.read.parquet(s"$dir/gate-corpus"),
+      "text", "doc_id", gateDir)
+    val gateQ = spark.range(20).selectExpr("id AS query_id",
+      "concat('stopword mid', id % 10) AS qtext")
+    t0 = System.nanoTime()
+    val gated = graft.llm.Retrieval.bm25SearchIndexMaxScore(gateQ, gateDir,
+      k = 10, hotDfFrac = 0.25, maxCandBroadcast = 100000L)
+      .localCheckpoint(true)
+    val gateTrippedSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val plainGate = graft.llm.Retrieval.bm25SearchIndex(gateQ, gateDir, k = 10)
+      .localCheckpoint(true)
+    val gatePlainSec = (System.nanoTime() - t0) / 1e9
+    val gateMismatches = gated.unionByName(plainGate)
+      .groupBy("query_id", "doc_id", "score_ppm", "rnk").count()
+      .filter("count <> 2").count()
+
     println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
       s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
       s""""search_sec":${f"$searchSec%.1f"},"search_bytes_read":$searchBytes,""" +
@@ -161,7 +196,10 @@ object SoakBm25Index {
       s""""hot_term_uncapped_sec":${f"$hotUncappedSec%.1f"},""" +
       s""""hot_term_capped_bytes":$hotCappedBytes,""" +
       s""""hot_term_capped_sec":${f"$hotCappedSec%.1f"},""" +
-      s""""hot_term_maxscore_sec":${f"$hotMaxScoreSec%.1f"}}""")
+      s""""hot_term_maxscore_sec":${f"$hotMaxScoreSec%.1f"},""" +
+      s""""gate_budget":100000,"gate_tripped_sec":${f"$gateTrippedSec%.1f"},""" +
+      s""""gate_plain_sec":${f"$gatePlainSec%.1f"},""" +
+      s""""gate_parity_mismatches":$gateMismatches}""")
     spark.stop()
   }
 }
