@@ -89,12 +89,15 @@ object SoakLm {
     val compactSec = (System.nanoTime() - t0) / 1e9
     // count-cutoff pruning: at uniform-random bigrams nearly all pairs
     // are singletons, so minBigramCount=2 collapses the model to the
-    // (tiny) repeated-pair head — the size lever a deployment pulls
-    val prePrune = spark.read.parquet(s"$dir/model/bigrams").count()
+    // (tiny) repeated-pair head — the size lever a deployment pulls.
+    // Post-compact slices live in GenDir generations — resolve them.
+    def liveBigrams(): String =
+      graft.llm.GenDir.live(spark, s"$dir/model/bigrams")
+    val prePrune = spark.read.parquet(liveBigrams()).count()
     t0 = System.nanoTime()
     graft.llm.Lm.lmIndexCompact(spark, s"$dir/model", minBigramCount = 2L)
     val pruneSec = (System.nanoTime() - t0) / 1e9
-    val postPrune = spark.read.parquet(s"$dir/model/bigrams").count()
+    val postPrune = spark.read.parquet(liveBigrams()).count()
 
     // trigram leg: order-3 build + full scoring — the added slice is
     // another ~token-count rows at this worst-case corpus, so the

@@ -487,6 +487,8 @@ object Dedup {
                     rowsPerBand: Int = 4): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fresh build starts both slices' generation history over
+    GenDir.resetAll(spark, s"$dir/shingles", s"$dir/bands")
     Seq((shingleN, numBands, rowsPerBand))
       .toDF("shingle_n", "num_bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -501,7 +503,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").partitionBy("id_pt").parquet(s"$dir/shingles")
-    writeBandSlice(spark, dir, numBands, rowsPerBand,
+    writeBandSlice(spark, s"$dir/bands", numBands, rowsPerBand,
       spark.read.parquet(s"$dir/shingles"), org.apache.spark.sql.SaveMode.Overwrite)
   }
 
@@ -521,20 +523,22 @@ object Dedup {
       .localCheckpoint(true)
     hashed.repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
       .sortWithinPartitions(col("id"))
-      .write.mode("append").partitionBy("id_pt").parquet(s"$dir/shingles")
-    writeBandSlice(spark, dir, numBands, rowsPerBand, hashed,
-      org.apache.spark.sql.SaveMode.Append)
+      // appends land in the CURRENT generation (single-writer contract)
+      .write.mode("append").partitionBy("id_pt")
+      .parquet(GenDir.live(spark, s"$dir/shingles"))
+    writeBandSlice(spark, GenDir.live(spark, s"$dir/bands"), numBands,
+      rowsPerBand, hashed, org.apache.spark.sql.SaveMode.Append)
   }
 
   private def writeBandSlice(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, numBands: Int, rowsPerBand: Int,
+                             path: String, numBands: Int, rowsPerBand: Int,
                              hashed: DataFrame,
                              mode: org.apache.spark.sql.SaveMode): Unit =
     hashed
       .withColumn("sig", HashFunctions.minhashSigLongs(numBands * rowsPerBand)(col("sh")))
       .select(col("id"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
       .select(col("pos").as("band_idx"), col("col").as("band_key"), col("id"))
-      .write.mode(mode).parquet(s"$dir/bands")
+      .write.mode(mode).parquet(path)
 
   /** Near-dup matches of a batch AGAINST a persisted index (see
     * [[lshBuildIndex]]): (batch_id, corpus_id, jaccard) for every pair at
@@ -573,13 +577,14 @@ object Dedup {
       .select(col("qid"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
       .select(col("qid"), col("pos").as("band_idx"), col("col").as("band_key"))
     val cands = qBands
-      .join(spark.read.parquet(s"$dir/bands"), Seq("band_idx", "band_key"))
+      .join(spark.read.parquet(GenDir.live(spark, s"$dir/bands")),
+        Seq("band_idx", "band_key"))
       .select(col("qid"), col("id")).distinct()
       .localCheckpoint(true)
     // bounded by construction: <= IndexIdBuckets distinct values
     val hitBuckets = cands.select(idBucket(col("id")).as("pt")).distinct()
       .collect().map(_.getInt(0))
-    val idxSh = spark.read.parquet(s"$dir/shingles")
+    val idxSh = spark.read.parquet(GenDir.live(spark, s"$dir/shingles"))
       .filter(col("id_pt").isInCollection(hitBuckets.toSeq))
       .select(col("id"), col("sh").as("sh_b"))
     // count is free: cands is an eager localCheckpoint
@@ -617,6 +622,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(w >= 2, s"window must be >= 2 tokens, got $w")
+    // fresh build starts the window slice's generation history over
+    GenDir.resetAll(spark, s"$dir/windows")
     Seq(w).toDF("w").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     batchWindowHashes(docs, idCol, textCol, w)
       .select(col("wh")).distinct()
@@ -662,7 +669,7 @@ object Dedup {
     val w = readSpanMeta(spark, dir)
     val bw = batchWindowHashes(batch, idCol, textCol, w).cache()
     val bHashes = bw.select(col("wh")).distinct()
-    val hits = spark.read.parquet(s"$dir/windows")
+    val hits = spark.read.parquet(GenDir.live(spark, s"$dir/windows"))
       .join(broadcast(bHashes), "wh")
       .select(col("wh")) // distinct by construction: index side is distinct
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -782,34 +789,32 @@ object Dedup {
                       dir: String): Unit = {
     val spark = docs.sparkSession
     val w = readSpanMeta(spark, dir)
+    val live = GenDir.live(spark, s"$dir/windows")
     val bHashes = batchWindowHashes(docs, idCol, textCol, w)
       .select(col("wh")).distinct().localCheckpoint(true)
-    val seen = spark.read.parquet(s"$dir/windows")
+    val seen = spark.read.parquet(live)
       .join(broadcast(bHashes), "wh").select(col("wh"))
     bHashes.join(seen, Seq("wh"), "left_anti")
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
       .sortWithinPartitions(col("wh"))
-      .write.mode("append").parquet(s"$dir/windows")
+      // into the CURRENT generation (single-writer contract)
+      .write.mode("append").parquet(live)
   }
 
   // ---- index compaction (the operational close of the append loop) ----
 
-  /** Replace `path` with the parquet rendering of `rewrite` through the
-    * crash-safe rename protocol ([[IndexSwap]] — same discipline as
-    * [[Similarity.ivfIndexCompact]], every crash point heals on the
-    * next compact/recover), with the same quiesce contract (the aside
-    * window is not readable; compact in the maintenance slot, not
-    * alongside live queries). */
-  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
-                          path: String)(rewrite: DataFrame =>
-                          org.apache.spark.sql.DataFrameWriter[
-                            org.apache.spark.sql.Row]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = IndexSwap.prepare(fs, p)
-    rewrite(spark.read.parquet(path)).parquet(tmp.toString)
-    IndexSwap.commit(fs, p)
-  }
+  /** Replace `path` with the parquet rendering of `rewrite` as the next
+    * [[GenDir]] generation — crash-safe (every crash point heals on the
+    * next compact/recover) AND concurrent with reads: standing queries
+    * keep resolving the previous generation until the commit marker
+    * lands. Same discipline as [[Retrieval.bm25IndexCompact]]. */
+  private def genRewrite(spark: org.apache.spark.sql.SparkSession,
+                         path: String)(rewrite: DataFrame =>
+                         org.apache.spark.sql.DataFrameWriter[
+                           org.apache.spark.sql.Row]): Unit =
+    GenDir.rewriteGen(spark, path) { (live, next) =>
+      rewrite(spark.read.parquet(live)).parquet(next)
+    }
 
   /** Compact a persisted LSH dedup index after a run of appends: every
     * [[lshIndexAppend]] lays new files into each touched `id_pt`
@@ -820,11 +825,11 @@ object Dedup {
   def lshIndexCompact(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit = {
     val parts = spark.sparkContext.defaultParallelism
-    swapRewrite(spark, s"$dir/shingles")(df =>
+    genRewrite(spark, s"$dir/shingles")(df =>
       df.repartition(parts, col("id_pt"))
         .sortWithinPartitions(col("id"))
         .write.mode("overwrite").partitionBy("id_pt"))
-    swapRewrite(spark, s"$dir/bands")(df =>
+    genRewrite(spark, s"$dir/bands")(df =>
       df.repartition(parts).write.mode("overwrite"))
   }
 
@@ -836,20 +841,22 @@ object Dedup {
   def lshIndexRecover(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val paths = Seq(s"$dir/shingles", s"$dir/bands")
-      .map(new org.apache.hadoop.fs.Path(_))
-    val fs = paths.head.getFileSystem(conf)
-    paths.foreach(IndexSwap.recover(fs, _))
-    (new org.apache.hadoop.fs.Path(s"$dir/meta") +: paths).forall(fs.exists)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    GenDir.heal(spark, s"$dir/shingles")
+    GenDir.heal(spark, s"$dir/bands")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      GenDir.existsLive(spark, s"$dir/shingles") &&
+      GenDir.existsLive(spark, s"$dir/bands")
   }
 
   /** [[lshIndexRecover]] for the span index's single window slice. */
   def spanIndexRecover(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/windows")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexSwap.recover(fs, p)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) && fs.exists(p)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.heal(spark, s"$dir/windows")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      GenDir.existsLive(spark, s"$dir/windows")
   }
 
   /** Compact a persisted span index's window slice back to one
@@ -858,7 +865,7 @@ object Dedup {
     * hashes), so this is purely a layout rewrite. */
   def spanIndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit =
-    swapRewrite(spark, s"$dir/windows")(df =>
+    genRewrite(spark, s"$dir/windows")(df =>
       df.repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
         .sortWithinPartitions(col("wh"))
         .write.mode("overwrite"))

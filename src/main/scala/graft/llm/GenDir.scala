@@ -1,12 +1,16 @@
 package graft.llm
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Generation-directory protocol: crash-safe index compaction whose
   * rewrites are CONCURRENT WITH READS — the serving upgrade over
   * [[IndexSwap]], whose rename-aside window requires a read quiesce.
-  * BM25 ([[Retrieval]]) is the template family; the other index
-  * families keep IndexSwap until they need standing-query serving.
+  * Every persisted index family (BM25 postings/stats, phrase
+  * positions/stats, LM count slices, LSH shingles/bands, span windows,
+  * IVF cells, IVFADC codes) compacts through this protocol; IndexSwap
+  * remains only as the LEGACY protocol that [[heal]] still recovers
+  * (indexes compacted by earlier versions may have crashed mid-swap).
   *
   * Layout for an artifact base path `P` (e.g. `dir/postings`):
   *
@@ -109,5 +113,65 @@ private[graft] object GenDir {
   def reset(fs: FileSystem, base: Path): Unit = {
     committed(fs, base).foreach { case (_, p) => fs.delete(p, true) }
     uncommitted(fs, base).foreach(fs.delete(_, true))
+  }
+
+  // ---- Spark-level conveniences shared by every index family ---------
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Live (highest committed generation) path of an index artifact as a
+    * string — what every index read resolves before scanning. Fresh
+    * builds and pre-generation indexes resolve to the plain directory
+    * (generation 0) unchanged. */
+  def live(spark: SparkSession, path: String): String = {
+    val (fs, p) = fsOf(spark, path)
+    resolve(fs, p).toString
+  }
+
+  /** True when a committed generation (or the plain gen-0 directory)
+    * of the artifact exists — the generation-aware `fs.exists`. */
+  def existsLive(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(resolve(fs, p))
+  }
+
+  /** Heal BOTH compaction protocols at `path`: [[IndexSwap]] rename
+    * crashes (indexes compacted by earlier versions) and uncommitted
+    * generation directories (the current protocol). Index recover
+    * entry points call this per artifact before trusting existence. */
+  def heal(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    IndexSwap.recover(fs, p)
+    recover(fs, p)
+  }
+
+  /** Start each artifact over at generation 0 — fresh builds call this
+    * before their plain-directory overwrite so readers resolve what the
+    * build writes, not a leftover higher generation. */
+  def resetAll(spark: SparkSession, paths: String*): Unit =
+    paths.foreach { path =>
+      val (fs, p) = fsOf(spark, path)
+      reset(fs, p)
+    }
+
+  /** Crash-safe concurrent-read rewrite of one artifact: heal stale
+    * attempts, hand `write` the live generation's path and the next
+    * generation's target directory, commit the new generation once the
+    * write returns, then GC all but the two newest (in-flight readers
+    * of the previous generation finish their scans). Readers resolving
+    * mid-rewrite see the old generation; after the commit marker lands
+    * they see the new one — never a half state. */
+  def rewriteGen(spark: SparkSession, path: String)(
+      write: (String, String) => Unit): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    recover(fs, p)
+    val liveP = resolve(fs, p)
+    val next = nextGenPath(fs, p)
+    write(liveP.toString, next.toString)
+    commitGen(fs, next)
+    gc(fs, p)
   }
 }

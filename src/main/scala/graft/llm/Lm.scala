@@ -364,6 +364,8 @@ object Lm {
     requireOrder(k)
     val spark = train.sparkSession
     import spark.implicits._
+    // fresh build starts every slice's generation history over
+    GenDir.resetAll(spark, (1 to k).map(n => s"$dir/grams_$n"): _*)
     val (cnts, total) = kGramCounts(train, textCol, idCol, k)
     for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
     val t = total.head().getLong(0)
@@ -388,38 +390,39 @@ object Lm {
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
     val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
-    for (n <- ord to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "append")
+    for (n <- ord to 1 by -1) // into the CURRENT generation of each slice
+      writeGramSlice(cnts(n), GenDir.live(spark, s"$dir/grams_$n"), "append")
     val batchT = total.head().getLong(0)
     Seq((oldT + batchT, oldN + train.count(), ord.toLong))
       .toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Fold append generations of every slice to one row per gram
-    * through the crash-safe [[IndexSwap]] protocol. `minCount` > 1
-    * prunes rare HIGHER-order grams (orders 2..k; unigrams never —
+  /** Fold append generations of every slice to one row per gram. Each
+    * slice's rewrite lands as the next [[GenDir]] generation, so a
+    * standing scorer runs CONCURRENTLY with the compaction and flips
+    * atomically per slice (each generation is complete — a scorer
+    * straddling the flip still folds a complete count set). `minCount`
+    * > 1 prunes rare HIGHER-order grams (orders 2..k; unigrams never —
     * backoff mass and T depend on them), the Brants count cutoff. */
   def lmIndexCompactK(spark: SparkSession, dir: String,
                       minCount: Long = 1L): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
-    for (n <- 1 to ord) {
-      val p = new Path(s"$dir/grams_$n")
-      val fs = p.getFileSystem(conf)
-      val tmp = IndexSwap.prepare(fs, p)
-      spark.read.parquet(p.toString)
-        .groupBy(col("gram"), col("pt"))
-        .agg(sum(col("c")).as("c"))
-        .filter(if (n == 1) lit(true) else col("c") >= minCount)
-        .repartition(col("pt"))
-        .sortWithinPartitions(col("gram"))
-        .write.mode("overwrite").partitionBy("pt").parquet(tmp.toString)
-      IndexSwap.commit(fs, p)
-    }
+    for (n <- 1 to ord)
+      GenDir.rewriteGen(spark, s"$dir/grams_$n") { (live, next) =>
+        spark.read.parquet(live)
+          .groupBy(col("gram"), col("pt"))
+          .agg(sum(col("c")).as("c"))
+          .filter(if (n == 1) lit(true) else col("c") >= minCount)
+          .repartition(col("pt"))
+          .sortWithinPartitions(col("gram"))
+          .write.mode("overwrite").partitionBy("pt").parquet(next)
+      }
   }
 
-  /** Heal interrupted swaps and report whether `dir` holds a complete
-    * order-k model (meta plus every grams_1..grams_ord slice). */
+  /** Heal interrupted compactions (either protocol) and report whether
+    * `dir` holds a complete order-k model (meta plus every
+    * grams_1..grams_ord slice). */
   def lmIndexRecoverK(spark: SparkSession, dir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaP = new Path(s"$dir/meta")
@@ -427,9 +430,8 @@ object Lm {
     if (!fs.exists(metaP)) return false
     val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
     (1 to ord).forall { n =>
-      val p = new Path(s"$dir/grams_$n")
-      IndexSwap.recover(fs, p)
-      fs.exists(p)
+      GenDir.heal(spark, s"$dir/grams_$n")
+      GenDir.existsLive(spark, s"$dir/grams_$n")
     }
   }
 
@@ -452,7 +454,7 @@ object Lm {
     val hitBuckets = batchTerms.select(bucket(col("w1")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val cnts = (1 to ord).map { n =>
-      n -> spark.read.parquet(s"$dir/grams_$n")
+      n -> spark.read.parquet(GenDir.live(spark, s"$dir/grams_$n"))
         .filter(col("pt").isInCollection(hitBuckets))
         .withColumn("w1", substring_index(col("gram"), " ", 1))
         .join(broadcast(batchTerms), "w1")
@@ -479,6 +481,9 @@ object Lm {
     val spark = train.sparkSession
     import spark.implicits._
     require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+    // fresh build starts every slice's generation history over
+    GenDir.resetAll(spark,
+      s"$dir/unigrams", s"$dir/bigrams", s"$dir/trigrams")
     val (uni, bi, total) = counts(train, textCol, idCol)
     if (order == 3)
       triCounts(train, textCol, idCol)
@@ -518,80 +523,78 @@ object Lm {
         .withColumn("prev2_pt", bucket(col("prev2")))
         .repartition(col("prev2_pt"))
         .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
-        .write.mode("append").partitionBy("prev2_pt").parquet(s"$dir/trigrams")
+        .write.mode("append").partitionBy("prev2_pt")
+        .parquet(GenDir.live(spark, s"$dir/trigrams"))
     bi.withColumn("prev_pt", bucket(col("prev")))
       .repartition(col("prev_pt"))
       .sortWithinPartitions(col("prev"), col("term"))
-      .write.mode("append").partitionBy("prev_pt").parquet(s"$dir/bigrams")
+      .write.mode("append").partitionBy("prev_pt")
+      .parquet(GenDir.live(spark, s"$dir/bigrams"))
     uni.withColumn("term_pt", bucket(col("term")))
       .repartition(col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/unigrams")
+      .write.mode("append").partitionBy("term_pt")
+      .parquet(GenDir.live(spark, s"$dir/unigrams"))
     val batchT = total.head().getLong(0)
     Seq((oldT + batchT, oldN + train.count(), ord)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Fold append generations back to one row per n-gram through the
-    * crash-safe [[IndexSwap]] protocol. `minBigramCount` > 1 applies
-    * the classic count-cutoff model pruning (Brants et al. §4: drop
-    * rare higher-order n-grams — the bigram slice, and the trigram
-    * slice of an order-3 model — and let those contexts fall to
-    * backoff) — an explicit APPROXIMATION that shrinks the model, off
-    * by default; unigrams are never pruned (backoff mass and T depend
-    * on them). */
+  /** Fold append generations back to one row per n-gram. Each slice's
+    * rewrite lands as the next [[GenDir]] generation, so a standing
+    * scorer runs CONCURRENTLY with the compaction (see
+    * [[lmIndexCompactK]]). `minBigramCount` > 1 applies the classic
+    * count-cutoff model pruning (Brants et al. §4: drop rare
+    * higher-order n-grams — the bigram slice, and the trigram slice of
+    * an order-3 model — and let those contexts fall to backoff) — an
+    * explicit APPROXIMATION that shrinks the model, off by default;
+    * unigrams are never pruned (backoff mass and T depend on them). */
   def lmIndexCompact(spark: SparkSession, dir: String,
                      minBigramCount: Long = 1L): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val biP = new Path(s"$dir/bigrams")
-    val fs = biP.getFileSystem(conf)
-    val biTmp = IndexSwap.prepare(fs, biP)
-    spark.read.parquet(biP.toString)
-      .groupBy(col("prev"), col("term"), col("prev_pt"))
-      .agg(sum(col("c2")).as("c2"))
-      .filter(col("c2") >= minBigramCount)
-      .repartition(col("prev_pt"))
-      .sortWithinPartitions(col("prev"), col("term"))
-      .write.mode("overwrite").partitionBy("prev_pt").parquet(biTmp.toString)
-    IndexSwap.commit(fs, biP)
-    val triP = new Path(s"$dir/trigrams")
-    if (fs.exists(triP)) { // order-3 models fold (and prune) this slice too
-      val triTmp = IndexSwap.prepare(fs, triP)
-      spark.read.parquet(triP.toString)
-        .groupBy(col("prev2"), col("prev"), col("term"), col("prev2_pt"))
-        .agg(sum(col("c3")).as("c3"))
-        .filter(col("c3") >= minBigramCount)
-        .repartition(col("prev2_pt"))
-        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
-        .write.mode("overwrite").partitionBy("prev2_pt").parquet(triTmp.toString)
-      IndexSwap.commit(fs, triP)
+    GenDir.rewriteGen(spark, s"$dir/bigrams") { (live, next) =>
+      spark.read.parquet(live)
+        .groupBy(col("prev"), col("term"), col("prev_pt"))
+        .agg(sum(col("c2")).as("c2"))
+        .filter(col("c2") >= minBigramCount)
+        .repartition(col("prev_pt"))
+        .sortWithinPartitions(col("prev"), col("term"))
+        .write.mode("overwrite").partitionBy("prev_pt").parquet(next)
     }
-    val uniP = new Path(s"$dir/unigrams")
-    val uniTmp = IndexSwap.prepare(fs, uniP)
-    spark.read.parquet(uniP.toString)
-      .groupBy(col("term"), col("term_pt"))
-      .agg(sum(col("c1")).as("c1"))
-      .repartition(col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(uniTmp.toString)
-    IndexSwap.commit(fs, uniP)
+    if (GenDir.existsLive(spark, s"$dir/trigrams")) // order-3 models
+      GenDir.rewriteGen(spark, s"$dir/trigrams") { (live, next) =>
+        spark.read.parquet(live)
+          .groupBy(col("prev2"), col("prev"), col("term"), col("prev2_pt"))
+          .agg(sum(col("c3")).as("c3"))
+          .filter(col("c3") >= minBigramCount)
+          .repartition(col("prev2_pt"))
+          .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
+          .write.mode("overwrite").partitionBy("prev2_pt").parquet(next)
+      }
+    GenDir.rewriteGen(spark, s"$dir/unigrams") { (live, next) =>
+      spark.read.parquet(live)
+        .groupBy(col("term"), col("term_pt"))
+        .agg(sum(col("c1")).as("c1"))
+        .repartition(col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+    }
   }
 
-  /** Heal any interrupted compaction swap and report whether `dir`
-    * holds a complete model (meta AND both count slices) — ingest
-    * bootstraps call this before choosing append over build. */
+  /** Heal any interrupted compaction (either protocol) and report
+    * whether `dir` holds a complete model (meta AND both count slices)
+    * — ingest bootstraps call this before choosing append over build. */
   def lmIndexRecover(spark: SparkSession, dir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val biP = new Path(s"$dir/bigrams")
-    val fs = biP.getFileSystem(conf)
-    IndexSwap.recover(fs, biP)
-    IndexSwap.recover(fs, new Path(s"$dir/unigrams"))
-    IndexSwap.recover(fs, new Path(s"$dir/trigrams"))
-    val base = fs.exists(new Path(s"$dir/meta")) && fs.exists(biP) &&
-      fs.exists(new Path(s"$dir/unigrams"))
+    val fs = new Path(dir).getFileSystem(conf)
+    GenDir.heal(spark, s"$dir/bigrams")
+    GenDir.heal(spark, s"$dir/unigrams")
+    GenDir.heal(spark, s"$dir/trigrams")
+    val base = fs.exists(new Path(s"$dir/meta")) &&
+      GenDir.existsLive(spark, s"$dir/bigrams") &&
+      GenDir.existsLive(spark, s"$dir/unigrams")
     // an order-3 model additionally demands its trigram slice
     base && (spark.read.parquet(s"$dir/meta").head().getLong(2) != 3L ||
-      fs.exists(new Path(s"$dir/trigrams")))
+      GenDir.existsLive(spark, s"$dir/trigrams"))
   }
 
   /** Score `docs` against a persisted model — row-identical to
@@ -610,11 +613,11 @@ object Lm {
       .localCheckpoint(true) // feeds the bucket collect and every semi-join
     val hitBuckets = batchTerms.select(bucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val uni = spark.read.parquet(s"$dir/unigrams")
+    val uni = spark.read.parquet(GenDir.live(spark, s"$dir/unigrams"))
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(batchTerms), "term")
       .groupBy(col("term")).agg(sum(col("c1")).as("c1"))
-    val bi = spark.read.parquet(s"$dir/bigrams")
+    val bi = spark.read.parquet(GenDir.live(spark, s"$dir/bigrams"))
       .filter(col("prev_pt").isInCollection(hitBuckets))
       .join(broadcast(batchTerms.select(col("term").as("prev"))), "prev")
       .join(broadcast(batchTerms), "term")
@@ -622,7 +625,7 @@ object Lm {
     val meta = spark.read.parquet(s"$dir/meta")
     val total = meta.select(col("t"))
     if (meta.head().getLong(2) == 3L) {
-      val tri = spark.read.parquet(s"$dir/trigrams")
+      val tri = spark.read.parquet(GenDir.live(spark, s"$dir/trigrams"))
         .filter(col("prev2_pt").isInCollection(hitBuckets))
         .join(broadcast(batchTerms.select(col("term").as("prev2"))), "prev2")
         .join(broadcast(batchTerms.select(col("term").as("prev"))), "prev")

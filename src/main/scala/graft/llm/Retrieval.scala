@@ -200,10 +200,7 @@ object Retrieval {
     // a fresh build starts the generation history over: drop every
     // postings/stats generation so reads resolve the plain (gen-0)
     // layout the overwrite below creates
-    val pBase = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fsB = pBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GenDir.reset(fsB, pBase)
-    GenDir.reset(fsB, new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
     // ONE streamed pass over the corpus postings, no caching: the
     // postings land in their bucket layout directly, and every derived
     // total comes from what was just written — stats from the (term,
@@ -302,25 +299,16 @@ object Retrieval {
     * compact IS the migration path the search errors recommend. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    val pBase = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fs = pBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GenDir.recover(fs, pBase) // sweep stale uncommitted attempts first
-    val live = GenDir.resolve(fs, pBase)
-    val next = GenDir.nextGenPath(fs, pBase)
-    spark.read.parquet(live.toString)
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(next.toString)
-    GenDir.commitGen(fs, next)
-    val sBase = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    GenDir.recover(fs, sBase)
-    val sNext = GenDir.nextGenPath(fs, sBase)
-    writeStats(spark.read.parquet(next.toString).select(col("term"), col("tf")),
-      sNext.toString, "overwrite")
-    GenDir.commitGen(fs, sNext)
-    // previous generations stay for in-flight readers; older ones go
-    GenDir.gc(fs, pBase)
-    GenDir.gc(fs, sBase)
+    GenDir.rewriteGen(spark, s"$dir/postings") { (live, next) =>
+      spark.read.parquet(live)
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+    }
+    GenDir.rewriteGen(spark, s"$dir/stats") { (_, next) =>
+      writeStats(spark.read.parquet(GenDir.live(spark, s"$dir/postings"))
+        .select(col("term"), col("tf")), next, "overwrite")
+    }
   }
 
   /** Heal any interrupted compaction and report whether `dir` holds a
@@ -331,13 +319,12 @@ object Retrieval {
     * rename crashes (indexes compacted by earlier versions). */
   def bm25IndexRecover(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexSwap.recover(fs, p)
-    GenDir.recover(fs, p)
-    GenDir.recover(fs, new org.apache.hadoop.fs.Path(s"$dir/stats"))
+    GenDir.heal(spark, s"$dir/postings")
+    GenDir.heal(spark, s"$dir/stats")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
-      fs.exists(GenDir.resolve(fs, p))
+      GenDir.existsLive(spark, s"$dir/postings")
   }
 
   /** Top-`k` documents per query against a persisted index (see
@@ -658,6 +645,8 @@ object Retrieval {
   def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
                        dir: String): Unit = {
     val spark = docs.sparkSession
+    // fresh build starts the generation history over (see bm25BuildIndex)
+    GenDir.resetAll(spark, s"$dir/positions", s"$dir/stats")
     val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -694,51 +683,52 @@ object Retrieval {
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode("append").partitionBy("term_pt").parquet(s"$dir/positions")
+      // appends land in the CURRENT generation (single-writer contract)
+      .write.mode("append").partitionBy("term_pt")
+      .parquet(GenDir.live(spark, s"$dir/positions"))
     // append stats ONLY onto an existing slice (the bm25IndexAppend
     // discipline): a batch-only slice on a pre-stats index would feed
     // wrong n_pos into rarest-term selection — efficiency-only for
     // phrases (candidates stay lossless by containment), but the
     // coverage invariant is worth keeping uniform across families
-    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fsA = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsA.exists(statsP))
-      writePhraseStats(pos.select(col("term")), statsP.toString, "append")
+    if (GenDir.existsLive(spark, s"$dir/stats"))
+      writePhraseStats(pos.select(col("term")),
+        GenDir.live(spark, s"$dir/stats"), "append")
     pos.unpersist()
   }
 
   /** Rewrite the positions back to the fresh-build layout after a run
     * of appends (each append spreads every touched bucket over another
-    * file generation) through the crash-safe [[IndexSwap]] protocol.
-    * Search results are unchanged. */
+    * file generation). Lands as the next [[GenDir]] generation, so
+    * standing phrase queries run CONCURRENTLY with the compaction and
+    * flip atomically at the commit marker. Search results are
+    * unchanged. */
   def phraseIndexCompact(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/positions")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = IndexSwap.prepare(fs, p)
-    spark.read.parquet(p.toString)
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(tmp.toString)
-    IndexSwap.commit(fs, p)
+    GenDir.rewriteGen(spark, s"$dir/positions") { (live, next) =>
+      spark.read.parquet(live)
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+    }
     // regenerate stats from the compacted positions (the
     // bm25IndexCompact discipline): exact whatever the index's history,
     // and upgrades pre-stats indexes in the same pass
-    val sp = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val stmp = IndexSwap.prepare(fs, sp)
-    writePhraseStats(spark.read.parquet(p.toString).select(col("term")),
-      stmp.toString, "overwrite")
-    IndexSwap.commit(fs, sp)
+    GenDir.rewriteGen(spark, s"$dir/stats") { (_, next) =>
+      writePhraseStats(
+        spark.read.parquet(GenDir.live(spark, s"$dir/positions"))
+          .select(col("term")), next, "overwrite")
+    }
   }
 
-  /** Heal any interrupted compaction swap and report whether `dir`
-    * holds a positional index. */
+  /** Heal any interrupted compaction (either protocol — see
+    * [[GenDir.heal]]) and report whether `dir` holds a positional
+    * index. */
   def phraseIndexRecover(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/positions")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexSwap.recover(fs, p)
-    fs.exists(p)
+    GenDir.heal(spark, s"$dir/positions")
+    GenDir.heal(spark, s"$dir/stats")
+    GenDir.existsLive(spark, s"$dir/positions")
   }
 
   /** [[phraseTopK]] against a persisted positional index — row-identical
@@ -753,7 +743,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val posts = spark.read.parquet(s"$dir/positions")
+    val posts = spark.read.parquet(liveArtifact(spark, s"$dir/positions"))
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
@@ -776,9 +766,7 @@ object Retrieval {
   def phraseSearchIndexSelective(queries: DataFrame, dir: String, k: Int,
                                  maxCandBroadcast: Long = 2000000L): DataFrame = {
     val spark = queries.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")),
+    require(GenDir.existsLive(spark, s"$dir/stats"),
       s"selective phrase search requires the stats slice; $dir predates " +
         "it — re-build, or run phraseIndexCompact with the current version " +
         "(compact regenerates full-coverage stats from the positions)")
@@ -788,7 +776,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(liveArtifact(spark, s"$dir/stats"))
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("n_pos")).as("n_pos"))
@@ -801,7 +789,7 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(min(struct(col("n_pos"), col("term"))).as("r"))
       .select(col("query_id"), col("r.term").as("term"))
-    val posts = spark.read.parquet(s"$dir/positions")
+    val posts = spark.read.parquet(liveArtifact(spark, s"$dir/positions"))
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))

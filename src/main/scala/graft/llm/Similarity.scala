@@ -545,6 +545,8 @@ object Similarity {
                     iters: Int = 10, maxTrain: Int = 65536): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // fresh build starts the cell slice's generation history over
+    GenDir.resetAll(spark, s"$dir/cells")
     val centroids = trainIvfCentroids(emb, nlist, iters, maxTrain)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -609,7 +611,8 @@ object Similarity {
         quantizer.nearestCells(col("embedding"), 1).getItem(0).as("cell"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$dir/cells")
+      // into the CURRENT generation (single-writer contract)
+      .write.mode("append").parquet(GenDir.live(spark, s"$dir/cells"))
   }
 
   /** Rewrite a cell-keyed index slice back to the fresh-build layout
@@ -618,24 +621,19 @@ object Similarity {
     * appends a probed cell's rows are spread over ~N file generations —
     * the scan opens N times the files (and their footers) a fresh build
     * would. Compaction is the operational close of the append loop:
-    * rewrite to a temp sibling, then atomically swap directories. Search
-    * results are unchanged (same rows, same layout discipline); only the
-    * file-count/bytes-read profile resets to fresh-build shape.
-    * Quiesce searches during the swap: the delete-then-rename window is
-    * not readable — compact in the same maintenance slot as appends. */
+    * rewrite as the next [[GenDir]] generation, crash-safe AND
+    * concurrent with reads — standing searches keep resolving the
+    * previous generation until the commit marker lands. Search results
+    * are unchanged (same rows, same layout discipline); only the
+    * file-count/bytes-read profile resets to fresh-build shape. */
   private def compactCellSlice(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash-safe swap (IndexSwap): delete-then-rename had an
-    // unrecoverable window where no live slice existed
-    val tmp = IndexSwap.prepare(fs, p)
-    spark.read.parquet(path)
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    IndexSwap.commit(fs, p)
-  }
+                               path: String): Unit =
+    GenDir.rewriteGen(spark, path) { (live, next) =>
+      spark.read.parquet(live)
+        .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").parquet(next)
+    }
 
   /** Compact a persisted IVF index's cell slices after a run of appends
     * (see [[compactCellSlice]]); centroids are untouched. */
@@ -648,11 +646,11 @@ object Similarity {
     * contract as [[Retrieval.bm25IndexRecover]]. */
   def ivfIndexRecover(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Boolean = {
-    val cells = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexSwap.recover(fs, cells)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.heal(spark, s"$dir/cells")
     fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) &&
-      fs.exists(cells)
+      GenDir.existsLive(spark, s"$dir/cells")
   }
 
   def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
@@ -669,7 +667,7 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism) // see ivfKnn note
       .localCheckpoint(true)
     val a = withNorm(queries, "vec_id", "embedding", "norm_a")
-    val index = spark.read.parquet(s"$dir/cells")
+    val index = spark.read.parquet(GenDir.live(spark, s"$dir/cells"))
     // distinct probed cells are <= nlist by construction, so this is a
     // bounded collect; pruning only pays when the probe set is sparse
     val probed = qCells.select(explode(col("probe_cells")).as("cell"))
@@ -1309,6 +1307,8 @@ object Similarity {
                       maxTrain: Int = 65536): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // fresh build starts the code slice's generation history over
+    GenDir.resetAll(spark, s"$dir/codes")
     val coarse = pqTrainCodebooks(emb, 1, nlist, iters, maxTrain)(0)
     val pqCbs = pqTrainCodebooks(emb, m, ksub, iters, maxTrain)
     // kind 0 row = coarse codebook; kind 1 rows = PQ subspace s;
@@ -1356,7 +1356,8 @@ object Similarity {
       .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$dir/codes")
+      // into the CURRENT generation (single-writer contract)
+      .write.mode("append").parquet(GenDir.live(spark, s"$dir/codes"))
   }
 
   /** Compact a persisted IVFADC index's code slices after a run of
@@ -1368,11 +1369,11 @@ object Similarity {
   /** [[ivfIndexRecover]] for an IVFADC index (codebooks AND codes). */
   def ivfPqIndexRecover(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Boolean = {
-    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexSwap.recover(fs, codes)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenDir.heal(spark, s"$dir/codes")
     fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks")) &&
-      fs.exists(codes)
+      GenDir.existsLive(spark, s"$dir/codes")
   }
 
   /** ADC top-k of `queries` against a persisted IVFADC index — row-
@@ -1391,7 +1392,7 @@ object Similarity {
       spark.sparkContext.broadcast(coarse),
       spark.sparkContext.broadcast(pqCbs), m, ksub, nprobe)
       .localCheckpoint(true) // probed-cell collect must not re-run the kernel
-    val index = spark.read.parquet(s"$dir/codes")
+    val index = spark.read.parquet(GenDir.live(spark, s"$dir/codes"))
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     // distinct probed cells are <= nlist by construction — bounded
     // collect; the IN filter pushes into the build-sorted codes scan

@@ -144,8 +144,11 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.lshBuildIndex(chunks.head.toDF("doc_id", "text"), "text", "doc_id", dir)
     chunks.tail.foreach(c =>
       Dedup.lshIndexAppend(c.toDF("doc_id", "text"), "text", "doc_id", dir))
+    // post-compact the live slice is a GenDir generation — resolve it
+    // (.toUri.getPath strips the file: scheme for the java.nio walk)
     def files(sub: String): Int = {
-      val root = java.nio.file.Paths.get(s"$dir/$sub")
+      val root = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(
+        GenDir.live(spark, s"$dir/$sub")).toUri.getPath)
       java.nio.file.Files.walk(root).filter(_.toString.endsWith(".parquet"))
         .count().toInt
     }
@@ -162,6 +165,45 @@ class DedupIndexSpec extends SparkSpec {
       s"compaction did not shrink: shingles $sh0->${files("shingles")}, bands $bd0->${files("bands")}")
     // params slice untouched: the query still signs itself from meta
     assert(Dedup.lshIndexParams(spark, dir) == ((3, 16, 4)))
+  }
+
+  test("matches resolve generation N while N+1 is mid-write (concurrent compact)") {
+    val dir = freshDir()
+    val chunks = corpusDocs.grouped(20).toSeq
+    Dedup.lshBuildIndex(chunks.head.toDF("doc_id", "text"), "text", "doc_id", dir)
+    chunks.tail.foreach(c =>
+      Dedup.lshIndexAppend(c.toDF("doc_id", "text"), "text", "doc_id", dir))
+    def matches(): Set[(Long, Long, Double)] =
+      Dedup.lshIndexMatches(batchDocs.toDF("doc_id", "text"),
+        "text", "doc_id", dir, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val want = matches()
+    assert(want.nonEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a compaction MID-WRITE: uncommitted next generation holding
+    // garbage — readers must never resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/shingles.gen-1")
+    fs.mkdirs(midWrite)
+    fs.create(new org.apache.hadoop.fs.Path(midWrite, "part-junk.parquet"), true)
+      .close()
+    assert(matches() == want, "a match resolved an uncommitted generation")
+    // a real compaction flips readers atomically at the commit marker
+    Dedup.lshIndexCompact(spark, dir)
+    assert(matches() == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/shingles.gen-1/_GEN_COMMITTED")))
+    // previous generation survives for in-flight readers; the next
+    // compaction garbage-collects it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/shingles")))
+    Dedup.lshIndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/shingles")),
+      "two-generation retention should have GC'd generation 0")
+    assert(matches() == want)
+    // append + match keep working against the generation layout
+    Dedup.lshIndexAppend(Seq((5000L, randomDoc(60))).toDF("doc_id", "text"),
+      "text", "doc_id", dir)
+    assert(matches() == want) // an unrelated append changes no match
   }
 
   test("interrupted compaction swap heals: recover finishes the rename") {

@@ -128,6 +128,37 @@ class LmSpec extends SparkSpec {
       (5L, 4L, (600000L + 666666L + 240000L + 666666L) / 4)))
   }
 
+  test("scoring resolves generation N while N+1 is mid-write (concurrent compact)") {
+    val dir = freshDir()
+    Lm.lmBuildIndex(corpus.filter($"doc_id" === 0L), "text", "doc_id", dir)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 4L), "text", "doc_id", dir)
+    def score() = rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir))
+    assert(score() == expected)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a compaction MID-WRITE on the bigram slice: uncommitted garbage
+    // generation — scorers must never resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/bigrams.gen-1")
+    fs.mkdirs(midWrite)
+    assert(score() == expected, "a scorer resolved an uncommitted generation")
+    Lm.lmIndexCompact(spark, dir)
+    assert(score() == expected)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/bigrams.gen-1/_GEN_COMMITTED")))
+    // previous generation survives one compaction, GC'd by the next
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bigrams")))
+    Lm.lmIndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bigrams")),
+      "two-generation retention should have GC'd generation 0")
+    assert(score() == expected)
+    // appends keep landing in the current generation; reads still fold
+    Lm.lmIndexAppend(corpus.filter($"doc_id" === 2L), "text", "doc_id", dir)
+    assert(rows(Lm.lmScoreIndex(corpus, "text", "doc_id", dir)) ==
+      rows(Lm.lmScore(train.union(corpus.filter($"doc_id" === 2L)),
+        corpus, "text", "doc_id")))
+  }
+
   test("interrupted compaction swap heals: recover finishes the rename") {
     val dir = freshDir()
     Lm.lmBuildIndex(train, "text", "doc_id", dir)
@@ -193,8 +224,9 @@ class LmSpec extends SparkSpec {
     assert(rows(Lm.lmScoreIndexK(corpus5, "text", "doc_id", dir)) == expected5)
     val meta = spark.read.parquet(s"$dir/meta").as[(Long, Long, Long)].head()
     assert(meta == ((10L, 2L, 5L))) // t, n_docs, order ride meta
-    // every order's slice folded to one generation per gram
-    val unfolded = spark.read.parquet(s"$dir/grams_5")
+    // every order's slice folded to one generation per gram (the live
+    // post-compact slice is a GenDir generation — resolve it)
+    val unfolded = spark.read.parquet(GenDir.live(spark, s"$dir/grams_5"))
       .groupBy($"gram").count().filter($"count" > 1).count()
     assert(unfolded == 0, "compact left multiple generations per gram")
     // ad-hoc parity on the identical train split

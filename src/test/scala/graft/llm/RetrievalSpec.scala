@@ -447,6 +447,39 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
   }
 
+  test("phrase searches resolve generation N while N+1 is mid-write") {
+    val dir = freshDir()
+    Retrieval.phraseBuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)
+    Retrieval.phraseIndexAppend(docs.filter($"doc_id" >= 3), "text", "doc_id", dir)
+    val q = Seq((1L, "the cat"), (3L, "zebra zebra")).toDF("query_id", "qtext")
+    def phRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val want = phRows(Retrieval.phraseSearchIndex(q, dir, k = 10))
+    assert(want.nonEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a compaction MID-WRITE: uncommitted garbage generation on the
+    // positions — searches must never resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/positions.gen-1")
+    fs.mkdirs(midWrite)
+    fs.create(new org.apache.hadoop.fs.Path(midWrite, "part-junk.parquet"), true)
+      .close()
+    assert(phRows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == want,
+      "a search resolved an uncommitted generation")
+    Retrieval.phraseIndexCompact(spark, dir)
+    assert(phRows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == want)
+    assert(phRows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10)) == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/positions.gen-1/_GEN_COMMITTED")))
+    // two-generation retention, then GC on the next compaction
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/positions")))
+    Retrieval.phraseIndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/positions")),
+      "two-generation retention should have GC'd generation 0")
+    assert(phRows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == want)
+  }
+
   test("selective phrase search is row-identical across rare/hot/unseen phrases") {
     val dir = freshDir()
     Retrieval.phraseBuildIndex(docs, "text", "doc_id", dir)

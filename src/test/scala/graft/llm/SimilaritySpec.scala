@@ -273,7 +273,10 @@ class SimilaritySpec extends SparkSpec {
     Seq((40L, 60L), (60L, 80L), (80L, 100L)).foreach { case (lo, hi) =>
       Similarity.ivfIndexAppend(emb.filter($"vec_id" >= lo && $"vec_id" < hi), dir)
     }
-    def cellFiles(): Int = new java.io.File(s"$dir/cells").listFiles()
+    // post-compact the live slice is a GenDir generation — resolve it
+    // (.toUri.getPath strips the file: scheme for java.io.File)
+    def cellFiles(): Int = new java.io.File(new org.apache.hadoop.fs.Path(
+        GenDir.live(spark, s"$dir/cells")).toUri.getPath).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val before = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
         excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
@@ -297,6 +300,34 @@ class SimilaritySpec extends SparkSpec {
     assert(filesAfter <= freshFiles)
   }
 
+  test("IVF searches resolve generation N while N+1 is mid-write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen-").toString
+    Similarity.ivfBuildIndex(emb.filter($"vec_id" < 60), dir, nlist = 8)
+    Similarity.ivfIndexAppend(emb.filter($"vec_id" >= 60), dir)
+    def knn() = Similarity.ivfSearchIndex(emb, dir, k = 3, nprobe = 3,
+      excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq
+    val want = knn()
+    assert(want.nonEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a compaction MID-WRITE: uncommitted garbage generation on the
+    // cell slice — searches must never resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/cells.gen-1")
+    fs.mkdirs(midWrite)
+    assert(knn() == want, "a search resolved an uncommitted generation")
+    Similarity.ivfIndexCompact(spark, dir)
+    assert(knn() == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/cells.gen-1/_GEN_COMMITTED")))
+    // two-generation retention, then GC on the next compaction
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cells")))
+    Similarity.ivfIndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/cells")),
+      "two-generation retention should have GC'd generation 0")
+    assert(knn() == want)
+    assert(Similarity.ivfIndexRecover(spark, dir))
+  }
+
   test("ivfPqIndexCompact: ADC answers unchanged, code file set shrinks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx-").toString
     Similarity.ivfPqBuildIndex(emb.filter($"vec_id" < 50), dir,
@@ -304,7 +335,8 @@ class SimilaritySpec extends SparkSpec {
     Seq((50L, 75L), (75L, 100L)).foreach { case (lo, hi) =>
       Similarity.ivfPqIndexAppend(emb.filter($"vec_id" >= lo && $"vec_id" < hi), dir)
     }
-    def codeFiles(): Int = new java.io.File(s"$dir/codes").listFiles()
+    def codeFiles(): Int = new java.io.File(new org.apache.hadoop.fs.Path(
+        GenDir.live(spark, s"$dir/codes")).toUri.getPath).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val before = Similarity.ivfPqSearchIndex(emb, dir, k = 3, nprobe = 8,
         excludeSelf = true).orderBy($"vec_id", $"rank").collect().toSeq

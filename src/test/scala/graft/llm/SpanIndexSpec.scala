@@ -67,6 +67,36 @@ class SpanIndexSpec extends SparkSpec {
       s"$sizeAfterBatch1 -> $sizeAfterBatch2")
   }
 
+  test("span matches resolve generation N while N+1 is mid-write") {
+    val dir = Files.createTempDirectory("graft-span-idx-gen-").toString
+    val corpus = Seq((1L, s"${uniq("c", 10)} $shared")).toDF("doc_id", "text")
+    Dedup.spanBuildIndex(corpus, "doc_id", "text", dir, w = 8)
+    Dedup.spanIndexAppend(Seq((2L, uniq("g", 20))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val batch = Seq((50L, s"$shared ${uniq("z", 4)}")).toDF("doc_id", "text")
+    def matches(): Set[(Long, Long, Long, Long)] =
+      Dedup.spanIndexMatches(batch, "doc_id", "text", dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = matches()
+    assert(want.nonEmpty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // uncommitted mid-write generation: readers must not resolve it
+    val midWrite = new org.apache.hadoop.fs.Path(s"$dir/windows.gen-1")
+    fs.mkdirs(midWrite)
+    assert(matches() == want, "a match resolved an uncommitted generation")
+    Dedup.spanIndexCompact(spark, dir)
+    assert(matches() == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/windows.gen-1/_GEN_COMMITTED")))
+    // two-generation retention, then GC on the next compaction
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/windows")))
+    Dedup.spanIndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/windows")))
+    assert(matches() == want)
+    assert(Dedup.spanIndexRecover(spark, dir))
+  }
+
   test("spanIndexCompact: matches unchanged, window file set collapses") {
     val dir = Files.createTempDirectory("graft-span-idx-compact-").toString
     val corpus = Seq((1L, s"${uniq("c", 10)} $shared")).toDF("doc_id", "text")
@@ -76,8 +106,11 @@ class SpanIndexSpec extends SparkSpec {
         Seq((100L + i, uniq(s"g$i", 20))).toDF("doc_id", "text"),
         "doc_id", "text", dir)
     }
+    // post-compact the live slice is a GenDir generation — resolve it
+    // (.toUri.getPath strips the file: scheme for the java.nio walk)
     def files(): Int = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$dir/windows"))
+        java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(
+          GenDir.live(spark, s"$dir/windows")).toUri.getPath))
       .filter(_.toString.endsWith(".parquet")).count().toInt
     val batch = Seq((50L, s"$shared ${uniq("z", 4)}")).toDF("doc_id", "text")
     val before = Dedup.spanIndexMatches(batch, "doc_id", "text", dir)
@@ -90,7 +123,8 @@ class SpanIndexSpec extends SparkSpec {
     assert(Dedup.spanIndexMatches(batch, "doc_id", "text", dir)
       .as[(Long, Long, Long, Long)].collect().toSet == before)
     assert(before.nonEmpty)
-    assert(spark.read.parquet(s"$dir/windows").count() == rows0)
+    assert(spark.read.parquet(
+      GenDir.live(spark, s"$dir/windows")).count() == rows0)
     assert(files() < f0, s"compaction did not shrink: $f0 -> ${files()}")
     assert(Dedup.spanIndexParams(spark, dir) == 8)
   }
