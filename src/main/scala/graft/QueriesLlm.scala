@@ -1901,7 +1901,57 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       require(Lm.lmIndexRecoverK(s, idx), "complete order-5 LM index expected")
       Lm.lmScoreIndexK(docs, "text", "doc_id", idx)
     },
-    Some(lm5OracleSql))
+    Some(lm5OracleSql)) :+ QueryDef(
+    // EXACTLY-ONCE batch ingest (the IncLog protocol): the %4==0 half
+    // bootstraps as stream batch 0 (marker-before-meta), the %4==2
+    // half lands as batch 1's committed increment, then BOTH batches
+    // are REDELIVERED (foreachBatch's at-least-once replay) and must
+    // be skipped, a compaction folds the increments, and a THIRD
+    // redelivery of the now-folded batch is skipped via the summary
+    // watermark. Counts double at any missed skip — so the unchanged
+    // train-on-%2==0 oracle IS the exactly-once proof.
+    "llm_lm_index_xo",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-lm-xo-").toString
+      val docs = t(s, dir, "documents")
+      val b0 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+      Lm.lmBuildIndexBatchK(b0, "text", "doc_id", idx, k = 2, batchId = 0L)
+      require(Lm.lmIndexAppendBatchK(b1, "text", "doc_id", idx, batchId = 1L),
+        "first delivery must apply")
+      require(!Lm.lmIndexAppendBatchK(b0, "text", "doc_id", idx, batchId = 0L)
+        && !Lm.lmIndexAppendBatchK(b1, "text", "doc_id", idx, batchId = 1L),
+        "redelivered batches must be skipped")
+      Lm.lmIndexCompactK(s, idx)
+      require(!Lm.lmIndexAppendBatchK(b1, "text", "doc_id", idx, batchId = 1L),
+        "a folded batch must be skipped via the summary watermark")
+      require(Lm.lmIndexRecoverK(s, idx), "complete LM index expected")
+      Lm.lmScoreIndexK(docs, "text", "doc_id", idx)
+    },
+    Some(lmOracleSql)) :+ QueryDef(
+    // CCNet's head/middle/tail split (Wenzek et al. §4.3): rank by LM
+    // quality, cut into equal parts. Cutoff tuples come from one
+    // NARROW global sort (or a sample at production scale); assignment
+    // is a map-side when() chain over broadcast constants — and with
+    // full-frame cutoffs it is provably ntile(3) (doc_id uniqueness
+    // makes rank and tuple comparison agree), which the oracle pins
+    // with DuckDB's own ntile over the identical (score DESC, ntok,
+    // doc_id) ordering.
+    "llm_lm_buckets",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Lm.lmScore(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs, "text", "doc_id")
+      Lm.lmQualityBuckets(scored, nBuckets = 3)
+        .withColumn("tier", element_at(
+          array(lit("head"), lit("middle"), lit("tail")), col("bucket")))
+    },
+    Some(s"""SELECT doc_id, ntok, lm_score_ppm,
+      ntile(3) OVER w AS bucket,
+      CASE ntile(3) OVER w WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        ELSE 'tail' END AS tier
+      FROM ($lmOracleSql) scored
+      WINDOW w AS (ORDER BY lm_score_ppm DESC, ntok, doc_id)"""))
 
   /** DuckDB twin of Lm.lmScoreK at k = 5 (same split): counts for all
     * five orders via pos self-joins, prev1..prev4 context via four

@@ -353,6 +353,9 @@ object Lm {
     scoreWithK(docs, textCol, idCol, cnts, total, k)
   }
 
+  private def gramSlices(dir: String, k: Int): Seq[String] =
+    (1 to k).map(n => s"$dir/grams_$n")
+
   /** Persist an order-k model: one `grams_n/` slice per order (gram,
     * c), partitioned by the hash bucket of the gram's FIRST token —
     * every token of a gram a scored batch needs is a batch token, so
@@ -364,13 +367,91 @@ object Lm {
     requireOrder(k)
     val spark = train.sparkSession
     import spark.implicits._
-    // fresh build starts every slice's generation history over
-    GenDir.resetAll(spark, (1 to k).map(n => s"$dir/grams_$n"): _*)
+    // fresh build starts the generation history AND increment log over
+    GenDir.resetAll(spark, gramSlices(dir, k): _*)
+    IncLog.reset(spark, dir, gramSlices(dir, k))
     val (cnts, total) = kGramCounts(train, textCol, idCol, k)
     for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
     val t = total.head().getLong(0)
     Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  // ---- exactly-once batch ingest (the [[IncLog]] protocol) --------------
+
+  /** Bootstrap an order-k model from a stream's FIRST batch, exactly
+    * once under redelivery: the batch's commit marker lands BEFORE
+    * meta, so every crash point replays safely — dying before the
+    * marker leaves no meta ([[lmIndexRecoverK]] false → redelivery
+    * rebuilds, a full overwrite), dying between marker and meta
+    * likewise rebuilds, and once meta lands the marker makes
+    * [[lmIndexAppendBatchK]] skip the redelivered batch. The marker
+    * carries ZERO deltas — the build's totals are already in meta. */
+  def lmBuildIndexBatchK(train: DataFrame, textCol: String, idCol: String,
+                         dir: String, k: Int, batchId: Long): Unit = {
+    requireOrder(k)
+    val spark = train.sparkSession
+    import spark.implicits._
+    GenDir.resetAll(spark, gramSlices(dir, k): _*)
+    IncLog.reset(spark, dir, gramSlices(dir, k))
+    val (cnts, total) = kGramCounts(train, textCol, idCol, k)
+    for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
+    val t = total.head().getLong(0)
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append one stream batch EXACTLY ONCE: counts land as increment
+    * directories (`grams_n.inc/batch-<id>` — overwrite, so redelivery
+    * is idempotent) made visible by the atomic batch commit marker,
+    * which also carries the batch's token/doc deltas — meta is never
+    * rewritten per batch, so there is no read-modify-write to double.
+    * Returns false (and does nothing) when the batch was already
+    * applied — the redelivery skip. */
+  def lmIndexAppendBatchK(train: DataFrame, textCol: String, idCol: String,
+                          dir: String, batchId: Long): Boolean = {
+    val spark = train.sparkSession
+    if (IncLog.isApplied(spark, dir, batchId)) return false
+    val ord = readMetaK(spark, dir)._2
+    val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
+    for (n <- ord to 1 by -1)
+      writeGramSlice(cnts(n), IncLog.incPath(s"$dir/grams_$n", batchId),
+        "overwrite")
+    IncLog.commitBatch(spark, dir, batchId,
+      total.head().getLong(0), train.count())
+    true
+  }
+
+  /** Effective totals (t, n_docs) of an order-k model: base meta plus
+    * the folded summary plus every committed-but-unfolded batch delta.
+    * Exact at every crash point of the ingest/compact loop. */
+  def lmIndexTotalsK(spark: SparkSession, dir: String): (Long, Long) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (w, tF, nF) = IncLog.foldedSummary(spark, dir)
+    val pend = IncLog.committedAfter(spark, dir, w)
+    (meta.getLong(0) + tF + pend.map(_._2).sum,
+      meta.getLong(1) + nF + pend.map(_._3).sum)
+  }
+
+  private def readMetaK(spark: SparkSession, dir: String): (Long, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    (meta.getLong(0), meta.getLong(2).toInt)
+  }
+
+  private val GramSchema = "gram STRING, c BIGINT, pt INT"
+
+  /** One slice's full count set: the live generation unioned with the
+    * committed increments above that generation's fold watermark.
+    * Explicit schema so an EMPTY slice or increment (a batch with no
+    * order-n grams) reads as zero rows instead of failing inference. */
+  private def readGramSliceAll(spark: SparkSession, modelDir: String,
+                               base: String): DataFrame = {
+    val live = GenDir.live(spark, base)
+    val w = IncLog.sliceFoldedThrough(spark, live)
+    IncLog.liveIncPaths(spark, modelDir, base, w)
+      .foldLeft(spark.read.schema(GramSchema).parquet(live))((df, p) =>
+        df.unionByName(spark.read.schema(GramSchema).parquet(p)))
   }
 
   private def writeGramSlice(cnt: DataFrame, path: String,
@@ -398,26 +479,49 @@ object Lm {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Fold append generations of every slice to one row per gram. Each
-    * slice's rewrite lands as the next [[GenDir]] generation, so a
-    * standing scorer runs CONCURRENTLY with the compaction and flips
-    * atomically per slice (each generation is complete — a scorer
-    * straddling the flip still folds a complete count set). `minCount`
-    * > 1 prunes rare HIGHER-order grams (orders 2..k; unigrams never —
-    * backoff mass and T depend on them), the Brants count cutoff. */
+  /** Fold append generations AND committed batch increments of every
+    * slice to one row per gram. Each slice's rewrite lands as the next
+    * [[GenDir]] generation carrying its fold watermark, so a standing
+    * scorer runs CONCURRENTLY with the compaction and flips atomically
+    * per slice (each generation is complete, and skips exactly the
+    * increments it folded; a scorer straddling the flip still folds a
+    * complete count set). Increments and markers the PREVIOUS summary
+    * already covered are garbage-collected — one compaction late, the
+    * GenDir retention window, so readers mid-scan on the previous
+    * generation keep their increments. `minCount` > 1 prunes rare
+    * HIGHER-order grams (orders 2..k; unigrams never — backoff mass
+    * and T depend on them), the Brants count cutoff. */
   def lmIndexCompactK(spark: SparkSession, dir: String,
                       minCount: Long = 1L): Unit = {
-    val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
+    val ord = readMetaK(spark, dir)._2
+    val (w0, tF, nF) = IncLog.foldedSummary(spark, dir)
+    val pend = IncLog.committedAfter(spark, dir, w0)
+    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
     for (n <- 1 to ord)
       GenDir.rewriteGen(spark, s"$dir/grams_$n") { (live, next) =>
-        spark.read.parquet(live)
+        val base = s"$dir/grams_$n"
+        val sliceW = IncLog.sliceFoldedThrough(spark, live)
+        // increments this generation will absorb: committed, above the
+        // previous generation's watermark, at or below this fold's
+        IncLog.liveIncPaths(spark, dir, base, sliceW)
+          .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= w)
+          .foldLeft(spark.read.schema(GramSchema).parquet(live))((df, p) =>
+            df.unionByName(spark.read.schema(GramSchema).parquet(p)))
           .groupBy(col("gram"), col("pt"))
           .agg(sum(col("c")).as("c"))
           .filter(if (n == 1) lit(true) else col("c") >= minCount)
           .repartition(col("pt"))
           .sortWithinPartitions(col("gram"))
           .write.mode("overwrite").partitionBy("pt").parquet(next)
+        IncLog.writeSliceFoldedThrough(spark, next, math.max(sliceW, w))
       }
+    if (w > w0)
+      IncLog.writeFoldedSummary(spark, dir, w,
+        tF + pend.map(_._2).sum, nF + pend.map(_._3).sum)
+    // GC one compaction LATE: only what the PREVIOUS summary already
+    // covered — both retained generations carry watermarks >= w0, so
+    // no reader of either still needs these
+    IncLog.gcThrough(spark, dir, gramSlices(dir, ord), w0)
   }
 
   /** Heal interrupted compactions (either protocol) and report whether
@@ -444,8 +548,8 @@ object Lm {
   def lmScoreIndexK(docs: DataFrame, textCol: String, idCol: String,
                     dir: String): DataFrame = {
     val spark = docs.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (t, ord) = (meta.getLong(0), meta.getLong(2).toInt)
+    val ord = readMetaK(spark, dir)._2
+    val t = lmIndexTotalsK(spark, dir)._1
     import spark.implicits._
     val batchTerms = docs
       .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w1"))
@@ -454,7 +558,7 @@ object Lm {
     val hitBuckets = batchTerms.select(bucket(col("w1")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val cnts = (1 to ord).map { n =>
-      n -> spark.read.parquet(GenDir.live(spark, s"$dir/grams_$n"))
+      n -> readGramSliceAll(spark, dir, s"$dir/grams_$n")
         .filter(col("pt").isInCollection(hitBuckets))
         .withColumn("w1", substring_index(col("gram"), " ", 1))
         .join(broadcast(batchTerms), "w1")
@@ -596,6 +700,69 @@ object Lm {
     base && (spark.read.parquet(s"$dir/meta").head().getLong(2) != 3L ||
       GenDir.existsLive(spark, s"$dir/trigrams"))
   }
+
+  // ---- CCNet head/middle/tail bucketing ---------------------------------
+
+  /** Cutoff tuples (lm_score_ppm, ntok, doc_id) at the ntile bucket
+    * boundaries of a scored frame, ordered by score DESC with the
+    * (ntok, doc_id) tiebreak — the ranks where CCNet's head/middle/
+    * tail split falls. Returns nBuckets-1 tuples (with repeats when
+    * fewer rows than buckets, preserving ntile semantics). The
+    * extraction globally sorts only the NARROW (8+8+8-byte) triple —
+    * at 100-TB corpus scale compute cutoffs on a sample of the scored
+    * frame and [[lmAssignBuckets]] the full corpus with them; CCNet
+    * itself derives the thresholds from a reference slice, not the
+    * whole crawl. */
+  def lmBucketCutoffs(scored: DataFrame,
+                      nBuckets: Int): Seq[(Long, Long, Long)] = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val n = scored.count()
+    if (n == 0) return Seq.fill(nBuckets - 1)((Long.MinValue, 0L, 0L))
+    // cumulative ntile sizes: the first n % nb buckets get one extra
+    val ranks = (1 until nBuckets).scanLeft(0L)((acc, j) =>
+      acc + n / nBuckets + (if (j <= n % nBuckets) 1L else 0L)).drop(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_score_ppm").desc, col("ntok"), col("doc_id"))
+    val byRank = scored.select(col("lm_score_ppm"), col("ntok"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn").isin(ranks.map(java.lang.Long.valueOf): _*))
+      .select(col("rn").cast("long"), col("lm_score_ppm"), col("ntok"),
+        col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (rn, s, k, d) => rn -> ((s, k, d)) }.toMap
+    ranks.map(r => byRank(math.max(r, 1L))) // repeats when n < nBuckets
+  }
+
+  /** Assign each scored row its quality bucket (1 = head = most fluent
+    * under the reference model) given boundary cutoffs — a pure
+    * MAP-SIDE when() chain over broadcast constants, the shape that
+    * scales to the full corpus: bucket = 1 + number of cutoffs the row
+    * sorts strictly after. With cutoffs from [[lmBucketCutoffs]] over
+    * the same frame this is EXACTLY `ntile(n) OVER (ORDER BY
+    * lm_score_ppm DESC, ntok, doc_id)` — doc_id makes tuples unique,
+    * so rank comparison and tuple comparison agree (the llm_lm_buckets
+    * oracle pins that equality against DuckDB's ntile). */
+  def lmAssignBuckets(scored: DataFrame,
+                      cutoffs: Seq[(Long, Long, Long)]): DataFrame = {
+    val after = cutoffs.map { case (s, k, d) =>
+      // strictly after (s, k, d) in (score DESC, ntok, doc_id) order
+      when(col("lm_score_ppm") < s, 1)
+        .when(col("lm_score_ppm") === s && (col("ntok") > k ||
+          (col("ntok") === k && col("doc_id") > d)), 1)
+        .otherwise(0)
+    }
+    scored.withColumn("bucket",
+      after.foldLeft(lit(1))((acc, c) => acc + c))
+  }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. §4.3: rank the
+    * corpus by language-model quality, cut into equal parts): score
+    * buckets 1..nBuckets by descending [[lmScore]] ppm. One narrow
+    * global sort for the cutoffs + one map-side pass to assign. */
+  def lmQualityBuckets(scored: DataFrame, nBuckets: Int = 3): DataFrame =
+    lmAssignBuckets(scored, lmBucketCutoffs(scored, nBuckets))
 
   /** Score `docs` against a persisted model — row-identical to
     * [[lmScore]] over the same training corpus (the llm_lm_index

@@ -56,4 +56,40 @@ object StreamingLmIngest {
         onBatch(batchId, n)
       }
     })
+
+  /** [[run]] for an ORDER-K model with EXACTLY-ONCE batch application
+    * — the at-least-once caveat above, closed. Batches flow through
+    * the [[graft.llm.IncLog]] protocol: the first batch bootstraps via
+    * `lmBuildIndexBatchK` (marker-before-meta, rebuild-safe), later
+    * batches land as committed increment directories
+    * (`lmIndexAppendBatchK`), and a REDELIVERED batch — foreachBatch
+    * replaying after a crash between side effect and checkpoint
+    * commit — is detected by its commit marker (or the fold summary
+    * watermark) and skipped, so its counts never double. `onBatch`
+    * receives (batchId, docs, applied) — applied=false is the
+    * redelivery skip. */
+  def runExactlyOnceK(docs: DataFrame, textCol: String, idCol: String,
+                      indexDir: String, order: Int,
+                      compactEvery: Int = 0,
+                      onBatch: (Long, Long, Boolean) => Unit =
+                        (_, _, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        val applied =
+          if (Lm.lmIndexRecoverK(spark, indexDir))
+            Lm.lmIndexAppendBatchK(batch, textCol, idCol, indexDir, batchId)
+          else {
+            Lm.lmBuildIndexBatchK(batch, textCol, idCol, indexDir, order,
+              batchId)
+            true
+          }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Lm.lmIndexCompactK(spark, indexDir)
+        onBatch(batchId, n, applied)
+      }
+    })
 }

@@ -45,6 +45,26 @@ class LmSpec extends SparkSpec {
     assert(rows(Lm.lmScore(train, corpus, "text", "doc_id")) == expected)
   }
 
+  test("head/middle/tail buckets equal ntile over (score desc, ntok, doc_id)") {
+    val scored = Lm.lmScore(train, corpus, "text", "doc_id")
+    val got = Lm.lmQualityBuckets(scored, nBuckets = 3)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    // desc order: d2 633333, d5 608333, d0 588888, d3 420000, d1 200000
+    // ntile(3) over 5 rows -> sizes 2/2/1
+    assert(got == Map(2L -> 1, 5L -> 1, 0L -> 2, 3L -> 2, 1L -> 3))
+    // sampled-cutoff path (the 100-TB shape): assignment is pure
+    // map-side and monotone in the ordering for ANY cutoff set
+    val cuts = Lm.lmBucketCutoffs(scored.filter($"doc_id" =!= 5L), 3)
+    val sampled = Lm.lmAssignBuckets(scored, cuts)
+      .select($"doc_id", $"lm_score_ppm", $"bucket")
+      .as[(Long, Long, Int)].collect().sortBy(-_._2)
+    assert(sampled.map(_._3).toSeq == sampled.map(_._3).sorted.toSeq)
+    // fewer rows than buckets keeps ntile semantics (one row per bucket)
+    val tiny = Lm.lmQualityBuckets(scored.filter($"doc_id" <= 1L), 3)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(tiny == Map(0L -> 1, 1L -> 2))
+  }
+
   test("empty training corpus scores every document 0") {
     val got = rows(Lm.lmScore(corpus.filter($"doc_id" < 0), corpus,
       "text", "doc_id"))

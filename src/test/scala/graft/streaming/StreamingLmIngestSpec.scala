@@ -94,4 +94,34 @@ class StreamingLmIngestSpec extends SparkSpec {
       assert(got == want, s"after batch $i (rows=$n): index != ad-hoc(0..$i)")
     }
   }
+
+  test("exactly-once order-k ingest: drained model matches ad-hoc; " +
+      "redelivered batches are skipped") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-sli-xo-")
+      .toString + "/model"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sli-xsrc-")
+      .toString
+    train.grouped(2).foreach(b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val src = Streams.fileSource(spark, srcDir, schema, maxFilesPerTrigger = Some(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    StreamingLmIngest.runExactlyOnceK(src, "text", "doc_id", idx, order = 3,
+      compactEvery = 2, (id, n, applied) => seen += ((id, applied)))
+    assert(seen.map(_._1).distinct.size == 3) // three non-empty batches
+    assert(seen.forall(_._2), "a first-delivery batch reported skipped")
+    def got() = rows(Lm.lmScoreIndexK(scored, "text", "doc_id", idx))
+    val want = rows(Lm.lmScoreK(train.toDF("doc_id", "text"), scored,
+      "text", "doc_id", k = 3))
+    assert(got() == want)
+    assert(Lm.lmIndexTotalsK(spark, idx) == ((12L, 6L)))
+    // redeliver every admitted batch id (foreachBatch's at-least-once
+    // replay after a crash): all skipped, model unchanged
+    val all = train.toDF("doc_id", "text")
+    seen.map(_._1).foreach { id =>
+      assert(!graft.llm.Lm.lmIndexAppendBatchK(all, "text", "doc_id", idx, id))
+    }
+    assert(got() == want)
+    assert(Lm.lmIndexTotalsK(spark, idx) == ((12L, 6L)))
+  }
 }
