@@ -46,9 +46,11 @@ object Bench {
     // plus the trigram order, plus the candidate-pruned phrase search
     "llm_lm_score", "llm_lm_index", "llm_lm3_score", "llm_lm3_index",
     "llm_phrase_selective", "llm_decontaminate_bloom",
-    // round 11: the order-general LM at CCNet's production order and
-    // the GPT-2-style pre-tokenized BPE
-    "llm_lm5_score", "llm_lm5_index", "llm_bpe_encode_pre")
+    // round 11: the order-general LM at CCNet's production order, the
+    // GPT-2-style pre-tokenized BPE, the exactly-once ingest lifecycles
+    // (both families), and the CCNet head/middle/tail buckets
+    "llm_lm5_score", "llm_lm5_index", "llm_bpe_encode_pre",
+    "llm_lm_index_xo", "llm_bm25_index_xo", "llm_lm_buckets")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

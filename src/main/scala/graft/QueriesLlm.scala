@@ -1951,7 +1951,36 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       CASE ntile(3) OVER w WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         ELSE 'tail' END AS tier
       FROM ($lmOracleSql) scored
-      WINDOW w AS (ORDER BY lm_score_ppm DESC, ntok, doc_id)"""))
+      WINDOW w AS (ORDER BY lm_score_ppm DESC, ntok, doc_id)""")) :+ QueryDef(
+    // EXACTLY-ONCE BM25 batch ingest (IncLog on the Retrieval family —
+    // the LM xo query's retrieval twin): build as stream batch 0,
+    // append batch 1 as a committed increment, REDELIVER both (must
+    // skip — tf/df double at any missed skip), compact (folds the
+    // increment; a third redelivery is skipped via the summary
+    // watermark), then search. Row-identical to ad-hoc bm25TopK over
+    // the union, so llm_bm25_topk's oracle is reused VERBATIM.
+    "llm_bm25_index_xo",
+    (s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-bm25-xo-").toString
+      val docs = t(s, dir, "documents")
+      val b0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", idx, batchId = 0L)
+      require(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", idx, 1L),
+        "first delivery must apply")
+      require(!Retrieval.bm25IndexAppendBatch(b0, "text", "doc_id", idx, 0L)
+        && !Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", idx, 1L),
+        "redelivered batches must be skipped")
+      Retrieval.bm25IndexCompact(s, idx)
+      require(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", idx, 1L),
+        "a folded batch must be skipped via the summary watermark")
+      val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      Retrieval.bm25SearchIndex(queries, idx, k = 10)
+    },
+    baseDefs.find(_.name == "llm_bm25_topk")
+      .flatMap(_.oracle))
 
   /** DuckDB twin of Lm.lmScoreK at k = 5 (same split): counts for all
     * five orders via pos self-joins, prev1..prev4 context via four

@@ -184,6 +184,50 @@ object SoakBm25Index {
       .groupBy("query_id", "doc_id", "score_ppm", "rnk").count()
       .filter("count <> 2").count()
 
+    // EXACTLY-ONCE leg (IncLog): five batch appends land as committed
+    // increment directories on the main index; a search folds live
+    // generations with the unfolded increments (bytes/sec vs the
+    // compacted search above bound the cost of serving mid-stream); a
+    // REDELIVERED batch is a driver-side marker check (no Spark job);
+    // compact folds the increments and the search returns to the
+    // compacted profile. tf/df would double at any missed skip —
+    // totals and hit counts pin that they don't.
+    t0 = System.nanoTime()
+    (0 until 5).foreach { g =>
+      require(graft.llm.Retrieval.bm25IndexAppendBatch(
+        spark.range(nQ).selectExpr(s"id + ${n + 20 * nQ + g * nQ} AS doc_id",
+          s"concat_ws(' ', ${toks(s"id + ${(20 + g) * n}", 30)}) AS text"),
+        "text", "doc_id", s"$dir/index", batchId = g.toLong),
+        s"first delivery of batch $g must apply")
+    }
+    val xoAppendSec = (System.nanoTime() - t0) / 1e9
+    val totalsPre = graft.llm.Retrieval.bm25IndexTotals(spark, s"$dir/index")
+    val beforeXo = settleBytes()
+    t0 = System.nanoTime()
+    val xoHits = graft.llm.Retrieval
+      .bm25SearchIndex(queries, s"$dir/index", k = 10).count()
+    val xoSearchSec = (System.nanoTime() - t0) / 1e9
+    val xoSearchBytes = settleBytes() - beforeXo
+    t0 = System.nanoTime()
+    (0 until 5).foreach { g =>
+      require(!graft.llm.Retrieval.bm25IndexAppendBatch(
+        spark.range(nQ).selectExpr(s"id + ${n + 20 * nQ + g * nQ} AS doc_id",
+          s"concat_ws(' ', ${toks(s"id + ${(20 + g) * n}", 30)}) AS text"),
+        "text", "doc_id", s"$dir/index", batchId = g.toLong),
+        s"redelivered batch $g must be skipped")
+    }
+    val xoRedeliverSec = (System.nanoTime() - t0) / 1e9
+    require(graft.llm.Retrieval.bm25IndexTotals(spark, s"$dir/index")
+      == totalsPre, "redelivery changed the totals")
+    t0 = System.nanoTime()
+    graft.llm.Retrieval.bm25IndexCompact(spark, s"$dir/index")
+    val xoCompactSec = (System.nanoTime() - t0) / 1e9
+    val beforeXoFold = settleBytes()
+    val xoHitsPost = graft.llm.Retrieval
+      .bm25SearchIndex(queries, s"$dir/index", k = 10).count()
+    val xoFoldBytes = settleBytes() - beforeXoFold
+    require(xoHitsPost == xoHits, "fold changed the search answers")
+
     println(s"""{"soak":"bm25_index","n_corpus":$n,"n_queries":$nQ,""" +
       s""""build_sec":${f"$buildSec%.1f"},"postings_bytes":$postingsBytes,""" +
       s""""search_sec":${f"$searchSec%.1f"},"search_bytes_read":$searchBytes,""" +
@@ -199,7 +243,13 @@ object SoakBm25Index {
       s""""hot_term_maxscore_sec":${f"$hotMaxScoreSec%.1f"},""" +
       s""""gate_budget":100000,"gate_tripped_sec":${f"$gateTrippedSec%.1f"},""" +
       s""""gate_plain_sec":${f"$gatePlainSec%.1f"},""" +
-      s""""gate_parity_mismatches":$gateMismatches}""")
+      s""""gate_parity_mismatches":$gateMismatches,""" +
+      s""""xo_append5_sec":${f"$xoAppendSec%.1f"},""" +
+      s""""xo_search_incs_sec":${f"$xoSearchSec%.1f"},""" +
+      s""""xo_search_incs_bytes":$xoSearchBytes,"xo_hits":$xoHits,""" +
+      s""""xo_redeliver5_sec":${f"$xoRedeliverSec%.1f"},""" +
+      s""""xo_compact_sec":${f"$xoCompactSec%.1f"},""" +
+      s""""xo_search_post_fold_bytes":$xoFoldBytes}""")
     spark.stop()
   }
 }

@@ -130,6 +130,45 @@ object Retrieval {
     GenDir.resolve(fs, p).toString
   }
 
+  /** True when `path` holds any non-underscore entry — an increment
+    * directory with actual parquet under it (an empty batch writes
+    * only `_SUCCESS`, which parquet readers cannot infer a schema
+    * from, so empty increments are skipped at the listing). */
+  private def hasDataFiles(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
+  }
+
+  /** One BM25 slice's full row set: the live generation unioned with
+    * the committed batch increments above its fold watermark — the
+    * [[IncLog]] exactly-once read. Plain-append indexes have no
+    * increments and read exactly as before. */
+  private def readSliceAll(spark: org.apache.spark.sql.SparkSession,
+                           modelDir: String, base: String): DataFrame = {
+    val live = liveArtifact(spark, base)
+    val w = IncLog.sliceFoldedThrough(spark, live)
+    IncLog.liveIncPaths(spark, modelDir, base, w)
+      .filter(hasDataFiles(spark, _))
+      .foldLeft(spark.read.parquet(live))((df, p) =>
+        df.unionByName(spark.read.parquet(p)))
+  }
+
+  /** Effective corpus totals (n docs, total token length) of a BM25
+    * index: base meta plus the folded summary plus every
+    * committed-but-unfolded batch delta — exact at every crash point
+    * of the exactly-once ingest/compact loop, and just the meta row
+    * for plain-append indexes. */
+  def bm25IndexTotals(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (Long, Long) = {
+    val meta0 = spark.read.parquet(s"$dir/meta").head()
+    val (w, lenF, nF) = IncLog.foldedSummary(spark, dir)
+    val pend = IncLog.committedAfter(spark, dir, w)
+    (meta0.getLong(0) + nF + pend.map(_._3).sum,
+      meta0.getLong(1) + lenF + pend.map(_._2).sum)
+  }
+
   /** Build a persisted BM25 inverted index under `dir` — the
     * build-once/query-many form of [[bm25TopK]], which recomputes corpus
     * term statistics on every call (a full-corpus pass per query batch —
@@ -197,10 +236,11 @@ object Retrieval {
                      dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // a fresh build starts the generation history over: drop every
-    // postings/stats generation so reads resolve the plain (gen-0)
-    // layout the overwrite below creates
+    // a fresh build starts the generation history AND increment log
+    // over: drop every postings/stats generation so reads resolve the
+    // plain (gen-0) layout the overwrite below creates
     GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
+    IncLog.reset(spark, dir, Seq(s"$dir/postings", s"$dir/stats"))
     // ONE streamed pass over the corpus postings, no caching: the
     // postings land in their bucket layout directly, and every derived
     // total comes from what was just written — stats from the (term,
@@ -279,6 +319,72 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  // ---- exactly-once batch ingest (the [[IncLog]] protocol; the LM
+  // family's lmIndexAppendBatchK is the template) -----------------------
+
+  /** Bootstrap from a stream's FIRST batch, exactly once under
+    * redelivery: the batch's commit marker lands BEFORE meta, so every
+    * crash point replays safely (no meta → recover false → redelivery
+    * rebuilds, a full overwrite; meta present → the marker makes
+    * [[bm25IndexAppendBatch]] skip the redelivered batch). The marker
+    * carries ZERO deltas — the build's totals are already in meta. */
+  def bm25BuildIndexBatch(docs: DataFrame, textCol: String, idCol: String,
+                          dir: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
+    IncLog.reset(spark, dir, Seq(s"$dir/postings", s"$dir/stats"))
+    postingsWithLen(docs, textCol, idCol)
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
+    writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
+      s"$dir/stats", "overwrite")
+    val totalLen = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("sum_tf"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    Seq((docs.count(), totalLen)).toDF("n", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append one stream batch EXACTLY ONCE: postings (and stats, when
+    * the index carries the slice) land as increment directories —
+    * idempotent overwrite — made visible by the atomic batch commit
+    * marker, which also carries the batch's (total_len, n) deltas so
+    * meta never sees a read-modify-write. Returns false (and does
+    * nothing) when the batch was already applied — the redelivery
+    * skip. Searches fold committed increments with the live
+    * generations, so results match a plain append row-for-row. */
+  def bm25IndexAppendBatch(docs: DataFrame, textCol: String, idCol: String,
+                           dir: String, batchId: Long): Boolean = {
+    val spark = docs.sparkSession
+    if (IncLog.isApplied(spark, dir, batchId)) return false
+    val post = postingsWithLen(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val batchLen = post.agg(sum(col("tf"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    post
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt")
+      .parquet(IncLog.incPath(s"$dir/postings", batchId))
+    // stats increment ONLY alongside an existing slice — the coverage
+    // invariant (see [[writeStats]] / [[bm25IndexAppend]]) must hold
+    // over live ∪ increments exactly as it does over generations
+    if (GenDir.existsLive(spark, s"$dir/stats"))
+      writeStats(post, IncLog.incPath(s"$dir/stats", batchId), "overwrite")
+    post.unpersist()
+    IncLog.commitBatch(spark, dir, batchId, batchLen, docs.count())
+    true
+  }
+
   /** Compact a persisted BM25 index's postings after a run of appends:
     * each append lays its batch down as new files inside every touched
     * term bucket, so a bucket's postings spread over ~N file generations
@@ -299,16 +405,42 @@ object Retrieval {
     * compact IS the migration path the search errors recommend. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
+    val (w0, lenF, nF) = IncLog.foldedSummary(spark, dir)
+    val pend = IncLog.committedAfter(spark, dir, w0)
+    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
+    // the new generations' shared watermark: everything this fold
+    // absorbs, or whatever a previous (possibly crash-interrupted)
+    // fold already absorbed — monotone either way
+    val wGen = math.max(IncLog.sliceFoldedThrough(spark,
+      liveArtifact(spark, s"$dir/postings")), w)
     GenDir.rewriteGen(spark, s"$dir/postings") { (live, next) =>
-      spark.read.parquet(live)
+      val sliceW = IncLog.sliceFoldedThrough(spark, live)
+      // fold committed increments above the previous generation's
+      // watermark into this one (none on plain-append indexes)
+      IncLog.liveIncPaths(spark, dir, s"$dir/postings", sliceW)
+        .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= wGen)
+        .filter(hasDataFiles(spark, _))
+        .foldLeft(spark.read.parquet(live))((df, p) =>
+          df.unionByName(spark.read.parquet(p)))
         .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
     GenDir.rewriteGen(spark, s"$dir/stats") { (_, next) =>
+      // regenerated from the just-committed postings generation, which
+      // already contains every folded increment — so this generation's
+      // watermark skips the same increment set
       writeStats(spark.read.parquet(GenDir.live(spark, s"$dir/postings"))
         .select(col("term"), col("tf")), next, "overwrite")
+      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
+    if (w > w0)
+      IncLog.writeFoldedSummary(spark, dir, w,
+        lenF + pend.map(_._2).sum, nF + pend.map(_._3).sum)
+    // GC one compaction LATE (the GenDir retention window applied to
+    // increments): only what the PREVIOUS summary already covered
+    IncLog.gcThrough(spark, dir, Seq(s"$dir/postings", s"$dir/stats"), w0)
   }
 
   /** Heal any interrupted compaction and report whether `dir` holds a
@@ -360,11 +492,11 @@ object Retrieval {
       s"df cap requires the stats slice; $dir predates it — re-build, or " +
         "run bm25IndexCompact with the current version (compact " +
         "regenerates full-coverage stats from the postings)")
-    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val n = bm25IndexTotals(spark, dir)._1
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val hot = spark.read.parquet(statsLive)
+    val hot = readSliceAll(spark, dir, s"$dir/stats")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -384,6 +516,7 @@ object Retrieval {
   def bm25SearchIndex(queries: DataFrame, dir: String, k: Int,
                       maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
+    import spark.implicits._
     val qTerms = capHotTerms(spark,
       tokens(queries, "query_id", "qtext").distinct()
         .localCheckpoint(true), // feeds bucket collect, semi-join, scoring
@@ -392,12 +525,12 @@ object Retrieval {
     // bounded by construction: <= TermBuckets distinct values
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(liveArtifact(spark, s"$dir/postings"))
+    val postings = readSliceAll(spark, dir, s"$dir/postings")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = spark.read.parquet(s"$dir/meta").select(col("n"))
+    val nDocs = Seq(bm25IndexTotals(spark, dir)._1).toDF("n")
     scoreTopK(qTerms, postings, dfreq, nDocs, k)
   }
 
@@ -449,16 +582,15 @@ object Retrieval {
       s"max-score search requires the stats slice; $dir predates it — " +
         "re-build, or run bm25IndexCompact with the current version " +
         "(compact regenerates full-coverage stats from the postings)")
-    val postingsLiveMs = liveArtifact(spark, s"$dir/postings")
     val qTerms = tokens(queries, "query_id", "qtext").distinct()
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val n = spark.read.parquet(s"$dir/meta").head().getLong(0)
+    val n = bm25IndexTotals(spark, dir)._1
 
     // per-query-term stats — bounded collect (<= #query terms)
-    val termStats = spark.read.parquet(statsLiveMs)
+    val termStats = readSliceAll(spark, dir, s"$dir/stats")
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term"))
@@ -479,12 +611,12 @@ object Retrieval {
 
     // phase 1: exact scoring over rare terms only
     val rareQTerms = qTerms.filter(!col("term").isInCollection(hotTerms))
-    val rarePostings = spark.read.parquet(postingsLiveMs)
+    val rarePostings = readSliceAll(spark, dir, s"$dir/postings")
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(rareQTerms.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("term"), col("tf"))
     val rareDf = rarePostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = spark.read.parquet(s"$dir/meta").select(col("n"))
+    val nDocs = Seq(n).toDF("n")
     val scored1 = rareQTerms
       .join(rarePostings, "term")
       .join(broadcast(rareDf), "term")
@@ -537,7 +669,7 @@ object Retrieval {
     val hotDfDf = hot.toSeq.map { case (t, (df, _)) => (t, df) }.toDF("term", "hdf")
     val candKeys = candidates
       .select(col("query_id").as("c_qid"), col("doc_id").as("c_did")).distinct()
-    val hotContrib = spark.read.parquet(postingsLiveMs)
+    val hotContrib = readSliceAll(spark, dir, s"$dir/postings")
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(hotQTerms), "term")
       .join(broadcast(candKeys),
@@ -866,6 +998,7 @@ object Retrieval {
                           k1: Double = 1.2, b: Double = 0.75,
                           maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
+    import spark.implicits._
     val qTerms = capHotTerms(spark,
       tokens(queries, "query_id", "qtext").distinct()
         .localCheckpoint(true),
@@ -873,13 +1006,12 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(liveArtifact(spark, s"$dir/postings"))
+    val postings = readSliceAll(spark, dir, s"$dir/postings")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = spark.read.parquet(s"$dir/meta")
-      .select(col("n"), col("total_len"))
+    val nDocs = Seq(bm25IndexTotals(spark, dir)).toDF("n", "total_len")
     scoreTopKNorm(qTerms, postings, dfreq, nDocs, k, k1, b)
   }
 }

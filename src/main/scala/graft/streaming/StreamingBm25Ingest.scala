@@ -62,4 +62,38 @@ object StreamingBm25Ingest {
         onBatch(batchId, n)
       }
     })
+
+  /** [[run]] with EXACTLY-ONCE batch application — the at-least-once
+    * caveat above, closed via the [[graft.llm.IncLog]] protocol (see
+    * [[StreamingLmIngest.runExactlyOnceK]], the template): the first
+    * batch bootstraps marker-before-meta, later batches land as
+    * committed increment directories, and a REDELIVERED batch is
+    * detected by its commit marker (or the fold summary watermark) and
+    * skipped — its postings never double, tf/df never inflate.
+    * `onBatch` receives (batchId, rows, applied); applied=false is the
+    * redelivery skip. */
+  def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
+                     indexDir: String, compactEvery: Int = 0,
+                     onBatch: (Long, Long, Boolean) => Unit =
+                       (_, _, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        val applied =
+          if (Retrieval.bm25IndexRecover(spark, indexDir))
+            Retrieval.bm25IndexAppendBatch(batch, textCol, idCol, indexDir,
+              batchId)
+          else {
+            Retrieval.bm25BuildIndexBatch(batch, textCol, idCol, indexDir,
+              batchId)
+            true
+          }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Retrieval.bm25IndexCompact(spark, indexDir)
+        onBatch(batchId, n, applied)
+      }
+    })
 }

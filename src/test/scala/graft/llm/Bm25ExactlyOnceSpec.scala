@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Exactly-once BM25 batch ingest ([[IncLog]] on the Retrieval
+  * family): redelivery skips, increment visibility gated on the commit
+  * marker, effective totals/stats folding increments, and the
+  * one-compaction-late increment GC — mirror of [[LmExactlyOnceSpec]],
+  * plus the stats-dependent search paths (df cap, max-score) reading
+  * the increment-folded statistics. */
+class Bm25ExactlyOnceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val b0 = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log")).toDF("doc_id", "text")
+  private lazy val b1 = Seq(
+    (2L, "zebra zebra zebra runs"),
+    (3L, "the the the the the")).toDF("doc_id", "text")
+  private lazy val b2 = Seq(
+    (4L, "cat dog zebra")).toDF("doc_id", "text")
+  private lazy val queries = Seq(
+    (100L, "zebra"), (101L, "cat dog"), (102L, "the mat"))
+    .toDF("query_id", "qtext")
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bm25-xo-").toString + "/idx"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+    df.select($"query_id", $"doc_id", $"score_ppm", $"rnk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+  private def search(dir: String): Set[(Long, Long, Long, Int)] =
+    rows(Retrieval.bm25SearchIndex(queries, dir, k = 10))
+
+  private def adhoc(corpus: org.apache.spark.sql.DataFrame) =
+    rows(Retrieval.bm25TopK(corpus, queries, k = 10))
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("a redelivered batch is skipped; postings and df never double") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    assert(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    val want = search(dir)
+    assert(want == adhoc(b0.union(b1)))
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((4L, 21L)))
+    assert(!Retrieval.bm25IndexAppendBatch(b0, "text", "doc_id", dir, 0L))
+    assert(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    assert(search(dir) == want)
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((4L, 21L)))
+    // the stats-dependent paths fold increment stats too: max-score
+    // stays row-identical to the plain search, and the df cap sees the
+    // increment's 'the' df (3/4 docs > 0.6 -> capped ranking equals
+    // scoring with 'the' deleted)
+    assert(rows(Retrieval.bm25SearchIndexMaxScore(queries, dir, k = 10,
+      hotDfFrac = 0.5)) == want)
+    val capped = rows(Retrieval.bm25SearchIndex(queries, dir, k = 10,
+      maxDfFrac = 0.6))
+    val deleted = rows(Retrieval.bm25SearchIndex(
+      Seq((100L, "zebra"), (101L, "cat dog"), (102L, "mat"))
+        .toDF("query_id", "qtext"), dir, k = 10))
+    assert(capped == deleted)
+  }
+
+  test("an increment is invisible until its commit marker lands") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    val want = search(dir)
+    // a batch that died after its postings write but before the marker
+    Seq((99L, "zebra", 5L, 5L, 0)).toDF("doc_id", "term", "tf", "dl", "term_pt")
+      .write.mode("overwrite").partitionBy("term_pt")
+      .parquet(IncLog.incPath(s"$dir/postings", 9L))
+    assert(search(dir) == want, "an uncommitted increment leaked into search")
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((2L, 12L)))
+    // redelivery completes the batch: overwrite + marker, now visible
+    assert(Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 9L))
+    assert(search(dir) == adhoc(b0.union(b2)))
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((3L, 15L)))
+  }
+
+  test("compaction folds exactly once; increments GC one compaction late") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    assert(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    assert(Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 2L))
+    val want = search(dir)
+    assert(want == adhoc(b0.union(b1).union(b2)))
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(search(dir) == want)
+    assert(IncLog.foldedSummary(spark, dir) == ((2L, 12L, 3L)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      IncLog.incPath(s"$dir/postings", 1L))))
+    assert(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      IncLog.incPath(s"$dir/postings", 1L))))
+    assert(!Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 2L))
+    assert(search(dir) == want)
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((5L, 24L)))
+    // post-fold batches keep flowing, and the max-score path agrees
+    assert(Retrieval.bm25IndexAppendBatch(
+      Seq((7L, "zebra mat")).toDF("doc_id", "text"), "text", "doc_id", dir, 7L))
+    val extended = search(dir)
+    assert(extended == adhoc(b0.union(b1).union(b2)
+      .union(Seq((7L, "zebra mat")).toDF("doc_id", "text"))))
+    assert(rows(Retrieval.bm25SearchIndexMaxScore(queries, dir, k = 10,
+      hotDfFrac = 0.5)) == extended)
+  }
+}

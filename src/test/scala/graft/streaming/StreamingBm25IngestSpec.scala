@@ -55,4 +55,35 @@ class StreamingBm25IngestSpec extends SparkSpec {
     assert(rows(Retrieval.bm25SearchIndex(queries, idx, k = 10)) ==
       rows(Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), queries, k = 10)))
   }
+
+  test("exactly-once ingest: drained index matches one-shot build; " +
+      "redelivered batches are skipped") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-sbi-xo-")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sbi-xsrc-")
+      .toString
+    corpus.grouped(2).foreach(b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val src = Streams.fileSource(spark, srcDir, schema, maxFilesPerTrigger = Some(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    StreamingBm25Ingest.runExactlyOnce(src, "text", "doc_id", idx,
+      compactEvery = 2, (id, _, applied) => seen += ((id, applied)))
+    assert(seen.map(_._1).distinct.size == 3)
+    assert(seen.forall(_._2), "a first-delivery batch reported skipped")
+    def got() = rows(Retrieval.bm25SearchIndex(queries, idx, k = 10))
+    val want = rows(Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+      queries, k = 10))
+    assert(got() == want)
+    assert(Retrieval.bm25IndexTotals(spark, idx) ==
+      ((corpus.length.toLong, 27L))) // 6+6+4+5+3+3 admitted tokens
+    // redeliver every admitted batch id: all skipped, index unchanged
+    val all = corpus.toDF("doc_id", "text")
+    seen.map(_._1).foreach { id =>
+      assert(!Retrieval.bm25IndexAppendBatch(all, "text", "doc_id", idx, id))
+    }
+    assert(got() == want)
+    assert(Retrieval.bm25IndexTotals(spark, idx) ==
+      ((corpus.length.toLong, 27L)))
+  }
 }
