@@ -829,19 +829,84 @@ object Retrieval {
     pos.unpersist()
   }
 
+  /** Bootstrap from a stream's FIRST batch, exactly once under
+    * redelivery ([[IncLog]]; the [[bm25BuildIndexBatch]] discipline
+    * with the phrase family's commit key): stats, then the batch's
+    * commit marker, then positions LAST — recover keys completeness on
+    * positions, so dying before positions replays as a clean rebuild
+    * (which resets the marker), and once positions land the marker
+    * makes [[phraseIndexAppendBatch]] skip the redelivered batch. No
+    * totals ride the marker — phrase ranking needs no corpus
+    * statistics. */
+  def phraseBuildIndexBatch(docs: DataFrame, textCol: String, idCol: String,
+                            dir: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    GenDir.resetAll(spark, s"$dir/positions", s"$dir/stats")
+    IncLog.reset(spark, dir, Seq(s"$dir/positions", s"$dir/stats"))
+    val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    writePhraseStats(pos.select(col("term")), s"$dir/stats", "overwrite")
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    pos
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/positions")
+    pos.unpersist()
+  }
+
+  /** Append one stream batch EXACTLY ONCE ([[IncLog]] — see
+    * [[bm25IndexAppendBatch]]): position (and stats) rows land as
+    * increment directories made visible by the atomic commit marker;
+    * a redelivered batch is skipped, so phrase counts never double.
+    * Returns false on the redelivery skip. */
+  def phraseIndexAppendBatch(docs: DataFrame, textCol: String, idCol: String,
+                             dir: String, batchId: Long): Boolean = {
+    val spark = docs.sparkSession
+    if (IncLog.isApplied(spark, dir, batchId)) return false
+    val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id", textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    pos
+      .withColumn("term_pt", termBucket(col("term")))
+      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("term_pt")
+      .parquet(IncLog.incPath(s"$dir/positions", batchId))
+    if (GenDir.existsLive(spark, s"$dir/stats"))
+      writePhraseStats(pos.select(col("term")),
+        IncLog.incPath(s"$dir/stats", batchId), "overwrite")
+    pos.unpersist()
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    true
+  }
+
   /** Rewrite the positions back to the fresh-build layout after a run
     * of appends (each append spreads every touched bucket over another
     * file generation). Lands as the next [[GenDir]] generation, so
     * standing phrase queries run CONCURRENTLY with the compaction and
-    * flip atomically at the commit marker. Search results are
-    * unchanged. */
+    * flip atomically at the commit marker. Committed batch increments
+    * fold in and are GC'd one compaction late ([[IncLog]]). Search
+    * results are unchanged. */
   def phraseIndexCompact(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
+    val (w0, _, _) = IncLog.foldedSummary(spark, dir)
+    val pend = IncLog.committedAfter(spark, dir, w0)
+    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
+    val wGen = math.max(IncLog.sliceFoldedThrough(spark,
+      liveArtifact(spark, s"$dir/positions")), w)
     GenDir.rewriteGen(spark, s"$dir/positions") { (live, next) =>
-      spark.read.parquet(live)
+      val sliceW = IncLog.sliceFoldedThrough(spark, live)
+      IncLog.liveIncPaths(spark, dir, s"$dir/positions", sliceW)
+        .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= wGen)
+        .filter(hasDataFiles(spark, _))
+        .foldLeft(spark.read.parquet(live))((df, p) =>
+          df.unionByName(spark.read.parquet(p)))
         .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
     // regenerate stats from the compacted positions (the
     // bm25IndexCompact discipline): exact whatever the index's history,
@@ -850,7 +915,10 @@ object Retrieval {
       writePhraseStats(
         spark.read.parquet(GenDir.live(spark, s"$dir/positions"))
           .select(col("term")), next, "overwrite")
+      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
+    if (w > w0) IncLog.writeFoldedSummary(spark, dir, w, 0L, 0L)
+    IncLog.gcThrough(spark, dir, Seq(s"$dir/positions", s"$dir/stats"), w0)
   }
 
   /** Heal any interrupted compaction (either protocol — see
@@ -875,7 +943,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val posts = spark.read.parquet(liveArtifact(spark, s"$dir/positions"))
+    val posts = readSliceAll(spark, dir, s"$dir/positions")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
@@ -908,7 +976,7 @@ object Retrieval {
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val stats = spark.read.parquet(liveArtifact(spark, s"$dir/stats"))
+    val stats = readSliceAll(spark, dir, s"$dir/stats")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("n_pos")).as("n_pos"))
@@ -921,7 +989,7 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(min(struct(col("n_pos"), col("term"))).as("r"))
       .select(col("query_id"), col("r.term").as("term"))
-    val posts = spark.read.parquet(liveArtifact(spark, s"$dir/positions"))
+    val posts = readSliceAll(spark, dir, s"$dir/positions")
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))

@@ -121,7 +121,8 @@ object ParamSchema {
       "score_column" -> PString, "min_score" -> PLong),
     "llm.lm_score" -> Map("column" -> PString, "id" -> PString,
       "model_path" -> PString, "score_column" -> PString,
-      "min_score_ppm" -> PLong),
+      "min_score_ppm" -> PLong, "tier_cutoffs_ppm" -> PString,
+      "tier_column" -> PString, "keep_tiers" -> PString),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,
       "window" -> PLong),
     "llm.decontaminate_cut" -> Map("column" -> PString, "id" -> PString,

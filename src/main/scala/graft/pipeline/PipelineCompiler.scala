@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Compressor, FlowEventModel, Routing, Throttler, Transforms}
@@ -391,9 +391,34 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }).select(col("doc_id").as(idc), col("lm_score_ppm").as(scoreCol))
       val annotated = in.join(scores, Seq(idc), "left")
         .withColumn(scoreCol, coalesce(col(scoreCol), lit(0L)))
+      // CCNet head/middle/tail annotation from FIXED reference cutoffs
+      // (a deployment derives them once via Lm.lmBucketCutoffs on a
+      // reference slice — per-batch cutoffs would drift with traffic):
+      // tier_cutoffs_ppm: "c1,c2,..." descending; score >= c1 -> tier 1
+      // ("head"), >= c2 -> 2 ("middle"), ... else last ("tail" at 2
+      // cutoffs). keep_tiers gates on a comma-separated allowlist.
+      val tiered = p(a, "tier_cutoffs_ppm") match {
+        case Some(cuts) =>
+          val cs = cuts.split(",").map(_.trim.toLong)
+          require(cs.sameElements(cs.sorted(Ordering[Long].reverse)),
+            s"${a.name}: tier_cutoffs_ppm must be descending")
+          val tierCol = p(a, "tier_column").getOrElse("lm_tier")
+          val names = if (cs.length == 2) Seq("head", "middle", "tail")
+            else (1 to cs.length + 1).map(i => s"tier$i")
+          val tier = cs.zipWithIndex.foldRight(lit(names.last): Column) {
+            case ((c, i), acc) => when(col(scoreCol) >= c, names(i)).otherwise(acc)
+          }
+          val t = annotated.withColumn(tierCol, tier)
+          p(a, "keep_tiers") match {
+            case Some(keep) => t.filter(col(tierCol)
+              .isInCollection(keep.split(",").map(_.trim).toSeq))
+            case None => t
+          }
+        case None => annotated
+      }
       p(a, "min_score_ppm") match {
-        case Some(min) => annotated.filter(col(scoreCol) >= min.toLong)
-        case None      => annotated
+        case Some(min) => tiered.filter(col(scoreCol) >= min.toLong)
+        case None      => tiered
       }
 
     // language annotate/gate (params: column, lang_column, keep: optional

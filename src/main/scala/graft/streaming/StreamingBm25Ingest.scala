@@ -19,13 +19,11 @@ import graft.llm.Retrieval
   * batch BUILDS it (meta + postings) and later batches append — a
   * drop-zone-to-index pipeline needs no separate seeding job.
   *
-  * Delivery note: foreachBatch is at-least-once — a redelivered batch
+  * Delivery note: foreachBatch is at-least-once — under [[run]] a
+  * redelivered batch (crash between side effect and checkpoint commit)
   * would append its postings twice and inflate tf/df for its terms.
-  * The checkpointed source makes that a crash-window-only event;
-  * a deployment needing exactly-once stamps each batch's files under a
-  * batchId-keyed staging path and commits by rename (the
-  * [[StreamingCC]] versioning discipline), which the layout here
-  * (bucket directories) supports but this loop keeps out of scope.
+  * [[runExactlyOnce]] closes that window via the [[graft.llm.IncLog]]
+  * batchId-keyed increment protocol.
   */
 object StreamingBm25Ingest {
 

@@ -21,10 +21,10 @@ import graft.llm.Lm
   * half-built-index lesson), the first non-empty batch BUILDS it and
   * later batches append.
   *
-  * Delivery note: foreachBatch is at-least-once — a redelivered batch
-  * would double its counts. Same trade and same exactly-once upgrade
-  * path (batchId-keyed staging + rename commit) as
-  * [[StreamingBm25Ingest]]; kept out of scope here.
+  * Delivery note: foreachBatch is at-least-once — under [[run]] a
+  * redelivered batch would double its counts. [[runExactlyOnceK]]
+  * closes that window for order-k models via the [[graft.llm.IncLog]]
+  * batchId-keyed increment protocol.
   */
 object StreamingLmIngest {
 

@@ -17,8 +17,8 @@ import graft.llm.Retrieval
   *
   * Bootstrap: recover heals any interrupted swap and the first
   * non-empty batch builds when no positions directory exists yet.
-  * Same at-least-once caveat and exactly-once upgrade path as
-  * [[StreamingBm25Ingest]].
+  * [[run]] carries the usual at-least-once caveat;
+  * [[runExactlyOnce]] closes it ([[graft.llm.IncLog]]).
   */
 object StreamingPhraseIngest {
 
@@ -47,6 +47,37 @@ object StreamingPhraseIngest {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           Retrieval.phraseIndexCompact(spark, indexDir)
         onBatch(batchId, n)
+      }
+    })
+
+  /** [[run]] with EXACTLY-ONCE batch application (the
+    * [[graft.llm.IncLog]] protocol — see
+    * [[StreamingBm25Ingest.runExactlyOnce]], the template): a
+    * redelivered batch is skipped by its commit marker or the fold
+    * summary watermark, so position rows and phrase counts never
+    * double. `onBatch` receives (batchId, rows, applied). */
+  def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
+                     indexDir: String, compactEvery: Int = 0,
+                     onBatch: (Long, Long, Boolean) => Unit =
+                       (_, _, _) => ()): StreamingQuery =
+    Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
+      val spark = raw.sparkSession
+      val batch = spark.createDataFrame(raw.rdd, raw.schema)
+        .localCheckpoint(true)
+      val n = batch.count()
+      if (n > 0) {
+        val applied =
+          if (Retrieval.phraseIndexRecover(spark, indexDir))
+            Retrieval.phraseIndexAppendBatch(batch, textCol, idCol, indexDir,
+              batchId)
+          else {
+            Retrieval.phraseBuildIndexBatch(batch, textCol, idCol, indexDir,
+              batchId)
+            true
+          }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Retrieval.phraseIndexCompact(spark, indexDir)
+        onBatch(batchId, n, applied)
       }
     })
 }

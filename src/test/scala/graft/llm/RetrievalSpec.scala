@@ -447,6 +447,31 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
   }
 
+  test("phrase exactly-once: redelivered batches skip; fold keeps answers") {
+    val dir = freshDir()
+    val q = Seq((1L, "the cat"), (2L, "sat on"), (3L, "zebra zebra"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"phrase_tf", $"rnk")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    val adhoc = rows(Retrieval.phraseTopK(docs, q, k = 10))
+    val (b0, b1) = (docs.filter($"doc_id" < 2), docs.filter($"doc_id" >= 2))
+    Retrieval.phraseBuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    assert(Retrieval.phraseIndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+    // phrase_tf doubles at any missed redelivery skip
+    assert(!Retrieval.phraseIndexAppendBatch(b0, "text", "doc_id", dir, 0L))
+    assert(!Retrieval.phraseIndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+    // the selective path folds increment stats for its rarest-term pick
+    assert(rows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10)) == adhoc)
+    Retrieval.phraseIndexCompact(spark, dir)
+    assert(!Retrieval.phraseIndexAppendBatch(b1, "text", "doc_id", dir, 1L),
+      "a folded batch must be skipped via the summary watermark")
+    assert(rows(Retrieval.phraseSearchIndex(q, dir, k = 10)) == adhoc)
+    assert(rows(Retrieval.phraseSearchIndexSelective(q, dir, k = 10)) == adhoc)
+  }
+
   test("phrase searches resolve generation N while N+1 is mid-write") {
     val dir = freshDir()
     Retrieval.phraseBuildIndex(docs.filter($"doc_id" < 3), "text", "doc_id", dir)

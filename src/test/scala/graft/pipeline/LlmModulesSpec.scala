@@ -422,5 +422,23 @@ class LlmModulesSpec extends SparkSpec {
     new PipelineCompiler(spark, PipelineConfig.parse(gateYaml)).runBatch()
     assert(spark.table("lm_gate_out").select($"doc_id").as[Long].collect().toSet
       == scores.filter(_._2 >= cut).keySet)
+
+    // CCNet tiering from FIXED reference cutoffs: two descending ppm
+    // thresholds split head/middle/tail, keep_tiers gates on the names
+    // (c2 = 1: any model evidence at all clears the tail — the junk and
+    // Spanish docs score 0 under the English reference model)
+    val c1 = scores.values.toSeq.sorted(Ordering[Long].reverse)(1)
+    val tierYaml = yaml
+      .replace("model_path: \"" + model + "\"",
+        "model_path: \"" + model + "\", tier_cutoffs_ppm: \"" + c1 +
+          ",1\", keep_tiers: \"head,middle\"")
+      .replace("lm_pipe_out", "lm_tier_out")
+    new PipelineCompiler(spark, PipelineConfig.parse(tierYaml)).runBatch()
+    val tiers = spark.table("lm_tier_out")
+      .select($"doc_id", $"lm_tier").as[(Long, String)].collect().toMap
+    assert(tiers.keySet == Set(1L, 2L, 4L), "zero-score tail gated out")
+    assert(tiers.values.toSet == Set("head", "middle"))
+    assert(tiers.filter(_._2 == "head").keySet ==
+      scores.filter(_._2 >= c1).keySet)
   }
 }

@@ -57,4 +57,30 @@ class StreamingPhraseIngestSpec extends SparkSpec {
     assert(rows(Retrieval.phraseSearchIndex(queries, idx, k = 10)) ==
       rows(Retrieval.phraseTopK(corpus.toDF("doc_id", "text"), queries, k = 10)))
   }
+
+  test("exactly-once ingest: drained index matches ad-hoc; redeliveries skip") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-spi-xo-")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-spi-xsrc-")
+      .toString
+    corpus.grouped(2).foreach(b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir))
+    val schema = spark.read.parquet(srcDir).schema
+    val src = Streams.fileSource(spark, srcDir, schema, maxFilesPerTrigger = Some(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    StreamingPhraseIngest.runExactlyOnce(src, "text", "doc_id", idx,
+      compactEvery = 2, (id, _, applied) => seen += ((id, applied)))
+    assert(seen.map(_._1).distinct.size == 3 && seen.forall(_._2))
+    val adhoc = rows(Retrieval.phraseTopK(corpus.toDF("doc_id", "text"),
+      queries, k = 10))
+    assert(rows(Retrieval.phraseSearchIndex(queries, idx, k = 10)) == adhoc)
+    assert(rows(Retrieval.phraseSearchIndexSelective(queries, idx, k = 10))
+      == adhoc)
+    // redeliver every admitted batch id: skipped, answers unchanged
+    val all = corpus.toDF("doc_id", "text")
+    seen.map(_._1).foreach { id =>
+      assert(!Retrieval.phraseIndexAppendBatch(all, "text", "doc_id", idx, id))
+    }
+    assert(rows(Retrieval.phraseSearchIndex(queries, idx, k = 10)) == adhoc)
+  }
 }
