@@ -185,4 +185,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(3000))
   }
+
+  test("bucket assignment is pure map-side: no window, no exchange") {
+    // lmAssignBuckets must stay a when() chain over broadcast constants
+    // — an ntile re-implementation would surface as a single-partition
+    // Window + Exchange and serialize the corpus through one task
+    val scored = spark.range(100).selectExpr("id AS doc_id", "10L AS ntok",
+      "(id * 37) % 1000 AS lm_score_ppm")
+    val plan = graft.llm.Lm.lmAssignBuckets(scored,
+      Seq((700L, 10L, 1L), (300L, 10L, 2L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("xo search prunes term buckets on live AND increment scans") {
+    // the increment-folding read is a union of parquet scans; the
+    // query's bucket filter must push through the union into EVERY
+    // side — an unpruned increment scan would read whole increments
+    // per query at 100-TB scale
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-xo-")
+      .toString + "/idx"
+    graft.llm.Retrieval.bm25BuildIndexBatch(
+      Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, batchId = 0L)
+    assert(graft.llm.Retrieval.bm25IndexAppendBatch(
+      Seq((2L, "alpha epsilon")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, batchId = 1L))
+    val df = graft.llm.Retrieval.bm25SearchIndex(
+      Seq((9L, "alpha")).toDF("query_id", "qtext"), idx, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val postingsScans = plan.split("FileScan parquet")
+      .filter(s => s.contains("postings"))
+    assert(postingsScans.length >= 2, // the live generation + the increment
+      s"expected live+increment scans, got ${postingsScans.length}:\n" +
+        plan.take(3000))
+    postingsScans.foreach { s =>
+      val pf = s.indexOf("PartitionFilters: [")
+      assert(pf >= 0 && !s.startsWith("]", pf + "PartitionFilters: [".length),
+        "a postings scan lost the term_pt partition filter:\n" + s.take(800))
+    }
+  }
 }
