@@ -707,25 +707,41 @@ object Lm {
     * boundaries of a scored frame, ordered by score DESC with the
     * (ntok, doc_id) tiebreak — the ranks where CCNet's head/middle/
     * tail split falls. Returns nBuckets-1 tuples (with repeats when
-    * fewer rows than buckets, preserving ntile semantics). The
-    * extraction globally sorts only the NARROW (8+8+8-byte) triple —
-    * at 100-TB corpus scale compute cutoffs on a sample of the scored
-    * frame and [[lmAssignBuckets]] the full corpus with them; CCNet
-    * itself derives the thresholds from a reference slice, not the
-    * whole crawl. */
-  def lmBucketCutoffs(scored: DataFrame,
-                      nBuckets: Int): Seq[(Long, Long, Long)] = {
+    * fewer rows than buckets, preserving ntile semantics).
+    *
+    * The rank extraction is a single-partition window over only the
+    * NARROW (8+8+8-byte) triple — exact, and fine to ~millions of
+    * rows. Past `maxExactRows` the frame is THINNED first by a
+    * deterministic doc-id hash (every f-th tuple survives, f sized to
+    * land under the budget) and the cutoffs come from the sample's
+    * quantile ranks — an explicit APPROXIMATION (CCNet itself derives
+    * thresholds from a reference slice, not the whole crawl), which is
+    * also why the budget degrades instead of failing: bucket
+    * boundaries are estimates by nature. Below the budget the result
+    * is provably ntile's own boundary set. */
+  def lmBucketCutoffs(scored: DataFrame, nBuckets: Int,
+                      maxExactRows: Long = 4L << 20): Seq[(Long, Long, Long)] = {
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
     val spark = scored.sparkSession
     import spark.implicits._
-    val n = scored.count()
+    val total = scored.count()
+    if (total == 0) return Seq.fill(nBuckets - 1)((Long.MinValue, 0L, 0L))
+    val (base, n) =
+      if (total <= maxExactRows) (scored, total)
+      else {
+        val f = (total + maxExactRows - 1) / maxExactRows
+        val s = scored
+          .filter(pmod(xxhash64(col("doc_id")), lit(f)) === 0)
+          .localCheckpoint(true) // pin the sample: feeds count + window
+        (s, s.count())
+      }
     if (n == 0) return Seq.fill(nBuckets - 1)((Long.MinValue, 0L, 0L))
     // cumulative ntile sizes: the first n % nb buckets get one extra
     val ranks = (1 until nBuckets).scanLeft(0L)((acc, j) =>
       acc + n / nBuckets + (if (j <= n % nBuckets) 1L else 0L)).drop(1)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lm_score_ppm").desc, col("ntok"), col("doc_id"))
-    val byRank = scored.select(col("lm_score_ppm"), col("ntok"), col("doc_id"))
+    val byRank = base.select(col("lm_score_ppm"), col("ntok"), col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn").isin(ranks.map(java.lang.Long.valueOf): _*))
       .select(col("rn").cast("long"), col("lm_score_ppm"), col("ntok"),
@@ -760,9 +776,11 @@ object Lm {
   /** CCNet's head/middle/tail split (Wenzek et al. §4.3: rank the
     * corpus by language-model quality, cut into equal parts): score
     * buckets 1..nBuckets by descending [[lmScore]] ppm. One narrow
-    * global sort for the cutoffs + one map-side pass to assign. */
-  def lmQualityBuckets(scored: DataFrame, nBuckets: Int = 3): DataFrame =
-    lmAssignBuckets(scored, lmBucketCutoffs(scored, nBuckets))
+    * (budgeted — see [[lmBucketCutoffs]]) sort for the cutoffs + one
+    * map-side pass to assign. */
+  def lmQualityBuckets(scored: DataFrame, nBuckets: Int = 3,
+                       maxExactRows: Long = 4L << 20): DataFrame =
+    lmAssignBuckets(scored, lmBucketCutoffs(scored, nBuckets, maxExactRows))
 
   /** Score `docs` against a persisted model — row-identical to
     * [[lmScore]] over the same training corpus (the llm_lm_index

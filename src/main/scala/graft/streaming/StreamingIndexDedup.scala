@@ -27,6 +27,19 @@ import graft.llm.Dedup
   * conservative: a doc whose only earlier match was itself dropped is
   * still dropped — admission never depends on the resolution order
   * inside the batch, so reruns of a batch admit the same set.
+  *
+  * Delivery note: unlike the count-accumulating ingest loops (which
+  * need [[graft.llm.IncLog]] for exactly-once), this admission loop is
+  * NATURALLY idempotent under foreachBatch redelivery — a replayed
+  * document is already in the index and matches ITSELF at jaccard 1.0,
+  * so it is dropped and never re-appended, and the replayed batch's
+  * admitted output is empty (spec-pinned by replaying a whole drained
+  * stream). The residual edge is a TORN append (crash between the
+  * shingle and band writes): the half-indexed doc is invisible to
+  * matching, gets re-appended whole on replay, and its first append's
+  * orphan rows merely duplicate match output rows for that doc — the
+  * admission verdict is unchanged (matched is matched); the IncLog
+  * protocol is the upgrade if that artifact ever matters.
   */
 object StreamingIndexDedup {
 

@@ -63,6 +63,14 @@ class LmSpec extends SparkSpec {
     val tiny = Lm.lmQualityBuckets(scored.filter($"doc_id" <= 1L), 3)
       .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
     assert(tiny == Map(0L -> 1, 1L -> 2))
+    // past the exact budget, cutoffs come from a deterministic
+    // hash-thinned sample: assignment stays monotone in the ordering
+    // and buckets stay within range (the documented approximation)
+    val approx = Lm.lmQualityBuckets(scored, nBuckets = 3, maxExactRows = 2L)
+      .select($"doc_id", $"lm_score_ppm", $"bucket")
+      .as[(Long, Long, Int)].collect().sortBy(-_._2)
+    assert(approx.map(_._3).toSeq == approx.map(_._3).sorted.toSeq)
+    assert(approx.forall(r => r._3 >= 1 && r._3 <= 3))
   }
 
   test("empty training corpus scores every document 0") {

@@ -70,5 +70,20 @@ class StreamingIndexDedupSpec extends SparkSpec {
       Seq((9000L, variant(probeSrc))).toDF("doc_id", "text"),
       "text", "doc_id", idx, threshold = 0.5)
     assert(probe.count() >= 1)
+
+    // NATURAL redelivery idempotence: replay the ENTIRE drained stream
+    // (fresh checkpoint, same files) — every replayed doc matches
+    // itself in the index at jaccard 1.0, so nothing is admitted and
+    // the index is unchanged
+    val sizeBefore = spark.read.parquet(
+      graft.llm.GenDir.live(spark, s"$idx/shingles")).count()
+    val src2 = Streams.fileSource(spark, srcDir, schema,
+      maxFilesPerTrigger = Some(1))
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    StreamingIndexDedup.run(src2, "text", "doc_id", idx, threshold = 0.5,
+      (adm, _) => replayed ++= adm.select("doc_id").as[Long].collect())
+    assert(replayed.isEmpty, s"replay admitted: $replayed")
+    assert(spark.read.parquet(
+      graft.llm.GenDir.live(spark, s"$idx/shingles")).count() == sizeBefore)
   }
 }
