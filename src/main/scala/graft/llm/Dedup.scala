@@ -840,23 +840,23 @@ object Dedup {
     * [[Retrieval.bm25IndexRecover]]. */
   def lshIndexRecover(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     GenDir.heal(spark, s"$dir/shingles")
     GenDir.heal(spark, s"$dir/bands")
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
-      GenDir.existsLive(spark, s"$dir/shingles") &&
-      GenDir.existsLive(spark, s"$dir/bands")
+    // completeness demands FINISHED writes ([[GenDir.completeDir]] /
+    // existsLiveComplete): a build that died mid-slice leaves torn
+    // directories bare fs.exists would bless. Meta here is build-time
+    // only, so torn meta always means "rebuild", never data loss.
+    GenDir.completeDir(spark, s"$dir/meta") &&
+      GenDir.existsLiveComplete(spark, s"$dir/shingles") &&
+      GenDir.existsLiveComplete(spark, s"$dir/bands")
   }
 
   /** [[lshIndexRecover]] for the span index's single window slice. */
   def spanIndexRecover(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenDir.heal(spark, s"$dir/windows")
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
-      GenDir.existsLive(spark, s"$dir/windows")
+    GenDir.completeDir(spark, s"$dir/meta") &&
+      GenDir.existsLiveComplete(spark, s"$dir/windows")
   }
 
   /** Compact a persisted span index's window slice back to one

@@ -138,6 +138,42 @@ private[graft] object GenDir {
     fs.exists(resolve(fs, p))
   }
 
+  /** [[existsLive]] that additionally demands JOB-LEVEL completeness of
+    * a plain (generation-0) directory via Spark's own `_SUCCESS`
+    * marker. A build that crashed mid-write leaves the directory in
+    * existence (with `_temporary` debris but no `_SUCCESS`), and a
+    * recover that trusts bare existence would bless a TORN index —
+    * appends would land on a partial base and reads would either throw
+    * (no readable footer) or silently miss the lost rows. Committed
+    * generation directories prove completeness by their own marker
+    * (written only after the generation's job finished), so only the
+    * gen-0 layout needs the `_SUCCESS` check. Appends into a live
+    * gen-0 directory rewrite `_SUCCESS` at job commit, so the marker
+    * stays present across the append lifecycle. Every index family's
+    * recover routes through this for its completeness key. */
+  def existsLiveComplete(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    val live = resolve(fs, p)
+    if (live != p) fs.exists(live) // a committed generation
+    else fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+  }
+
+  /** Completeness of a PLAIN directory artifact that is never
+    * generational (meta slices, centroids, codebooks): it exists AND
+    * its writing job finished (`_SUCCESS`). `fs.exists` alone blesses
+    * the torn remains of a crashed write. */
+  def completeDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+  }
+
+  /** A directory that EXISTS but whose writing job never finished —
+    * the torn-write state [[completeDir]] rejects. */
+  def tornDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(p) && !fs.exists(new Path(p, "_SUCCESS"))
+  }
+
   /** Heal BOTH compaction protocols at `path`: [[IndexSwap]] rename
     * crashes (indexes compacted by earlier versions) and uncommitted
     * generation directories (the current protocol). Index recover

@@ -44,6 +44,15 @@ import org.apache.spark.sql.SparkSession
   * loop's side effects idempotent under redelivery and its increments
   * readable mid-stream, it does not add a second writer.
   *
+  * ONE INDEX ↔ ONE CHECKPOINTED STREAM: batch ids are only unique
+  * within a checkpoint lineage. Restarting ingest with a FRESH
+  * checkpoint against an existing index restarts batchId at 0, and
+  * ids at or below the old markers/watermark would be skipped as
+  * redeliveries — silently dropping new data. Point a new stream at a
+  * new index directory (or keep the checkpoint); binding markers to a
+  * (streamId, batchId) pair — the Delta `txnAppId` discipline — is
+  * the upgrade if multi-stream ingest into one index is ever needed.
+  *
   * Crash windows (all heal without double counting): dying before the
   * marker leaves an invisible increment that redelivery overwrites;
   * dying after some slice folds but before the summary leaves those
@@ -184,6 +193,105 @@ private[graft] object IncLog {
     val (fs, _) = fsOf(spark, sliceBase)
     ids.map(id => incPath(sliceBase, id))
       .filter(p => fs.exists(new Path(p)))
+  }
+
+  // ---- per-operation snapshot + the fold machinery shared by every
+  // family's read and compact paths ------------------------------------
+
+  /** One listing of the increment log, taken ONCE per operation (one
+    * `_commits` listing + one read per marker) and threaded through
+    * every slice read and totals computation of that operation — a
+    * standing scorer on an object store pays one listing per query
+    * batch, not one per slice. `commits` holds every committed batch
+    * above the summary watermark, ascending. */
+  case class IncView(summary: (Long, Long, Long),
+                     commits: Seq[(Long, Long, Long)]) {
+    /** Cumulative (first, second) marker deltas: folded summary plus
+      * every committed-but-unfolded batch. */
+    def deltas: (Long, Long) =
+      (summary._2 + commits.map(_._2).sum, summary._3 + commits.map(_._3).sum)
+  }
+
+  def view(spark: SparkSession, modelDir: String): IncView = {
+    val s = foldedSummary(spark, modelDir)
+    IncView(s, committedAfter(spark, modelDir, s._1))
+  }
+
+  /** One slice's full row set: the live generation unioned with the
+    * view's committed increments above the generation's fold
+    * watermark. With `schema` the union survives EMPTY increments (a
+    * batch with no rows for this slice — schema inference would fail);
+    * without it, increments holding no data files are skipped at the
+    * listing. Plain-append indexes have no increments and read exactly
+    * as a bare parquet read of the live path. */
+  def readSlice(spark: SparkSession, modelDir: String, base: String,
+                v: IncView, schema: Option[String] = None): org.apache.spark
+      .sql.DataFrame = {
+    val live = GenDir.live(spark, base)
+    val w = sliceFoldedThrough(spark, live)
+    val (fs, _) = fsOf(spark, base)
+    def rd(p: String) =
+      schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p)
+    v.commits.map(_._1).filter(_ > w)
+      .map(id => incPath(base, id))
+      .filter(p => fs.exists(new Path(p)))
+      .filter(p => schema.isDefined || hasDataFiles(spark, p))
+      .foldLeft(rd(live))((df, p) => df.unionByName(rd(p)))
+  }
+
+  /** True when `path` holds any non-underscore entry — an increment
+    * with actual data files (an empty write leaves only `_SUCCESS`). */
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
+  }
+
+  /** Fold prologue shared by every compact: (w0 = the summary
+    * watermark as it stood, w = the newest committed id this fold
+    * absorbs, wGen = the watermark the new generations must carry —
+    * monotone across crash-interrupted reruns). */
+  def foldBounds(spark: SparkSession, modelDir: String, primaryBase: String,
+                 v: IncView): (Long, Long, Long) = {
+    val w0 = v.summary._1
+    val w = if (v.commits.isEmpty) w0 else v.commits.map(_._1).max
+    val wGen = math.max(
+      sliceFoldedThrough(spark, GenDir.live(spark, primaryBase)), w)
+    (w0, w, wGen)
+  }
+
+  /** Fold one slice: hand `write` the slice's live rows unioned with
+    * the committed increments in (its generation's watermark, wGen],
+    * landing as the next generation stamped with wGen. */
+  def foldSliceGen(spark: SparkSession, modelDir: String, base: String,
+                   wGen: Long, v: IncView, schema: Option[String] = None)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+    val (fs, _) = fsOf(spark, base)
+    def rd(p: String) =
+      schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p)
+    GenDir.rewriteGen(spark, base) { (live, next) =>
+      val sliceW = sliceFoldedThrough(spark, live)
+      val rows = v.commits.map(_._1).filter(id => id > sliceW && id <= wGen)
+        .map(id => incPath(base, id))
+        .filter(p => fs.exists(new Path(p)))
+        .filter(p => schema.isDefined || hasDataFiles(spark, p))
+        .foldLeft(rd(live))((df, p) => df.unionByName(rd(p)))
+      write(rows, next)
+      writeSliceFoldedThrough(spark, next, wGen)
+    }
+  }
+
+  /** Fold epilogue: advance the summary past `w` with the view's
+    * cumulative deltas, then GC increments and markers the PREVIOUS
+    * summary already covered (one compaction late — the GenDir
+    * retention window applied to increments). */
+  def finishFold(spark: SparkSession, modelDir: String,
+                 sliceBases: Seq[String], v: IncView, w0: Long,
+                 w: Long): Unit = {
+    if (w > w0) {
+      val (d1, d2) = v.deltas
+      writeFoldedSummary(spark, modelDir, w, d1, d2)
+    }
+    gcThrough(spark, modelDir, sliceBases, w0)
   }
 
   /** Drop increment directories and marker files with id <= `through`.

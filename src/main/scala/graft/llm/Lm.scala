@@ -385,8 +385,12 @@ object Lm {
     * marker leaves no meta ([[lmIndexRecoverK]] false → redelivery
     * rebuilds, a full overwrite), dying between marker and meta
     * likewise rebuilds, and once meta lands the marker makes
-    * [[lmIndexAppendBatchK]] skip the redelivered batch. The marker
-    * carries ZERO deltas — the build's totals are already in meta. */
+    * [[lmIndexAppendBatchK]] skip the redelivered batch. Dying DURING
+    * the meta write itself is detected LOUDLY by recover (torn meta
+    * over complete slices — on disk indistinguishable from a later
+    * plain append's meta crash, where auto-rebuilding would discard
+    * the model). The marker carries ZERO deltas — the build's totals
+    * are already in meta. */
   def lmBuildIndexBatchK(train: DataFrame, textCol: String, idCol: String,
                          dir: String, k: Int, batchId: Long): Unit = {
     requireOrder(k)
@@ -428,10 +432,8 @@ object Lm {
     * Exact at every crash point of the ingest/compact loop. */
   def lmIndexTotalsK(spark: SparkSession, dir: String): (Long, Long) = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    val (w, tF, nF) = IncLog.foldedSummary(spark, dir)
-    val pend = IncLog.committedAfter(spark, dir, w)
-    (meta.getLong(0) + tF + pend.map(_._2).sum,
-      meta.getLong(1) + nF + pend.map(_._3).sum)
+    val (tD, nD) = IncLog.view(spark, dir).deltas
+    (meta.getLong(0) + tD, meta.getLong(1) + nD)
   }
 
   private def readMetaK(spark: SparkSession, dir: String): (Long, Int) = {
@@ -439,20 +441,10 @@ object Lm {
     (meta.getLong(0), meta.getLong(2).toInt)
   }
 
-  private val GramSchema = "gram STRING, c BIGINT, pt INT"
-
-  /** One slice's full count set: the live generation unioned with the
-    * committed increments above that generation's fold watermark.
-    * Explicit schema so an EMPTY slice or increment (a batch with no
-    * order-n grams) reads as zero rows instead of failing inference. */
-  private def readGramSliceAll(spark: SparkSession, modelDir: String,
-                               base: String): DataFrame = {
-    val live = GenDir.live(spark, base)
-    val w = IncLog.sliceFoldedThrough(spark, live)
-    IncLog.liveIncPaths(spark, modelDir, base, w)
-      .foldLeft(spark.read.schema(GramSchema).parquet(live))((df, p) =>
-        df.unionByName(spark.read.schema(GramSchema).parquet(p)))
-  }
+  /** Explicit slice schema so an EMPTY slice or increment (a batch
+    * with no order-n grams) reads as zero rows instead of failing
+    * inference. */
+  private val GramSchema = Some("gram STRING, c BIGINT, pt INT")
 
   private def writeGramSlice(cnt: DataFrame, path: String,
                              mode: String): Unit =
@@ -494,48 +486,44 @@ object Lm {
   def lmIndexCompactK(spark: SparkSession, dir: String,
                       minCount: Long = 1L): Unit = {
     val ord = readMetaK(spark, dir)._2
-    val (w0, tF, nF) = IncLog.foldedSummary(spark, dir)
-    val pend = IncLog.committedAfter(spark, dir, w0)
-    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
+    val v = IncLog.view(spark, dir)
+    val (w0, w, wGen) = IncLog.foldBounds(spark, dir, s"$dir/grams_1", v)
     for (n <- 1 to ord)
-      GenDir.rewriteGen(spark, s"$dir/grams_$n") { (live, next) =>
-        val base = s"$dir/grams_$n"
-        val sliceW = IncLog.sliceFoldedThrough(spark, live)
-        // increments this generation will absorb: committed, above the
-        // previous generation's watermark, at or below this fold's
-        IncLog.liveIncPaths(spark, dir, base, sliceW)
-          .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= w)
-          .foldLeft(spark.read.schema(GramSchema).parquet(live))((df, p) =>
-            df.unionByName(spark.read.schema(GramSchema).parquet(p)))
+      IncLog.foldSliceGen(spark, dir, s"$dir/grams_$n", wGen, v,
+        GramSchema) { (rows, next) =>
+        rows
           .groupBy(col("gram"), col("pt"))
           .agg(sum(col("c")).as("c"))
           .filter(if (n == 1) lit(true) else col("c") >= minCount)
           .repartition(col("pt"))
           .sortWithinPartitions(col("gram"))
           .write.mode("overwrite").partitionBy("pt").parquet(next)
-        IncLog.writeSliceFoldedThrough(spark, next, math.max(sliceW, w))
       }
-    if (w > w0)
-      IncLog.writeFoldedSummary(spark, dir, w,
-        tF + pend.map(_._2).sum, nF + pend.map(_._3).sum)
-    // GC one compaction LATE: only what the PREVIOUS summary already
-    // covered — both retained generations carry watermarks >= w0, so
-    // no reader of either still needs these
-    IncLog.gcThrough(spark, dir, gramSlices(dir, ord), w0)
+    IncLog.finishFold(spark, dir, gramSlices(dir, ord), v, w0, w)
   }
 
   /** Heal interrupted compactions (either protocol) and report whether
     * `dir` holds a complete order-k model (meta plus every
     * grams_1..grams_ord slice). */
   def lmIndexRecoverK(spark: SparkSession, dir: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val metaP = new Path(s"$dir/meta")
-    val fs = metaP.getFileSystem(conf)
-    if (!fs.exists(metaP)) return false
+    // torn meta (a write that never finished) must not be READ — and
+    // over complete count slices it means a plain append crashed
+    // mid-meta-overwrite, where a silent rebuild would discard the
+    // accumulated model: fail loudly instead (the exactly-once batch
+    // path never rewrites meta past its bootstrap)
+    if (GenDir.tornDir(spark, s"$dir/meta")) {
+      if (GenDir.existsLiveComplete(spark, s"$dir/grams_1"))
+        throw new IllegalStateException(
+          s"torn meta over complete count slices at $dir: an append " +
+            "crashed mid-meta-overwrite; restore meta (t, n_docs, ord) " +
+            "or delete the model directory to rebuild from scratch")
+      return false // build crashed during its first meta write: rebuild
+    }
+    if (!GenDir.completeDir(spark, s"$dir/meta")) return false
     val ord = spark.read.parquet(s"$dir/meta").head().getLong(2).toInt
     (1 to ord).forall { n =>
       GenDir.heal(spark, s"$dir/grams_$n")
-      GenDir.existsLive(spark, s"$dir/grams_$n")
+      GenDir.existsLiveComplete(spark, s"$dir/grams_$n")
     }
   }
 
@@ -548,8 +536,10 @@ object Lm {
   def lmScoreIndexK(docs: DataFrame, textCol: String, idCol: String,
                     dir: String): DataFrame = {
     val spark = docs.sparkSession
-    val ord = readMetaK(spark, dir)._2
-    val t = lmIndexTotalsK(spark, dir)._1
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val ord = meta.getLong(2).toInt
+    val t = meta.getLong(0) + v.deltas._1
     import spark.implicits._
     val batchTerms = docs
       .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w1"))
@@ -558,7 +548,7 @@ object Lm {
     val hitBuckets = batchTerms.select(bucket(col("w1")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val cnts = (1 to ord).map { n =>
-      n -> readGramSliceAll(spark, dir, s"$dir/grams_$n")
+      n -> IncLog.readSlice(spark, dir, s"$dir/grams_$n", v, GramSchema)
         .filter(col("pt").isInCollection(hitBuckets))
         .withColumn("w1", substring_index(col("gram"), " ", 1))
         .join(broadcast(batchTerms), "w1")
@@ -688,17 +678,26 @@ object Lm {
     * whether `dir` holds a complete model (meta AND both count slices)
     * — ingest bootstraps call this before choosing append over build. */
   def lmIndexRecover(spark: SparkSession, dir: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(conf)
     GenDir.heal(spark, s"$dir/bigrams")
     GenDir.heal(spark, s"$dir/unigrams")
     GenDir.heal(spark, s"$dir/trigrams")
-    val base = fs.exists(new Path(s"$dir/meta")) &&
-      GenDir.existsLive(spark, s"$dir/bigrams") &&
-      GenDir.existsLive(spark, s"$dir/unigrams")
+    // torn meta handling: see [[lmIndexRecoverK]] — loud over complete
+    // slices (an append's meta crash; rebuilding loses the model),
+    // "no index" over absent/torn slices (a build crash; rebuild)
+    if (GenDir.tornDir(spark, s"$dir/meta")) {
+      if (GenDir.existsLiveComplete(spark, s"$dir/unigrams"))
+        throw new IllegalStateException(
+          s"torn meta over complete count slices at $dir: an append " +
+            "crashed mid-meta-overwrite; restore meta (t, n_docs, ord) " +
+            "or delete the model directory to rebuild from scratch")
+      return false
+    }
+    val base = GenDir.completeDir(spark, s"$dir/meta") &&
+      GenDir.existsLiveComplete(spark, s"$dir/bigrams") &&
+      GenDir.existsLiveComplete(spark, s"$dir/unigrams")
     // an order-3 model additionally demands its trigram slice
     base && (spark.read.parquet(s"$dir/meta").head().getLong(2) != 3L ||
-      GenDir.existsLive(spark, s"$dir/trigrams"))
+      GenDir.existsLiveComplete(spark, s"$dir/trigrams"))
   }
 
   // ---- CCNet head/middle/tail bucketing ---------------------------------
@@ -779,8 +778,13 @@ object Lm {
     * (budgeted — see [[lmBucketCutoffs]]) sort for the cutoffs + one
     * map-side pass to assign. */
   def lmQualityBuckets(scored: DataFrame, nBuckets: Int = 3,
-                       maxExactRows: Long = 4L << 20): DataFrame =
-    lmAssignBuckets(scored, lmBucketCutoffs(scored, nBuckets, maxExactRows))
+                       maxExactRows: Long = 4L << 20): DataFrame = {
+    // pin the scored lineage ONCE: it is typically the full LM scoring
+    // join chain, and without this the count, the cutoff window, and
+    // the assignment would each re-execute it from scratch
+    val pinned = scored.localCheckpoint(true)
+    lmAssignBuckets(pinned, lmBucketCutoffs(pinned, nBuckets, maxExactRows))
+  }
 
   /** Score `docs` against a persisted model — row-identical to
     * [[lmScore]] over the same training corpus (the llm_lm_index

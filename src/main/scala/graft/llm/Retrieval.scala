@@ -116,57 +116,20 @@ object Retrieval {
   private def termBucket(t: Column): Column =
     pmod(xxhash64(t), lit(TermBuckets)).cast("int")
 
-  /** Live (highest committed generation) path of a BM25 index artifact.
-    * BM25 is the [[GenDir]] template family: reads resolve the
-    * generation pointer, so searches run CONCURRENTLY with a compaction
-    * writing generation N+1 — the serving upgrade over the other
-    * families' [[IndexSwap]] quiesce window. Fresh builds and
-    * pre-generation indexes resolve to the plain directory
-    * (generation 0) unchanged. */
-  private def liveArtifact(spark: org.apache.spark.sql.SparkSession,
-                           path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GenDir.resolve(fs, p).toString
-  }
-
-  /** True when `path` holds any non-underscore entry — an increment
-    * directory with actual parquet under it (an empty batch writes
-    * only `_SUCCESS`, which parquet readers cannot infer a schema
-    * from, so empty increments are skipped at the listing). */
-  private def hasDataFiles(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
-  }
-
-  /** One BM25 slice's full row set: the live generation unioned with
-    * the committed batch increments above its fold watermark — the
-    * [[IncLog]] exactly-once read. Plain-append indexes have no
-    * increments and read exactly as before. */
-  private def readSliceAll(spark: org.apache.spark.sql.SparkSession,
-                           modelDir: String, base: String): DataFrame = {
-    val live = liveArtifact(spark, base)
-    val w = IncLog.sliceFoldedThrough(spark, live)
-    IncLog.liveIncPaths(spark, modelDir, base, w)
-      .filter(hasDataFiles(spark, _))
-      .foldLeft(spark.read.parquet(live))((df, p) =>
-        df.unionByName(spark.read.parquet(p)))
-  }
-
   /** Effective corpus totals (n docs, total token length) of a BM25
     * index: base meta plus the folded summary plus every
     * committed-but-unfolded batch delta — exact at every crash point
     * of the exactly-once ingest/compact loop, and just the meta row
     * for plain-append indexes. */
   def bm25IndexTotals(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): (Long, Long) = {
+                      dir: String): (Long, Long) =
+    totalsWith(spark, dir, IncLog.view(spark, dir))
+
+  private def totalsWith(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, v: IncLog.IncView): (Long, Long) = {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
-    val (w, lenF, nF) = IncLog.foldedSummary(spark, dir)
-    val pend = IncLog.committedAfter(spark, dir, w)
-    (meta0.getLong(0) + nF + pend.map(_._3).sum,
-      meta0.getLong(1) + lenF + pend.map(_._2).sum)
+    val (lenD, nD) = v.deltas
+    (meta0.getLong(0) + nD, meta0.getLong(1) + lenD)
   }
 
   /** Build a persisted BM25 inverted index under `dir` — the
@@ -302,14 +265,14 @@ object Retrieval {
       // appends land in the CURRENT generation (single-writer contract;
       // see [[GenDir]]) so the next compaction folds them forward
       .write.mode("append").partitionBy("term_pt")
-      .parquet(liveArtifact(spark, s"$dir/postings"))
+      .parquet(GenDir.live(spark, s"$dir/postings"))
     // stats append ONLY onto an existing slice: creating one here on a
     // pre-stats index would cover just this batch, and any search
     // trusting it would under-count df/max_tf — invalid max-score
     // bounds, silently broken row-identity. The coverage invariant
     // (see [[writeStats]]) holds either way; a pre-stats index gains
     // its slice at the next compact, which regenerates from postings.
-    val statsLive = liveArtifact(spark, s"$dir/stats")
+    val statsLive = GenDir.live(spark, s"$dir/stats")
     val fs = new org.apache.hadoop.fs.Path(statsLive)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(statsLive)))
@@ -326,8 +289,12 @@ object Retrieval {
     * redelivery: the batch's commit marker lands BEFORE meta, so every
     * crash point replays safely (no meta → recover false → redelivery
     * rebuilds, a full overwrite; meta present → the marker makes
-    * [[bm25IndexAppendBatch]] skip the redelivered batch). The marker
-    * carries ZERO deltas — the build's totals are already in meta. */
+    * [[bm25IndexAppendBatch]] skip the redelivered batch) — except a
+    * crash DURING the meta write itself, which recover detects LOUDLY
+    * (torn meta over complete postings is on disk indistinguishable
+    * from a plain append's meta crash, where auto-rebuilding would
+    * discard the corpus). The marker carries ZERO deltas — the
+    * build's totals are already in meta. */
   def bm25BuildIndexBatch(docs: DataFrame, textCol: String, idCol: String,
                           dir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
@@ -405,27 +372,13 @@ object Retrieval {
     * compact IS the migration path the search errors recommend. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Unit = {
-    val (w0, lenF, nF) = IncLog.foldedSummary(spark, dir)
-    val pend = IncLog.committedAfter(spark, dir, w0)
-    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
-    // the new generations' shared watermark: everything this fold
-    // absorbs, or whatever a previous (possibly crash-interrupted)
-    // fold already absorbed — monotone either way
-    val wGen = math.max(IncLog.sliceFoldedThrough(spark,
-      liveArtifact(spark, s"$dir/postings")), w)
-    GenDir.rewriteGen(spark, s"$dir/postings") { (live, next) =>
-      val sliceW = IncLog.sliceFoldedThrough(spark, live)
-      // fold committed increments above the previous generation's
-      // watermark into this one (none on plain-append indexes)
-      IncLog.liveIncPaths(spark, dir, s"$dir/postings", sliceW)
-        .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= wGen)
-        .filter(hasDataFiles(spark, _))
-        .foldLeft(spark.read.parquet(live))((df, p) =>
-          df.unionByName(spark.read.parquet(p)))
+    val v = IncLog.view(spark, dir)
+    val (w0, w, wGen) = IncLog.foldBounds(spark, dir, s"$dir/postings", v)
+    IncLog.foldSliceGen(spark, dir, s"$dir/postings", wGen, v) { (rows, next) =>
+      rows
         .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("term_pt").parquet(next)
-      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
     GenDir.rewriteGen(spark, s"$dir/stats") { (_, next) =>
       // regenerated from the just-committed postings generation, which
@@ -435,12 +388,8 @@ object Retrieval {
         .select(col("term"), col("tf")), next, "overwrite")
       IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
-    if (w > w0)
-      IncLog.writeFoldedSummary(spark, dir, w,
-        lenF + pend.map(_._2).sum, nF + pend.map(_._3).sum)
-    // GC one compaction LATE (the GenDir retention window applied to
-    // increments): only what the PREVIOUS summary already covered
-    IncLog.gcThrough(spark, dir, Seq(s"$dir/postings", s"$dir/stats"), w0)
+    IncLog.finishFold(spark, dir, Seq(s"$dir/postings", s"$dir/stats"),
+      v, w0, w)
   }
 
   /** Heal any interrupted compaction and report whether `dir` holds a
@@ -453,10 +402,23 @@ object Retrieval {
                        dir: String): Boolean = {
     GenDir.heal(spark, s"$dir/postings")
     GenDir.heal(spark, s"$dir/stats")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
-      GenDir.existsLive(spark, s"$dir/postings")
+    // completeness demands FINISHED writes, not bare directories: a
+    // build that died mid-postings (or mid-meta) leaves torn debris
+    // that bare fs.exists would bless — appends onto a torn base lose
+    // the batch, reads of torn meta throw forever
+    val postingsOk = GenDir.existsLiveComplete(spark, s"$dir/postings")
+    if (GenDir.tornDir(spark, s"$dir/meta") && postingsOk)
+      // meta is rewritten per PLAIN append: torn meta over complete
+      // postings means an append crashed mid-overwrite — rebuilding
+      // would silently discard the accumulated corpus, so fail LOUDLY
+      // (restore meta from totals, or delete the index to rebuild;
+      // the exactly-once batch paths never rewrite meta and cannot
+      // reach this state past their bootstrap)
+      throw new IllegalStateException(
+        s"torn meta over complete postings at $dir: an append crashed " +
+          "mid-meta-overwrite; restore meta (n, total_len) or delete " +
+          "the index directory to rebuild from scratch")
+    GenDir.completeDir(spark, s"$dir/meta") && postingsOk
   }
 
   /** Top-`k` documents per query against a persisted index (see
@@ -482,21 +444,18 @@ object Retrieval {
     * scoring). maxDfFrac = 1.0 disables the cap and touches no stats. */
   private def capHotTerms(spark: org.apache.spark.sql.SparkSession,
                           qTerms: DataFrame, dir: String,
-                          maxDfFrac: Double): DataFrame = {
+                          maxDfFrac: Double, v: IncLog.IncView): DataFrame = {
     if (maxDfFrac >= 1.0) return qTerms
     require(maxDfFrac > 0.0, "maxDfFrac must be in (0, 1]")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsLive = liveArtifact(spark, s"$dir/stats")
-    require(fs.exists(new org.apache.hadoop.fs.Path(statsLive)),
+    require(GenDir.existsLive(spark, s"$dir/stats"),
       s"df cap requires the stats slice; $dir predates it — re-build, or " +
         "run bm25IndexCompact with the current version (compact " +
         "regenerates full-coverage stats from the postings)")
-    val n = bm25IndexTotals(spark, dir)._1
+    val n = totalsWith(spark, dir, v)._1
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val hot = readSliceAll(spark, dir, s"$dir/stats")
+    val hot = IncLog.readSlice(spark, dir, s"$dir/stats", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -517,20 +476,21 @@ object Retrieval {
                       maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
     val qTerms = capHotTerms(spark,
       tokens(queries, "query_id", "qtext").distinct()
         .localCheckpoint(true), // feeds bucket collect, semi-join, scoring
-      dir, maxDfFrac)
+      dir, maxDfFrac, v)
     val qTermSet = qTerms.select(col("term")).distinct()
     // bounded by construction: <= TermBuckets distinct values
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = readSliceAll(spark, dir, s"$dir/postings")
+    val postings = IncLog.readSlice(spark, dir, s"$dir/postings", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = Seq(bm25IndexTotals(spark, dir)._1).toDF("n")
+    val nDocs = Seq(totalsWith(spark, dir, v)._1).toDF("n")
     scoreTopK(qTerms, postings, dfreq, nDocs, k)
   }
 
@@ -575,22 +535,20 @@ object Retrieval {
     val spark = queries.sparkSession
     import spark.implicits._
     require(hotDfFrac > 0.0 && hotDfFrac <= 1.0, "hotDfFrac must be in (0, 1]")
-    val fsMs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsLiveMs = liveArtifact(spark, s"$dir/stats")
-    require(fsMs.exists(new org.apache.hadoop.fs.Path(statsLiveMs)),
+    require(GenDir.existsLive(spark, s"$dir/stats"),
       s"max-score search requires the stats slice; $dir predates it — " +
         "re-build, or run bm25IndexCompact with the current version " +
         "(compact regenerates full-coverage stats from the postings)")
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
     val qTerms = tokens(queries, "query_id", "qtext").distinct()
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val n = bm25IndexTotals(spark, dir)._1
+    val n = totalsWith(spark, dir, v)._1
 
     // per-query-term stats — bounded collect (<= #query terms)
-    val termStats = readSliceAll(spark, dir, s"$dir/stats")
+    val termStats = IncLog.readSlice(spark, dir, s"$dir/stats", v)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term"))
@@ -611,7 +569,7 @@ object Retrieval {
 
     // phase 1: exact scoring over rare terms only
     val rareQTerms = qTerms.filter(!col("term").isInCollection(hotTerms))
-    val rarePostings = readSliceAll(spark, dir, s"$dir/postings")
+    val rarePostings = IncLog.readSlice(spark, dir, s"$dir/postings", v)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(rareQTerms.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -669,7 +627,7 @@ object Retrieval {
     val hotDfDf = hot.toSeq.map { case (t, (df, _)) => (t, df) }.toDF("term", "hdf")
     val candKeys = candidates
       .select(col("query_id").as("c_qid"), col("doc_id").as("c_did")).distinct()
-    val hotContrib = readSliceAll(spark, dir, s"$dir/postings")
+    val hotContrib = IncLog.readSlice(spark, dir, s"$dir/postings", v)
       .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(hotQTerms), "term")
       .join(broadcast(candKeys),
@@ -891,22 +849,13 @@ object Retrieval {
     * results are unchanged. */
   def phraseIndexCompact(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
-    val (w0, _, _) = IncLog.foldedSummary(spark, dir)
-    val pend = IncLog.committedAfter(spark, dir, w0)
-    val w = if (pend.isEmpty) w0 else pend.map(_._1).max
-    val wGen = math.max(IncLog.sliceFoldedThrough(spark,
-      liveArtifact(spark, s"$dir/positions")), w)
-    GenDir.rewriteGen(spark, s"$dir/positions") { (live, next) =>
-      val sliceW = IncLog.sliceFoldedThrough(spark, live)
-      IncLog.liveIncPaths(spark, dir, s"$dir/positions", sliceW)
-        .filter(p => p.substring(p.lastIndexOf('-') + 1).toLong <= wGen)
-        .filter(hasDataFiles(spark, _))
-        .foldLeft(spark.read.parquet(live))((df, p) =>
-          df.unionByName(spark.read.parquet(p)))
+    val v = IncLog.view(spark, dir)
+    val (w0, w, wGen) = IncLog.foldBounds(spark, dir, s"$dir/positions", v)
+    IncLog.foldSliceGen(spark, dir, s"$dir/positions", wGen, v) { (rows, next) =>
+      rows
         .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("term_pt").parquet(next)
-      IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
     // regenerate stats from the compacted positions (the
     // bm25IndexCompact discipline): exact whatever the index's history,
@@ -917,8 +866,8 @@ object Retrieval {
           .select(col("term")), next, "overwrite")
       IncLog.writeSliceFoldedThrough(spark, next, wGen)
     }
-    if (w > w0) IncLog.writeFoldedSummary(spark, dir, w, 0L, 0L)
-    IncLog.gcThrough(spark, dir, Seq(s"$dir/positions", s"$dir/stats"), w0)
+    IncLog.finishFold(spark, dir, Seq(s"$dir/positions", s"$dir/stats"),
+      v, w0, w)
   }
 
   /** Heal any interrupted compaction (either protocol — see
@@ -928,7 +877,10 @@ object Retrieval {
                          dir: String): Boolean = {
     GenDir.heal(spark, s"$dir/positions")
     GenDir.heal(spark, s"$dir/stats")
-    GenDir.existsLive(spark, s"$dir/positions")
+    // a build that died mid-positions leaves a torn directory: bare
+    // existence would bless it (the batch's data lost, its redelivery
+    // marker-skipped), so completeness demands the write FINISHED
+    GenDir.existsLiveComplete(spark, s"$dir/positions")
   }
 
   /** [[phraseTopK]] against a persisted positional index — row-identical
@@ -937,13 +889,14 @@ object Retrieval {
     * bucket collect → catalog pruning → broadcast term semi-join. */
   def phraseSearchIndex(queries: DataFrame, dir: String, k: Int): DataFrame = {
     val spark = queries.sparkSession
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
     val qTerms = positionalTokens(queries, "query_id", "qtext")
       .withColumnRenamed("pos", "off")
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val posts = readSliceAll(spark, dir, s"$dir/positions")
+    val posts = IncLog.readSlice(spark, dir, s"$dir/positions", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
@@ -970,13 +923,14 @@ object Retrieval {
       s"selective phrase search requires the stats slice; $dir predates " +
         "it — re-build, or run phraseIndexCompact with the current version " +
         "(compact regenerates full-coverage stats from the positions)")
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
     val qTerms = positionalTokens(queries, "query_id", "qtext")
       .withColumnRenamed("pos", "off")
       .localCheckpoint(true)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val stats = readSliceAll(spark, dir, s"$dir/stats")
+    val stats = IncLog.readSlice(spark, dir, s"$dir/stats", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("n_pos")).as("n_pos"))
@@ -989,7 +943,7 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(min(struct(col("n_pos"), col("term"))).as("r"))
       .select(col("query_id"), col("r.term").as("term"))
-    val posts = readSliceAll(spark, dir, s"$dir/positions")
+    val posts = IncLog.readSlice(spark, dir, s"$dir/positions", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
@@ -1067,19 +1021,20 @@ object Retrieval {
                           maxDfFrac: Double = 1.0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val v = IncLog.view(spark, dir) // ONE increment-log listing per call
     val qTerms = capHotTerms(spark,
       tokens(queries, "query_id", "qtext").distinct()
         .localCheckpoint(true),
-      dir, maxDfFrac)
+      dir, maxDfFrac, v)
     val qTermSet = qTerms.select(col("term")).distinct()
     val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
       .distinct().collect().map(_.getInt(0))
-    val postings = readSliceAll(spark, dir, s"$dir/postings")
+    val postings = IncLog.readSlice(spark, dir, s"$dir/postings", v)
       .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = Seq(bm25IndexTotals(spark, dir)).toDF("n", "total_len")
+    val nDocs = Seq(totalsWith(spark, dir, v)).toDF("n", "total_len")
     scoreTopKNorm(qTerms, postings, dfreq, nDocs, k, k1, b)
   }
 }

@@ -646,11 +646,12 @@ object Similarity {
     * contract as [[Retrieval.bm25IndexRecover]]. */
   def ivfIndexRecover(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenDir.heal(spark, s"$dir/cells")
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) &&
-      GenDir.existsLive(spark, s"$dir/cells")
+    // FINISHED writes only (GenDir.completeDir/existsLiveComplete): a
+    // build that died mid-write leaves torn directories that bare
+    // fs.exists would bless; both artifacts here are build-time-only
+    GenDir.completeDir(spark, s"$dir/centroids") &&
+      GenDir.existsLiveComplete(spark, s"$dir/cells")
   }
 
   def ivfSearchIndex(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
@@ -1369,11 +1370,9 @@ object Similarity {
   /** [[ivfIndexRecover]] for an IVFADC index (codebooks AND codes). */
   def ivfPqIndexRecover(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenDir.heal(spark, s"$dir/codes")
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks")) &&
-      GenDir.existsLive(spark, s"$dir/codes")
+    GenDir.completeDir(spark, s"$dir/codebooks") &&
+      GenDir.existsLiveComplete(spark, s"$dir/codes")
   }
 
   /** ADC top-k of `queries` against a persisted IVFADC index — row-

@@ -400,8 +400,9 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val tiered = p(a, "tier_cutoffs_ppm") match {
         case Some(cuts) =>
           val cs = cuts.split(",").map(_.trim.toLong)
-          require(cs.sameElements(cs.sorted(Ordering[Long].reverse)),
-            s"${a.name}: tier_cutoffs_ppm must be descending")
+          require(cs.zip(cs.tail).forall { case (a1, b1) => a1 > b1 },
+            s"${a.name}: tier_cutoffs_ppm must be STRICTLY descending " +
+              "(a duplicated cutoff would make its tier unreachable)")
           val tierCol = p(a, "tier_column").getOrElse("lm_tier")
           val names = if (cs.length == 2) Seq("head", "middle", "tail")
             else (1 to cs.length + 1).map(i => s"tier$i")

@@ -69,7 +69,11 @@ object StreamingBm25Ingest {
     * detected by its commit marker (or the fold summary watermark) and
     * skipped — its postings never double, tf/df never inflate.
     * `onBatch` receives (batchId, rows, applied); applied=false is the
-    * redelivery skip. */
+    * redelivery skip.
+    * ONE INDEX <-> ONE CHECKPOINTED STREAM (see [[graft.llm.IncLog]]):
+    * restarting with a fresh checkpoint restarts batchId at 0 and old
+    * markers would skip the new batches — use a fresh index directory
+    * with a fresh checkpoint. */
   def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
                      indexDir: String, compactEvery: Int = 0,
                      onBatch: (Long, Long, Boolean) => Unit =

@@ -67,7 +67,10 @@ object StreamingLmIngest {
     * commit — is detected by its commit marker (or the fold summary
     * watermark) and skipped, so its counts never double. `onBatch`
     * receives (batchId, docs, applied) — applied=false is the
-    * redelivery skip. */
+    * redelivery skip. ONE INDEX <-> ONE CHECKPOINTED STREAM (see
+    * [[graft.llm.IncLog]]): restarting with a fresh checkpoint restarts
+    * batchId at 0 and old markers would skip the new batches — use a
+    * fresh index directory with a fresh checkpoint. */
   def runExactlyOnceK(docs: DataFrame, textCol: String, idCol: String,
                       indexDir: String, order: Int,
                       compactEvery: Int = 0,

@@ -55,7 +55,11 @@ object StreamingPhraseIngest {
     * [[StreamingBm25Ingest.runExactlyOnce]], the template): a
     * redelivered batch is skipped by its commit marker or the fold
     * summary watermark, so position rows and phrase counts never
-    * double. `onBatch` receives (batchId, rows, applied). */
+    * double. `onBatch` receives (batchId, rows, applied).
+    * ONE INDEX <-> ONE CHECKPOINTED STREAM (see [[graft.llm.IncLog]]):
+    * restarting with a fresh checkpoint restarts batchId at 0 and old
+    * markers would skip the new batches — use a fresh index directory
+    * with a fresh checkpoint. */
   def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
                      indexDir: String, compactEvery: Int = 0,
                      onBatch: (Long, Long, Boolean) => Unit =

@@ -80,6 +80,31 @@ class Bm25ExactlyOnceSpec extends SparkSpec {
     assert(Retrieval.bm25IndexTotals(spark, dir) == ((3L, 15L)))
   }
 
+  test("torn writes: a torn build reads as no index; torn meta over a " +
+      "complete corpus fails loudly") {
+    val h = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // a build that died mid-postings: directory exists, no _SUCCESS —
+    // recover must say "no index" (rebuild), NOT bless the torn base
+    // (whose batch would otherwise be marker-skipped forever)
+    val torn = freshDir()
+    h.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/postings/_temporary"))
+    assert(!Retrieval.bm25IndexRecover(spark, torn))
+    // same for the phrase family's completeness key
+    val tornPh = freshDir()
+    h.mkdirs(new org.apache.hadoop.fs.Path(s"$tornPh/positions/_temporary"))
+    assert(!Retrieval.phraseIndexRecover(spark, tornPh))
+    // torn meta OVER COMPLETE POSTINGS = an append crashed mid-meta
+    // overwrite; auto-rebuild would discard the corpus — fail loudly
+    val dir = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    h.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"), false)
+    val e = intercept[IllegalStateException] {
+      Retrieval.bm25IndexRecover(spark, dir)
+    }
+    assert(e.getMessage.contains("torn meta"))
+  }
+
   test("compaction folds exactly once; increments GC one compaction late") {
     val dir = freshDir()
     Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)

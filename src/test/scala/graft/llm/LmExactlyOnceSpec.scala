@@ -99,6 +99,23 @@ class LmExactlyOnceSpec extends SparkSpec {
     assert(score(dir) == adhoc(b0.union(b1).union(b2).union(b1)))
   }
 
+  test("torn meta over complete slices fails loudly; torn slices rebuild") {
+    val dir = freshDir()
+    Lm.lmBuildIndexBatchK(b0, "text", "doc_id", dir, k = 2, batchId = 0L)
+    // an append (or the bootstrap's own meta write) crashed mid-meta:
+    // the slices still hold the model — recover must refuse to bless
+    // OR silently rebuild, and instead name the repair options
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"), false)
+    val e = intercept[IllegalStateException] {
+      Lm.lmIndexRecoverK(spark, dir)
+    }
+    assert(e.getMessage.contains("torn meta"))
+    // a build that died mid-slice (torn grams, no meta): plain rebuild
+    val torn = freshDir()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/grams_1/_temporary"))
+    assert(!Lm.lmIndexRecoverK(spark, torn))
+  }
+
   test("a crash between slice folds and the summary double-counts nothing") {
     val dir = freshDir()
     Lm.lmBuildIndexBatchK(b0, "text", "doc_id", dir, k = 2, batchId = 0L)
