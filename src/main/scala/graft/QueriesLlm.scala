@@ -66,8 +66,39 @@ object QueriesLlm {
     * jaccard >= 0.5) → transitive closure (recursive CTE) → min-id root →
     * keep-best. Shared by the driver-union-find and map-reduce-CC query
     * variants, which must both hash-match it. */
-  private val clustersOracle =
-    """WITH RECURSIVE
+  /** DuckDB twin of TextFunctions.qualityScore over the documents
+    * table — shared by llm_quality_score and the keep-best-quality
+    * cluster resolution. */
+  private val qualityOracle: String = {
+    val stopHits =
+      s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
+        s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
+    """WITH m AS (SELECT doc_id,
+      CAST(length(text) AS DOUBLE) AS n_chars,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+      CAST(""" + stopHits + """ AS DOUBLE) AS stop
+      FROM documents)
+    SELECT doc_id, round(
+      least(n_chars / 200.0, 1.0) * 0.25
+      + (CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha / n_chars END) * 0.25
+      + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / n_chars END) * 10.0, 1.0)) * 0.2
+      + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 3.0
+        AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 10.0
+      THEN 1.0 ELSE 0.5 END) * 0.15
+      + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
+      6) AS quality
+    FROM m"""
+  }
+
+  /** The recursive-CTE connected-components oracle shared by every
+    * cluster-resolution variant; `keeperJoin`/`keeperOrder` decide the
+    * per-cluster argmax (length for the classic form, a score for the
+    * keep-best-quality form). */
+  private def clustersOracleWith(keeperJoin: String,
+                                 keeperOrder: String): String =
+    s"""WITH RECURSIVE
       toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
         FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
@@ -86,9 +117,12 @@ object QueriesLlm {
       root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
       ranked AS (SELECT d.doc_id, r.cluster_root,
           row_number() OVER (PARTITION BY r.cluster_root
-            ORDER BY length(d.text) DESC, d.doc_id) AS rn
-        FROM documents d JOIN root r ON d.doc_id = r.doc_id)
+            ORDER BY $keeperOrder, d.doc_id) AS rn
+        FROM documents d JOIN root r ON d.doc_id = r.doc_id$keeperJoin)
       SELECT doc_id, cluster_root, rn = 1 AS keep FROM ranked"""
+
+  private val clustersOracle =
+    clustersOracleWith("", "length(d.text) DESC")
 
   /** DuckDB exact cosine over the embeddings table. */
   private def cosineSql(body: String): String =
@@ -1132,6 +1166,20 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         shingleN = 3, threshold = 0.5, distributed = true),
       Some(clustersOracle)),
 
+    // keep-best-QUALITY cluster resolution (resolveClustersBy): same
+    // components, but each cluster keeps its highest-quality document
+    // (the curation decision — a near-dup cluster's longest member is
+    // often its most boilerplate-padded) with ties to the smallest id.
+    // The oracle swaps only the ranked ORDER BY, joining the verified
+    // quality twin.
+    QueryDef("llm_dedup_clusters_best",
+      (s, dir) => Dedup.resolveClustersBy(t(s, dir, "documents"), "text",
+        "doc_id", shingleN = 3, threshold = 0.5,
+        keepScore = TextFunctions.qualityScore(col("text"))),
+      Some(clustersOracleWith(
+        s" JOIN ($qualityOracle) q ON q.doc_id = d.doc_id",
+        "q.quality DESC"))),
+
     // capstone composition — the actual curation pipeline a training-data
     // user runs: quality-filter the corpus, resolve near-dup clusters on
     // the survivors, keep the best of each cluster, report corpus stats.
@@ -1304,28 +1352,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     QueryDef("llm_quality_score",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
-      Some {
-        val stopHits =
-          s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
-            s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
-        """WITH m AS (SELECT doc_id,
-          CAST(length(text) AS DOUBLE) AS n_chars,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
-          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
-          CAST(""" + stopHits + """ AS DOUBLE) AS stop
-          FROM documents)
-        SELECT doc_id, round(
-          least(n_chars / 200.0, 1.0) * 0.25
-          + (CASE WHEN n_chars = 0 THEN 0.0 ELSE alpha / n_chars END) * 0.25
-          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / n_chars END) * 10.0, 1.0)) * 0.2
-          + (CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) >= 3.0
-                AND (CASE WHEN n_tok = 0 THEN 0.0 ELSE n_chars / n_tok END) <= 10.0
-              THEN 1.0 ELSE 0.5 END) * 0.15
-          + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
-          6) AS quality
-        FROM m"""
-      }),
+      Some(qualityOracle)),
 
     // feature-hashed linear classifier inference (fastText-style quality
     // filter, the CCNet-shape scoring pass): token -> md5 bucket ->

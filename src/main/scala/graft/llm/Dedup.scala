@@ -375,10 +375,25 @@ object Dedup {
   def resolveClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
                       distributed: Boolean = false,
-                      broadcastRootMaxRows: Long = 4L << 20): DataFrame = {
+                      broadcastRootMaxRows: Long = 4L << 20): DataFrame =
+    resolveClustersBy(df, textCol, idCol, shingleN, threshold,
+      length(col(textCol)), distributed, broadcastRootMaxRows)
+
+  /** [[resolveClusters]] with keep-best by a CALLER-SUPPLIED score
+    * expression over the document row (highest wins, ties to the
+    * smallest id) instead of text length — the curation form: keep
+    * each near-dup cluster's best-QUALITY representative (e.g.
+    * `TextFunctions.qualityScore(col("text"))`, or a model score
+    * column) rather than merely its longest. Same component contract,
+    * same plan; only the per-cluster argmax changes. */
+  def resolveClustersBy(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, threshold: Double,
+                        keepScore: org.apache.spark.sql.Column,
+                        distributed: Boolean = false,
+                        broadcastRootMaxRows: Long = 4L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(col(idCol), length(col(textCol)).as("__len"),
+    val hashed = df.select(col(idCol), keepScore.as("__len"),
       md5(col(textCol).cast("binary")).as("__h"))
     val groupRep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as("__rep"))
     // exact-dup collapse reusing groupRep — one content-hash pass feeds

@@ -81,6 +81,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a.count(_._3) < 5) // the near-dup trio collapsed
   }
 
+  test("resolveClustersBy keeps the best-scoring member, not the longest") {
+    // doc 2 is the LONGEST of its cluster (length keeper would pick it)
+    // but doc 1 carries the higher caller-supplied score
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today extra"),
+      (3L, "completely different words entirely unrelated to anything else at all")
+    ).toDF("doc_id", "text")
+    val byLen = Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(byLen == Set(2L, 3L))
+    val score = org.apache.spark.sql.functions.when($"doc_id" === 1L, 2.0)
+      .otherwise(1.0)
+    val byScore = Dedup.resolveClustersBy(docs, "text", "doc_id", 3, 0.5,
+        keepScore = score)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(byScore == Set(1L, 3L))
+    // cluster roots are unchanged by the keeper policy
+    assert(Dedup.resolveClustersBy(docs, "text", "doc_id", 3, 0.5, score)
+      .select($"doc_id", $"cluster_root").as[(Long, Long)].collect().toSet ==
+      Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5)
+        .select($"doc_id", $"cluster_root").as[(Long, Long)].collect().toSet)
+  }
+
   test("resolveClusters shuffle-join fallback (root map over broadcast budget) is identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
