@@ -62,9 +62,14 @@ class ExamplesSpec extends SparkSpec {
     assert(out.select($"text").distinct().count() == out.count())
     // classifier annotated every surviving row
     assert(out.columns.contains("clf_score"))
-    // LM self-perplexity annotated and nonnegative on every row
+    // LM self-perplexity annotated and nonnegative on every row, and
+    // the CCNet tier annotation tracks the fixed example cutoffs
     assert(out.columns.contains("lm_score_ppm"))
     assert(out.filter($"lm_score_ppm" < 0L).count() == 0)
+    assert(out.filter($"lm_tier" === "head" && $"lm_score_ppm" < 600000L)
+      .count() == 0)
+    assert(out.select($"lm_tier").as[String].collect()
+      .forall(Set("head", "middle", "tail")))
     // span-cut removed every cross-doc duplicated 8-token run
     assert(graft.llm.Dedup.dupSpans(out.select($"doc_id", $"text"), w = 8)
       .count() == 0)
