@@ -133,6 +133,40 @@ object SoakLm {
     val trickle5Sec = (System.nanoTime() - t0) / 1e9
     val trickle5Bytes = settleBytes() - before5
 
+    // EXACTLY-ONCE leg (IncLog on the order-k family, the SoakBm25Index
+    // xo leg's LM twin): three 50k-doc batch appends land as committed
+    // increments on the order-5 model; a trickle score folds them (the
+    // catalog-pruning claim must hold THROUGH increments — the scored
+    // batch's term buckets prune the increment scans too); redelivering
+    // all three is a driver-side marker check; the compaction folds
+    // them into the next generations.
+    def xoBatch(g: Int) = spark.range(50000)
+      .selectExpr(s"id + ${n + g * 50000L} AS doc_id",
+        s"concat_ws(' ', ${toks(s"id + ${(9 + g) * n}", 30)}) AS text")
+    t0 = System.nanoTime()
+    (0 until 3).foreach { g =>
+      require(graft.llm.Lm.lmIndexAppendBatchK(xoBatch(g), "text", "doc_id",
+        s"$dir/model5", batchId = g.toLong), s"first delivery $g must apply")
+    }
+    val xoAppendSec = (System.nanoTime() - t0) / 1e9
+    val xoTotals = graft.llm.Lm.lmIndexTotalsK(spark, s"$dir/model5")
+    val beforeXo = settleBytes()
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmScoreIndexK(trickle, "text", "doc_id", s"$dir/model5").count()
+    val xoTrickleSec = (System.nanoTime() - t0) / 1e9
+    val xoTrickleBytes = settleBytes() - beforeXo
+    t0 = System.nanoTime()
+    (0 until 3).foreach { g =>
+      require(!graft.llm.Lm.lmIndexAppendBatchK(xoBatch(g), "text", "doc_id",
+        s"$dir/model5", batchId = g.toLong), s"redelivery $g must skip")
+    }
+    val xoRedeliverSec = (System.nanoTime() - t0) / 1e9
+    require(graft.llm.Lm.lmIndexTotalsK(spark, s"$dir/model5") == xoTotals,
+      "redelivery changed the totals")
+    t0 = System.nanoTime()
+    graft.llm.Lm.lmIndexCompactK(spark, s"$dir/model5")
+    val xoCompactSec = (System.nanoTime() - t0) / 1e9
+
     println(s"""{"soak":"lm","n_corpus":$n,"build_sec":${f"$buildSec%.1f"},""" +
       s""""model_bytes":$modelBytes,"bigram_rows":$biRows,""" +
       s""""score_all_sec":${f"$scoreAllSec%.1f"},"scored":$nScored,""" +
@@ -145,7 +179,12 @@ object SoakLm {
       s""""score3_all_sec":${f"$score3Sec%.1f"},"scored3":$nScored3,""" +
       s""""build5_sec":${f"$build5Sec%.1f"},"model5_bytes":$model5Bytes,""" +
       s""""score5_all_sec":${f"$score5Sec%.1f"},"scored5":$nScored5,""" +
-      s""""trickle5_sec":${f"$trickle5Sec%.1f"},"trickle5_bytes_read":$trickle5Bytes}""")
+      s""""trickle5_sec":${f"$trickle5Sec%.1f"},"trickle5_bytes_read":$trickle5Bytes,""" +
+      s""""xo_append3_sec":${f"$xoAppendSec%.1f"},""" +
+      s""""xo_trickle_sec":${f"$xoTrickleSec%.1f"},""" +
+      s""""xo_trickle_bytes":$xoTrickleBytes,""" +
+      s""""xo_redeliver3_sec":${f"$xoRedeliverSec%.1f"},""" +
+      s""""xo_compact_sec":${f"$xoCompactSec%.1f"}}""")
     spark.stop()
   }
 }
