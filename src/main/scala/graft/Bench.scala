@@ -50,7 +50,8 @@ object Bench {
     // GPT-2-style pre-tokenized BPE, the exactly-once ingest lifecycles
     // (both families), and the CCNet head/middle/tail buckets
     "llm_lm5_score", "llm_lm5_index", "llm_bpe_encode_pre",
-    "llm_lm_index_xo", "llm_bm25_index_xo", "llm_lm_buckets")
+    "llm_lm_index_xo", "llm_bm25_index_xo", "llm_lm_buckets",
+    "llm_dedup_clusters_best")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast
