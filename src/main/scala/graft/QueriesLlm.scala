@@ -1190,8 +1190,10 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         val docs = t(s, dir, "documents")
           .withColumn("quality", TextFunctions.qualityScore(col("text")))
           .filter(col("quality") >= 0.5)
-        val kept = Dedup.resolveClusters(docs, "text", "doc_id", shingleN = 3,
-            threshold = 0.5)
+        // keep each near-dup cluster's best-QUALITY member (the
+        // curation keeper — resolveClustersBy), not its longest
+        val kept = Dedup.resolveClustersBy(docs, "text", "doc_id",
+            shingleN = 3, threshold = 0.5, keepScore = col("quality"))
           .filter(col("keep"))
         kept.join(docs, "doc_id")
           .agg(count(lit(1)).as("n_kept"),
@@ -1236,7 +1238,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         root AS (SELECT a AS doc_id, min(b) AS cluster_root FROM reach GROUP BY a),
         ranked AS (SELECT d.doc_id, d.n_tok, d.quality,
             row_number() OVER (PARTITION BY r.cluster_root
-              ORDER BY length(d.text) DESC, d.doc_id) AS rn
+              ORDER BY d.quality DESC, d.doc_id) AS rn
           FROM fdocs d JOIN root r ON d.doc_id = r.doc_id)
         SELECT COUNT(*) AS n_kept,
           CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
