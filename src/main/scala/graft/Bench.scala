@@ -142,19 +142,25 @@ object Bench {
     // seconds; see BenchStream for a standalone run at larger N
     val stream = "{" + BenchStream.section(spark, nTcp = 100000, nHttp = 2000) + "}"
     val line = f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"extended":$ext,"skew":$skew,"stream":$stream,"sf":"$sfDir"}"""
-    println(line)
-    // the metric object also lands in a file the driver can lift verbatim
-    // (the stdout line alone gets buried in the sbt [info] log tail, which
-    // left BENCH_r08's `parsed` field null)
+    // the FULL metric object (headline + extended + skew + stream) lands
+    // in a file the driver can lift verbatim — it is several KB and does
+    // NOT fit a bounded stdout-tail capture (BENCH_r11's 2000-char tail
+    // started MID-line, which is why `parsed` stayed null despite the
+    // r11 StdoutOutput fix: the line survived sbt unprefixed but was
+    // truncated at the front)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
-    // ... and the bare line goes to STDERR too, where sbt's logger does
-    // not prefix it with "[info] " — BENCH_r09 still parsed null off
-    // stdout despite the file above, so emit on every channel. Printed
-    // AFTER spark.stop() so it is the process's last output line.
-    System.err.println(line)
+    // the parseable line of record is SHORT (headline-only, ~400 bytes —
+    // fits any tail window whole) and is the process's LAST output on
+    // both channels, printed after spark.stop() so no logger writes
+    // after it
+    val short = f"""{"metric":"total_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(short)
+    Console.out.flush()
+    System.err.println(short)
     System.err.flush()
   }
 }

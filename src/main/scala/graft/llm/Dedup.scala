@@ -350,8 +350,13 @@ object Dedup {
     *
     * Two component strategies, same contract (root = min id):
     *  - `distributed = false`: union-find on the COLLECTED pair list —
-    *    candidate pairs are O(#duplicates), orders of magnitude smaller
-    *    than the corpus, so the driver pass is bounded by dedup yield.
+    *    candidate pairs are usually O(#duplicates), far smaller than
+    *    the corpus, BUT the count is data-dependent (quadratic in
+    *    cluster sizes on near-dup-dense corpora), so the collect is
+    *    budget-gated: the pair set is counted first and past
+    *    `maxDriverPairs` the resolution falls back to the distributed
+    *    fixpoint automatically (count-then-fallback, the tree's
+    *    convention for every data-dependent driver materialization).
     *  - `distributed = true`: [[ConnectedComponents]] alternating
     *    large-star/small-star map-reduce — the 100-TB path where the pair
     *    set itself is too big to collect. The surrounding dataflow is
@@ -375,9 +380,11 @@ object Dedup {
   def resolveClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int, threshold: Double,
                       distributed: Boolean = false,
-                      broadcastRootMaxRows: Long = 4L << 20): DataFrame =
+                      broadcastRootMaxRows: Long = 4L << 20,
+                      maxDriverPairs: Long = 4L << 20): DataFrame =
     resolveClustersBy(df, textCol, idCol, shingleN, threshold,
-      length(col(textCol)), distributed, broadcastRootMaxRows)
+      length(col(textCol)), distributed, broadcastRootMaxRows,
+      maxDriverPairs)
 
   /** [[resolveClusters]] with keep-best by a CALLER-SUPPLIED score
     * expression over the document row (highest wins, ties to the
@@ -390,7 +397,8 @@ object Dedup {
                         shingleN: Int, threshold: Double,
                         keepScore: org.apache.spark.sql.Column,
                         distributed: Boolean = false,
-                        broadcastRootMaxRows: Long = 4L << 20): DataFrame = {
+                        broadcastRootMaxRows: Long = 4L << 20,
+                        maxDriverPairs: Long = 4L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df.select(col(idCol), keepScore.as("__len"),
@@ -399,12 +407,22 @@ object Dedup {
     // exact-dup collapse reusing groupRep — one content-hash pass feeds
     // both the collapse and the fan-back-out join below
     val collapsed = df.join(groupRep.select(col("__rep").as(idCol)), Seq(idCol))
+    // pin the pair set ONCE: it feeds the budget count below AND
+    // whichever component strategy runs (and CC's fixpoint would
+    // otherwise re-run the whole LSH pipeline per round-0 read)
     val pairDf = minhashLshPairsOn(collapsed, textCol, idCol, shingleN, threshold,
-      numBands = 16, rowsPerBand = 4)
+      numBands = 16, rowsPerBand = 4).localCheckpoint(true)
+    // the driver union-find is BUDGET-GATED, never trusted blindly:
+    // pair count is data-dependent (a near-dup-dense corpus makes it
+    // quadratic in cluster sizes), so count first and past
+    // `maxDriverPairs` fall back to the distributed fixpoint
+    // automatically — the same count-then-fallback discipline as
+    // `broadcastRootMaxRows` below and `maxCandBroadcast` in Retrieval
+    val nPairs = pairDf.count()
     // rootRows is known either way (locally, or via a cheap count over the
     // localCheckpointed CC fixpoint) and gates the broadcast below
     val (rootDf, rootRows) =
-      if (distributed) {
+      if (distributed || nPairs > maxDriverPairs) {
         val cc = ConnectedComponents.run(pairDf, "id_a", "id_b")
           .withColumnRenamed("id", idCol)
         (cc, cc.count())

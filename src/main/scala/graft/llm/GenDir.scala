@@ -40,6 +40,15 @@ import org.apache.spark.sql.SparkSession
   * appends land in the current generation, so an append racing a
   * compaction could write rows into a generation about to be
   * superseded. Reads are what this protocol makes concurrent.
+  *
+  * FILESYSTEM REQUIREMENT: commit atomicity rests on single-file
+  * `create` being all-or-nothing and instantly visible — the contract
+  * HDFS and local filesystems give. Object-store connectors (s3a, gcs)
+  * generally honor single-object PUT atomicity but NOT rename
+  * atomicity ([[IncLog]]'s marker commit uses temp-then-rename); point
+  * these protocols at an HDFS-semantics filesystem, or route commits
+  * through a connector-aware committer before making an object store a
+  * serving target.
   */
 private[graft] object GenDir {
 

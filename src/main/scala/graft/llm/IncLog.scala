@@ -53,6 +53,15 @@ import org.apache.spark.sql.SparkSession
   * (streamId, batchId) pair — the Delta `txnAppId` discipline — is
   * the upgrade if multi-stream ingest into one index is ever needed.
   *
+  * FILESYSTEM REQUIREMENT: the marker commit is temp-write +
+  * single-file rename, and the summary fold is the same — atomic on
+  * HDFS and local filesystems (the targets this protocol is specified
+  * against), NOT a guaranteed contract on object-store connectors
+  * (s3a rename is copy+delete). Serving a standing index off an
+  * object store needs a connector-aware committer for these markers;
+  * until then treat HDFS semantics as a prerequisite, like Delta's
+  * LogStore does.
+  *
   * Crash windows (all heal without double counting): dying before the
   * marker leaves an invisible increment that redelivery overwrites;
   * dying after some slice folds but before the summary leaves those
@@ -142,6 +151,19 @@ private[graft] object IncLog {
     val Array(w, t, n) = body.trim.split(" ")
     (w.toLong, t.toLong, n.toLong)
   }
+
+  /** True when the log's state is provably an exactly-once BOOTSTRAP's
+    * own: exactly one commit marker and nothing folded yet. Recover
+    * paths use this to disambiguate torn meta over complete slices —
+    * the bootstrap commits its marker BEFORE writing meta, so a crash
+    * during that first meta write leaves this exact state, and
+    * redelivery can safely rebuild (a full overwrite of one batch). A
+    * plain-append meta crash cannot present it: plain lifecycles write
+    * no markers at all (Nil here), and a post-bootstrap xo lifecycle
+    * has >= 2 markers or an advanced fold watermark. */
+  def bootstrapOnly(spark: SparkSession, modelDir: String): Boolean =
+    foldedSummary(spark, modelDir)._1 == -1L &&
+      committedAfter(spark, modelDir, -1L).size == 1
 
   /** Advance the folded summary (temp-and-rename atomic). */
   def writeFoldedSummary(spark: SparkSession, modelDir: String, w: Long,

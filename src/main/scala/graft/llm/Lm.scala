@@ -512,7 +512,12 @@ object Lm {
     // accumulated model: fail loudly instead (the exactly-once batch
     // path never rewrites meta past its bootstrap)
     if (GenDir.tornDir(spark, s"$dir/meta")) {
-      if (GenDir.existsLiveComplete(spark, s"$dir/grams_1"))
+      if (GenDir.existsLiveComplete(spark, s"$dir/grams_1") &&
+          // exactly-once bootstrap exception: marker-before-meta means
+          // a sole marker + nothing folded is the bootstrap's own meta
+          // crash — rebuild via redelivery instead of wedging the
+          // stream (see [[IncLog.bootstrapOnly]])
+          !IncLog.bootstrapOnly(spark, dir))
         throw new IllegalStateException(
           s"torn meta over complete count slices at $dir: an append " +
             "crashed mid-meta-overwrite; restore meta (t, n_docs, ord) " +
@@ -728,11 +733,23 @@ object Lm {
     val (base, n) =
       if (total <= maxExactRows) (scored, total)
       else {
-        val f = (total + maxExactRows - 1) / maxExactRows
-        val s = scored
-          .filter(pmod(xxhash64(col("doc_id")), lit(f)) === 0)
+        var f = (total + maxExactRows - 1) / maxExactRows
+        def thin(fac: Long) = scored
+          .filter(pmod(xxhash64(col("doc_id")), lit(fac)) === 0)
           .localCheckpoint(true) // pin the sample: feeds count + window
-        (s, s.count())
+        var s = thin(f)
+        var c = s.count()
+        // a hash-thinned sample CAN land empty on an adversarial id set
+        // (every id hashing to a nonzero residue mod f): halve the
+        // factor until rows appear, degenerating to the exact path at
+        // f = 1 — silent Long.MinValue sentinel cutoffs would otherwise
+        // assign the whole corpus to bucket 1
+        while (c == 0 && f > 1) {
+          f = math.max(1L, f / 2)
+          s = thin(f)
+          c = s.count()
+        }
+        (s, c)
       }
     if (n == 0) return Seq.fill(nBuckets - 1)((Long.MinValue, 0L, 0L))
     // cumulative ntile sizes: the first n % nb buckets get one extra

@@ -407,7 +407,14 @@ object Retrieval {
     // that bare fs.exists would bless — appends onto a torn base lose
     // the batch, reads of torn meta throw forever
     val postingsOk = GenDir.existsLiveComplete(spark, s"$dir/postings")
-    if (GenDir.tornDir(spark, s"$dir/meta") && postingsOk)
+    if (GenDir.tornDir(spark, s"$dir/meta") && postingsOk) {
+      // ONE provably-safe torn-meta case: the exactly-once BOOTSTRAP
+      // ([[bm25BuildIndexBatch]]) commits its marker before meta, so a
+      // sole marker with nothing folded means the torn meta is the
+      // bootstrap's own crashed write — report "no index" and let
+      // redelivery rebuild (a full overwrite of that same first batch)
+      // instead of wedging the stream permanently
+      if (IncLog.bootstrapOnly(spark, dir)) return false
       // meta is rewritten per PLAIN append: torn meta over complete
       // postings means an append crashed mid-overwrite — rebuilding
       // would silently discard the accumulated corpus, so fail LOUDLY
@@ -418,6 +425,7 @@ object Retrieval {
         s"torn meta over complete postings at $dir: an append crashed " +
           "mid-meta-overwrite; restore meta (n, total_len) or delete " +
           "the index directory to rebuild from scratch")
+    }
     GenDir.completeDir(spark, s"$dir/meta") && postingsOk
   }
 

@@ -109,12 +109,18 @@ object IntervalJoin {
       }
     val thr = w * longFactor
     val shortL = left.filter(len(lStart, lEnd) <= thr)
-    val longL = left.filter(len(lStart, lEnd) > thr)
+    // pin the outlier legs before counting them: the gate's count and
+    // the join legs must see the SAME rows (a non-deterministic input —
+    // rand-filtered, sampled — could otherwise diverge between the two
+    // executions), and the checkpoint also stops the count from
+    // re-running the full upstream lineage a second time for the join
+    val longL = left.filter(len(lStart, lEnd) > thr).localCheckpoint(true)
     val shortR = right.filter(len(rStart, rEnd) <= thr)
-    val longR = right.filter(len(rStart, rEnd) > thr)
+    val longR = right.filter(len(rStart, rEnd) > thr).localCheckpoint(true)
     val overlapPred = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
     // count the outliers before committing them to a broadcast — two
-    // scan-side counts, cheap next to the join they protect
+    // counts over the pinned (lineage-truncated) legs, cheap next to
+    // the join they protect
     val nLong = longL.count() + longR.count()
     val (legL, legR) =
       if (nLong <= maxLongBroadcast)

@@ -84,8 +84,15 @@ object StreamingWeightedSample {
              weightCol: String, k: Int, seed: String = ""): Dataset[Kept] = {
     require(k >= 1)
     val idType = docs.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "long", "integer")
-        .contains(idType.typeName),
+    // match the TYPE, not typeName strings (e.g. IntegerType.typeName is
+    // "integer", never "int" — the old string list carried dead entries);
+    // IntegralType itself is private[sql], so enumerate its members
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(integral,
       s"streaming weighted sample requires an integral id column for the " +
         s"batch-identical numeric tie-break; '$idCol' is ${idType.typeName} — " +
         "derive a numeric id (e.g. xxhash64) upstream")

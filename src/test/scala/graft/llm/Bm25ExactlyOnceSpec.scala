@@ -94,15 +94,38 @@ class Bm25ExactlyOnceSpec extends SparkSpec {
     val tornPh = freshDir()
     h.mkdirs(new org.apache.hadoop.fs.Path(s"$tornPh/positions/_temporary"))
     assert(!Retrieval.phraseIndexRecover(spark, tornPh))
-    // torn meta OVER COMPLETE POSTINGS = an append crashed mid-meta
-    // overwrite; auto-rebuild would discard the corpus — fail loudly
+    // torn meta during the exactly-once BOOTSTRAP's own meta write is
+    // the ONE provably-rebuildable torn-meta state (marker lands before
+    // meta: sole marker + nothing folded) — recover must report "no
+    // index" so redelivery rebuilds instead of wedging the stream
+    val boot = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", boot, batchId = 0L)
+    h.delete(new org.apache.hadoop.fs.Path(s"$boot/meta/_SUCCESS"), false)
+    assert(!Retrieval.bm25IndexRecover(spark, boot))
+    // ... and the redelivered bootstrap heals it to a complete index
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", boot, batchId = 0L)
+    assert(Retrieval.bm25IndexRecover(spark, boot))
+    assert(search(boot) == adhoc(b0))
+    // PAST the bootstrap (a second marker landed) torn meta over
+    // complete postings stays LOUD: auto-rebuild would discard batches
     val dir = freshDir()
     Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    assert(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
     h.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"), false)
     val e = intercept[IllegalStateException] {
       Retrieval.bm25IndexRecover(spark, dir)
     }
     assert(e.getMessage.contains("torn meta"))
+    // ... and a PLAIN lifecycle (no markers at all) stays loud too —
+    // bootstrapOnly demands exactly ONE marker, so markerless torn meta
+    // is never mistaken for a bootstrap crash
+    val plain = freshDir()
+    Retrieval.bm25BuildIndex(b0, "text", "doc_id", plain)
+    h.delete(new org.apache.hadoop.fs.Path(s"$plain/meta/_SUCCESS"), false)
+    val e2 = intercept[IllegalStateException] {
+      Retrieval.bm25IndexRecover(spark, plain)
+    }
+    assert(e2.getMessage.contains("torn meta"))
   }
 
   test("compaction folds exactly once; increments GC one compaction late") {

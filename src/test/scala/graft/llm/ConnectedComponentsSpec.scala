@@ -105,6 +105,32 @@ class ConnectedComponentsSpec extends SparkSpec {
         .select($"doc_id", $"cluster_root").as[(Long, Long)].collect().toSet)
   }
 
+  test("pair budget gate: tiny maxDriverPairs engages the CC path, row-identical") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different words entirely unrelated to anything else at all"),
+      (5L, "some other corpus text that shares nothing with the fox sentences")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val driver = canon(Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5))
+    // maxDriverPairs=0 forces the pair yield (>0 here — the trio pairs)
+    // over budget: the DEFAULT path must fall back to the distributed
+    // fixpoint automatically, never collect, and stay row-identical
+    val gated = canon(Dedup.resolveClusters(docs, "text", "doc_id", 3, 0.5,
+      maxDriverPairs = 0L))
+    assert(gated == driver)
+    assert(gated.count(_._3) < 5)
+    // the keep-best variant honors the same gate
+    val score = when($"doc_id" === 1L, 2.0).otherwise(1.0)
+    assert(
+      canon(Dedup.resolveClustersBy(docs, "text", "doc_id", 3, 0.5, score,
+        maxDriverPairs = 0L)) ==
+      canon(Dedup.resolveClustersBy(docs, "text", "doc_id", 3, 0.5, score)))
+  }
+
   test("resolveClusters shuffle-join fallback (root map over broadcast budget) is identical") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

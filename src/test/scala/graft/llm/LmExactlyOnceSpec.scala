@@ -100,16 +100,34 @@ class LmExactlyOnceSpec extends SparkSpec {
   }
 
   test("torn meta over complete slices fails loudly; torn slices rebuild") {
-    val dir = freshDir()
-    Lm.lmBuildIndexBatchK(b0, "text", "doc_id", dir, k = 2, batchId = 0L)
-    // an append (or the bootstrap's own meta write) crashed mid-meta:
+    // the BOOTSTRAP's own meta crash (sole marker, nothing folded) is
+    // provably rebuildable: recover reports "no model" and redelivery
+    // rebuilds — the stream must not wedge on its very first batch
+    val boot = freshDir()
+    Lm.lmBuildIndexBatchK(b0, "text", "doc_id", boot, k = 2, batchId = 0L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$boot/meta/_SUCCESS"), false)
+    assert(!Lm.lmIndexRecoverK(spark, boot))
+    Lm.lmBuildIndexBatchK(b0, "text", "doc_id", boot, k = 2, batchId = 0L)
+    assert(Lm.lmIndexRecoverK(spark, boot))
+    // PAST the bootstrap a torn meta means an append crashed mid-meta:
     // the slices still hold the model — recover must refuse to bless
     // OR silently rebuild, and instead name the repair options
+    val dir = freshDir()
+    Lm.lmBuildIndexBatchK(b0, "text", "doc_id", dir, k = 2, batchId = 0L)
+    assert(Lm.lmIndexAppendBatchK(b1, "text", "doc_id", dir, batchId = 1L))
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"), false)
     val e = intercept[IllegalStateException] {
       Lm.lmIndexRecoverK(spark, dir)
     }
     assert(e.getMessage.contains("torn meta"))
+    // markerless (plain-lifecycle) torn meta stays loud as well
+    val plain = freshDir()
+    Lm.lmBuildIndexK(b0, "text", "doc_id", plain, k = 2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$plain/meta/_SUCCESS"), false)
+    val e2 = intercept[IllegalStateException] {
+      Lm.lmIndexRecoverK(spark, plain)
+    }
+    assert(e2.getMessage.contains("torn meta"))
     // a build that died mid-slice (torn grams, no meta): plain rebuild
     val torn = freshDir()
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/grams_1/_temporary"))
