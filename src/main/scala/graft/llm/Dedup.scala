@@ -417,12 +417,16 @@ object Dedup {
     // quadratic in cluster sizes), so count first and past
     // `maxDriverPairs` fall back to the distributed fixpoint
     // automatically — the same count-then-fallback discipline as
-    // `broadcastRootMaxRows` below and `maxCandBroadcast` in Retrieval
-    val nPairs = pairDf.count()
+    // `broadcastRootMaxRows` below and `maxCandBroadcast` in Retrieval.
+    // Short-circuited: an explicit `distributed = true` never pays the
+    // count job — the gate only runs when the driver path is a
+    // candidate (the 100-TB caller sets the flag precisely to skip
+    // driver work, count job included).
+    val useCc = distributed || pairDf.count() > maxDriverPairs
     // rootRows is known either way (locally, or via a cheap count over the
     // localCheckpointed CC fixpoint) and gates the broadcast below
     val (rootDf, rootRows) =
-      if (distributed || nPairs > maxDriverPairs) {
+      if (useCc) {
         val cc = ConnectedComponents.run(pairDf, "id_a", "id_b")
           .withColumnRenamed("id", idCol)
         (cc, cc.count())

@@ -14,14 +14,14 @@ import org.apache.spark.sql.SparkSession
   * named the upgrade path — batchId-keyed staging plus an atomic
   * commit — and this object implements it:
   *
-  *  - a batch's count deltas land under `slice.inc/batch-<id>/`
+  *  - a batch's count deltas land under `slice.inc/batch-<id>[_<stream>]/`
   *    (full-directory overwrite, so REDELIVERY IS IDEMPOTENT — the
   *    second write produces byte-equivalent content);
   *  - the batch becomes visible only when its marker file
-  *    `model/_commits/batch-<id>` lands (written to a temp name and
-  *    renamed — single-file rename is the atomic commit); the marker
-  *    body carries the batch's meta deltas (total tokens, doc count)
-  *    so model totals never need a read-modify-write;
+  *    `model/_commits/batch-<id>[_<stream>]` lands (written to a temp
+  *    name and renamed — single-file rename is the atomic commit); the
+  *    marker body carries the batch's meta deltas (total tokens, doc
+  *    count) so model totals never need a read-modify-write;
   *  - readers fold `live generation ∪ committed increments above the
   *    generation's fold watermark` — a half-written increment is
   *    invisible, a committed one is complete;
@@ -32,26 +32,28 @@ import org.apache.spark.sql.SparkSession
   *    scanning the previous generation keep using them — increments
   *    are garbage-collected one compaction LATER, the same
   *    two-generation retention window GenDir gives generations);
-  *  - the `_commits/_folded` summary file (watermark + cumulative
+  *  - the `_commits/_folded` summary file (watermarks + cumulative
   *    folded deltas, written via temp-and-rename) lets marker files be
-  *    GC'd as well: "applied" = id ≤ summary watermark OR marker
-  *    present, so a redelivered long-ago batch is still skipped after
-  *    its marker is gone.
+  *    GC'd as well: "applied" = id ≤ summary watermark OF ITS STREAM
+  *    OR marker present, so a redelivered long-ago batch is still
+  *    skipped after its marker is gone.
   *
-  * Batch ids are Structured Streaming's monotonically increasing
-  * `batchId`; the single-writer contract of the ingest loop (appends
-  * and compactions from one thread) is unchanged — this log makes the
-  * loop's side effects idempotent under redelivery and its increments
-  * readable mid-stream, it does not add a second writer.
-  *
-  * ONE INDEX ↔ ONE CHECKPOINTED STREAM: batch ids are only unique
-  * within a checkpoint lineage. Restarting ingest with a FRESH
-  * checkpoint against an existing index restarts batchId at 0, and
-  * ids at or below the old markers/watermark would be skipped as
-  * redeliveries — silently dropping new data. Point a new stream at a
-  * new index directory (or keep the checkpoint); binding markers to a
-  * (streamId, batchId) pair — the Delta `txnAppId` discipline — is
-  * the upgrade if multi-stream ingest into one index is ever needed.
+  * STREAM-SCOPED MARKERS (the Delta `txnAppId` discipline): batch ids
+  * are Structured Streaming's monotonically increasing `batchId`,
+  * which is unique only WITHIN one checkpoint lineage. Every marker
+  * therefore carries a caller-supplied stream id, and all watermarks
+  * are per-stream maps — so restarting ingest with a FRESH checkpoint
+  * (batchId restarts at 0) under a FRESH stream id appends correctly
+  * instead of colliding with the old lineage's markers and silently
+  * skipping real batches. Redelivery detection stays per-stream:
+  * batch 3 of stream A is independent of batch 3 of stream B. Legacy
+  * markers written before this upgrade (`batch-<id>`, no stream
+  * token) parse as the empty-string stream and keep being honored —
+  * the empty stream id IS the legacy lineage. The single-writer
+  * contract (appends and compactions from one thread at a time) is
+  * unchanged — the ingest loops still run one stream; the stream id
+  * exists so SUCCESSIVE lineages (restart with fresh checkpoint)
+  * compose, not to add concurrent writers.
   *
   * FILESYSTEM REQUIREMENT: the marker commit is temp-write +
   * single-file rename, and the summary fold is the same — atomic on
@@ -76,6 +78,45 @@ private[graft] object IncLog {
   private val FoldedFile = "_folded"
   private val SliceFoldMarker = "_FOLDED_THROUGH"
   private val BatchPrefix = "batch-"
+  /** Sentinel token for the legacy empty-string stream id in v2
+    * watermark files (a bare "" would break whitespace tokenizing). */
+  private val LegacyTok = "-"
+
+  /** Per-stream watermarks: streamId -> highest folded batch id.
+    * Absent stream = -1 (nothing folded for that lineage). */
+  type Marks = Map[String, Long]
+
+  def markOf(m: Marks, streamId: String): Long = m.getOrElse(streamId, -1L)
+
+  /** One committed-but-maybe-unfolded batch: (stream, id, tDelta,
+    * nDelta). */
+  case class Commit(stream: String, id: Long, t: Long, n: Long)
+
+  private def checkStreamId(streamId: String): Unit =
+    require(!streamId.contains("_") && !streamId.contains("/") &&
+      !streamId.exists(_.isWhitespace) && streamId != LegacyTok,
+      s"stream id must not contain '_', '/', whitespace or be '$LegacyTok': " +
+        s"'$streamId' (UUIDs and hyphenated names are fine)")
+
+  /** Marker / increment-directory name of a (stream, batch) pair.
+    * Legacy (empty stream): `batch-<id>`. Stream-scoped:
+    * `batch-<id>_<stream>` — batch ids are digits and stream ids may
+    * not contain '_', so the first underscore splits unambiguously. */
+  private def markerName(streamId: String, batchId: Long): String = {
+    checkStreamId(streamId)
+    if (streamId.isEmpty) s"$BatchPrefix$batchId"
+    else s"$BatchPrefix${batchId}_$streamId"
+  }
+
+  /** Inverse of [[markerName]]: (stream, id), None for foreign files. */
+  private def parseMarker(name: String): Option[(String, Long)] =
+    if (!name.startsWith(BatchPrefix)) None
+    else {
+      val rest = name.stripPrefix(BatchPrefix)
+      val i = rest.indexOf('_')
+      if (i < 0) rest.toLongOption.map(id => ("", id))
+      else rest.take(i).toLongOption.map(id => (rest.drop(i + 1), id))
+    }
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -83,124 +124,196 @@ private[graft] object IncLog {
   }
 
   /** Increment directory of `batchId` for one slice artifact. */
-  def incPath(sliceBase: String, batchId: Long): String =
-    s"$sliceBase.inc/$BatchPrefix$batchId"
+  def incPath(sliceBase: String, batchId: Long, streamId: String = ""): String =
+    s"$sliceBase.inc/${markerName(streamId, batchId)}"
 
   private def commitsPath(modelDir: String) = s"$modelDir/_commits"
 
-  /** True when the batch's effects are already durable: folded into the
-    * summary watermark, or committed by a live marker. The ingest loop
-    * checks this FIRST and skips redelivered batches. */
-  def isApplied(spark: SparkSession, modelDir: String,
-                batchId: Long): Boolean = {
+  /** True when the batch's effects are already durable IN ITS STREAM:
+    * folded into that stream's summary watermark, or committed by a
+    * live marker. The ingest loop checks this FIRST and skips
+    * redelivered batches. A different stream's identical batch id is
+    * unrelated and reports false. */
+  def isApplied(spark: SparkSession, modelDir: String, batchId: Long,
+                streamId: String = ""): Boolean = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
-    batchId <= foldedSummary(spark, modelDir)._1 ||
-      fs.exists(new Path(c, s"$BatchPrefix$batchId"))
+    batchId <= markOf(foldedSummary(spark, modelDir).marks, streamId) ||
+      fs.exists(new Path(c, markerName(streamId, batchId)))
   }
 
-  /** Atomically commit a batch: write `batch-<id>` (body = "tDelta
+  /** Atomically commit a batch: write its marker (body = "tDelta
     * nDelta") via a temp name + rename. After this returns, readers
     * fold the batch's increments and totals include its deltas. */
   def commitBatch(spark: SparkSession, modelDir: String, batchId: Long,
-                  tDelta: Long, nDelta: Long): Unit = {
+                  tDelta: Long, nDelta: Long,
+                  streamId: String = ""): Unit = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
     fs.mkdirs(c)
-    val tmp = new Path(c, s".$BatchPrefix$batchId.tmp")
+    val name = markerName(streamId, batchId)
+    val tmp = new Path(c, s".$name.tmp")
     val out = fs.create(tmp, true)
     out.write(s"$tDelta $nDelta".getBytes("UTF-8"))
     out.close()
-    val dst = new Path(c, s"$BatchPrefix$batchId")
+    val dst = new Path(c, name)
     fs.delete(dst, false) // idempotent redelivery of the commit itself
     require(fs.rename(tmp, dst), s"commit rename failed for batch $batchId")
   }
 
-  /** Committed batches with id > `after`, ascending: (id, tDelta,
-    * nDelta). Driver-side listing of tiny marker files — bounded by the
-    * compaction cadence, not the stream's lifetime. */
+  /** Committed batches above their stream's watermark in `after`,
+    * ascending by (stream, id). Driver-side listing of tiny marker
+    * files — bounded by the compaction cadence, not the stream's
+    * lifetime. */
   def committedAfter(spark: SparkSession, modelDir: String,
-                     after: Long): Seq[(Long, Long, Long)] = {
+                     after: Marks): Seq[Commit] = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
     if (!fs.exists(c)) return Nil
     fs.listStatus(c).toSeq
-      .filter(st => st.getPath.getName.startsWith(BatchPrefix))
       .flatMap { st =>
-        st.getPath.getName.stripPrefix(BatchPrefix).toLongOption
-          .filter(_ > after)
-          .map { id =>
+        parseMarker(st.getPath.getName)
+          .filter { case (stream, id) => id > markOf(after, stream) }
+          .map { case (stream, id) =>
             val in = fs.open(st.getPath)
             val body = try scala.io.Source.fromInputStream(in, "UTF-8")
               .mkString finally in.close()
             val Array(t, n) = body.trim.split(" ")
-            (id, t.toLong, n.toLong)
+            Commit(stream, id, t.toLong, n.toLong)
           }
       }
-      .sortBy(_._1)
+      .sortBy(cm => (cm.stream, cm.id))
   }
 
-  /** (watermark, cumulative tDelta, cumulative nDelta) folded so far —
-    * (-1, 0, 0) before the first fold. Model totals = base meta +
-    * summary + [[committedAfter]] the watermark. */
-  def foldedSummary(spark: SparkSession,
-                    modelDir: String): (Long, Long, Long) = {
+  /** The folded summary: per-stream watermarks + cumulative folded
+    * deltas. Empty marks / zero deltas before the first fold. Model
+    * totals = base meta + summary deltas + [[committedAfter]] the
+    * watermarks. */
+  case class FoldSummary(marks: Marks, t: Long, n: Long)
+
+  /** Serialize marks as "tok w" lines (legacy "" stream as the
+    * [[LegacyTok]] sentinel); inverse of [[parseMarkLines]]. */
+  private def markLines(m: Marks): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (s, w) =>
+      s"${if (s.isEmpty) LegacyTok else s} $w"
+    }
+
+  private def parseMarkLines(lines: Seq[String]): Marks =
+    lines.filter(_.nonEmpty).map { ln =>
+      val Array(tok, w) = ln.trim.split(" ")
+      (if (tok == LegacyTok) "" else tok) -> w.toLong
+    }.toMap
+
+  def foldedSummary(spark: SparkSession, modelDir: String): FoldSummary = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
     val f = new Path(c, FoldedFile)
-    if (!fs.exists(f)) return (-1L, 0L, 0L)
+    if (!fs.exists(f)) return FoldSummary(Map.empty, 0L, 0L)
     val in = fs.open(f)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val Array(w, t, n) = body.trim.split(" ")
-    (w.toLong, t.toLong, n.toLong)
+    val lines = body.split("\n").toSeq.map(_.trim)
+    val head = lines.head.split(" ")
+    if (head(0) == "v2")
+      // v2: "v2 t n" then one "stream w" line per lineage
+      FoldSummary(parseMarkLines(lines.tail), head(1).toLong, head(2).toLong)
+    else {
+      // legacy single-stream format: "w t n"
+      val Array(w, t, n) = head
+      val marks: Marks = if (w.toLong == -1L) Map.empty else Map("" -> w.toLong)
+      FoldSummary(marks, t.toLong, n.toLong)
+    }
   }
 
   /** True when the log's state is provably an exactly-once BOOTSTRAP's
-    * own: exactly one commit marker and nothing folded yet. Recover
-    * paths use this to disambiguate torn meta over complete slices —
-    * the bootstrap commits its marker BEFORE writing meta, so a crash
-    * during that first meta write leaves this exact state, and
-    * redelivery can safely rebuild (a full overwrite of one batch). A
-    * plain-append meta crash cannot present it: plain lifecycles write
-    * no markers at all (Nil here), and a post-bootstrap xo lifecycle
-    * has >= 2 markers or an advanced fold watermark. */
+    * own: exactly one commit marker (over ALL streams) and nothing
+    * folded yet. Recover paths use this to disambiguate torn meta over
+    * complete slices — the bootstrap commits its marker BEFORE writing
+    * meta, so a crash during that first meta write leaves this exact
+    * state, and redelivery can safely rebuild (a full overwrite of one
+    * batch). A plain-append meta crash cannot present it: plain
+    * lifecycles write no markers at all (Nil here — and the
+    * [[requireNoCommits]] guard keeps the lifecycles disjoint), and a
+    * post-bootstrap xo lifecycle has >= 2 markers or an advanced fold
+    * watermark. */
   def bootstrapOnly(spark: SparkSession, modelDir: String): Boolean =
-    foldedSummary(spark, modelDir)._1 == -1L &&
-      committedAfter(spark, modelDir, -1L).size == 1
+    foldedSummary(spark, modelDir).marks.isEmpty &&
+      committedAfter(spark, modelDir, Map.empty).size == 1
 
-  /** Advance the folded summary (temp-and-rename atomic). */
-  def writeFoldedSummary(spark: SparkSession, modelDir: String, w: Long,
+  /** True when the increment log has ever been touched: a fold summary
+    * or any commit marker exists. Plain (non-exactly-once) append
+    * paths use this to refuse mixing into an xo lifecycle. */
+  def hasCommits(spark: SparkSession, modelDir: String): Boolean = {
+    val (fs, c) = fsOf(spark, commitsPath(modelDir))
+    fs.exists(c) && fs.listStatus(c).exists { st =>
+      val n = st.getPath.getName
+      n == FoldedFile || parseMarker(n).isDefined
+    }
+  }
+
+  /** Guard for PLAIN append entry points: a plain append rewrites meta
+    * in place, and a crash mid-overwrite onto an index that ALSO
+    * carries exactly-once markers would present the same on-disk state
+    * as a bootstrap's own torn meta — recover would return false and
+    * the next rebuild would silently discard the appended corpus. The
+    * two lifecycles are therefore disjoint by construction: refuse the
+    * plain append loudly here instead of corrupting the loud-failure
+    * guarantee later. */
+  def requireNoCommits(spark: SparkSession, modelDir: String): Unit =
+    require(!hasCommits(spark, modelDir),
+      s"plain append refused: $modelDir carries exactly-once commit " +
+        "markers (streaming xo ingest built or fed this index); use the " +
+        "exactly-once append path, or compact + delete _commits to " +
+        "migrate the index to the plain lifecycle")
+
+  /** Advance the folded summary (temp-and-rename atomic). Writes the
+    * v2 multi-stream format unless only the legacy stream exists, in
+    * which case the legacy "w t n" single-line form is kept for
+    * backward readability. */
+  def writeFoldedSummary(spark: SparkSession, modelDir: String, m: Marks,
                          t: Long, n: Long): Unit = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
     fs.mkdirs(c)
+    val body =
+      if (m.keySet.subsetOf(Set("")))
+        s"${markOf(m, "")} $t $n"
+      else (s"v2 $t $n" +: markLines(m)).mkString("\n")
     val tmp = new Path(c, s".$FoldedFile.tmp")
     val out = fs.create(tmp, true)
-    out.write(s"$w $t $n".getBytes("UTF-8"))
+    out.write(body.getBytes("UTF-8"))
     out.close()
     val dst = new Path(c, FoldedFile)
     fs.delete(dst, false)
     require(fs.rename(tmp, dst), "folded-summary rename failed")
   }
 
-  /** Fold watermark of one slice GENERATION (the `_FOLDED_THROUGH`
+  /** Fold watermarks of one slice GENERATION (the `_FOLDED_THROUGH`
     * file inside it): readers of this generation skip increments at or
-    * below it. -1 when absent (a generation that folded nothing). */
-  def sliceFoldedThrough(spark: SparkSession, genPath: String): Long = {
+    * below their stream's mark. Empty when absent (a generation that
+    * folded nothing). */
+  def sliceFoldedThrough(spark: SparkSession, genPath: String): Marks = {
     val (fs, p) = fsOf(spark, genPath)
     val f = new Path(p, SliceFoldMarker)
-    if (!fs.exists(f)) return -1L
+    if (!fs.exists(f)) return Map.empty
     val in = fs.open(f)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    body.trim.toLong
+    val lines = body.split("\n").toSeq.map(_.trim)
+    if (lines.head == "v2") parseMarkLines(lines.tail)
+    else {
+      val w = lines.head.toLong
+      if (w == -1L) Map.empty else Map("" -> w)
+    }
   }
 
-  /** Record the fold watermark inside a new generation directory —
+  /** Record the fold watermarks inside a new generation directory —
     * call AFTER the generation's parquet lands and BEFORE it commits
     * (the underscore name keeps parquet readers from treating it as
     * data, like `_SUCCESS`). */
   def writeSliceFoldedThrough(spark: SparkSession, genPath: String,
-                              w: Long): Unit = {
+                              m: Marks): Unit = {
     val (fs, p) = fsOf(spark, genPath)
+    val body =
+      if (m.keySet.subsetOf(Set(""))) markOf(m, "").toString
+      else ("v2" +: markLines(m)).mkString("\n")
     val out = fs.create(new Path(p, SliceFoldMarker), true)
-    out.write(w.toString.getBytes("UTF-8"))
+    out.write(body.getBytes("UTF-8"))
     out.close()
   }
 
@@ -210,10 +323,10 @@ private[graft] object IncLog {
     * slice (possible only for empty batches; the write precedes the
     * marker). */
   def liveIncPaths(spark: SparkSession, modelDir: String, sliceBase: String,
-                   after: Long): Seq[String] = {
-    val ids = committedAfter(spark, modelDir, after).map(_._1)
+                   after: Marks): Seq[String] = {
     val (fs, _) = fsOf(spark, sliceBase)
-    ids.map(id => incPath(sliceBase, id))
+    committedAfter(spark, modelDir, after)
+      .map(cm => incPath(sliceBase, cm.id, cm.stream))
       .filter(p => fs.exists(new Path(p)))
   }
 
@@ -225,23 +338,22 @@ private[graft] object IncLog {
     * every slice read and totals computation of that operation — a
     * standing scorer on an object store pays one listing per query
     * batch, not one per slice. `commits` holds every committed batch
-    * above the summary watermark, ascending. */
-  case class IncView(summary: (Long, Long, Long),
-                     commits: Seq[(Long, Long, Long)]) {
+    * above its stream's summary watermark, ascending. */
+  case class IncView(summary: FoldSummary, commits: Seq[Commit]) {
     /** Cumulative (first, second) marker deltas: folded summary plus
       * every committed-but-unfolded batch. */
     def deltas: (Long, Long) =
-      (summary._2 + commits.map(_._2).sum, summary._3 + commits.map(_._3).sum)
+      (summary.t + commits.map(_.t).sum, summary.n + commits.map(_.n).sum)
   }
 
   def view(spark: SparkSession, modelDir: String): IncView = {
     val s = foldedSummary(spark, modelDir)
-    IncView(s, committedAfter(spark, modelDir, s._1))
+    IncView(s, committedAfter(spark, modelDir, s.marks))
   }
 
   /** One slice's full row set: the live generation unioned with the
     * view's committed increments above the generation's fold
-    * watermark. With `schema` the union survives EMPTY increments (a
+    * watermarks. With `schema` the union survives EMPTY increments (a
     * batch with no rows for this slice — schema inference would fail);
     * without it, increments holding no data files are skipped at the
     * listing. Plain-append indexes have no increments and read exactly
@@ -254,8 +366,8 @@ private[graft] object IncLog {
     val (fs, _) = fsOf(spark, base)
     def rd(p: String) =
       schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p)
-    v.commits.map(_._1).filter(_ > w)
-      .map(id => incPath(base, id))
+    v.commits.filter(cm => cm.id > markOf(w, cm.stream))
+      .map(cm => incPath(base, cm.id, cm.stream))
       .filter(p => fs.exists(new Path(p)))
       .filter(p => schema.isDefined || hasDataFiles(spark, p))
       .foldLeft(rd(live))((df, p) => df.unionByName(rd(p)))
@@ -268,76 +380,84 @@ private[graft] object IncLog {
     fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
   }
 
-  /** Fold prologue shared by every compact: (w0 = the summary
-    * watermark as it stood, w = the newest committed id this fold
-    * absorbs, wGen = the watermark the new generations must carry —
-    * monotone across crash-interrupted reruns). */
+  /** Per-stream max over two mark maps. */
+  private def maxMarks(a: Marks, b: Marks): Marks =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(markOf(a, k), markOf(b, k))).toMap
+
+  /** Fold prologue shared by every compact: (m0 = the summary
+    * watermarks as they stood, mNew = with the newest committed id per
+    * stream this fold absorbs, mGen = the watermarks the new
+    * generations must carry — monotone across crash-interrupted
+    * reruns). */
   def foldBounds(spark: SparkSession, modelDir: String, primaryBase: String,
-                 v: IncView): (Long, Long, Long) = {
-    val w0 = v.summary._1
-    val w = if (v.commits.isEmpty) w0 else v.commits.map(_._1).max
-    val wGen = math.max(
-      sliceFoldedThrough(spark, GenDir.live(spark, primaryBase)), w)
-    (w0, w, wGen)
+                 v: IncView): (Marks, Marks, Marks) = {
+    val m0 = v.summary.marks
+    val mNew = maxMarks(m0,
+      v.commits.groupBy(_.stream).view.mapValues(_.map(_.id).max).toMap)
+    val mGen = maxMarks(
+      sliceFoldedThrough(spark, GenDir.live(spark, primaryBase)), mNew)
+    (m0, mNew, mGen)
   }
 
   /** Fold one slice: hand `write` the slice's live rows unioned with
-    * the committed increments in (its generation's watermark, wGen],
-    * landing as the next generation stamped with wGen. */
+    * the committed increments in (its generation's watermarks, mGen],
+    * landing as the next generation stamped with mGen. */
   def foldSliceGen(spark: SparkSession, modelDir: String, base: String,
-                   wGen: Long, v: IncView, schema: Option[String] = None)(
+                   mGen: Marks, v: IncView, schema: Option[String] = None)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val (fs, _) = fsOf(spark, base)
     def rd(p: String) =
       schema.fold(spark.read)(s => spark.read.schema(s)).parquet(p)
     GenDir.rewriteGen(spark, base) { (live, next) =>
       val sliceW = sliceFoldedThrough(spark, live)
-      val rows = v.commits.map(_._1).filter(id => id > sliceW && id <= wGen)
-        .map(id => incPath(base, id))
+      val rows = v.commits
+        .filter(cm => cm.id > markOf(sliceW, cm.stream) &&
+          cm.id <= markOf(mGen, cm.stream))
+        .map(cm => incPath(base, cm.id, cm.stream))
         .filter(p => fs.exists(new Path(p)))
         .filter(p => schema.isDefined || hasDataFiles(spark, p))
         .foldLeft(rd(live))((df, p) => df.unionByName(rd(p)))
       write(rows, next)
-      writeSliceFoldedThrough(spark, next, wGen)
+      writeSliceFoldedThrough(spark, next, mGen)
     }
   }
 
-  /** Fold epilogue: advance the summary past `w` with the view's
+  /** Fold epilogue: advance the summary past `mNew` with the view's
     * cumulative deltas, then GC increments and markers the PREVIOUS
     * summary already covered (one compaction late — the GenDir
     * retention window applied to increments). */
   def finishFold(spark: SparkSession, modelDir: String,
-                 sliceBases: Seq[String], v: IncView, w0: Long,
-                 w: Long): Unit = {
-    if (w > w0) {
+                 sliceBases: Seq[String], v: IncView, m0: Marks,
+                 mNew: Marks): Unit = {
+    if (mNew != m0) {
       val (d1, d2) = v.deltas
-      writeFoldedSummary(spark, modelDir, w, d1, d2)
+      writeFoldedSummary(spark, modelDir, mNew, d1, d2)
     }
-    gcThrough(spark, modelDir, sliceBases, w0)
+    gcThrough(spark, modelDir, sliceBases, m0)
   }
 
-  /** Drop increment directories and marker files with id <= `through`.
-    * The compactor calls this with the summary watermark as it stood
-    * BEFORE the current fold, so increments a still-scanning reader of
-    * the previous generation needs survive one more compaction — the
-    * GenDir two-generation retention window, applied to increments. */
+  /** Drop increment directories and marker files whose id is at or
+    * below THEIR STREAM's watermark in `through`. The compactor calls
+    * this with the summary watermarks as they stood BEFORE the current
+    * fold, so increments a still-scanning reader of the previous
+    * generation needs survive one more compaction — the GenDir
+    * two-generation retention window, applied to increments. */
   def gcThrough(spark: SparkSession, modelDir: String,
-                sliceBases: Seq[String], through: Long): Unit = {
+                sliceBases: Seq[String], through: Marks): Unit = {
     val (fs, c) = fsOf(spark, commitsPath(modelDir))
+    def stale(name: String): Boolean =
+      parseMarker(name).exists { case (s, id) => id <= markOf(through, s) }
     sliceBases.foreach { base =>
       val incRoot = new Path(s"$base.inc")
       if (fs.exists(incRoot))
         fs.listStatus(incRoot).toSeq
-          .filter(st => st.getPath.getName.startsWith(BatchPrefix))
-          .filter(_.getPath.getName.stripPrefix(BatchPrefix)
-            .toLongOption.exists(_ <= through))
+          .filter(st => stale(st.getPath.getName))
           .foreach(st => fs.delete(st.getPath, true))
     }
     if (fs.exists(c))
       fs.listStatus(c).toSeq
-        .filter(st => st.getPath.getName.startsWith(BatchPrefix))
-        .filter(_.getPath.getName.stripPrefix(BatchPrefix)
-          .toLongOption.exists(_ <= through))
+        .filter(st => stale(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
   }
 

@@ -392,7 +392,8 @@ object Lm {
     * the model). The marker carries ZERO deltas — the build's totals
     * are already in meta. */
   def lmBuildIndexBatchK(train: DataFrame, textCol: String, idCol: String,
-                         dir: String, k: Int, batchId: Long): Unit = {
+                         dir: String, k: Int, batchId: Long,
+                         streamId: String = ""): Unit = {
     requireOrder(k)
     val spark = train.sparkSession
     import spark.implicits._
@@ -401,7 +402,7 @@ object Lm {
     val (cnts, total) = kGramCounts(train, textCol, idCol, k)
     for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
     val t = total.head().getLong(0)
-    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -414,16 +415,17 @@ object Lm {
     * Returns false (and does nothing) when the batch was already
     * applied — the redelivery skip. */
   def lmIndexAppendBatchK(train: DataFrame, textCol: String, idCol: String,
-                          dir: String, batchId: Long): Boolean = {
+                          dir: String, batchId: Long,
+                          streamId: String = ""): Boolean = {
     val spark = train.sparkSession
-    if (IncLog.isApplied(spark, dir, batchId)) return false
+    if (IncLog.isApplied(spark, dir, batchId, streamId)) return false
     val ord = readMetaK(spark, dir)._2
     val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
     for (n <- ord to 1 by -1)
-      writeGramSlice(cnts(n), IncLog.incPath(s"$dir/grams_$n", batchId),
-        "overwrite")
+      writeGramSlice(cnts(n),
+        IncLog.incPath(s"$dir/grams_$n", batchId, streamId), "overwrite")
     IncLog.commitBatch(spark, dir, batchId,
-      total.head().getLong(0), train.count())
+      total.head().getLong(0), train.count(), streamId)
     true
   }
 
@@ -459,6 +461,11 @@ object Lm {
                      dir: String): Unit = {
     val spark = train.sparkSession
     import spark.implicits._
+    // lifecycles are disjoint (see [[graft.llm.IncLog.requireNoCommits]]):
+    // a plain append's meta rewrite onto an xo-marked index would make
+    // a torn meta look like the bootstrap's own and auto-rebuild away
+    // the appended corpus
+    IncLog.requireNoCommits(spark, dir)
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
@@ -745,6 +752,7 @@ object Lm {
         // f = 1 — silent Long.MinValue sentinel cutoffs would otherwise
         // assign the whole corpus to bucket 1
         while (c == 0 && f > 1) {
+          s.unpersist() // drop the abandoned empty checkpoint's blocks
           f = math.max(1L, f / 2)
           s = thin(f)
           c = s.count()

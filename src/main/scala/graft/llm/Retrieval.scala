@@ -248,6 +248,11 @@ object Retrieval {
                       dir: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // lifecycles are disjoint: a plain append's in-place meta rewrite
+    // onto an index carrying exactly-once markers would make a torn
+    // meta indistinguishable from the xo bootstrap's own (recover
+    // would auto-rebuild and discard this corpus) — refuse loudly
+    IncLog.requireNoCommits(spark, dir)
     // collect the old totals BEFORE overwriting the slice they come from
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldN, oldLen) = (meta0.getLong(0), meta0.getLong(1))
@@ -296,7 +301,8 @@ object Retrieval {
     * discard the corpus). The marker carries ZERO deltas — the
     * build's totals are already in meta. */
   def bm25BuildIndexBatch(docs: DataFrame, textCol: String, idCol: String,
-                          dir: String, batchId: Long): Unit = {
+                          dir: String, batchId: Long,
+                          streamId: String = ""): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
@@ -313,7 +319,7 @@ object Retrieval {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     Seq((docs.count(), totalLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -327,9 +333,10 @@ object Retrieval {
     * skip. Searches fold committed increments with the live
     * generations, so results match a plain append row-for-row. */
   def bm25IndexAppendBatch(docs: DataFrame, textCol: String, idCol: String,
-                           dir: String, batchId: Long): Boolean = {
+                           dir: String, batchId: Long,
+                           streamId: String = ""): Boolean = {
     val spark = docs.sparkSession
-    if (IncLog.isApplied(spark, dir, batchId)) return false
+    if (IncLog.isApplied(spark, dir, batchId, streamId)) return false
     val post = postingsWithLen(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val batchLen = post.agg(sum(col("tf"))).head() match {
@@ -341,14 +348,15 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt")
-      .parquet(IncLog.incPath(s"$dir/postings", batchId))
+      .parquet(IncLog.incPath(s"$dir/postings", batchId, streamId))
     // stats increment ONLY alongside an existing slice — the coverage
     // invariant (see [[writeStats]] / [[bm25IndexAppend]]) must hold
     // over live ∪ increments exactly as it does over generations
     if (GenDir.existsLive(spark, s"$dir/stats"))
-      writeStats(post, IncLog.incPath(s"$dir/stats", batchId), "overwrite")
+      writeStats(post, IncLog.incPath(s"$dir/stats", batchId, streamId),
+        "overwrite")
     post.unpersist()
-    IncLog.commitBatch(spark, dir, batchId, batchLen, docs.count())
+    IncLog.commitBatch(spark, dir, batchId, batchLen, docs.count(), streamId)
     true
   }
 
@@ -774,6 +782,10 @@ object Retrieval {
   def phraseIndexAppend(docs: DataFrame, textCol: String, idCol: String,
                         dir: String): Unit = {
     val spark = docs.sparkSession
+    // keep plain and exactly-once lifecycles disjoint (see
+    // [[bm25IndexAppend]]) — uniform across families even though the
+    // phrase index carries no meta to tear
+    IncLog.requireNoCommits(spark, dir)
     val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -805,7 +817,8 @@ object Retrieval {
     * totals ride the marker — phrase ranking needs no corpus
     * statistics. */
   def phraseBuildIndexBatch(docs: DataFrame, textCol: String, idCol: String,
-                            dir: String, batchId: Long): Unit = {
+                            dir: String, batchId: Long,
+                            streamId: String = ""): Unit = {
     val spark = docs.sparkSession
     GenDir.resetAll(spark, s"$dir/positions", s"$dir/stats")
     IncLog.reset(spark, dir, Seq(s"$dir/positions", s"$dir/stats"))
@@ -813,7 +826,7 @@ object Retrieval {
         "doc_id", textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     writePhraseStats(pos.select(col("term")), s"$dir/stats", "overwrite")
-    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     pos
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
@@ -828,9 +841,10 @@ object Retrieval {
     * a redelivered batch is skipped, so phrase counts never double.
     * Returns false on the redelivery skip. */
   def phraseIndexAppendBatch(docs: DataFrame, textCol: String, idCol: String,
-                             dir: String, batchId: Long): Boolean = {
+                             dir: String, batchId: Long,
+                             streamId: String = ""): Boolean = {
     val spark = docs.sparkSession
-    if (IncLog.isApplied(spark, dir, batchId)) return false
+    if (IncLog.isApplied(spark, dir, batchId, streamId)) return false
     val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -839,12 +853,12 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("term_pt")
-      .parquet(IncLog.incPath(s"$dir/positions", batchId))
+      .parquet(IncLog.incPath(s"$dir/positions", batchId, streamId))
     if (GenDir.existsLive(spark, s"$dir/stats"))
       writePhraseStats(pos.select(col("term")),
-        IncLog.incPath(s"$dir/stats", batchId), "overwrite")
+        IncLog.incPath(s"$dir/stats", batchId, streamId), "overwrite")
     pos.unpersist()
-    IncLog.commitBatch(spark, dir, batchId, 0L, 0L)
+    IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     true
   }
 

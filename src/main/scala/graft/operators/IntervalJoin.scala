@@ -110,10 +110,13 @@ object IntervalJoin {
     val thr = w * longFactor
     val shortL = left.filter(len(lStart, lEnd) <= thr)
     // pin the outlier legs before counting them: the gate's count and
-    // the join legs must see the SAME rows (a non-deterministic input —
-    // rand-filtered, sampled — could otherwise diverge between the two
-    // executions), and the checkpoint also stops the count from
-    // re-running the full upstream lineage a second time for the join
+    // the join see the SAME long rows, and the checkpoint stops the
+    // count from re-running the full upstream lineage a second time.
+    // NOTE this pins only the LONG legs — shortL/shortR still re-scan
+    // the input, so a non-deterministic source (rand-filtered, sampled)
+    // can place a row in both or neither leg across the two scans;
+    // deterministic inputs are a precondition here, as everywhere a
+    // DataFrame is read by more than one job.
     val longL = left.filter(len(lStart, lEnd) > thr).localCheckpoint(true)
     val shortR = right.filter(len(rStart, rEnd) <= thr)
     val longR = right.filter(len(rStart, rEnd) > thr).localCheckpoint(true)

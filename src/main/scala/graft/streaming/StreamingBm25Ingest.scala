@@ -70,14 +70,19 @@ object StreamingBm25Ingest {
     * skipped — its postings never double, tf/df never inflate.
     * `onBatch` receives (batchId, rows, applied); applied=false is the
     * redelivery skip.
-    * ONE INDEX <-> ONE CHECKPOINTED STREAM (see [[graft.llm.IncLog]]):
-    * restarting with a fresh checkpoint restarts batchId at 0 and old
-    * markers would skip the new batches — use a fresh index directory
-    * with a fresh checkpoint. */
+    * RESTARTS: batchId is unique only within one checkpoint lineage, so
+    * pass a `streamId` that changes with the checkpoint (the Delta
+    * `txnAppId` discipline, [[graft.llm.IncLog]]) — markers are scoped
+    * per stream, so a restart under a FRESH checkpoint + fresh streamId
+    * appends correctly instead of colliding with the old lineage's
+    * markers; a restart that KEEPS the checkpoint keeps its streamId
+    * and redelivery is still skipped. The default empty streamId is the
+    * legacy single-lineage contract. */
   def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
                      indexDir: String, compactEvery: Int = 0,
                      onBatch: (Long, Long, Boolean) => Unit =
-                       (_, _, _) => ()): StreamingQuery =
+                       (_, _, _) => (),
+                     streamId: String = ""): StreamingQuery =
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       val batch = spark.createDataFrame(raw.rdd, raw.schema)
@@ -87,10 +92,10 @@ object StreamingBm25Ingest {
         val applied =
           if (Retrieval.bm25IndexRecover(spark, indexDir))
             Retrieval.bm25IndexAppendBatch(batch, textCol, idCol, indexDir,
-              batchId)
+              batchId, streamId)
           else {
             Retrieval.bm25BuildIndexBatch(batch, textCol, idCol, indexDir,
-              batchId)
+              batchId, streamId)
             true
           }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)

@@ -75,7 +75,8 @@ object StreamingLmIngest {
                       indexDir: String, order: Int,
                       compactEvery: Int = 0,
                       onBatch: (Long, Long, Boolean) => Unit =
-                        (_, _, _) => ()): StreamingQuery =
+                        (_, _, _) => (),
+                      streamId: String = ""): StreamingQuery =
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       val batch = spark.createDataFrame(raw.rdd, raw.schema)
@@ -84,10 +85,11 @@ object StreamingLmIngest {
       if (n > 0) {
         val applied =
           if (Lm.lmIndexRecoverK(spark, indexDir))
-            Lm.lmIndexAppendBatchK(batch, textCol, idCol, indexDir, batchId)
+            Lm.lmIndexAppendBatchK(batch, textCol, idCol, indexDir, batchId,
+              streamId)
           else {
             Lm.lmBuildIndexBatchK(batch, textCol, idCol, indexDir, order,
-              batchId)
+              batchId, streamId)
             true
           }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)

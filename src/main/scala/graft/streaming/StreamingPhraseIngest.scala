@@ -63,7 +63,8 @@ object StreamingPhraseIngest {
   def runExactlyOnce(docs: DataFrame, textCol: String, idCol: String,
                      indexDir: String, compactEvery: Int = 0,
                      onBatch: (Long, Long, Boolean) => Unit =
-                       (_, _, _) => ()): StreamingQuery =
+                       (_, _, _) => (),
+                     streamId: String = ""): StreamingQuery =
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       val batch = spark.createDataFrame(raw.rdd, raw.schema)
@@ -73,10 +74,10 @@ object StreamingPhraseIngest {
         val applied =
           if (Retrieval.phraseIndexRecover(spark, indexDir))
             Retrieval.phraseIndexAppendBatch(batch, textCol, idCol, indexDir,
-              batchId)
+              batchId, streamId)
           else {
             Retrieval.phraseBuildIndexBatch(batch, textCol, idCol, indexDir,
-              batchId)
+              batchId, streamId)
             true
           }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)

@@ -128,6 +128,74 @@ class Bm25ExactlyOnceSpec extends SparkSpec {
     assert(e2.getMessage.contains("torn meta"))
   }
 
+  test("stream-scoped markers: a fresh checkpoint lineage appends under " +
+      "its own stream id instead of colliding with old markers") {
+    val dir = freshDir()
+    // lineage A bootstraps and appends (batch ids 0, 1)
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, 0L, "streamA")
+    assert(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L,
+      "streamA"))
+    // a FRESH checkpoint restarts batchId at 0; under a fresh stream id
+    // batch (B, 0) must APPLY even though (A, 0) is committed — the
+    // operations trap the stream scope exists to close
+    assert(Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 0L,
+      "streamB"))
+    val all = adhoc(b0.union(b1).union(b2))
+    assert(search(dir) == all)
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((5L, 24L)))
+    // redelivery detection stays per-stream
+    assert(!Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 0L,
+      "streamB"))
+    assert(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L,
+      "streamA"))
+    assert(search(dir) == all)
+    // compaction folds BOTH lineages; the summary carries per-stream
+    // watermarks and cumulative deltas
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(search(dir) == all)
+    assert(IncLog.foldedSummary(spark, dir) ==
+      IncLog.FoldSummary(Map("streamA" -> 1L, "streamB" -> 0L), 12L, 3L))
+    // markers GC one compaction late; folded redeliveries stay skipped
+    // per stream via the summary watermarks alone
+    Retrieval.bm25IndexCompact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      IncLog.incPath(s"$dir/postings", 1L, "streamA"))))
+    assert(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L,
+      "streamA"))
+    assert(!Retrieval.bm25IndexAppendBatch(b2, "text", "doc_id", dir, 0L,
+      "streamB"))
+    assert(search(dir) == all)
+    // ... while lineage B's NEXT batch keeps flowing
+    val b3 = Seq((8L, "log runs")).toDF("doc_id", "text")
+    assert(Retrieval.bm25IndexAppendBatch(b3, "text", "doc_id", dir, 1L,
+      "streamB"))
+    assert(search(dir) == adhoc(b0.union(b1).union(b2).union(b3)))
+    assert(Retrieval.bm25IndexTotals(spark, dir) == ((6L, 26L)))
+  }
+
+  test("plain append onto an exactly-once index is refused (lifecycles " +
+      "stay disjoint)") {
+    val dir = freshDir()
+    Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexAppend(b1, "text", "doc_id", dir)
+    }
+    assert(e.getMessage.contains("plain append refused"))
+    // still refused after the markers fold into the summary (compact
+    // twice GCs the marker files; the _folded summary remains)
+    assert(Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))
+    Retrieval.bm25IndexCompact(spark, dir)
+    Retrieval.bm25IndexCompact(spark, dir)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexAppend(b2, "text", "doc_id", dir)
+    }
+    // a plain-built index (reset clears _commits) appends freely
+    val plain = freshDir()
+    Retrieval.bm25BuildIndex(b0, "text", "doc_id", plain)
+    Retrieval.bm25IndexAppend(b1, "text", "doc_id", plain)
+    assert(search(plain) == adhoc(b0.union(b1)))
+  }
+
   test("compaction folds exactly once; increments GC one compaction late") {
     val dir = freshDir()
     Retrieval.bm25BuildIndexBatch(b0, "text", "doc_id", dir, batchId = 0L)
@@ -137,7 +205,7 @@ class Bm25ExactlyOnceSpec extends SparkSpec {
     assert(want == adhoc(b0.union(b1).union(b2)))
     Retrieval.bm25IndexCompact(spark, dir)
     assert(search(dir) == want)
-    assert(IncLog.foldedSummary(spark, dir) == ((2L, 12L, 3L)))
+    assert(IncLog.foldedSummary(spark, dir) == IncLog.FoldSummary(Map("" -> 2L), 12L, 3L))
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       IncLog.incPath(s"$dir/postings", 1L))))
     assert(!Retrieval.bm25IndexAppendBatch(b1, "text", "doc_id", dir, 1L))

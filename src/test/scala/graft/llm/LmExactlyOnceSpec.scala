@@ -79,7 +79,7 @@ class LmExactlyOnceSpec extends SparkSpec {
     assert(want == adhoc(b0.union(b1).union(b2)))
     Lm.lmIndexCompactK(spark, dir)
     assert(score(dir) == want)
-    assert(IncLog.foldedSummary(spark, dir) == ((2L, 10L, 4L))) // b1+b2 deltas
+    assert(IncLog.foldedSummary(spark, dir) == IncLog.FoldSummary(Map("" -> 2L), 10L, 4L)) // b1+b2 deltas
     // folded increments survive THIS compaction (a reader mid-scan on
     // the previous generation still needs them) ...
     assert(fs.exists(new org.apache.hadoop.fs.Path(
@@ -145,7 +145,7 @@ class LmExactlyOnceSpec extends SparkSpec {
     // markers still carry the deltas, the generations skip the folded
     // increments — counts and totals must both stay exact
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/_folded"), false)
-    assert(IncLog.foldedSummary(spark, dir) == ((-1L, 0L, 0L)))
+    assert(IncLog.foldedSummary(spark, dir) == IncLog.FoldSummary(Map.empty, 0L, 0L))
     assert(score(dir) == want)
     assert(Lm.lmIndexTotalsK(spark, dir) == ((8L, 3L)))
     // and the re-run compaction (recovery) converges

@@ -86,4 +86,37 @@ class StreamingBm25IngestSpec extends SparkSpec {
     assert(Retrieval.bm25IndexTotals(spark, idx) ==
       ((corpus.length.toLong, 27L)))
   }
+
+  test("fresh-checkpoint restart under a fresh stream id keeps appending " +
+      "(stream-scoped markers close the batchId collision trap)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-sbi-sid-")
+      .toString + "/index"
+    val (half1, half2) = corpus.splitAt(4)
+    def drain(docs: Seq[(Long, String)], streamId: String): Unit = {
+      // each runForeachBatch call takes a FRESH checkpoint, so every
+      // lineage here restarts batchId at 0 — exactly the restart shape
+      // the stream id exists to disambiguate
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft-sbi-sid-src-").toString
+      docs.grouped(2).foreach(b => b.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir))
+      val schema = spark.read.parquet(srcDir).schema
+      val src = Streams.fileSource(spark, srcDir, schema,
+        maxFilesPerTrigger = Some(1))
+      StreamingBm25Ingest.runExactlyOnce(src, "text", "doc_id", idx,
+        streamId = streamId)
+    }
+    drain(half1, "lineage-a") // bootstraps; batch ids 0, 1
+    drain(half2, "lineage-b") // fresh lineage, batch id 0 again — applies
+    assert(rows(Retrieval.bm25SearchIndex(queries, idx, k = 10)) ==
+      rows(Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), queries,
+        k = 10)))
+    assert(Retrieval.bm25IndexTotals(spark, idx) ==
+      ((corpus.length.toLong, 27L)))
+    // the trap itself, pinned: replaying a lineage REUSES its stream id
+    // (the checkpoint-kept restart), and every batch is skipped
+    drain(half2, "lineage-b")
+    assert(Retrieval.bm25IndexTotals(spark, idx) ==
+      ((corpus.length.toLong, 27L)))
+  }
 }
