@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
-import graft.llm.{Bpe, Dedup, Lm, Multimodal, Retrieval, Sampling, Similarity}
+import graft.llm.{Bpe, Dedup, Extract, Lm, Multimodal, Retrieval, Sampling, Similarity}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -25,6 +25,20 @@ object QueriesLlm {
     * identically on BOTH engines, which is why [[withShiftedDup]]
     * enforces the invariant at runtime instead of trusting the comment. */
   private val DupIdOffset = 100000L
+
+  /** HTML page fragments for the llm_extract_text fixture — shared by
+    * the Spark builder and the oracle SQL so the synthesized input
+    * cannot drift (no single quotes: the fragments embed verbatim in
+    * SQL literals). */
+  private val HtmlFragA = "<html><head><title>Doc "
+  private val HtmlFragB = "</title><style>h1 { font-weight: bold }" +
+    "</style></head><body><script type=\"text/javascript\">" +
+    "var x = 1 < 2 && 3 > 0;</script>" +
+    "<!-- note <p>commented markup</p> --><h1>Header "
+  private val HtmlFragC = "</h1><p class=\"lead\">"
+  private val HtmlFragD = "</p><ul><li>alpha &amp; beta</li>" +
+    "<li>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</li>" +
+    "<li>&amp;lt;double&amp;gt;</li></ul><div>tail</div></body></html>"
 
   /** The corpus unioned with a full exact copy shifted by DupIdOffset,
     * with the no-collision invariant checked loudly. */
@@ -1580,6 +1594,39 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text
         FROM kept k JOIN toks t ON t.doc_id = k.doc_id
         GROUP BY k.doc_id, t.tk""")),
+
+    // HTML -> text extraction (the raw-crawl front door, llm.Extract):
+    // each document is wrapped into a deterministic HTML page — title,
+    // style block, script with raw </>/&& operators, a commented-out
+    // tag, entity-laden list items including a DOUBLE-escaped
+    // "&amp;lt;" (must decode exactly one level) — then extracted back.
+    // The oracle rebuilds the identical page and runs the chain via
+    // Extract.extractTextSql, generated from the SAME pattern
+    // constants so the engines cannot drift. Whole pass is codegen
+    // regexp_replace; mainContent is the line-density boilerplate cut.
+    QueryDef("llm_extract_text",
+      (s, dir) => {
+        val html = concat(lit(HtmlFragA), col("doc_id"), lit(HtmlFragB),
+          col("doc_id"), lit(HtmlFragC), col("text"), lit(HtmlFragD))
+        t(s, dir, "documents")
+          .select(col("doc_id"), Extract.extractText(html).as("x"))
+          .select(col("doc_id"), col("x").as("extracted"),
+            length(col("x")).as("n_chars"),
+            size(split(col("x"), "\n")).as("n_lines"),
+            Extract.mainContent(col("x"), 8).as("main_text"))
+      },
+      Some {
+        val x = Extract.extractTextSql("html")
+        s"""WITH h AS (SELECT doc_id,
+            '$HtmlFragA' || doc_id || '$HtmlFragB' || doc_id ||
+            '$HtmlFragC' || text || '$HtmlFragD' AS html FROM documents),
+          e AS (SELECT doc_id, $x AS x FROM h)
+          SELECT doc_id, x AS extracted,
+            CAST(length(x) AS INT) AS n_chars,
+            CAST(len(string_split(x, chr(10))) AS INT) AS n_lines,
+            ${Extract.mainContentSql("x", 8)} AS main_text
+          FROM e"""
+      }),
 
     // sparse lexical retrieval (BM25-shaped, integer-exact — see
     // llm.Retrieval scaladoc): queries are the first-5-token prefixes of

@@ -108,6 +108,8 @@ object ParamSchema {
       "k" -> PLong, "rank_name" -> PString),
     "core.upsert" -> Map("base" -> PString, "keys" -> PStringList,
       "version" -> PString, "delete_flag" -> PString),
+    "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
+      "min_line_chars" -> PLong),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,

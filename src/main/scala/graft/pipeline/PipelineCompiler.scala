@@ -164,6 +164,13 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case "core.receiver" =>
       val path = p(a, "path").getOrElse(sys.error(s"${a.name}: receiver needs path"))
       val format = p(a, "format").getOrElse("parquet")
+      // WARC/WET crawl containers resolve through the streaming
+      // per-file kernel, not a DataSource format — the raw-crawl front
+      // door (records) or the assembled documents frame
+      if (format == "warc")
+        return graft.sources.Warc.documents(spark, path)
+      if (format == "warc_records")
+        return graft.sources.Warc.records(spark, path)
       // listed ts columns are normalized schema-adaptively: parquet
       // TIMESTAMP(NANOS) reads as a long (truncated to micros), standard
       // TIMESTAMP/NTZ passes through — fixture encodings vary by generation
@@ -310,6 +317,20 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         keys, p(a, "version").getOrElse("version"), p(a, "delete_flag"))
 
     // ---- LLM-curation actors (flowspark extension namespace) ----------
+    // HTML -> text extraction (params: column, text_column,
+    // min_line_chars: optional line-density boilerplate cut). The
+    // codegen regexp chain of llm.Extract; pairs with the warc
+    // receiver format for a raw-crawl-to-curation pipeline.
+    case "llm.extract" =>
+      val c = p(a, "column").getOrElse("html")
+      val out = p(a, "text_column").getOrElse("text")
+      val extracted = graft.llm.Extract.extractText(col(c))
+      val cleaned = p(a, "min_line_chars").map(_.toInt) match {
+        case Some(n) => graft.llm.Extract.mainContent(extracted, n)
+        case None    => extracted
+      }
+      inputOf(a.name).withColumn(out, cleaned)
+
     // quality gate: score text, keep rows >= min_quality
     // (params: column, min_quality, score_column)
     case "llm.quality_filter" =>

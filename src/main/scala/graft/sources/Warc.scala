@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET container front door (ISO 28500): the raw-crawl reader a
+  * pretraining pipeline starts from — CommonCrawl ships crawl data as
+  * WARC (response records carrying HTTP payloads) and WET (conversion
+  * records carrying pre-extracted text), and this source turns either
+  * into a DataFrame that feeds [[graft.llm.Extract]] and the curation
+  * operators directly.
+  *
+  * Spark-first scale design: the container is parsed by a STREAMING
+  * per-file kernel over `sparkContext.binaryFiles` — each task opens
+  * its file as an `InputStream` (gzip-decoded on the fly, including
+  * the per-record multi-member gzip CommonCrawl uses: JDK
+  * `GZIPInputStream` concatenates members) and emits records from an
+  * iterator, so a 1 GB WARC file never materializes in memory; peak
+  * per-task footprint is one record body, itself capped by
+  * `maxBodyBytes` (oversized bodies are truncated and flagged, never
+  * buffered whole). Files are the parallelism unit — exactly how a
+  * 1000-executor cluster consumes a 100 TB crawl of ~100k segment
+  * files; record splitting cannot be parallelized WITHIN a gzip
+  * member, so per-file sequential scan is the correct (and standard)
+  * kernel shape, the [[graft.llm.Multimodal]] `parseMp4` discipline
+  * applied to a length-framed text container.
+  *
+  * Record grammar (ISO 28500 §4): a version line `WARC/1.x`, header
+  * lines `Name: value` to an empty line, `Content-Length` octets of
+  * body, then two CRLFs. Malformed tails fail LOUDLY (a corrupt
+  * segment should surface, not silently truncate the corpus); the
+  * parser tolerates the benign variations real crawls contain (LF
+  * line ends, header continuation lines, trailing garbage-free EOF).
+  */
+object Warc {
+
+  /** One WARC record. `body` is the raw record block (for `response`
+    * records: HTTP headers + payload; for WET `conversion` records:
+    * the extracted text), truncated at `maxBodyBytes` with
+    * `truncated` set. */
+  case class WarcRecord(
+      file: String,
+      rec_index: Long,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      content_type: String,
+      content_length: Long,
+      truncated: Boolean,
+      body: Array[Byte])
+
+  /** Read every record of every file matching `path` (glob ok; `.gz`
+    * decoded transparently). One task per file (or per
+    * `minPartitions` hint when files outnumber cores). */
+  def records(spark: SparkSession, path: String,
+              maxBodyBytes: Int = 16 << 20,
+              minPartitions: Int = 0): DataFrame = {
+    val mp =
+      if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (name, pds) =>
+        val raw = pds.open()
+        val in = new BufferedInputStream(
+          if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          else raw, 1 << 16)
+        recordIterator(name, in, maxBodyBytes)
+      }
+    spark.createDataFrame(rows)
+  }
+
+  /** The streaming per-file kernel: parse records off `in` lazily,
+    * closing the stream at EOF. Package-visible for direct spec
+    * coverage without a Spark job. */
+  private[graft] def recordIterator(file: String, in: InputStream,
+                                    maxBodyBytes: Int)
+      : Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var nextRec: WarcRecord = _
+    private var done = false
+    private var idx = 0L
+
+    /** One header/version line, CRLF or LF terminated, ISO-8859-1
+      * (ISO 28500 headers are ASCII; 8859-1 is the lossless superset).
+      * None at EOF. */
+    private def readLine(): Option[String] = {
+      val sb = new java.lang.StringBuilder(64)
+      var c = in.read()
+      if (c < 0) return None
+      while (c >= 0 && c != '\n') {
+        sb.append(c.toChar)
+        c = in.read()
+      }
+      val s = sb.toString
+      Some(if (s.endsWith("\r")) s.substring(0, s.length - 1) else s)
+    }
+
+    private def readFully(buf: Array[Byte], n: Int): Unit = {
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException(
+          s"$file: record $idx body truncated at $off of $n bytes")
+        off += r
+      }
+    }
+
+    private def skipFully(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val r = in.skip(left)
+        if (r > 0) left -= r
+        else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
+        else throw new EOFException(
+          s"$file: record $idx body truncated (skipping $left of $n bytes)")
+      }
+    }
+
+    private def advance(): Unit = {
+      if (done) return
+      // skip inter-record blank lines (the two CRLFs after each body)
+      var line = readLine()
+      while (line.exists(_.isEmpty)) line = readLine()
+      line match {
+        case None =>
+          done = true
+          in.close()
+        case Some(version) =>
+          if (!version.startsWith("WARC/"))
+            throw new IllegalStateException(
+              s"$file: expected WARC version line at record $idx, got: " +
+                version.take(80))
+          // headers to the empty line; continuation lines (leading
+          // whitespace) fold into the previous value per the spec
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var lastKey: String = null
+          var h = readLine().getOrElse(throw new EOFException(
+            s"$file: EOF inside record $idx headers"))
+          while (h.nonEmpty) {
+            if ((h.head == ' ' || h.head == '\t') && lastKey != null)
+              headers(lastKey) = headers(lastKey) + " " + h.trim
+            else {
+              val i = h.indexOf(':')
+              if (i > 0) {
+                lastKey = h.substring(0, i).trim.toLowerCase
+                headers(lastKey) = h.substring(i + 1).trim
+              }
+            }
+            h = readLine().getOrElse(throw new EOFException(
+              s"$file: EOF inside record $idx headers"))
+          }
+          val len = headers.get("content-length").map(_.toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"$file: record $idx has no Content-Length"))
+          val keep = math.min(len, maxBodyBytes.toLong).toInt
+          val body = new Array[Byte](keep)
+          readFully(body, keep)
+          skipFully(len - keep)
+          nextRec = WarcRecord(
+            file, idx,
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-record-id", ""),
+            headers.getOrElse("warc-target-uri", ""),
+            headers.getOrElse("content-type", ""),
+            len, len > keep, body)
+          idx += 1
+      }
+    }
+
+    advance()
+
+    override def hasNext: Boolean = !done
+    override def next(): WarcRecord = {
+      if (done) throw new NoSuchElementException
+      val r = nextRec
+      advance()
+      r
+    }
+  }
+
+  /** UTF-8 text of a record body column. */
+  def bodyText(body: Column): Column = decode(body, "UTF-8")
+
+  /** HTTP payload of a `response` record's body text: everything
+    * after the first blank line (status line + headers precede it).
+    * Bodies with no header block (WET conversion records, raw
+    * resources) pass through whole. Codegen expression — no UDF. */
+  def httpPayload(bodyText: Column): Column =
+    regexp_replace(bodyText, "(?s)\\A(?:HTTP/[0-9.]+ .*?\\r?\\n\\r?\\n)", "")
+
+  /** The assembled front door: WARC/WET files → one row per document
+    * with `doc_id` (record id), `url`, and `text` — HTML responses
+    * run through [[graft.llm.Extract.extractText]], WET conversion
+    * records pass their pre-extracted text straight through. This
+    * output is schema-compatible with the `documents` table the whole
+    * curation surface operates on. */
+  def documents(spark: SparkSession, path: String,
+                maxBodyBytes: Int = 16 << 20): DataFrame = {
+    val recs = records(spark, path, maxBodyBytes)
+    val txt = bodyText(col("body"))
+    recs
+      .filter(col("warc_type").isin("response", "conversion"))
+      .select(
+        col("record_id").as("doc_id"),
+        col("target_uri").as("url"),
+        when(col("warc_type") === "response",
+          graft.llm.Extract.extractText(httpPayload(txt)))
+          .otherwise(txt).as("text"))
+  }
+}

@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Extract
+
+/** WARC/WET container front door: record framing (plain + the
+  * multi-member gzip CommonCrawl ships), body truncation, loud
+  * malformed-tail failures, and the documents() assembly feeding the
+  * curation surface (HTML extraction on responses, pass-through on
+  * WET conversion records). */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val html =
+    """<html><head><title>Title</title><style>p { color: red; }</style>
+      |</head><body><h1>Heading</h1>
+      |<script type="text/javascript">var x = 1 < 2; // <p>not text</p>
+      |</script><!-- hidden <div>comment markup</div> -->
+      |<p>First &amp; second &lt;escaped&gt; &quot;quoted&quot;&nbsp;and &amp;lt;double&amp;gt;.</p>
+      |<div>Block two</div><ul><li>item one</li><li>item two</li></ul>
+      |</body></html>""".stripMargin
+
+  private def record(warcType: String, uri: String, body: Array[Byte],
+                     contentType: String = "text/plain",
+                     eol: String = "\r\n"): Array[Byte] = {
+    // plain concatenation: triple-quoted strings leave \r as two chars
+    val headers = Seq(
+      "WARC/1.0",
+      s"WARC-Type: $warcType",
+      s"WARC-Record-ID: <urn:uuid:$warcType-${uri.hashCode.toHexString}>",
+      s"WARC-Target-URI: $uri",
+      s"Content-Type: $contentType",
+      s"Content-Length: ${body.length}",
+      "", "").mkString(eol)
+    headers.getBytes(UTF_8) ++ body ++ (eol + eol).getBytes(UTF_8)
+  }
+
+  private def httpResponse(payload: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${payload.getBytes(UTF_8).length}\r\n\r\n" + payload)
+      .getBytes(UTF_8)
+
+  private def warcinfo = record("warcinfo", "",
+    "software: graft-test\r\n".getBytes(UTF_8),
+    "application/warc-fields")
+
+  private def sampleWarc: Array[Byte] =
+    warcinfo ++
+      record("response", "http://example.com/a", httpResponse(html),
+        "application/http; msgtype=response") ++
+      record("conversion", "http://example.com/b",
+        "Pre-extracted text.\nSecond line of it.".getBytes(UTF_8)) ++
+      record("response", "http://example.com/c",
+        httpResponse("<p>tiny</p>"), "application/http; msgtype=response")
+
+  private def gzipMembers(parts: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.foreach { p =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(p); gz.finish(); gz.close()
+    }
+    bos.toByteArray
+  }
+
+  private def tmpFile(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("graft-warc-")
+    val p = dir.resolve(name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  test("record iterator frames plain WARC records with exact bodies") {
+    val recs = Warc.recordIterator("f",
+      new ByteArrayInputStream(sampleWarc), 16 << 20).toSeq
+    assert(recs.map(_.warc_type) ==
+      Seq("warcinfo", "response", "conversion", "response"))
+    assert(recs.map(_.rec_index) == Seq(0L, 1L, 2L, 3L))
+    assert(recs(1).target_uri == "http://example.com/a")
+    assert(recs(1).content_length == httpResponse(html).length)
+    assert(new String(recs(2).body, UTF_8) ==
+      "Pre-extracted text.\nSecond line of it.")
+    assert(recs.forall(!_.truncated))
+    // LF-only HEADER line endings (tolerated variation) frame
+    // identically — bodies unchanged so Content-Length stays truthful
+    val lf = record("warcinfo", "", "software: graft-test\r\n".getBytes(UTF_8),
+      "application/warc-fields", eol = "\n") ++
+      record("conversion", "http://example.com/b",
+        "Pre-extracted text.".getBytes(UTF_8), eol = "\n")
+    val lfRecs = Warc.recordIterator("f",
+      new ByteArrayInputStream(lf), 16 << 20).toSeq
+    assert(lfRecs.map(_.warc_type) == Seq("warcinfo", "conversion"))
+    assert(new String(lfRecs(1).body, UTF_8) == "Pre-extracted text.")
+  }
+
+  test("oversized bodies truncate at maxBodyBytes and flag it; framing " +
+      "of later records survives") {
+    val recs = Warc.recordIterator("f",
+      new ByteArrayInputStream(sampleWarc), 64).toSeq
+    assert(recs.size == 4)
+    val big = recs(1)
+    assert(big.truncated && big.body.length == 64 &&
+      big.content_length > 64)
+    assert(recs(3).warc_type == "response") // framing intact after skip
+  }
+
+  test("malformed containers fail loudly, not silently") {
+    val noVersion = "NOT-WARC/1.0\r\n\r\n".getBytes(UTF_8)
+    intercept[IllegalStateException] {
+      Warc.recordIterator("f", new ByteArrayInputStream(noVersion),
+        1 << 20).toSeq
+    }
+    val cut = sampleWarc.take(sampleWarc.length - 40) // body cut mid-record
+    intercept[java.io.EOFException] {
+      Warc.recordIterator("f", new ByteArrayInputStream(cut), 1 << 20).toSeq
+    }
+  }
+
+  test("records() reads plain and multi-member-gzip files identically") {
+    val plain = tmpFile("crawl.warc", sampleWarc)
+    val gz = tmpFile("crawl.warc.gz", gzipMembers(
+      warcinfo,
+      record("response", "http://example.com/a", httpResponse(html),
+        "application/http; msgtype=response"),
+      record("conversion", "http://example.com/b",
+        "Pre-extracted text.\nSecond line of it.".getBytes(UTF_8)),
+      record("response", "http://example.com/c",
+        httpResponse("<p>tiny</p>"), "application/http; msgtype=response")))
+    def shape(path: String) = Warc.records(spark, path)
+      .select($"rec_index", $"warc_type", $"target_uri", $"content_length")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val a = shape(plain)
+    assert(a.map(_._2) == Seq("warcinfo", "response", "conversion", "response"))
+    assert(shape(gz) == a)
+  }
+
+  test("YAML pipeline: warc receiver -> quality gate -> memory sink " +
+      "(the raw-crawl front door composes with the curation actors)") {
+    val path = tmpFile("crawl.warc", sampleWarc)
+    val yaml =
+      s"""actors:
+        |  crawl: {module: core.receiver, params: {path: "$path", format: warc}}
+        |  gate:  {module: llm.quality_filter, params: {column: text, min_quality: 0.0}}
+        |  docs:  {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  crawl: {connect: [gate]}
+        |  gate:  {connect: [docs]}
+        |""".stripMargin
+    val cfg = graft.pipeline.PipelineConfig.parse(yaml)
+    val counts = new graft.pipeline.PipelineCompiler(spark, cfg).runBatch()
+    assert(counts("docs") == 3L)
+    val out = spark.table("docs")
+    assert(out.columns.toSet == Set("doc_id", "url", "text", "quality"))
+    assert(out.filter($"url" === "http://example.com/a")
+      .select($"text").as[String].head().contains("First & second"))
+    // llm.extract actor: same chain over an html column mid-pipeline
+    val htmlIn =
+      Files.createTempDirectory("graft-warc-html-").toString + "/in"
+    Seq((1L, html)).toDF("id", "page").write.parquet(htmlIn)
+    val yaml2 =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$htmlIn"}}
+        |  ex:  {module: llm.extract, params: {column: page, text_column: text, min_line_chars: 8}}
+        |  out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [ex]}
+        |  ex:  {connect: [out]}
+        |""".stripMargin
+    val cfg2 = graft.pipeline.PipelineConfig.parse(yaml2)
+    new graft.pipeline.PipelineCompiler(spark, cfg2).runBatch()
+    val txt = spark.table("out").select($"text").as[String].head()
+    assert(txt.contains("First & second") && !txt.contains("var x"))
+    assert(txt.split("\n").forall(_.length >= 8))
+  }
+
+  test("documents(): HTML responses extract, WET conversions pass " +
+      "through, and the frame feeds the curation surface") {
+    val path = tmpFile("crawl.warc", sampleWarc)
+    val docs = Warc.documents(spark, path).orderBy($"url")
+      .select($"url", $"text").as[(String, String)].collect().toSeq
+    assert(docs.map(_._1) == Seq("http://example.com/a",
+      "http://example.com/b", "http://example.com/c"))
+    val extracted = docs.head._2
+    // structure: title/heading/paragraph lines, script+style+comment gone
+    assert(extracted.startsWith("Title\nHeading\n"))
+    assert(!extracted.contains("var x") && !extracted.contains("color") &&
+      !extracted.contains("comment markup"))
+    // entities: one decode pass only (&amp;lt; -> &lt;, never <)
+    assert(extracted.contains(
+      "First & second <escaped> \"quoted\" and &lt;double&gt;."))
+    assert(extracted.contains("item one\nitem two"))
+    assert(docs(1)._2 == "Pre-extracted text.\nSecond line of it.")
+    assert(docs(2)._2 == "tiny")
+    // boilerplate heuristic drops the short nav-like lines
+    val main = Warc.documents(spark, path)
+      .select(Extract.mainContent($"text", 20).as("m"))
+      .as[String].collect()
+    assert(main.exists(_.contains("First & second")))
+    assert(!main.exists(_.split("\n").exists(l => l.nonEmpty && l.length < 20)))
+    // composes with the existing curation actors end-to-end
+    val gated = Warc.documents(spark, path)
+      .withColumn("q", graft.functions.TextFunctions.qualityScore($"text"))
+    assert(gated.count() == 3 && gated.schema("q").dataType.typeName == "double")
+  }
+}
