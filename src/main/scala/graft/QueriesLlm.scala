@@ -208,6 +208,97 @@ pairs AS (SELECT q.vec_id, c.vec_id AS neighbor_id, CAST(SUM(q.micro) AS BIGINT)
   FROM qtab q JOIN codes c ON q.s = c.s AND q.cell = c.code
   WHERE q.vec_id <> c.vec_id GROUP BY 1, 2)"""
 
+  /** Residual-IVFADC oracle tail (appended to [[pqOracleCommon]], whose
+    * raw/samp/hm/c0/subs CTEs it reuses; the raw-PQ cb/codes/qtab CTEs
+    * go unreferenced and DuckDB prunes them): the coarse quantizer's 2
+    * Lloyd blocks over full 64-dim vectors (ga/gm/gc), per-vector
+    * residuals against the final centroids (one subtraction CTE —
+    * rsv), the PQ Lloyd blocks re-run on residual subspace slices
+    * (rcb0..rcb2), residual codes, and PER-PROBED-CELL query tables
+    * (rqtab keyed by (vec_id, pcell)) — mirroring
+    * Similarity.ivfPqKnn's residual=true path exactly. */
+  private val ivfPqResidualTail = """,
+ga1 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.e[i]) * (s.e[i] - c.e[i]))), c.cell) AS rn
+    FROM samp s, c0 c) z WHERE rn = 1),
+gm1 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ga1 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
+  GROUP BY a.cell, d.dim),
+gc1 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.e) AS c
+  FROM c0 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm1 GROUP BY cell) lm
+    USING (cell)),
+ga2 AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc1 c) z WHERE rn = 1),
+gm2 AS (SELECT a.cell, d.dim,
+    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ga2 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
+  GROUP BY a.cell, d.dim),
+gc2 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
+  FROM gc1 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm2 GROUP BY cell) lm
+    USING (cell)),
+gprobe AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc2 c) z WHERE rn <= 2),
+gassign AS MATERIALIZED (SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
+    FROM samp s, gc2 c) z WHERE rn = 1),
+rsv AS MATERIALIZED (SELECT s.vec_id, sub.s,
+    list_transform(range(1, 17), i -> s.e[sub.s * 16 + i] - c.c[sub.s * 16 + i]) AS v
+  FROM samp s JOIN gassign a USING (vec_id) JOIN gc2 c ON c.cell = a.cell, subs sub),
+rseed AS (SELECT vec_id, row_number() OVER (ORDER BY m, vec_id) - 1 AS scell
+  FROM hm ORDER BY m, vec_id LIMIT 8),
+rcb0 AS MATERIALIZED (SELECT v.s, sd.scell AS cell, v.v AS c
+  FROM rseed sd JOIN rsv v USING (vec_id)),
+ra1 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM rsv v JOIN rcb0 cb ON v.s = cb.s) z WHERE rn = 1),
+rm1 AS (SELECT a.s, a.cell, d.dim,
+    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ra1 a JOIN rsv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
+  GROUP BY a.s, a.cell, d.dim),
+rcb1 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
+  FROM rcb0 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM rm1 GROUP BY s, cell) lm
+    ON p.s = lm.s AND p.cell = lm.cell),
+ra2 AS MATERIALIZED (SELECT vec_id, s, cell FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM rsv v JOIN rcb1 cb ON v.s = cb.s) z WHERE rn = 1),
+rm2 AS (SELECT a.s, a.cell, d.dim,
+    round(CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ra2 a JOIN rsv v ON a.vec_id = v.vec_id AND a.s = v.s, dims d
+  GROUP BY a.s, a.cell, d.dim),
+rcb2 AS MATERIALIZED (SELECT p.s, p.cell, coalesce(lm.c, p.c) AS c
+  FROM rcb1 p LEFT JOIN (SELECT s, cell, list(m ORDER BY dim) AS c FROM rm2 GROUP BY s, cell) lm
+    ON p.s = lm.s AND p.cell = lm.cell),
+rcodes AS MATERIALIZED (SELECT vec_id, s, cell AS code FROM (
+    SELECT v.vec_id, v.s, cb.cell,
+      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))), cb.cell) AS rn
+    FROM rsv v JOIN rcb2 cb ON v.s = cb.s) z WHERE rn = 1),
+rqsv AS MATERIALIZED (SELECT p.vec_id, p.cell AS pcell, sub.s,
+    list_transform(range(1, 17), i -> q.e[sub.s * 16 + i] - c.c[sub.s * 16 + i]) AS v
+  FROM gprobe p JOIN samp q USING (vec_id) JOIN gc2 c ON c.cell = p.cell, subs sub),
+rqtab AS MATERIALIZED (SELECT v.vec_id, v.pcell, v.s, cb.cell AS code,
+    CAST(round(list_sum(list_transform(range(1, 17), i -> (v.v[i] - cb.c[i]) * (v.v[i] - cb.c[i]))) * 1000000, 0) AS BIGINT) AS micro
+  FROM rqsv v JOIN rcb2 cb ON v.s = cb.s),
+gcand AS (SELECT p.vec_id, p.cell, a.vec_id AS neighbor_id
+  FROM gprobe p JOIN gassign a USING (cell) WHERE p.vec_id <> a.vec_id),
+ivpairs AS (SELECT cd.vec_id, cd.neighbor_id, CAST(SUM(t.micro) AS BIGINT) AS adc_dist
+  FROM gcand cd
+  JOIN rcodes c ON c.vec_id = cd.neighbor_id
+  JOIN rqtab t ON t.vec_id = cd.vec_id AND t.pcell = cd.cell
+    AND t.s = c.s AND t.code = c.code
+  GROUP BY 1, 2)"""
+
   /** Merge count for llm_bpe_encode: each merge is one unrolled CTE
     * pair in the DuckDB oracle, so the count stays small. */
   private val BpeMerges = 8
@@ -710,11 +801,16 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
   FROM rer) r WHERE knn_rank <= 3""")),
 
     // IVFADC — coarse cells prune candidates, PQ codes compress scoring
-    // (the configuration production ANN runs at 100 TB). Oracle extends
-    // the shared PQ derivation: the coarse quantizer is the SAME mix64
-    // seed pick trained over full 64-dim normalized vectors (2 Lloyd
-    // blocks), queries keep their nprobe=2 nearest cells, and only
-    // same-cell pairs get the integer-micro ADC sum — bit-exact.
+    // (the configuration production ANN runs at 100 TB), in the
+    // RESIDUAL form of Jégou §IV: PQ codebooks train on and quantize
+    // r = x − centroid(cell(x)), and each query's ADC table is computed
+    // per probed cell from rq = q − centroid(cell). Oracle extends the
+    // shared derivation: the coarse quantizer is the SAME mix64 seed
+    // pick trained over full 64-dim normalized vectors (2 Lloyd
+    // blocks), residuals are one subtraction CTE over the final coarse
+    // centroids, the PQ Lloyd blocks re-run on residual subspace
+    // slices, and only same-cell pairs get the integer-micro ADC sum
+    // against their probe cell's table — bit-exact.
     QueryDef("llm_ann_ivfpq",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -722,44 +818,7 @@ SELECT vec_id, neighbor_id, cos_sim, knn_rank FROM (
           m = 4, ksub = 8, iters = 2)
           .withColumnRenamed("rank", "knn_rank")
       },
-      Some(pqOracleCommon + """,
-ga1 AS MATERIALIZED (SELECT vec_id, cell FROM (
-    SELECT s.vec_id, c.cell,
-      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.e[i]) * (s.e[i] - c.e[i]))), c.cell) AS rn
-    FROM samp s, c0 c) z WHERE rn = 1),
-gm1 AS (SELECT a.cell, d.dim,
-    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
-  FROM ga1 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
-  GROUP BY a.cell, d.dim),
-gc1 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.e) AS c
-  FROM c0 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm1 GROUP BY cell) lm
-    USING (cell)),
-ga2 AS MATERIALIZED (SELECT vec_id, cell FROM (
-    SELECT s.vec_id, c.cell,
-      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
-    FROM samp s, gc1 c) z WHERE rn = 1),
-gm2 AS (SELECT a.cell, d.dim,
-    round(CAST(SUM(CAST(s.e[d.dim] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS m
-  FROM ga2 a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65))::INT AS dim) d
-  GROUP BY a.cell, d.dim),
-gc2 AS MATERIALIZED (SELECT p.cell, coalesce(lm.c, p.c) AS c
-  FROM gc1 p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c FROM gm2 GROUP BY cell) lm
-    USING (cell)),
-gprobe AS MATERIALIZED (SELECT vec_id, cell FROM (
-    SELECT s.vec_id, c.cell,
-      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
-    FROM samp s, gc2 c) z WHERE rn <= 2),
-gassign AS MATERIALIZED (SELECT vec_id, cell FROM (
-    SELECT s.vec_id, c.cell,
-      row_number() OVER (PARTITION BY s.vec_id ORDER BY list_sum(list_transform(range(1, 65), i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))), c.cell) AS rn
-    FROM samp s, gc2 c) z WHERE rn = 1),
-gcand AS (SELECT p.vec_id, a.vec_id AS neighbor_id
-  FROM gprobe p JOIN gassign a USING (cell) WHERE p.vec_id <> a.vec_id),
-ivpairs AS (SELECT cd.vec_id, cd.neighbor_id, CAST(SUM(q.micro) AS BIGINT) AS adc_dist
-  FROM gcand cd
-  JOIN codes c ON c.vec_id = cd.neighbor_id
-  JOIN qtab q ON q.vec_id = cd.vec_id AND q.s = c.s AND q.cell = c.code
-  GROUP BY 1, 2)
+      Some(pqOracleCommon + ivfPqResidualTail + """
 SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
   SELECT vec_id, neighbor_id, adc_dist,
     row_number() OVER (PARTITION BY vec_id ORDER BY adc_dist, neighbor_id) AS knn_rank

@@ -863,14 +863,43 @@ object Similarity {
     * can re-derive iteration K's codebooks exactly. Returns `m` flat
     * codebooks, each `ksub * dsub` doubles (cell j at offset j*dsub). */
   private[llm] def pqTrainCodebooks(emb: DataFrame, m: Int, ksub: Int,
-                                    iters: Int, maxTrain: Int): Array[Array[Double]] = {
+                                    iters: Int, maxTrain: Int): Array[Array[Double]] =
+    pqTrainCodebooksOn(pqSampleNormalized(emb, maxTrain), m, ksub, iters)
+
+  /** The bounded, deterministic training sample shared by the coarse
+    * and PQ trainers: sort+limit (TakeOrderedAndProject — never a full
+    * collect), unit-normalized. */
+  private[llm] def pqSampleNormalized(emb: DataFrame,
+                                      maxTrain: Int): Array[(Long, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample = withNorm(emb, "vec_id", "embedding", "nrm")
+    withNorm(emb, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding"))
       .sort(col("vec_id")).limit(maxTrain)
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
       .map { case (id, v) => (id, pqNormalize(v.toArray)) }
+  }
+
+  /** Residual of one training/encode vector against its nearest coarse
+    * cell: r = v − centroid(cell) (Jégou et al. 2011 §IV — PQ codes
+    * quantize the residual, whose energy is a fraction of the raw
+    * vector's, so the same m·ksub budget spends its resolution near
+    * the data instead of on the sphere). */
+  @inline private def coarseResidual(v: Array[Double],
+                                     coarse: Array[Double]): Array[Double] = {
+    val d = v.length
+    val cell = pqNearest(v, 0, d, coarse)
+    val r = new Array[Double](d)
+    var i = 0
+    while (i < d) { r(i) = v(i) - coarse(cell * d + i); i += 1 }
+    r
+  }
+
+  /** Lloyd core of [[pqTrainCodebooks]] over an explicit sample —
+    * residual IVFADC trains on residual vectors through this entry. */
+  private[llm] def pqTrainCodebooksOn(sample: Array[(Long, Array[Double])],
+                                      m: Int, ksub: Int,
+                                      iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "pqTrain: empty corpus")
     val d = sample.head._2.length
     require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m subspaces")
@@ -1167,6 +1196,15 @@ object Similarity {
     * the exact-cosine refine of [[pqKnnRerank]] over the ADC cut (output
     * schema then matches [[bruteKnn]]).
     *
+    * RESIDUAL ENCODING (default, Jégou §IV's actual form): PQ
+    * codebooks train on and quantize r = x − centroid(cell(x)) rather
+    * than x itself — residual energy is a fraction of the raw
+    * vector's, so the same m·ksub code budget resolves finer
+    * structure; query ADC tables are computed per probed cell from
+    * rq = q − centroid(cell). PqResidualSpec pins recall(residual) ≥
+    * recall(raw) at equal m on a planted-cluster corpus;
+    * `residual = false` keeps the raw comparison form.
+    *
     * Plan shape: ONE shuffle — the query-probe × corpus-codes equi-join
     * on cell. Both sides are slim (query carries its m·ksub table, the
     * corpus row is id+cell+codes); the join output explodes by
@@ -1177,7 +1215,7 @@ object Similarity {
   def ivfPqKnn(queriesDf: DataFrame, corpus: DataFrame, k: Int,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                ksub: Int = 16, iters: Int = 2, maxTrain: Int = 65536,
-               rerankFactor: Int = 0): DataFrame = {
+               rerankFactor: Int = 0, residual: Boolean = true): DataFrame = {
     require(k >= 1 && nlist >= 1 && nprobe >= 1 && nprobe <= nlist)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1186,13 +1224,21 @@ object Similarity {
         Seq.empty[(Long, Long, Double, Int)].toDF("vec_id", "neighbor_id", "cos_sim", "rank")
       else
         Seq.empty[(Long, Long, Long, Int)].toDF("vec_id", "neighbor_id", "adc_dist", "rank")
-    val coarse = pqTrainCodebooks(corpus, 1, nlist, iters, maxTrain)(0)
-    val pqCbs = pqTrainCodebooks(corpus, m, ksub, iters, maxTrain)
+    val sample = pqSampleNormalized(corpus, maxTrain)
+    val coarse = pqTrainCodebooksOn(sample, 1, nlist, iters)(0)
+    // residual form (default; Jégou §IV): PQ codebooks train on
+    // r = v − centroid(cell), and encode/ADC quantize residuals — the
+    // recall win PqResidualSpec pins. residual=false keeps the raw
+    // (IVF + plain-PQ) comparison form.
+    val pqSample =
+      if (residual) sample.map { case (id, v) => (id, coarseResidual(v, coarse)) }
+      else sample
+    val pqCbs = pqTrainCodebooksOn(pqSample, m, ksub, iters)
     val coarseBc = spark.sparkContext.broadcast(coarse)
     val cbBc = spark.sparkContext.broadcast(pqCbs)
-    val corp = ivfPqCorpusSide(corpus, coarseBc, cbBc, m)
+    val corp = ivfPqCorpusSide(corpus, coarseBc, cbBc, m, residual)
     val nk = k * math.max(rerankFactor, 1)
-    val q = ivfPqQuerySide(queriesDf, coarseBc, cbBc, m, ksub, nprobe)
+    val q = ivfPqQuerySide(queriesDf, coarseBc, cbBc, m, ksub, nprobe, residual)
     val adcTop = ivfPqAdcTopK(q, corp, m, ksub, nk, excludeSelf = true)
     if (rerankFactor > 0)
       exactRerank(adcTop.select(col("vec_id"), col("neighbor_id")),
@@ -1206,7 +1252,7 @@ object Similarity {
   private def ivfPqCorpusSide(corpus: DataFrame,
       coarseBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
       cbBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-      m: Int): DataFrame = {
+      m: Int, residual: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     withNorm(corpus, "vec_id", "embedding", "nrm")
@@ -1217,25 +1263,38 @@ object Similarity {
           val v = pqNormalize(vs.toArray)
           val d = v.length; val dsub = d / m
           val cell = pqNearest(v, 0, d, cc)
-          (id, cell, Array.tabulate(m)(s => pqNearest(v, s * dsub, dsub, cbs(s))))
+          // residual form quantizes r = v − centroid(cell); raw form
+          // quantizes v itself
+          val enc =
+            if (residual) {
+              val r = new Array[Double](d)
+              var i = 0
+              while (i < d) { r(i) = v(i) - cc(cell * d + i); i += 1 }
+              r
+            } else v
+          (id, cell, Array.tabulate(m)(s => pqNearest(enc, s * dsub, dsub, cbs(s))))
         }
       }.toDF("neighbor_id", "cell", "codes")
   }
 
-  /** (vec_id, cells, table): per query the nprobe nearest coarse cells
-    * ranked by (L2², cell) and the flattened m×ksub ADC table in integer
-    * micro units. */
+  /** (vec_id, cell, table): ONE ROW PER PROBED CELL — the query's
+    * nprobe nearest coarse cells ranked by (L2², cell), each with its
+    * flattened m×ksub ADC table in integer micro units. In the
+    * residual form the table is PER CELL by necessity (distances are
+    * to codebook points around that cell's centroid: rq = v −
+    * centroid(cell)); the raw form duplicates one shared table across
+    * the probes, keeping the downstream join uniform. */
   private def ivfPqQuerySide(queriesDf: DataFrame,
       coarseBc: org.apache.spark.broadcast.Broadcast[Array[Double]],
       cbBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-      m: Int, ksub: Int, nprobe: Int): DataFrame = {
+      m: Int, ksub: Int, nprobe: Int, residual: Boolean): DataFrame = {
     val spark = queriesDf.sparkSession
     import spark.implicits._
     withNorm(queriesDf, "vec_id", "embedding", "nrm")
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cc = coarseBc.value; val cbs = cbBc.value
-        it.map { case (id, vs) =>
+        it.flatMap { case (id, vs) =>
           val v = pqNormalize(vs.toArray)
           val d = v.length; val dsub = d / m
           val nCells = cc.length / d
@@ -1256,22 +1315,37 @@ object Similarity {
             }
             c += 1
           }
-          val table = new Array[Long](m * ksub)
-          var s = 0
-          while (s < m) {
-            val cb = cbs(s); val cells = cb.length / dsub; val off = s * dsub
-            var j = 0
-            while (j < cells) {
-              var dist = 0.0; var i = 0
-              while (i < dsub) { val diff = v(off + i) - cb(j * dsub + i); dist += diff * diff; i += 1 }
-              table(s * ksub + j) = Math.round(dist * 1e6)
-              j += 1
+          def tableFor(q: Array[Double]): Array[Long] = {
+            val table = new Array[Long](m * ksub)
+            var s = 0
+            while (s < m) {
+              val cb = cbs(s); val cells = cb.length / dsub; val off = s * dsub
+              var j = 0
+              while (j < cells) {
+                var dist = 0.0; var i = 0
+                while (i < dsub) { val diff = q(off + i) - cb(j * dsub + i); dist += diff * diff; i += 1 }
+                table(s * ksub + j) = Math.round(dist * 1e6)
+                j += 1
+              }
+              s += 1
             }
-            s += 1
+            table
           }
-          (id, pc.take(filled).toSeq, table)
+          val shared = if (residual) null else tableFor(v)
+          (0 until filled).map { p =>
+            val cell = pc(p)
+            val table =
+              if (!residual) shared
+              else {
+                val rq = new Array[Double](d)
+                var i = 0
+                while (i < d) { rq(i) = v(i) - cc(cell * d + i); i += 1 }
+                tableFor(rq)
+              }
+            (id, cell, table)
+          }
         }
-      }.toDF("vec_id", "cells", "table")
+      }.toDF("vec_id", "cell", "table")
   }
 
   /** The one shuffle of the IVFADC plan: probe-cell equi-join
@@ -1281,7 +1355,7 @@ object Similarity {
   private def ivfPqAdcTopK(q: DataFrame, corp: DataFrame, m: Int, ksub: Int,
                            nk: Int, excludeSelf: Boolean): DataFrame = {
     val spark = q.sparkSession
-    val probes = q.select(col("vec_id"), explode(col("cells")).as("cell"), col("table"))
+    val probes = q.select(col("vec_id"), col("cell"), col("table"))
       .repartition(spark.sparkContext.defaultParallelism, col("cell"))
     val joined = probes.join(corp, Seq("cell"))
     val scored = (if (excludeSelf) joined.filter(col("vec_id") =!= col("neighbor_id"))
@@ -1305,21 +1379,28 @@ object Similarity {
     * footprint: a billion-vector corpus is ~8 GB of codes. */
   def ivfPqBuildIndex(emb: DataFrame, dir: String, nlist: Int = 16,
                       m: Int = 8, ksub: Int = 16, iters: Int = 2,
-                      maxTrain: Int = 65536): Unit = {
+                      maxTrain: Int = 65536, residual: Boolean = true): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     // fresh build starts the code slice's generation history over
     GenDir.resetAll(spark, s"$dir/codes")
-    val coarse = pqTrainCodebooks(emb, 1, nlist, iters, maxTrain)(0)
-    val pqCbs = pqTrainCodebooks(emb, m, ksub, iters, maxTrain)
+    val sample = pqSampleNormalized(emb, maxTrain)
+    val coarse = pqTrainCodebooksOn(sample, 1, nlist, iters)(0)
+    val pqSample =
+      if (residual) sample.map { case (id, v) => (id, coarseResidual(v, coarse)) }
+      else sample
+    val pqCbs = pqTrainCodebooksOn(pqSample, m, ksub, iters)
     // kind 0 row = coarse codebook; kind 1 rows = PQ subspace s;
-    // kind 2 row = params (nlist, m, ksub) so search needs no inference
-    val metaRows = (0, 0, coarse.toSeq) +: (2, 0, Seq[Double](nlist, m, ksub)) +:
+    // kind 2 row = params (nlist, m, ksub, residual flag) so search
+    // needs no inference. A 3-element params row (pre-residual index)
+    // reads as the raw form — appends and searches stay code-valid.
+    val metaRows = (0, 0, coarse.toSeq) +:
+      (2, 0, Seq[Double](nlist, m, ksub, if (residual) 1.0 else 0.0)) +:
       pqCbs.toSeq.zipWithIndex.map { case (cb, s) => (1, s, cb.toSeq) }
     metaRows.toDF("kind", "s", "flat").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     ivfPqCorpusSide(emb, spark.sparkContext.broadcast(coarse),
-      spark.sparkContext.broadcast(pqCbs), m)
+      spark.sparkContext.broadcast(pqCbs), m, residual)
       .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
@@ -1334,7 +1415,7 @@ object Similarity {
     * trained codebook then has fewer cells than requested), which would
     * mis-gate the cell IN-pushdown. */
   private def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Array[Double], Array[Array[Double]], Int, Int) = {
+      dir: String): (Array[Double], Array[Array[Double]], Int, Int, Boolean) = {
     val rows = spark.read.parquet(s"$dir/codebooks")
       .select(col("kind"), col("s"), col("flat")).collect()
     val coarse = rows.filter(_.getInt(0) == 0).head.getSeq[Double](2).toArray
@@ -1342,7 +1423,9 @@ object Similarity {
       .map(_.getSeq[Double](2).toArray)
     val params = rows.filter(_.getInt(0) == 2).head.getSeq[Double](2)
     require(coarse.nonEmpty && pq.nonEmpty, s"empty IVFADC index at $dir")
-    (coarse, pq, params(2).toInt, params(0).toInt)
+    // 3-element params = pre-residual index (raw form)
+    val residual = params.length > 3 && params(3) == 1.0
+    (coarse, pq, params(2).toInt, params(0).toInt, residual)
   }
 
   /** Append vectors to a persisted IVFADC index against the FROZEN
@@ -1351,9 +1434,9 @@ object Similarity {
     * appended files carry their own tight cell row-group stats. */
   def ivfPqIndexAppend(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
-    val (coarse, pqCbs, _, _) = loadPqCodebooks(spark, dir)
+    val (coarse, pqCbs, _, _, residual) = loadPqCodebooks(spark, dir)
     ivfPqCorpusSide(emb, spark.sparkContext.broadcast(coarse),
-      spark.sparkContext.broadcast(pqCbs), pqCbs.length)
+      spark.sparkContext.broadcast(pqCbs), pqCbs.length, residual)
       .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
@@ -1385,17 +1468,17 @@ object Similarity {
   def ivfPqSearchIndex(queries: DataFrame, dir: String, k: Int,
                        nprobe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    val (coarse, pqCbs, ksub, nlist) = loadPqCodebooks(spark, dir)
+    val (coarse, pqCbs, ksub, nlist, residual) = loadPqCodebooks(spark, dir)
     val m = pqCbs.length
     val q = ivfPqQuerySide(queries,
       spark.sparkContext.broadcast(coarse),
-      spark.sparkContext.broadcast(pqCbs), m, ksub, nprobe)
+      spark.sparkContext.broadcast(pqCbs), m, ksub, nprobe, residual)
       .localCheckpoint(true) // probed-cell collect must not re-run the kernel
     val index = spark.read.parquet(GenDir.live(spark, s"$dir/codes"))
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     // distinct probed cells are <= nlist by construction — bounded
     // collect; the IN filter pushes into the build-sorted codes scan
-    val probed = q.select(explode(col("cells")).as("cell"))
+    val probed = q.select(col("cell"))
       .distinct().collect().map(_.getInt(0)).sorted
     val corp =
       if (probed.length < nlist)

@@ -114,14 +114,38 @@ class PqSpec extends SparkSpec {
   }
 
   test("ivfPqKnn with exhaustive probes equals the full ADC scan") {
-    // nprobe = nlist means no candidate is pruned — the cell-join path
-    // must then reproduce pqKnn's broadcast-scan answer row for row
+    // nprobe = nlist means no candidate is pruned — the RAW-form
+    // cell-join path must then reproduce pqKnn's broadcast-scan answer
+    // row for row (the residual form intentionally scores differently:
+    // its codebooks live around each cell's centroid)
     val full = Similarity.pqKnn(emb, k = 3, m = 4, ksub = 8, iters = 2)
       .as[(Long, Long, Long, Int)].collect().toSet
     val ivf = Similarity.ivfPqKnn(emb, emb, k = 3, nlist = 6, nprobe = 6,
-      m = 4, ksub = 8, iters = 2)
+      m = 4, ksub = 8, iters = 2, residual = false)
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(ivf == full)
+  }
+
+  test("residual encoding dominates raw PQ recall at equal m " +
+      "(Jégou §IV: codes quantize r = x − centroid(cell))") {
+    // exhaustive probes isolate the PQ-resolution effect from cell
+    // pruning: raw PQ collapses a tight cluster to one code (ADC
+    // cannot order within it), residual codes resolve the structure
+    // AROUND each centroid — recall@k vs exact cosine must not drop,
+    // and on this planted-cluster corpus it strictly rises
+    val k = 5
+    val truth = Similarity.bruteKnn(emb, k)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(residual: Boolean): Double = {
+      val got = Similarity.ivfPqKnn(emb, emb, k, nlist = 8, nprobe = 8,
+        m = 4, ksub = 8, iters = 3, residual = residual)
+        .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val raw = recallOf(residual = false)
+    val res = recallOf(residual = true)
+    assert(res >= raw, s"residual recall $res below raw $raw")
+    assert(res > raw, s"planted clusters should separate the forms: $res vs $raw")
   }
 
   test("ivfPqKnn prunes: sparse probes score fewer pairs, stay in-cluster") {
