@@ -299,6 +299,49 @@ ivpairs AS (SELECT cd.vec_id, cd.neighbor_id, CAST(SUM(t.micro) AS BIGINT) AS ad
     AND t.s = c.s AND t.code = c.code
   GROUP BY 1, 2)"""
 
+  /** llm_classifier_train shape: small bucket count keeps each unrolled
+    * iteration's weight join tiny; 3 iterations separate the planted
+    * cues decisively. */
+  private val ClfBuckets = 512
+  private val ClfIters = 3
+
+  /** DuckDB twin of [[graft.llm.Classifier.train]] over the planted
+    * llm_classifier_train fixture — iterations unrolled as CTE blocks
+    * generated from the SAME constants. */
+  private def classifierTrainOracle: String = {
+    val B = ClfBuckets
+    def iter(k: Int): String = {
+      val prev = s"w${k - 1}"
+      s"""m$k AS (SELECT f.doc_id, f.y, CAST(SUM(w.w * f.cnt) AS BIGINT) AS marg
+  FROM feats f JOIN $prev w USING (b) GROUP BY f.doc_id, f.y),
+e$k AS (SELECT doc_id,
+    greatest(0, least(1000000, 500000 + marg // 4)) - y * 1000000 AS err
+  FROM m$k),
+g$k AS (SELECT f.b, CAST(SUM(e.err * f.cnt) AS BIGINT) AS g
+  FROM feats f JOIN e$k e USING (doc_id) GROUP BY f.b),
+w$k AS MATERIALIZED (SELECT w.b,
+    CAST(w.w - (1000000 * coalesce(g.g, 0)) // (n.n * 1000000) AS BIGINT) AS w
+  FROM $prev w LEFT JOIN g$k g USING (b) CROSS JOIN n)"""
+    }
+    s"""WITH docs2 AS (SELECT doc_id, doc_id % 2 AS y,
+    text || CASE WHEN doc_id % 2 = 1 THEN ' quuxpos quuxpos'
+                 ELSE ' quuxneg quuxneg' END AS text
+  FROM documents),
+tokr AS (SELECT doc_id, y,
+    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM docs2),
+feats AS MATERIALIZED (SELECT doc_id, y,
+    ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+     (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+     (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+     (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % $B AS b,
+    COUNT(*) AS cnt
+  FROM tokr GROUP BY doc_id, y, b),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
+${(1 to ClfIters).map(iter).mkString(",\n")}
+SELECT b, w AS w_micro FROM w$ClfIters"""
+  }
+
   /** Merge count for llm_bpe_encode: each merge is one unrolled CTE
     * pair in the DuckDB oracle, so the count stays small. */
   private val BpeMerges = 8
@@ -1463,6 +1506,28 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok, sc.score,
           sc.score > 0 AS positive
         FROM toks t JOIN sc ON t.doc_id = sc.doc_id""")),
+
+    // hashed-BoW classifier TRAINING (llm.Classifier): deterministic
+    // full-batch gradient descent in exact integer micro/ppm fixed
+    // point over the same md5-bucket features HashedBowScore reads.
+    // Planted linearly-separable labels: y = doc_id % 2, with two
+    // class-cue tokens appended to each document — the trained weights
+    // must separate them. The oracle unrolls the SAME iterations as
+    // CTE blocks (the BPE-oracle discipline): margins by doc,
+    // hard-sigmoid error in ppm (truncating division — the semantics
+    // Spark div, DuckDB //, and Scala Long./ share), bucket gradients,
+    // weight update — weights hash-exact.
+    QueryDef("llm_classifier_train",
+      (s, dir) => {
+        val y = pmod(col("doc_id"), lit(2L))
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          y.as("y"),
+          concat(col("text"), when(y === 1, lit(" quuxpos quuxpos"))
+            .otherwise(lit(" quuxneg quuxneg"))).as("text"))
+        graft.llm.Classifier.trainDf(planted, "text", "y", "doc_id",
+          buckets = ClfBuckets, iters = ClfIters)
+      },
+      Some(classifierTrainOracle)),
 
     // exact-substring duplicated-span extraction (the "dedup the span,
     // not the document" pass of Lee et al. 2022, arXiv:2107.06499,

@@ -120,7 +120,9 @@ object ParamSchema {
     "llm.weighted_sample" -> Map("id" -> PString, "weight_column" -> PString,
       "k" -> PLong, "group" -> PString, "seed" -> PString),
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
-      "score_column" -> PString, "min_score" -> PLong),
+      "score_column" -> PString, "min_score" -> PLong,
+      "label_column" -> PString, "id" -> PString,
+      "train_iters" -> PLong, "lr_ppm" -> PLong),
     "llm.lm_score" -> Map("column" -> PString, "id" -> PString,
       "model_path" -> PString, "score_column" -> PString,
       "min_score_ppm" -> PLong, "tier_cutoffs_ppm" -> PString,

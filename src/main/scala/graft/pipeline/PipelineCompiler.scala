@@ -342,16 +342,29 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         .filter(col(scoreCol) >= minQ)
 
     // feature-hashed linear classifier gate (params: column, buckets,
-    // score_column, min_score: optional — absent = annotate only).
-    // Deterministic md5-bucket weights stand in for a trained model;
-    // scoring is the codegen HashedBowScore pass, map-only per batch.
+    // score_column, min_score: optional — absent = annotate only;
+    // label_column: optional — present = TRAIN the weights on this
+    // batch's 0/1 labels via llm.Classifier's deterministic
+    // fixed-point gradient descent, train_iters/lr_ppm tune it).
+    // Without labels, deterministic md5-bucket weights stand in for a
+    // trained model; either way scoring is the codegen HashedBowScore
+    // pass, map-only per batch (trained weights constant-fold into the
+    // scan).
     case "llm.classifier" =>
       val c = p(a, "column").getOrElse("text")
       val buckets = p(a, "buckets").map(_.toInt).getOrElse(4096)
       val scoreCol = p(a, "score_column").getOrElse("clf_score")
-      val weights = org.apache.spark.sql.functions.expr(
-        s"transform(sequence(0, ${buckets - 1}), b -> CAST(b % 1001 - 500 AS BIGINT))")
-      val annotated = inputOf(a.name).withColumn(scoreCol,
+      val in = inputOf(a.name)
+      val weights = p(a, "label_column") match {
+        case Some(labelCol) =>
+          graft.llm.Classifier.weightsColumn(graft.llm.Classifier.train(
+            in, c, labelCol, p(a, "id").getOrElse("doc_id"), buckets,
+            iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
+            lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L)))
+        case None => org.apache.spark.sql.functions.expr(
+          s"transform(sequence(0, ${buckets - 1}), b -> CAST(b % 1001 - 500 AS BIGINT))")
+      }
+      val annotated = in.withColumn(scoreCol,
         graft.functions.HashedBowScore(
           graft.functions.TextFunctions.tokens(col(c)), weights))
       p(a, "min_score") match {
