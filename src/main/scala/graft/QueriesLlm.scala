@@ -2152,6 +2152,67 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         ELSE 'tail' END AS tier
       FROM ($lmOracleSql) scored
       WINDOW w AS (ORDER BY lm_score_ppm DESC, ntok, doc_id)""")) :+ QueryDef(
+    // PER-LANGUAGE LM scoring + tiers (CCNet's actual configuration,
+    // Wenzek et al. §4.3: each language scores against ITS OWN model).
+    // Planted bilingual corpus: the documents table as lang 'orig'
+    // plus a disjoint-vocabulary minority copy ('zq'-prefixed tokens,
+    // every 10th doc, shifted ids); train = even ids of the union.
+    // Counts, totals and all scoring joins carry the language key;
+    // tiers are ntile(3) within language on the canonical unique
+    // ordering. The oracle is the lang-keyed twin of lmOracleSql over
+    // the identically-planted corpus. PerLangLmSpec pins WHY: the
+    // global model provably drags the minority language into the tail.
+    "llm_lm_per_lang",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val zq = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          lit("zq").as("lang"),
+          array_join(transform(split(col("text"), " "),
+            tk => concat(lit("zq"), tk)), " ").as("text"))
+      val base = docs.select(col("doc_id"), lit("orig").as("lang"),
+        col("text")).unionByName(zq)
+      val scored = Lm.lmScorePerLang(
+        base.filter(pmod(col("doc_id"), lit(2)) === 0), base,
+        "text", "doc_id", "lang")
+      Lm.lmTiersPerLang(scored, 3).withColumn("tier", col("tier").cast("int"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, 'orig' AS lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, 'zq',
+          array_to_string(list_transform(string_split(text, ' '),
+            t -> 'zq' || t), ' ')
+        FROM documents WHERE doc_id % 10 = 0),
+      tk AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM base),
+      rs AS (SELECT doc_id, lang, term, pos FROM (
+          SELECT doc_id, lang, unnest(tk) AS term,
+            unnest(range(len(tk))) AS pos FROM tk) x),
+      tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
+      uni AS (SELECT lang, term, COUNT(*) AS c1 FROM tr GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(c1) AS BIGINT) AS t FROM uni GROUP BY 1),
+      bi AS (SELECT a.lang, a.term AS prev, b.term AS term, COUNT(*) AS c2
+        FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2, 3),
+      sc AS (SELECT r.doc_id, r.lang, r.pos, p.term AS prev, r.term
+        FROM rs r LEFT JOIN rs p ON p.doc_id = r.doc_id AND p.pos = r.pos - 1),
+      contrib AS (SELECT s.doc_id, s.lang,
+          CASE WHEN s.pos = 0 THEN COALESCE((u2.c1 * 1000000) // t.t, 0)
+               WHEN bi.c2 IS NOT NULL THEN (bi.c2 * 1000000) // u1.c1
+               ELSE COALESCE((u2.c1 * 400000) // t.t, 0) END AS c
+        FROM sc s
+        LEFT JOIN bi ON bi.lang = s.lang AND bi.prev = s.prev AND bi.term = s.term
+        LEFT JOIN uni u1 ON u1.lang = s.lang AND u1.term = s.prev
+        LEFT JOIN uni u2 ON u2.lang = s.lang AND u2.term = s.term
+        LEFT JOIN tot t ON t.lang = s.lang),
+      scored AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS ntok,
+          CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS lm_score_ppm
+        FROM contrib GROUP BY 1, 2)
+      SELECT doc_id, lang, ntok, lm_score_ppm,
+        CAST(ntile(3) OVER (PARTITION BY lang
+          ORDER BY lm_score_ppm DESC, ntok, doc_id) AS INT) AS tier
+      FROM scored""")) :+ QueryDef(
     // EXACTLY-ONCE BM25 batch ingest (IncLog on the Retrieval family —
     // the LM xo query's retrieval twin): build as stream batch 0,
     // append batch 1 as a committed increment, REDELIVER both (must

@@ -118,6 +118,81 @@ object Lm {
     (uni, bi, total)
   }
 
+  /** [[pairRows]] carrying a language key (the column is per-document,
+    * so it rides the explode unchanged). */
+  private def pairRowsLang(docs: DataFrame, textCol: String, idCol: String,
+                           langCol: String): DataFrame = {
+    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"), tk.as("tk"))
+      .select(col("doc_id"), col("lang"), posexplode(zip_with(
+        col("tk"),
+        concat(array(lit(null).cast("string")), col("tk")),
+        (t, p) => struct(t.as("term"), p.as("prev")))).as(Seq("p0", "tp")))
+      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"), col("lang"), (col("p0") === 0).as("first"),
+        col("tp.prev").as("prev"), col("tp.term").as("term"))
+  }
+
+  /** PER-LANGUAGE [[lmScore]] — CCNet's actual configuration (Wenzek
+    * et al. §4.3 score each language against ITS OWN reference model):
+    * counts key on (lang, gram), totals are per-language, and scoring
+    * joins carry the language — so a multilingual corpus never scores
+    * minority-language documents against the majority language's
+    * statistics. A GLOBAL model distorts exactly the branches that
+    * divide by the corpus-wide total (first-token and unseen-backoff:
+    * c1/t shrinks for every minority language as the majority grows),
+    * systematically dragging minority docs toward the tail tier —
+    * PerLangLmSpec pins the mis-tiering and its fix. Output adds a
+    * `lang` column; documents of languages absent from the training
+    * side score through the all-unseen path (ntok counted, contribs
+    * 0), exactly like unseen tokens under the global model. */
+  def lmScorePerLang(train: DataFrame, docs: DataFrame, textCol: String,
+                     idCol: String, langCol: String): DataFrame = {
+    val trows = pairRowsLang(train, textCol, idCol, langCol)
+    val uni = trows.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c1"))
+    val bi = trows.filter(col("prev").isNotNull)
+      .groupBy(col("lang"), col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    // per-language totals: one row per language — broadcast-joined on
+    // lang (the per-lang analog of the scoreWith crossJoin total)
+    val total = uni.groupBy(col("lang")).agg(sum(col("c1")).as("t"))
+    val rows = pairRowsLang(docs, textCol, idCol, langCol)
+      .groupBy(col("doc_id"), col("lang"), col("first"), col("prev"),
+        col("term"))
+      .agg(count(lit(1)).as("m"))
+    val uniPrev = uni.select(col("lang"), col("term").as("prev"),
+      col("c1").as("c1_prev"))
+    val uniTerm = uni.select(col("lang"), col("term"), col("c1").as("c1_term"))
+    rows
+      .join(bi, Seq("lang", "prev", "term"), "left")
+      .join(uniPrev, Seq("lang", "prev"), "left")
+      .join(uniTerm, Seq("lang", "term"), "left")
+      .join(broadcast(total), Seq("lang"), "left")
+      .withColumn("contrib_ppm",
+        when(col("first"), coalesce(expr("(c1_term * 1000000) div t"), lit(0L)))
+          .when(col("c2").isNotNull, expr("(c2 * 1000000) div c1_prev"))
+          .otherwise(coalesce(expr("(c1_term * 400000) div t"), lit(0L))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m")).as("ntok"),
+        sum(col("m") * col("contrib_ppm")).as("s"))
+      .select(col("doc_id"), col("lang"), col("ntok"),
+        expr("s div ntok").as("lm_score_ppm"))
+  }
+
+  /** CCNet head/middle/tail WITHIN each language: ntile over (lang)
+    * partitions on the canonical unique ordering (score DESC, ntok,
+    * doc_id). The window shuffles one narrow 4-column frame keyed by
+    * language — with a dominant language this partition carries its
+    * share of the corpus (sort skew); at that scale derive per-lang
+    * cutoffs via [[lmBucketCutoffs]] over each language slice and
+    * assign map-side instead, the same trade [[lmQualityBuckets]]
+    * documents globally. */
+  def lmTiersPerLang(scored: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score_ppm").desc, col("ntok"), col("doc_id"))
+    scored.withColumn("tier", ntile(nBuckets).over(w))
+  }
+
   /** Trigram counts (prev2, prev, term, c3) of a training corpus. */
   private def triCounts(train: DataFrame, textCol: String,
                         idCol: String): DataFrame =

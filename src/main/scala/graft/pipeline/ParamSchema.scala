@@ -126,7 +126,8 @@ object ParamSchema {
     "llm.lm_score" -> Map("column" -> PString, "id" -> PString,
       "model_path" -> PString, "score_column" -> PString,
       "min_score_ppm" -> PLong, "tier_cutoffs_ppm" -> PString,
-      "tier_column" -> PString, "keep_tiers" -> PString),
+      "tier_column" -> PString, "keep_tiers" -> PString,
+      "per_lang" -> PString),
     "llm.cut_dup_spans" -> Map("column" -> PString, "id" -> PString,
       "window" -> PLong),
     "llm.decontaminate_cut" -> Map("column" -> PString, "id" -> PString,

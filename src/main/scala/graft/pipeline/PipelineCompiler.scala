@@ -419,9 +419,17 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val idc = p(a, "id").getOrElse("doc_id")
       val scoreCol = p(a, "score_column").getOrElse("lm_score_ppm")
       val in = inputOf(a.name)
-      val scores = (p(a, "model_path") match {
-        case Some(path) => graft.llm.Lm.lmScoreIndex(in, c, idc, path)
-        case None       => graft.llm.Lm.lmScore(in, in, c, idc)
+      // per_lang: CCNet's actual configuration — a model PER language
+      // (counts/totals keyed by the lang column), so minority languages
+      // never score against the majority's statistics; composes with
+      // the batch-self-trained path (model_path stays corpus-global)
+      val scores = (p(a, "per_lang") match {
+        case Some(langCol) =>
+          graft.llm.Lm.lmScorePerLang(in, in, c, idc, langCol)
+        case None => p(a, "model_path") match {
+          case Some(path) => graft.llm.Lm.lmScoreIndex(in, c, idc, path)
+          case None       => graft.llm.Lm.lmScore(in, in, c, idc)
+        }
       }).select(col("doc_id").as(idc), col("lm_score_ppm").as(scoreCol))
       val annotated = in.join(scores, Seq(idc), "left")
         .withColumn(scoreCol, coalesce(col(scoreCol), lit(0L)))

@@ -384,6 +384,40 @@ class LlmModulesSpec extends SparkSpec {
     assert(got.startsWith("low low low low low low e r"))
   }
 
+  test("llm.lm_score actor with per_lang scores each language against " +
+      "its own model") {
+    val in = Files.createTempDirectory("graft-lm-perlang-").toString + "/in"
+    Seq(
+      (1L, "en", good), (2L, "en", good),
+      (3L, "en", good + " More English prose follows the same pattern."),
+      (4L, "zz", "zqa zqb zqa zqc zqd"), (5L, "zz", "zqa zqb zqa zqc zqd"),
+      (6L, "zz", "zqd zqc zqb zqa zqa"))
+      .toDF("doc_id", "lang", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  lm: {module: llm.lm_score, params: {column: text, id: doc_id, per_lang: lang}}
+        |  lm_perlang_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [lm]}
+        |  lm: {connect: [lm_perlang_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val ann = spark.table("lm_perlang_out")
+    assert(ann.count() == 6 && ann.columns.contains("lm_score_ppm"))
+    val scores = ann.select($"doc_id", $"lm_score_ppm").as[(Long, Long)]
+      .collect().toMap
+    // the annotation equals the query-surface per-lang contract
+    val docs = spark.read.parquet(in)
+    val direct = graft.llm.Lm.lmScorePerLang(docs, docs, "text", "doc_id",
+      "lang").select($"doc_id", $"lm_score_ppm").as[(Long, Long)]
+      .collect().toMap
+    assert(scores == direct)
+    // the minority language scores against ITS OWN statistics: its
+    // self-trained scores are on the majority's scale, not dragged to 0
+    assert(scores(4L) > 0 && scores(1L) > 0)
+  }
+
   test("llm.lm_score actor annotates from a persisted model and gates") {
     val in = Files.createTempDirectory("graft-lm-pipe-").toString
     writeDocs(in)
