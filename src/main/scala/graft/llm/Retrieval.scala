@@ -936,11 +936,24 @@ object Retrieval {
     * bytes per term; requires an index built/compacted with the
     * current version); a query term absent from the index zeroes its
     * query's candidates outright (the phrase cannot occur). When the
-    * candidate set exceeds `maxCandBroadcast`, falls back to the plain
-    * unpruned search — same results, no oversized broadcast. */
+    * candidate bound exceeds `maxCandBroadcast`, falls back to the
+    * plain unpruned search — same results, no oversized broadcast.
+    *
+    * Driver round-trips: exactly TWO jobs run before the anchor join
+    * (besides the qTerms checkpoint every phrase path pays) — one
+    * collect of the query batch's (query_id, term, bucket) pairs
+    * (request-sized: this is the slim side every phrase path already
+    * broadcasts) and one collect of the stats slice restricted to that
+    * vocabulary (a few bytes per query term). Bucket pruning, rarest
+    * terms AND the broadcast gate all derive locally from those two:
+    * the gate uses Σ n_pos(rarest term) — an upper bound on candidate
+    * docs (a doc holds ≥ 1 position), so a passed gate can never
+    * oversize the broadcast; past the bound it falls back without ever
+    * materializing the candidate set. */
   def phraseSearchIndexSelective(queries: DataFrame, dir: String, k: Int,
                                  maxCandBroadcast: Long = 2000000L): DataFrame = {
     val spark = queries.sparkSession
+    import spark.implicits._
     require(GenDir.existsLive(spark, s"$dir/stats"),
       s"selective phrase search requires the stats slice; $dir predates " +
         "it — re-build, or run phraseIndexCompact with the current version " +
@@ -949,31 +962,36 @@ object Retrieval {
     val qTerms = positionalTokens(queries, "query_id", "qtext")
       .withColumnRenamed("pos", "off")
       .localCheckpoint(true)
-    val qTermSet = qTerms.select(col("term")).distinct()
-    val hitBuckets = qTermSet.select(termBucket(col("term")).as("pt"))
-      .distinct().collect().map(_.getInt(0))
-    val stats = IncLog.readSlice(spark, dir, s"$dir/stats", v)
-      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+    // DRIVER JOB 1: the query batch's (query_id, term, bucket) pairs
+    val qRows = qTerms
+      .select(col("query_id"), col("term"), termBucket(col("term")).as("pt"))
+      .distinct().as[(Long, String, Int)].collect()
+    val termSeq = qRows.map(_._2).distinct.toSeq
+    val hitBuckets = qRows.map(_._3).distinct.toSeq
+    val qTermSet = termSeq.toDF("term") // local rows — no job to build
+    // DRIVER JOB 2: the stats slice over the query vocabulary
+    val nPos = IncLog.readSlice(spark, dir, s"$dir/stats", v)
+      .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(qTermSet), "term")
       .groupBy(col("term")).agg(sum(col("n_pos")).as("n_pos"))
-    // rarest term per query (ties by term); an unindexed term joins as
-    // n_pos = 0 and wins the min — its (empty) position list then
-    // empties the candidate set, which is the right answer
-    val rarest = qTerms.select(col("query_id"), col("term")).distinct()
-      .join(broadcast(stats), Seq("term"), "left")
-      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
-      .groupBy(col("query_id"))
-      .agg(min(struct(col("n_pos"), col("term"))).as("r"))
-      .select(col("query_id"), col("r.term").as("term"))
+      .as[(String, Long)].collect().toMap
+    // rarest term per query (ties by term), locally; an unindexed term
+    // scores n_pos = 0 and wins the min — its (empty) position list
+    // then empties the candidate set, which is the right answer
+    val rarest = qRows.groupBy(_._1).view.mapValues(rows =>
+      rows.map(r => (nPos.getOrElse(r._2, 0L), r._2)).min._2).toSeq
+    // the gate, with no counting job: Σ n_pos(rarest) bounds the
+    // candidate-pair count from above (each candidate doc contributes
+    // >= 1 position of its query's rarest term)
+    if (rarest.map { case (_, t) => nPos.getOrElse(t, 0L) }.sum >
+        maxCandBroadcast)
+      return phraseSearchIndex(queries, dir, k)
     val posts = IncLog.readSlice(spark, dir, s"$dir/positions", v)
-      .filter(col("term_pt").isInCollection(hitBuckets.toSeq))
+      .filter(col("term_pt").isInCollection(hitBuckets))
       .join(broadcast(qTermSet), "term")
       .select(col("doc_id"), col("term"), col("pos"))
-    val candKeys = rarest.join(posts, "term")
+    val candKeys = rarest.toDF("query_id", "term").join(posts, "term")
       .select(col("query_id"), col("doc_id")).distinct()
-      .localCheckpoint(true) // bounded: docs holding each rarest term
-    if (candKeys.count() > maxCandBroadcast)
-      return phraseSearchIndex(queries, dir, k)
     anchorRank(qTerms.join(posts, "term")
       .join(broadcast(candKeys), Seq("query_id", "doc_id"), "left_semi"),
       qTerms, k)
