@@ -51,7 +51,10 @@ object Bench {
     // (both families), and the CCNet head/middle/tail buckets
     "llm_lm5_score", "llm_lm5_index", "llm_bpe_encode_pre",
     "llm_lm_index_xo", "llm_bm25_index_xo", "llm_lm_buckets",
-    "llm_dedup_clusters_best")
+    "llm_dedup_clusters_best",
+    // round 13: the raw-crawl front door (HTML extraction), in-pipeline
+    // classifier training, and per-language LM scoring + tiers
+    "llm_extract_text", "llm_classifier_train", "llm_lm_per_lang")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -178,6 +178,31 @@ class WarcSpec extends SparkSpec {
     assert(txt.split("\n").forall(_.length >= 8))
   }
 
+  test("llm_crawl example: gzip WARC through extraction, quality gate " +
+      "and exact dedup") {
+    val dir = java.nio.file.Paths.get("/tmp/graft-example-crawl")
+    Files.createDirectories(dir)
+    // two distinct responses + an exact duplicate of the first
+    Files.write(dir.resolve("crawl.warc.gz"), gzipMembers(
+      warcinfo,
+      record("response", "http://example.com/a", httpResponse(html),
+        "application/http; msgtype=response"),
+      record("response", "http://example.com/a2", httpResponse(html),
+        "application/http; msgtype=response"),
+      record("conversion", "http://example.com/b",
+        "Pre-extracted text from a WET record, long enough to keep."
+          .getBytes(UTF_8))))
+    val yaml = Files.readString(
+      java.nio.file.Paths.get("examples/llm_crawl.yml"))
+    val counts = new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    assert(counts("crawl_out") == 2L) // dup page collapsed
+    val texts = spark.table("crawl_out").select($"text")
+      .as[String].collect().toSet
+    assert(texts.exists(_.contains("First & second")))
+    assert(texts.exists(_.startsWith("Pre-extracted text")))
+  }
+
   test("documents(): HTML responses extract, WET conversions pass " +
       "through, and the frame feeds the curation surface") {
     val path = tmpFile("crawl.warc", sampleWarc)
