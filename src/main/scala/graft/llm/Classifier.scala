@@ -105,4 +105,27 @@ object Classifier {
     * constant-folded into the scoring scan (map-only inference). */
   def weightsColumn(w: Array[Long]): Column =
     array(w.toIndexedSeq.map(lit): _*)
+
+  /** Persist trained weights as the model artifact (one (b, w_micro)
+    * parquet, KBs) — the train-once/score-many form every other model
+    * family here has ([[Lm.lmBuildIndex]], [[Bpe.saveMerges]]). */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession, w: Array[Long],
+                  path: String): Unit = {
+    import spark.implicits._
+    w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("b", "w_micro").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted weight vector — a buckets-sized collect by
+    * construction. Missing buckets (never written) read as 0. */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select(col("b"), col("w_micro")).collect()
+    require(rows.nonEmpty, s"empty classifier model at $path")
+    val buckets = rows.map(_.getLong(0)).max.toInt + 1
+    val w = new Array[Long](buckets)
+    rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
 }

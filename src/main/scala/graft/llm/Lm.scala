@@ -193,6 +193,69 @@ object Lm {
     scored.withColumn("tier", ntile(nBuckets).over(w))
   }
 
+  /** Persisted PER-LANGUAGE models: one model directory per language
+    * (`dir/lang=<l>/` — CCNet's shard layout), each a full [[GenDir]]
+    * lifecycle (build/append/compact/score work per shard unchanged).
+    * The language list is a bounded driver collect (ISO codes, not
+    * corpus rows); the per-language builds run as successive jobs,
+    * which is exactly how CCNet materializes its per-lang KenLM shards.
+    * Escape the values if languages can carry '/' — ours are code
+    * strings. */
+  def lmBuildIndexPerLang(train: DataFrame, textCol: String, idCol: String,
+                          langCol: String, dir: String,
+                          order: Int = 2): Unit = {
+    val langs = train.select(col(langCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    langs.foreach { l =>
+      require(!l.contains("/") && l.nonEmpty, s"unsafe lang value '$l'")
+      // the order-general (grams_n) family — lmScoreIndexK scores it
+      lmBuildIndexK(train.filter(col(langCol) === l), textCol, idCol,
+        s"$dir/lang=$l", order)
+    }
+  }
+
+  /** Score each document against ITS language's persisted model
+    * ([[lmBuildIndexPerLang]] layout) — the persisted twin of
+    * [[lmScorePerLang]]: same output schema, and a language with no
+    * model scores 0 over its counted tokens (the all-unseen path),
+    * never the majority model's numbers. */
+  def lmScoreIndexPerLang(docs: DataFrame, textCol: String, idCol: String,
+                          langCol: String, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val (fs, p) = {
+      val pp = new org.apache.hadoop.fs.Path(dir)
+      (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
+    }
+    val modeled = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("lang=")).map(_.stripPrefix("lang=")).sorted
+    val docLangs = docs.select(col(langCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val scoredParts = docLangs.filter(modeled.contains).map { l =>
+      lmScoreIndexK(docs.filter(col(langCol) === l), textCol, idCol,
+        s"$dir/lang=$l")
+        .withColumn("lang", lit(l))
+    }
+    val unknown = docLangs.filterNot(modeled.contains)
+    val zeroPart =
+      if (unknown.isEmpty) Nil
+      else Seq(docs.filter(col(langCol).isInCollection(unknown))
+        .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+          size(filter(split(col(textCol), " "), x => x =!= ""))
+            .cast("long").as("ntok"),
+          lit(0L).as("lm_score_ppm"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"), col("ntok"), col("lm_score_ppm"), col("lang")))
+    (scoredParts ++ zeroPart)
+      .reduceOption(_ unionByName _)
+      .map(_.select(col("doc_id"), col("lang"), col("ntok"),
+        col("lm_score_ppm")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("doc_id", "lang", "ntok", "lm_score_ppm")
+      }
+  }
+
   /** Trigram counts (prev2, prev, term, c3) of a training corpus. */
   private def triCounts(train: DataFrame, textCol: String,
                         idCol: String): DataFrame =

@@ -122,7 +122,8 @@ object ParamSchema {
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,
       "score_column" -> PString, "min_score" -> PLong,
       "label_column" -> PString, "id" -> PString,
-      "train_iters" -> PLong, "lr_ppm" -> PLong),
+      "train_iters" -> PLong, "lr_ppm" -> PLong,
+      "model_path" -> PString),
     "llm.lm_score" -> Map("column" -> PString, "id" -> PString,
       "model_path" -> PString, "score_column" -> PString,
       "min_score_ppm" -> PLong, "tier_cutoffs_ppm" -> PString,

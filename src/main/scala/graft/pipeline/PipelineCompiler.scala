@@ -355,13 +355,20 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val buckets = p(a, "buckets").map(_.toInt).getOrElse(4096)
       val scoreCol = p(a, "score_column").getOrElse("clf_score")
       val in = inputOf(a.name)
-      val weights = p(a, "label_column") match {
-        case Some(labelCol) =>
-          graft.llm.Classifier.weightsColumn(graft.llm.Classifier.train(
+      val weights = (p(a, "label_column"), p(a, "model_path")) match {
+        case (Some(labelCol), savePath) =>
+          val w = graft.llm.Classifier.train(
             in, c, labelCol, p(a, "id").getOrElse("doc_id"), buckets,
             iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
-            lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L)))
-        case None => org.apache.spark.sql.functions.expr(
+            lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L))
+          // with both params, training also PERSISTS the model —
+          // later label-less runs score from it (train-once/score-many)
+          savePath.foreach(graft.llm.Classifier.saveWeights(spark, w, _))
+          graft.llm.Classifier.weightsColumn(w)
+        case (None, Some(path)) =>
+          graft.llm.Classifier.weightsColumn(
+            graft.llm.Classifier.loadWeights(spark, path))
+        case (None, None) => org.apache.spark.sql.functions.expr(
           s"transform(sequence(0, ${buckets - 1}), b -> CAST(b % 1001 - 500 AS BIGINT))")
       }
       val annotated = in.withColumn(scoreCol,
@@ -420,16 +427,18 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val scoreCol = p(a, "score_column").getOrElse("lm_score_ppm")
       val in = inputOf(a.name)
       // per_lang: CCNet's actual configuration — a model PER language
-      // (counts/totals keyed by the lang column), so minority languages
-      // never score against the majority's statistics; composes with
-      // the batch-self-trained path (model_path stays corpus-global)
-      val scores = (p(a, "per_lang") match {
-        case Some(langCol) =>
+      // (lang-keyed counts batch-self-trained, or one persisted shard
+      // per language under model_path via lmBuildIndexPerLang), so
+      // minority languages never score against the majority's
+      // statistics
+      val scores = ((p(a, "per_lang"), p(a, "model_path")) match {
+        case (Some(langCol), Some(path)) =>
+          graft.llm.Lm.lmScoreIndexPerLang(in, c, idc, langCol, path)
+        case (Some(langCol), None) =>
           graft.llm.Lm.lmScorePerLang(in, in, c, idc, langCol)
-        case None => p(a, "model_path") match {
-          case Some(path) => graft.llm.Lm.lmScoreIndex(in, c, idc, path)
-          case None       => graft.llm.Lm.lmScore(in, in, c, idc)
-        }
+        case (None, Some(path)) =>
+          graft.llm.Lm.lmScoreIndex(in, c, idc, path)
+        case (None, None) => graft.llm.Lm.lmScore(in, in, c, idc)
       }).select(col("doc_id").as(idc), col("lm_score_ppm").as(scoreCol))
       val annotated = in.join(scores, Seq(idc), "left")
         .withColumn(scoreCol, coalesce(col(scoreCol), lit(0L)))

@@ -57,6 +57,46 @@ class ClassifierSpec extends SparkSpec {
       .forall(_ == 0L))
   }
 
+  test("weights persist and reload bit-identically; a model_path-only " +
+      "actor scores from the trained artifact") {
+    val w = Classifier.train(planted, "text", "y", "doc_id", 256, 3)
+    val model = java.nio.file.Files
+      .createTempDirectory("graft-clf-model-").toString + "/weights"
+    Classifier.saveWeights(spark, w, model)
+    assert(Classifier.loadWeights(spark, model).toSeq == w.toSeq)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-clf-mp-").toString + "/in"
+    planted.write.parquet(in)
+    // train+persist in one run, then score unlabeled input from the model
+    val trainYaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  clf: {module: llm.classifier, params: {column: text, label_column: y,
+        |        buckets: "256", model_path: "$model"}}
+        |  clf_tp_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [clf]}
+        |  clf: {connect: [clf_tp_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(trainYaml)).runBatch()
+    val scoreYaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  clf: {module: llm.classifier, params: {column: text, model_path: "$model",
+        |        min_score: "1"}}
+        |  clf_mp_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [clf]}
+        |  clf: {connect: [clf_mp_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(scoreYaml)).runBatch()
+    val kept = spark.table("clf_mp_out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 40L).filter(_ % 2 == 1).toSet)
+  }
+
   test("llm.classifier actor trains in-pipeline and gates perfectly " +
       "(train -> HashedBowScore -> gate composition)") {
     val in = java.nio.file.Files

@@ -75,6 +75,28 @@ class PerLangLmSpec extends SparkSpec {
     assert(byLang == sliced)
   }
 
+  test("persisted per-language models score identically to the ad-hoc " +
+      "per-lang path (one GenDir lifecycle per language shard)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-perlang-idx-").toString + "/model"
+    Lm.lmBuildIndexPerLang(train, "text", "doc_id", "lang", dir)
+    val viaIndex = Lm.lmScoreIndexPerLang(scoredDocs, "text", "doc_id",
+      "lang", dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val adhoc = Lm.lmScorePerLang(train, scoredDocs, "text", "doc_id", "lang")
+      .select($"doc_id", $"lang", $"ntok", $"lm_score_ppm")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(viaIndex == adhoc)
+    // a language with no model shard scores 0 over counted tokens
+    val ghost = Seq((901L, "yy", "unseen tongue entirely")).toDF(
+      "doc_id", "lang", "text")
+    val out = Lm.lmScoreIndexPerLang(scoredDocs.unionByName(ghost),
+      "text", "doc_id", "lang", dir)
+      .filter($"lang" === "yy")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((901L, "yy", 3L, 0L)))
+  }
+
   test("a scored language absent from training scores zero, not the " +
       "majority model's numbers") {
     val ghost = Seq((900L, "yy", "totally unseen tongue")).toDF(
