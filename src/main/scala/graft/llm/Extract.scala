@@ -94,6 +94,26 @@ object Extract {
     regexp_replace(lines, EdgePattern, "")
   }
 
+  /** [[extractText]] with FULL character-reference decode: the entity
+    * step runs through the [[graft.functions.HtmlEntityDecode]]
+    * codegen expression (numeric `&#dd;`/`&#xhh;` references at any
+    * Unicode scalar, plus the named set, single-pass) instead of the
+    * named-only replace chain. Same single-decode semantics; not
+    * DuckDB-replicable (numeric decode needs codepoint arithmetic), so
+    * this form is spec-verified while [[extractText]] carries the
+    * oracle. */
+  def extractTextFull(html: Column): Column = {
+    val noComments = regexp_replace(html, CommentPattern, "")
+    val noScript = regexp_replace(noComments, ScriptPattern, "")
+    val noStyle = regexp_replace(noScript, StylePattern, "")
+    val broken = regexp_replace(noStyle, BlockBreakPattern, "\n")
+    val noTags = regexp_replace(broken, TagPattern, " ")
+    val decoded = graft.functions.HtmlEntityDecode(noTags)
+    val hspace = regexp_replace(decoded, HspacePattern, " ")
+    val lines = regexp_replace(hspace, LineBreakPattern, "\n")
+    regexp_replace(lines, EdgePattern, "")
+  }
+
   /** Line-density boilerplate filter over EXTRACTED text: keep lines
     * of at least `minLineChars` characters (navigation, footers and
     * button labels are short; running prose is not). Returns the

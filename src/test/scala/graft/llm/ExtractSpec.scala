@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HtmlEntityDecode
+
+/** HTML extraction beyond the oracle-pinned chain: the full
+  * character-reference decoder (numeric forms need codepoint
+  * arithmetic no SQL twin can express) and its composition into
+  * extractTextFull. */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dec(s: String): String =
+    Seq(s).toDF("x").select(HtmlEntityDecode($"x").as("d"))
+      .as[String].head()
+
+  test("numeric references decode at any scalar; named set matches the " +
+      "chain; one decode pass only") {
+    assert(dec("&#65;&#98;&#x43;&#x64;") == "AbCd")
+    assert(dec("snow &#x2603; man") == "snow ☃ man")
+    assert(dec("astral &#x1F600;!") == "astral 😀!")
+    assert(dec("&lt;b&gt; &quot;q&quot; &apos;a&apos; &amp; x&nbsp;y") ==
+      "<b> \"q\" 'a' & x y")
+    // single pass: double-escaped text decodes exactly one level
+    assert(dec("&amp;#65; &amp;lt;") == "&#65; &lt;")
+  }
+
+  test("malformed references pass through verbatim (browser leniency)") {
+    assert(dec("AT&T; a & b") == "AT&T; a & b") // unknown name, bare &
+    assert(dec("&#xD800; &#1114112; &#; &#xzz;") ==
+      "&#xD800; &#1114112; &#; &#xzz;") // surrogate, overflow, empty, junk
+    assert(dec("&unterminated") == "&unterminated")
+    assert(dec("&waytoolongname;") == "&waytoolongname;") // > MaxBody
+    assert(dec("") == "" && dec("no entities") == "no entities")
+  }
+
+  test("extractTextFull equals extractText on named-only input and " +
+      "additionally decodes numeric references") {
+    val html = "<p>alpha &amp; beta &lt;x&gt;</p><div>line two</div>"
+    val both = Seq(html).toDF("h")
+      .select(Extract.extractText($"h").as("a"),
+        Extract.extractTextFull($"h").as("b"))
+      .as[(String, String)].head()
+    assert(both._1 == both._2)
+    val numeric = "<p>caf&#233; &#x2014; d&#234;j&#224;</p>"
+    val full = Seq(numeric).toDF("h")
+      .select(Extract.extractTextFull($"h")).as[String].head()
+    assert(full == "café — dêjà")
+  }
+
+  test("interpreted eval agrees with codegen") {
+    val df = Seq("&#65;&amp;&#x1F600;&bogus; tail").toDF("x")
+    val viaCodegen = df.select(HtmlEntityDecode($"x")).as[String].head()
+    // filter forces a non-codegen (interpreted predicate) path too;
+    // and direct JVM decode is the reference
+    val direct = HtmlEntityDecode.decode(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString("&#65;&amp;&#x1F600;&bogus; tail")).toString
+    assert(viaCodegen == direct && direct == "A&😀&bogus; tail")
+  }
+}
