@@ -178,6 +178,31 @@ class WarcSpec extends SparkSpec {
     assert(txt.split("\n").forall(_.length >= 8))
   }
 
+  test("streaming manifest-driven crawl ingest drains containers into " +
+      "the documents schema") {
+    val root = Files.createTempDirectory("graft-warc-stream-")
+    val manifests = root.resolve("manifests"); Files.createDirectories(manifests)
+    val out = root.resolve("docs").toString
+    val w1 = tmpFile("seg1.warc", sampleWarc)
+    val w2 = tmpFile("seg2.warc.gz", gzipMembers(
+      record("conversion", "http://example.com/z",
+        "A second segment arrives later.".getBytes(UTF_8))))
+    // two manifest files -> the drain sees both (order per batch split)
+    Files.write(manifests.resolve("m1.txt"), s"$w1\n".getBytes(UTF_8))
+    Files.write(manifests.resolve("m2.txt"), s"$w2\n".getBytes(UTF_8))
+    var batches = 0
+    graft.streaming.StreamingWarcIngest.run(spark, manifests.toString, out,
+      onBatch = (_, n) => batches += n)
+    assert(batches == 2)
+    val docs = spark.read.parquet(out)
+    assert(docs.count() == 4) // 3 documents from seg1 + 1 from seg2
+    assert(docs.columns.toSet == Set("doc_id", "url", "text"))
+    val byUrl = docs.select($"url", $"text").as[(String, String)]
+      .collect().toMap
+    assert(byUrl("http://example.com/a").contains("First & second"))
+    assert(byUrl("http://example.com/z") == "A second segment arrives later.")
+  }
+
   test("llm_crawl example: gzip WARC through extraction, quality gate " +
       "and exact dedup") {
     val dir = java.nio.file.Paths.get("/tmp/graft-example-crawl")
