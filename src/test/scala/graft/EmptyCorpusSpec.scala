@@ -24,7 +24,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_curation_pipeline", "llm_dedup_embedding", "llm_ann_topk",
     "llm_embedding_centroids", "llm_classifier_score", "llm_dup_spans",
     "llm_semdedup", "llm_dup_spans_cut", "llm_decontaminate_cut",
-    "llm_span_index",
+    "llm_span_index", "llm_extract_text", "llm_lm_per_lang",
+    "llm_classifier_train",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats",
     "mm_image_phash_pairs")
 
@@ -39,11 +40,13 @@ class EmptyCorpusSpec extends SparkSpec {
 
   test("corpus queries run on an EMPTY documents table") {
     val dir = writeDocs(Seq.empty)
-    // global aggregates legitimately return one all-zero summary row
-    val globalAgg = Set("llm_curation_pipeline")
+    // global aggregates legitimately return one all-zero summary row;
+    // the classifier trainer always emits its buckets-sized zero model
+    val fixedRows = Map("llm_curation_pipeline" -> 1L,
+      "llm_classifier_train" -> 512L)
     queries.foreach { name =>
       val n = SparkEntry.queries(name)(spark, dir).count()
-      val want = if (globalAgg(name)) 1 else 0
+      val want = fixedRows.getOrElse(name, 0L)
       assert(n == want, s"$name returned $n rows on an empty corpus")
     }
   }

@@ -60,6 +60,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!optimized.contains("transform(sequence"), optimized.take(2000))
   }
 
+  test("HTML extraction is map-only: the whole regexp chain fuses into " +
+      "one WholeStageCodegen scan stage") {
+    val df = SparkEntry.queries("llm_extract_text")(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    // no shuffle anywhere: extraction must scan-project at input speed
+    assert(!physical.contains("Exchange"), physical.take(2000))
+    // WholeStageCodegen renders as the *(n) prefix; the regexp chain's
+    // Project must carry it (the outer mainContent HOF projection is
+    // interpreted by design — lambdas don't codegen)
+    assert(physical.contains("*(1) Project") &&
+      physical.contains("regexp_replace"), physical.take(2000))
+  }
+
+  test("per-lang LM scoring broadcasts the per-language totals") {
+    val df = SparkEntry.queries("llm_lm_per_lang")(spark, dir)
+    val physical = df.queryExecution.executedPlan.toString
+    // the totals join must be broadcast (one row per language), and no
+    // cartesian may appear anywhere in the lang-keyed join chain
+    assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+  }
+
   test("span dedup plans: per-doc windows, no cartesian anywhere") {
     for (name <- Seq("llm_dup_spans", "llm_dup_spans_cut")) {
       val df = SparkEntry.queries(name)(spark, dir)
