@@ -190,10 +190,11 @@ object ParamSchema {
       // load — the param is never read
       if (a.module == "core.sink" && !a.params.contains("bind")) {
         a.params.get("format").foreach(f => require(
-          Set("parquet", "json", "csv", "console", "memory", "noop")(f.toString),
+          Set("parquet", "json", "csv", "console", "memory", "noop",
+            "wet")(f.toString),
           s"${a.name}: unknown sink format '$f'"))
         if (a.params.get("format").exists(f =>
-            f == "parquet" || f == "json" || f == "csv"))
+            f == "parquet" || f == "json" || f == "csv" || f == "wet"))
           require(a.params.contains("path"),
             s"${a.name}: format '${a.params("format")}' sink needs a path")
       }

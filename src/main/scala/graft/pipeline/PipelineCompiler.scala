@@ -736,6 +736,14 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
           n
         case "noop" =>
           countedAction(df)(_.write.format("noop").mode("overwrite").save())
+        // crawl-interchange sink: (doc_id, url, text) out as WET
+        // conversion records (Warc.writeWet — one gzip-member per
+        // record), the inverse of the warc receiver format
+        case "wet" =>
+          countedAction(df) { d =>
+            graft.sources.Warc.writeWet(d,
+              p(a, "path").getOrElse(sys.error(s"$s: sink needs path")))
+          }
         case other => sys.error(s"$s: unknown sink format $other")
       }
 

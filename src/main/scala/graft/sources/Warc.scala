@@ -190,6 +190,59 @@ object Warc {
   def httpPayload(bodyText: Column): Column =
     regexp_replace(bodyText, "(?s)\\A(?:HTTP/[0-9.]+ .*?\\r?\\n\\r?\\n)", "")
 
+  /** Write a documents frame OUT as WET conversion records — the
+    * inverse of [[documents]], for handing curated text back to crawl
+    * tooling in its interchange format (ISO 28500 conversion records,
+    * one multi-member-gzip `.warc.wet.gz` file per partition — each
+    * record its own gzip member, the CommonCrawl layout, so downstream
+    * readers can split members without parsing). Expects the
+    * [[documents]] schema (doc_id, url, text); executors write through
+    * the Hadoop filesystem of `dir` (conf entries ship as a plain
+    * broadcast map), so the sink works wherever parquet would. */
+  def writeWet(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val confMap = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val confBc = spark.sparkContext.broadcast(confMap)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(path)
+    docs.select(col("doc_id").cast("string"), col("url").cast("string"),
+        col("text").cast("string"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confBc.value.foreach { case (k, vv) => conf.set(k, vv) }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            dir, f"part-$pid%05d.warc.wet.gz")
+          val out = new java.io.BufferedOutputStream(
+            p.getFileSystem(conf).create(p, true), 1 << 16)
+          try it.foreach { row =>
+            val body = Option(row.getString(2)).getOrElse("")
+              .getBytes("UTF-8")
+            val hdr = Seq(
+              "WARC/1.0",
+              "WARC-Type: conversion",
+              s"WARC-Record-ID: ${row.getString(0)}",
+              s"WARC-Target-URI: ${Option(row.getString(1)).getOrElse("")}",
+              "Content-Type: text/plain",
+              s"Content-Length: ${body.length}",
+              "", "").mkString("\r\n")
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(hdr.getBytes("UTF-8"))
+            gz.write(body)
+            gz.write("\r\n\r\n".getBytes("UTF-8"))
+            gz.finish()
+          } finally out.close()
+        }
+      }
+  }
+
   /** The assembled front door: WARC/WET files → one row per document
     * with `doc_id` (record id), `url`, and `text` — HTML responses
     * run through [[graft.llm.Extract.extractText]], WET conversion

@@ -178,6 +178,47 @@ class WarcSpec extends SparkSpec {
     assert(txt.split("\n").forall(_.length >= 8))
   }
 
+  test("writeWet round-trips: documents out as WET conversion records, " +
+      "read back identically") {
+    val docs = Seq(
+      ("<urn:a>", "http://example.com/a", "First extracted document.\nTwo lines."),
+      ("<urn:b>", "http://example.com/b", "Zweites Dokument, ü und ß intakt."),
+      ("<urn:c>", "http://example.com/c", "")) // empty body survives
+      .toDF("doc_id", "url", "text")
+    val out = Files.createTempDirectory("graft-wet-out-").toString + "/wet"
+    Warc.writeWet(docs.repartition(2), out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(files.nonEmpty)
+    val back = Warc.documents(spark, s"$out/*.warc.wet.gz")
+      .select($"doc_id", $"url", $"text")
+      .as[(String, String, String)].collect().toSet
+    assert(back == docs.as[(String, String, String)].collect().toSet)
+    // records() sees proper conversion records with exact lengths
+    val recs = Warc.records(spark, s"$out/*.warc.wet.gz")
+    assert(recs.count() == 3 &&
+      recs.filter($"warc_type" === "conversion").count() == 3)
+  }
+
+  test("YAML wet sink: warc receiver through extraction back out as WET") {
+    val in = tmpFile("crawl.warc", sampleWarc)
+    val out = Files.createTempDirectory("graft-wet-sink-").toString + "/wet"
+    val yaml =
+      s"""actors:
+        |  crawl: {module: core.receiver, params: {path: "$in", format: warc}}
+        |  wet:   {module: core.sink, params: {format: wet, path: "$out"}}
+        |pipeline:
+        |  crawl: {connect: [wet]}
+        |""".stripMargin
+    val counts = new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    assert(counts("wet") == 3L)
+    val back = Warc.documents(spark, s"$out/*.warc.wet.gz")
+    assert(back.count() == 3)
+    assert(back.filter($"url" === "http://example.com/a")
+      .select($"text").as[String].head().contains("First & second"))
+  }
+
   test("streaming manifest-driven crawl ingest drains containers into " +
       "the documents schema") {
     val root = Files.createTempDirectory("graft-warc-stream-")
