@@ -766,8 +766,16 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
               .option("channel", channel)
               .load()
           case "core.receiver" =>
-            Streams.fileSource(spark, a.params("path").toString, receiverSchemas(name),
-              a.params.getOrElse("format", "parquet").toString)
+            val fmt = a.params.getOrElse("format", "parquet").toString
+            // the warc formats are a batch per-file kernel, not a
+            // DataSource — streaming crawl ingest goes through the
+            // manifest-tailing loop, which a file stream cannot express
+            require(fmt != "warc" && fmt != "warc_records",
+              s"$name: warc receivers have no file-stream form — drive " +
+                "streaming crawl ingest via StreamingWarcIngest " +
+                "(manifest-tailing drop zone) instead")
+            Streams.fileSource(spark, a.params("path").toString,
+              receiverSchemas(name), fmt)
           case "core.push_receiver" =>
             val reader = spark.readStream
               .format(classOf[graft.sources.PushReceiverProvider].getName)
