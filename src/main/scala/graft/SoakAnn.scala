@@ -36,8 +36,17 @@ object SoakAnn {
     val lshProbeBits = if (args.length > 3) args(3).toInt else 1
     val ivfNprobe = if (args.length > 4) args(4).toInt else 2
     val paths = if (args.length > 5) args(5) else "both"
-    require(Set("lsh", "ivf", "both", "pq", "ivfpq")(paths),
-      s"paths must be lsh|ivf|both|pq|ivfpq, got '$paths'")
+    // ivfpq = the production rerank leg alone (the r8 configuration);
+    // ivfpq_adc = the pure-ADC residual-vs-raw pair alone — separate
+    // values so the 1M legs run in their own JVMs (three full
+    // self-joins in one 8g heap OOM at 1M)
+    require(Set("lsh", "ivf", "both", "pq", "ivfpq", "ivfpq_adc")(paths),
+      s"paths must be lsh|ivf|both|pq|ivfpq|ivfpq_adc, got '$paths'")
+    // noise scale (arg 7, default 0.15): 0.15 makes clusters tight —
+    // within-cluster ranks are tie-dominated and pure-ADC recall
+    // measures little; larger noise makes QUANTIZATION RESOLUTION the
+    // binding constraint, the regime residual encoding exists for
+    val noise = if (args.length > 6) args(6).toDouble else 0.15
     val d = 64
     val group = 50
     val spark = GraftSession.get()
@@ -46,7 +55,7 @@ object SoakAnn {
     spark.range(n).selectExpr("id AS vec_id",
       s"""transform(sequence(0, ${d - 1}), i -> CAST(
          |  (hash(id DIV $group, i) % 1000) / 1000.0 +
-         |  0.15 * ((hash(id, i) % 1000) / 1000.0) AS FLOAT)) AS embedding"""
+         |  $noise * ((hash(id, i) % 1000) / 1000.0) AS FLOAT)) AS embedding"""
         .stripMargin)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$dir/emb")
@@ -114,7 +123,17 @@ object SoakAnn {
       (paths == "ivfpq") -> (() => audit("ivfpq_rerank",
         graft.llm.Similarity.ivfPqKnn(emb, emb, k, nlist = 4096,
           nprobe = ivfNprobe, m = 8, ksub = 16, iters = 3,
-          maxTrain = 16384, rerankFactor = 4)))
+          maxTrain = 16384, rerankFactor = 4))),
+      // pure-ADC residual-vs-raw at scale (no refine — rerank would
+      // mask PQ resolution): both forms at identical knobs
+      (paths == "ivfpq_adc") -> (() => audit("ivfpq_adc_residual",
+        graft.llm.Similarity.ivfPqKnn(emb, emb, k, nlist = 4096,
+          nprobe = ivfNprobe, m = 8, ksub = 16, iters = 3,
+          maxTrain = 16384))),
+      (paths == "ivfpq_adc") -> (() => audit("ivfpq_adc_raw",
+        graft.llm.Similarity.ivfPqKnn(emb, emb, k, nlist = 4096,
+          nprobe = ivfNprobe, m = 8, ksub = 16, iters = 3,
+          maxTrain = 16384, residual = false)))
     ).collect { case (true, run) => run() }
 
     println(s"""{"soak":"ann","n_vecs":$n,"d":$d,"k":$k,""" +

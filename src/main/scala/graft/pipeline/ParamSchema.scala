@@ -109,7 +109,7 @@ object ParamSchema {
     "core.upsert" -> Map("base" -> PString, "keys" -> PStringList,
       "version" -> PString, "delete_flag" -> PString),
     "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
-      "min_line_chars" -> PLong),
+      "min_line_chars" -> PLong, "full_entities" -> PBool),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,

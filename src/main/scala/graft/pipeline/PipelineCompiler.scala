@@ -318,13 +318,19 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
 
     // ---- LLM-curation actors (flowspark extension namespace) ----------
     // HTML -> text extraction (params: column, text_column,
-    // min_line_chars: optional line-density boilerplate cut). The
-    // codegen regexp chain of llm.Extract; pairs with the warc
-    // receiver format for a raw-crawl-to-curation pipeline.
+    // min_line_chars: optional line-density boilerplate cut;
+    // full_entities: true swaps the named-entity replace chain for the
+    // HtmlEntityDecode codegen expression — numeric &#dd;/&#xhh;
+    // references decode too). The codegen regexp chain of llm.Extract;
+    // pairs with the warc receiver format for a raw-crawl-to-curation
+    // pipeline.
     case "llm.extract" =>
       val c = p(a, "column").getOrElse("html")
       val out = p(a, "text_column").getOrElse("text")
-      val extracted = graft.llm.Extract.extractText(col(c))
+      val extracted =
+        if (p(a, "full_entities").exists(_.toBoolean))
+          graft.llm.Extract.extractTextFull(col(c))
+        else graft.llm.Extract.extractText(col(c))
       val cleaned = p(a, "min_line_chars").map(_.toInt) match {
         case Some(n) => graft.llm.Extract.mainContent(extracted, n)
         case None    => extracted

@@ -32,6 +32,11 @@ object StreamingWarcIngest {
           onBatch: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
     val manifests = spark.readStream.format("text").load(manifestDir)
     Streams.runForeachBatch(manifests.toDF(), (batch, batchId) => {
+      // bounded driver collect: rows are container PATHS (~100 bytes
+      // each), one manifest line per fetched segment — a batch holds a
+      // fetcher cycle's worth of paths, not corpus data; a billion-
+      // container backlog is ~100 MB of paths and would be split
+      // across triggers by maxFilesPerTrigger on the manifest stream
       val files = batch.collect().map(_.getString(0))
         .map(_.trim).filter(_.nonEmpty)
       if (files.nonEmpty) {

@@ -50,6 +50,26 @@ class ExtractSpec extends SparkSpec {
     assert(full == "café — dêjà")
   }
 
+  test("llm.extract actor with full_entities decodes numeric references") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-extract-full-").toString + "/in"
+    Seq((1L, "<p>caf&#233; &amp; bar</p>")).toDF("id", "page")
+      .write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  ex:  {module: llm.extract, params: {column: page, full_entities: true}}
+        |  ex_full_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [ex]}
+        |  ex:  {connect: [ex_full_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    assert(spark.table("ex_full_out").select($"text").as[String].head() ==
+      "café & bar")
+  }
+
   test("interpreted eval agrees with codegen") {
     val df = Seq("&#65;&amp;&#x1F600;&bogus; tail").toDF("x")
     val viaCodegen = df.select(HtmlEntityDecode($"x")).as[String].head()

@@ -244,6 +244,39 @@ class WarcSpec extends SparkSpec {
     assert(byUrl("http://example.com/z") == "A second segment arrives later.")
   }
 
+  test("crawl-to-index composition: manifest-driven WARC drain feeds " +
+      "exactly-once BM25 ingest under a stream id") {
+    val root = Files.createTempDirectory("graft-crawl2idx-")
+    val manifests = root.resolve("m"); Files.createDirectories(manifests)
+    val docsDir = root.resolve("docs").toString
+    val idx = root.resolve("index").toString
+    val seg = tmpFile("seg.warc", sampleWarc)
+    Files.write(manifests.resolve("m1.txt"), s"$seg\n".getBytes(UTF_8))
+    graft.streaming.StreamingWarcIngest.run(spark, manifests.toString,
+      docsDir)
+    // hand the extracted documents to the xo index loop (numeric ids
+    // derived deterministically from the record ids)
+    val extracted = spark.read.parquet(docsDir)
+      .select(xxhash64($"doc_id").as("doc_id"), $"text")
+    val schema = extracted.schema
+    val staged = root.resolve("staged").toString
+    extracted.write.parquet(staged)
+    val src = graft.streaming.Streams.fileSource(spark, staged, schema,
+      maxFilesPerTrigger = Some(1))
+    graft.streaming.StreamingBm25Ingest.runExactlyOnce(src, "text",
+      "doc_id", idx, streamId = "crawl-a")
+    // query on whitespace-clean tokens of the extracted page (bm25
+    // tokenizes on whitespace; "<escaped>" keeps its brackets)
+    val hits = graft.llm.Retrieval.bm25SearchIndex(
+      Seq((1L, "First second")).toDF("query_id", "qtext"), idx, k = 5)
+    assert(hits.count() >= 1) // the extracted response page matches
+    // redelivered crawl batch (same stream id): nothing doubles
+    val before = graft.llm.Retrieval.bm25IndexTotals(spark, idx)
+    assert(!graft.llm.Retrieval.bm25IndexAppendBatch(extracted, "text",
+      "doc_id", idx, 0L, "crawl-a"))
+    assert(graft.llm.Retrieval.bm25IndexTotals(spark, idx) == before)
+  }
+
   test("llm_crawl example: gzip WARC through extraction, quality gate " +
       "and exact dedup") {
     val dir = java.nio.file.Paths.get("/tmp/graft-example-crawl")
