@@ -26,6 +26,11 @@ object QueriesLlm {
     * enforces the invariant at runtime instead of trusting the comment. */
   private val DupIdOffset = 100000L
 
+  /** The shared boilerplate paragraph of the llm_dedup_paragraph
+    * fixture (no quotes/backslashes: embeds verbatim in SQL). */
+  private val BoilerPara =
+    "boilerplate navigation header paragraph shared across pages"
+
   /** HTML page fragments for the llm_extract_text fixture — shared by
     * the Spark builder and the oracle SQL so the synthesized input
     * cannot drift (no single quotes: the fragments embed verbatim in
@@ -1718,6 +1723,109 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text
         FROM kept k JOIN toks t ON t.doc_id = k.doc_id
         GROUP BY k.doc_id, t.tk""")),
+
+    // URL canonicalization (the crawl pipeline's FIRST dedup key): each
+    // doc synthesizes a deterministic URL with tracking params and
+    // fragments; the regexp-subset normalizer (Extract.normalizeUrlLite
+    // — fragment + tracker removal, oracle generated from the SAME
+    // pattern constants) collapses the variants, counted per canonical
+    // URL. The full form (host/scheme casing, default ports, param
+    // sorting) is the NormalizeUrl codegen expression, spec-verified —
+    // RE2 has no backreferences, so it has no SQL twin by design.
+    QueryDef("llm_url_normalize",
+      (s, dir) => {
+        val url = concat(lit("http://site"), pmod(col("doc_id"), lit(7L)),
+          lit(".example.com/p/"), pmod(col("doc_id"), lit(50L)),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit("?utm_source=feed&utm_medium=rss&q="),
+              pmod(col("doc_id"), lit(5L))))
+            .when(pmod(col("doc_id"), lit(3L)) === 1,
+              concat(lit("?q="), pmod(col("doc_id"), lit(5L)),
+                lit("&fbclid=abc123")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4L)) === 0, lit("#frag"))
+            .otherwise(lit("")))
+        val normed = t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("norm_url", Extract.normalizeUrlLite(col("url")))
+        val cnt = normed.groupBy(col("norm_url"))
+          .agg(count(lit(1)).as("n_variants"))
+        normed.join(cnt, "norm_url")
+          .select(col("doc_id"), col("url"), col("norm_url"),
+            col("n_variants"))
+      },
+      Some {
+        val urlSql = """'http://site' || (doc_id % 7) || '.example.com/p/' ||
+          (doc_id % 50) ||
+          CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&utm_medium=rss&q=' || (doc_id % 5)
+               WHEN doc_id % 3 = 1
+               THEN '?q=' || (doc_id % 5) || '&fbclid=abc123'
+               ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"""
+        s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+          n AS (SELECT doc_id, url,
+            ${Extract.normalizeUrlLiteSql("url")} AS norm_url FROM u),
+          c AS (SELECT norm_url, COUNT(*) AS n_variants FROM n GROUP BY 1)
+          SELECT n.doc_id, n.url, n.norm_url, c.n_variants
+          FROM n JOIN c USING (norm_url)"""
+      }),
+
+    // paragraph-granular exact dedup (the MassiveText/Gopher "remove
+    // duplicated paragraphs" pass, Dedup.dedupParagraphs): documents
+    // re-render as 10-token paragraphs, every 5th doc prepends a
+    // SHARED boilerplate paragraph — the op must keep exactly one
+    // corpus-wide copy of each paragraph (first by (doc_id, pos)) and
+    // rebuild docs in original order; all-cut docs keep an explicit
+    // empty row. Oracle: the same keeper as a row_number window over
+    // the paragraph hash.
+    QueryDef("llm_dedup_paragraph",
+      (s, dir) => {
+        val tk = split(col("text"), " ")
+        // (size+9)/10 chunks; Spark `/` is double division — the cast
+        // truncates exactly (correctly-rounded IEEE division of small
+        // ints). Empty text needs the explicit empty-array branch:
+        // Spark's sequence(0, -1) counts DOWN, it is not empty.
+        val nChunks = ((size(tk) + 9) / 10).cast("long")
+        val idxs = when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<bigint>"))
+        val paraText = array_join(transform(idxs,
+          i => array_join(slice(tk, (i * 10 + 1).cast("int"), lit(10)), " ")),
+          "\n")
+        val withBoiler = when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(BoilerPara), lit("\n"), paraText))
+          .otherwise(paraText)
+        Dedup.dedupParagraphs(
+          t(s, dir, "documents").select(col("doc_id"),
+            withBoiler.as("text")),
+          "text", "doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents),
+        base AS (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN '$BoilerPara' || chr(10) ||
+            array_to_string(list_transform(range(0, (len(tk) + 9) // 10),
+              i -> array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ')), chr(10))
+          ELSE
+            array_to_string(list_transform(range(0, (len(tk) + 9) // 10),
+              i -> array_to_string(tk[i * 10 + 1 : i * 10 + 10], ' ')), chr(10))
+          END AS text FROM tk),
+        paras AS (SELECT doc_id, pos, para FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS para,
+              unnest(range(len(string_split(text, chr(10))))) AS pos
+            FROM base) x
+          WHERE para <> ''),
+        keep AS (SELECT doc_id, pos, para,
+            row_number() OVER (PARTITION BY md5(para)
+              ORDER BY doc_id, pos) AS rn
+          FROM paras),
+        counts AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY 1),
+        agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(para, chr(10) ORDER BY pos) AS clean_text
+          FROM keep WHERE rn = 1 GROUP BY doc_id)
+        SELECT c.doc_id, c.n_paras, coalesce(a.n_kept, 0) AS n_kept,
+          coalesce(a.clean_text, '') AS clean_text
+        FROM counts c LEFT JOIN agg a USING (doc_id)""")),
 
     // HTML -> text extraction (the raw-crawl front door, llm.Extract):
     // each document is wrapped into a deterministic HTML page — title,

@@ -32,6 +32,53 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** PARAGRAPH-granular exact dedup (the MassiveText/Gopher "remove
+    * duplicated paragraphs" pass): keep the FIRST corpus-wide
+    * occurrence of each paragraph — ranked by (doc_id, position), so
+    * boilerplate headers/footers repeated across a crawl survive
+    * exactly once, in the earliest document — and rebuild every
+    * document from its surviving paragraphs in original order.
+    *
+    * Scale shape: paragraphs explode map-side; the keeper is one
+    * groupBy on the paragraph's md5 (min (doc_id, pos) struct — never
+    * the paragraph text through the agg), the survivors come back via
+    * one join on (hash, doc_id, pos), and reassembly is a per-doc
+    * groupBy collecting (pos, para) structs sorted in the projection —
+    * three uniform-key shuffles, no windows, no driver state. Empty
+    * paragraphs (consecutive separators) are dropped like every
+    * tokenizer here drops empty tokens.
+    *
+    * Output: (doc_id, n_paras, n_kept, clean_text). */
+  def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "para")))
+      .filter(col("para") =!= "")
+      .withColumn("h", md5(col("para").cast("binary")))
+    val keeper = paras
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+    val kept = paras.join(keeper, Seq("h", "doc_id", "pos"), "left_semi")
+    val counts = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), sep).as("clean_text"))
+      // right join: a doc whose EVERY paragraph was seen earlier keeps
+      // an explicit all-cut row (n_kept 0, empty text) for the
+      // downstream length filter, it does not silently vanish
+      .join(counts, Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Streaming exact dedup: drops documents whose content hash was seen
     * within the watermark horizon — the streaming rendering of `exact`
     * (state = one 128-bit hash per distinct doc inside the horizon,

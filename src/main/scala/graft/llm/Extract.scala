@@ -123,6 +123,54 @@ object Extract {
     array_join(
       filter(split(text, "\n"), l => length(l) >= minLineChars), "\n")
 
+  // ---- URL canonicalization (regexp-subset twin of the full
+  // functions.NormalizeUrl expression) --------------------------------
+
+  /** Fragment: everything from '#'. */
+  val UrlFragmentPattern = "(?s)#.*$"
+
+  /** A tracking parameter in LEADING position (keeps the '?' for the
+    * survivors): applied [[UrlLeadUnroll]] times — each global pass
+    * removes non-overlapping matches left-to-right, so N consecutive
+    * leading trackers need N passes (bounded unroll, identical in both
+    * engines). */
+  val UrlTrackLeadPattern =
+    "\\?(?:utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*&"
+  val UrlLeadUnroll = 3
+
+  /** Any other tracking parameter with its separator. */
+  val UrlTrackPattern =
+    "[?&](?:utm_[A-Za-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+  /** A dangling '?' or '&' left by the removals. */
+  val UrlTrailPattern = "[?&]$"
+
+  /** Regexp-only URL canonicalization: fragment and tracking-parameter
+    * removal — the oracle-checkable subset (RE2 has no backreferences
+    * or lookahead, so host/scheme casing, default ports and parameter
+    * sorting live in the [[graft.functions.NormalizeUrl]] codegen
+    * expression instead; compose both with `NormalizeUrl(col)` for the
+    * full form — its output is already fragment- and tracker-free). */
+  def normalizeUrlLite(url: Column): Column = {
+    val noFrag = regexp_replace(url, UrlFragmentPattern, "")
+    val noLead = (1 to UrlLeadUnroll).foldLeft(noFrag)((c, _) =>
+      regexp_replace(c, UrlTrackLeadPattern, "?"))
+    val noTrack = regexp_replace(noLead, UrlTrackPattern, "")
+    regexp_replace(noTrack, UrlTrailPattern, "")
+  }
+
+  /** DuckDB twin of [[normalizeUrlLite]] — generated from the SAME
+    * pattern constants. */
+  def normalizeUrlLiteSql(urlExpr: String): String = {
+    def rr(x: String, pat: String, repl: String) =
+      s"regexp_replace($x, '$pat', $repl, 'g')"
+    val noFrag = rr(urlExpr, UrlFragmentPattern, "''")
+    val noLead = (1 to UrlLeadUnroll).foldLeft(noFrag)((x, _) =>
+      rr(x, UrlTrackLeadPattern, "'?'"))
+    val noTrack = rr(noLead, UrlTrackPattern, "''")
+    rr(noTrack, UrlTrailPattern, "''")
+  }
+
   /** DuckDB oracle twin of [[extractText]] over SQL expression
     * `htmlExpr` — built from the SAME pattern constants so the two
     * engines cannot drift. RE2 accepts every pattern above; newline

@@ -110,6 +110,10 @@ object ParamSchema {
       "version" -> PString, "delete_flag" -> PString),
     "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
       "min_line_chars" -> PLong, "full_entities" -> PBool),
+    "llm.url_normalize" -> Map("column" -> PString,
+      "out_column" -> PString, "dedup" -> PBool, "id" -> PString),
+    "llm.dedup_paragraph" -> Map("column" -> PString, "id" -> PString,
+      "separator" -> PString),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,

@@ -337,6 +337,37 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
       inputOf(a.name).withColumn(out, cleaned)
 
+    // URL canonicalization (params: column, out_column, dedup: true
+    // keeps one row per canonical URL — min doc order by the id
+    // column). Full NormalizeUrl codegen expression: casing, default
+    // ports, fragment/tracker removal, canonical param order.
+    case "llm.url_normalize" =>
+      val c = p(a, "column").getOrElse("url")
+      val out = p(a, "out_column").getOrElse("norm_url")
+      val annotated = inputOf(a.name)
+        .withColumn(out, graft.functions.NormalizeUrl(col(c)))
+      if (p(a, "dedup").exists(_.toBoolean)) {
+        val idc = p(a, "id").getOrElse("doc_id")
+        val keep = annotated.groupBy(col(out))
+          .agg(min(col(idc)).as(idc)).select(col(idc))
+        annotated.join(keep, Seq(idc), "left_semi")
+      } else annotated
+
+    // paragraph-granular exact dedup (params: column, id, separator) —
+    // the MassiveText "remove duplicated paragraphs" pass; rewrites
+    // the text column to the surviving paragraphs and annotates
+    // n_paras/n_kept
+    case "llm.dedup_paragraph" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val sep = p(a, "separator").getOrElse("\n")
+      val in = inputOf(a.name)
+      val deduped = graft.llm.Dedup.dedupParagraphs(in, c, idc, sep)
+        .select(col("doc_id").as(idc), col("n_paras"), col("n_kept"),
+          col("clean_text"))
+      in.drop(c).join(deduped, Seq(idc))
+        .withColumnRenamed("clean_text", c)
+
     // quality gate: score text, keep rows >= min_quality
     // (params: column, min_quality, score_column)
     case "llm.quality_filter" =>

@@ -384,6 +384,37 @@ class LlmModulesSpec extends SparkSpec {
     assert(got.startsWith("low low low low low low e r"))
   }
 
+  test("llm.url_normalize actor collapses URL variants; " +
+      "llm.dedup_paragraph rewrites shared paragraphs away") {
+    val in = Files.createTempDirectory("graft-url-pipe-").toString + "/in"
+    Seq(
+      (1L, "HTTP://E.com:80/a?utm_source=x", "shared header\nunique one"),
+      (2L, "http://e.com/a#frag", "shared header\nunique two"),
+      (3L, "http://e.com/b", "unique three"))
+      .toDF("doc_id", "url", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  urls: {module: llm.url_normalize, params: {column: url, dedup: true}}
+        |  paras: {module: llm.dedup_paragraph, params: {column: text, id: doc_id}}
+        |  url_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src:   {connect: [urls]}
+        |  urls:  {connect: [paras]}
+        |  paras: {connect: [url_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("url_pipe_out")
+    // doc 2 is a URL-variant of doc 1 -> dropped by the canonical key
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val texts = out.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(texts(1L) == "shared header\nunique one")
+    assert(texts(3L) == "unique three")
+    assert(out.columns.contains("norm_url") &&
+      out.columns.contains("n_kept"))
+  }
+
   test("llm.lm_score actor with per_lang scores each language against " +
       "its own model") {
     val in = Files.createTempDirectory("graft-lm-perlang-").toString + "/in"
