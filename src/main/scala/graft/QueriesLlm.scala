@@ -1724,6 +1724,59 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         FROM kept k JOIN toks t ON t.doc_id = k.doc_id
         GROUP BY k.doc_id, t.tk""")),
 
+    // Gopher quality rules (Rae et al. 2021 Appendix A — the NAMED
+    // filter set curation papers cite): word-count band, mean word
+    // length band, symbol ('#'/'...') ratio cap, alphabetic-word
+    // floor, required-stopword minimum — every signal exact integer
+    // ppm, every rule a boolean column, `pass` their conjunction. The
+    // oracle re-derives all five signals and the rule thresholds.
+    QueryDef("llm_gopher_rules",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id") +: TextFunctions.gopherSignals(col("text"))
+            .map { case (nm, c) => c.as(nm) }: _*)
+          .withColumn("ok_words",
+            col("n_words").between(50L, 100000L))
+          .withColumn("ok_mean_len",
+            col("mean_word_len_ppm").between(3000000L, 10000000L))
+          .withColumn("ok_symbol", col("symbol_ppm") <= 100000L)
+          .withColumn("ok_alpha", col("alpha_ppm") >= 800000L)
+          .withColumn("ok_stops", col("stop_hits") >= 2L)
+          .withColumn("pass", col("ok_words") && col("ok_mean_len") &&
+            col("ok_symbol") && col("ok_alpha") && col("ok_stops"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text,
+          string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(length(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+          CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+            '${TextFunctions.wordHitsPattern(TextFunctions.GopherStops)}')) AS BIGINT) AS stop_hits
+          FROM tk),
+        sig AS (SELECT doc_id, n_words,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE (sum_len * 1000000) // n_words END AS mean_word_len_ppm,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE ((n_hash + n_ell) * 1000000) // n_words END AS symbol_ppm,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE (n_alpha * 1000000) // n_words END AS alpha_ppm,
+          stop_hits FROM m)
+        SELECT doc_id, n_words, mean_word_len_ppm, symbol_ppm, alpha_ppm,
+          stop_hits,
+          n_words BETWEEN 50 AND 100000 AS ok_words,
+          mean_word_len_ppm BETWEEN 3000000 AND 10000000 AS ok_mean_len,
+          symbol_ppm <= 100000 AS ok_symbol,
+          alpha_ppm >= 800000 AS ok_alpha,
+          stop_hits >= 2 AS ok_stops,
+          (n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len_ppm BETWEEN 3000000 AND 10000000)
+            AND symbol_ppm <= 100000 AND alpha_ppm >= 800000
+            AND stop_hits >= 2 AS pass
+        FROM sig""")),
+
     // URL canonicalization (the crawl pipeline's FIRST dedup key): each
     // doc synthesizes a deterministic URL with tracking params and
     // fragments; the regexp-subset normalizer (Extract.normalizeUrlLite

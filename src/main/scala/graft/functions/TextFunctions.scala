@@ -102,4 +102,41 @@ object TextFunctions {
         wordLenScore * 0.15 + stopScore * 0.15,
       6)
   }
+
+  // ---- Gopher quality rules (Rae et al. 2021, Appendix A) -------------
+
+  /** Gopher's required-stopword set (ibid.): a document must contain at
+    * least two of these to pass. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher rule signals, EXACT integer ppm (hash-gateable like
+    * every quality signal here): word count, mean word length, symbol
+    * ('#' and '...') to word ratio, alphabetic-word ratio, and
+    * required-stopword hits. All codegen column arithmetic except the
+    * alpha-word lambda (interpreted HOF over the token array — the
+    * array is computed once per row). */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val tk = tokens(text)
+    val n = size(tk).cast("long")
+    val sumLen = length(concat_ws("", tk)).cast("long")
+    val nAlpha = size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nHash = (length(text) -
+      length(regexp_replace(text, "#", ""))).cast("long")
+    val nEll = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val stops = wordHits(text, GopherStops).cast("long")
+    // exact integer floor division without `expr` name plumbing:
+    // (a - a mod n) is exactly divisible, its double quotient is an
+    // exact integer < 2^53, so the cast is exact — equals SQL `div`
+    def ppm(num: Column): Column = {
+      val a = num * 1000000L
+      when(n === 0, 0L).otherwise(((a - pmod(a, n)) / n).cast("long"))
+    }
+    Seq(
+      "n_words" -> n,
+      "mean_word_len_ppm" -> ppm(sumLen),
+      "symbol_ppm" -> ppm(nHash + nEll),
+      "alpha_ppm" -> ppm(nAlpha),
+      "stop_hits" -> stops)
+  }
 }

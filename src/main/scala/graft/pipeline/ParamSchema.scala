@@ -110,6 +110,8 @@ object ParamSchema {
       "version" -> PString, "delete_flag" -> PString),
     "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
       "min_line_chars" -> PLong, "full_entities" -> PBool),
+    "llm.gopher_filter" -> Map("column" -> PString,
+      "annotate_only" -> PBool),
     "llm.url_normalize" -> Map("column" -> PString,
       "out_column" -> PString, "dedup" -> PBool, "id" -> PString),
     "llm.dedup_paragraph" -> Map("column" -> PString, "id" -> PString,

@@ -337,6 +337,23 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
       inputOf(a.name).withColumn(out, cleaned)
 
+    // Gopher quality rules (Rae et al. 2021 Appendix A; params: column,
+    // annotate_only: true = keep all rows with the `gopher_pass`
+    // column, else gate). Thresholds are the paper's; the signals ride
+    // as exact-ppm columns for downstream analysis.
+    case "llm.gopher_filter" =>
+      val c = p(a, "column").getOrElse("text")
+      val sig = graft.functions.TextFunctions.gopherSignals(col(c))
+      val annotated = sig.foldLeft(inputOf(a.name)) {
+        case (df, (nm, cc)) => df.withColumn(nm, cc)
+      }.withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_ppm").between(3000000L, 10000000L) &&
+          col("symbol_ppm") <= 100000L && col("alpha_ppm") >= 800000L &&
+          col("stop_hits") >= 2L)
+      if (p(a, "annotate_only").exists(_.toBoolean)) annotated
+      else annotated.filter(col("gopher_pass"))
+
     // URL canonicalization (params: column, out_column, dedup: true
     // keeps one row per canonical URL — min doc order by the id
     // column). Full NormalizeUrl codegen expression: casing, default

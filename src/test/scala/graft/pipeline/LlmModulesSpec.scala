@@ -384,6 +384,40 @@ class LlmModulesSpec extends SparkSpec {
     assert(got.startsWith("low low low low low low e r"))
   }
 
+  test("llm.gopher_filter actor gates on the Rae et al. rule set") {
+    val in = Files.createTempDirectory("graft-gopher-pipe-").toString + "/in"
+    val prose = (1 to 60).map(i => Seq("the", "results", "have", "been",
+      "consistent", "with", "that", "analysis")(i % 8)).mkString(" ")
+    Seq(
+      (1L, prose),                       // passes every rule
+      (2L, "### ### ### " + prose),      // symbol ratio still low at 60 words... keep
+      (3L, "short text only"),           // fails word count
+      (4L, ("#" * 40) + " " + prose.split(" ").take(50).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  g:   {module: llm.gopher_filter, params: {column: text, annotate_only: true}}
+        |  gopher_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [g]}
+        |  g:   {connect: [gopher_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("gopher_out")
+      .select($"doc_id", $"gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "clean prose must pass")
+    assert(!out(3L), "a 3-word doc fails the word-count band")
+    assert(!out(4L), "a 40-hash doc fails the symbol and alpha rules")
+    // gating mode drops the failures
+    val gateYaml = yaml.replace(", annotate_only: true", "")
+      .replace("gopher_out", "gopher_gate_out")
+    new PipelineCompiler(spark, PipelineConfig.parse(gateYaml)).runBatch()
+    val kept = spark.table("gopher_gate_out").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == out.filter(_._2).keySet && kept.contains(1L))
+  }
+
   test("llm.url_normalize actor collapses URL variants; " +
       "llm.dedup_paragraph rewrites shared paragraphs away") {
     val in = Files.createTempDirectory("graft-url-pipe-").toString + "/in"
