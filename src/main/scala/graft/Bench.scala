@@ -55,7 +55,8 @@ object Bench {
     // round 13: the raw-crawl front door (HTML extraction), in-pipeline
     // classifier training, and per-language LM scoring + tiers
     "llm_extract_text", "llm_classifier_train", "llm_lm_per_lang",
-    "llm_url_normalize", "llm_dedup_paragraph", "llm_gopher_rules")
+    "llm_url_normalize", "llm_dedup_paragraph", "llm_gopher_rules",
+    "llm_c4_rules")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

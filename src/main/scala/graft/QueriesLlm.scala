@@ -1777,6 +1777,77 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             AND stop_hits >= 2 AS pass
         FROM sig""")),
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2 — the other NAMED
+    // filter set): keep lines that end in terminal punctuation, carry
+    // >= 5 words, and do not mention javascript; drop pages containing
+    // "lorem ipsum" or '{' (code), or with < 3 surviving lines.
+    // Fixture: documents re-render as 8-token lines with deterministic
+    // punctuation/contamination planted by (doc_id, line) arithmetic —
+    // identical construction in both engines; the line filter is the
+    // same lambda in Spark HOFs and DuckDB list_filter.
+    QueryDef("llm_c4_rules",
+      (s, dir) => {
+        val tk = split(col("text"), " ")
+        val nChunks = ((size(tk) + 7) / 8).cast("long")
+        val idxs = when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<bigint>"))
+        val lines = transform(idxs, i => concat(
+          array_join(slice(tk, (i * 8 + 1).cast("int"), lit(8)), " "),
+          // line i of doc d ends with '.' unless (d + i) % 4 == 0;
+          // every 11th line mentions javascript
+          when(pmod(col("doc_id") + i, lit(11L)) === 0, lit(" javascript"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id") + i, lit(4L)) =!= 0, lit("."))
+            .otherwise(lit(""))))
+        val text = concat(
+          array_join(lines, "\n"),
+          when(pmod(col("doc_id"), lit(17L)) === 0, lit("\nlorem ipsum."))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0, lit("\nvar x = { y };"))
+            .otherwise(lit("")))
+        val doc = t(s, dir, "documents")
+          .select(col("doc_id"), text.as("text"))
+        val docLines = split(col("text"), "\n")
+        val kept = filter(docLines, l =>
+          size(split(l, " ")) >= 5 && l.rlike("[.!?\"]$") &&
+            !lower(l).contains("javascript"))
+        doc.select(col("doc_id"),
+            size(docLines).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept_lines"),
+            array_join(kept, "\n").as("clean_text"),
+            lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+            col("text").contains("{").as("has_brace"))
+          .withColumn("pass",
+            !col("has_lorem") && !col("has_brace") &&
+              col("n_kept_lines") >= 3L)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents),
+        rendered AS (SELECT doc_id,
+          array_to_string(list_transform(range(0, (len(tk) + 7) // 8),
+            i -> array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ') ||
+              CASE WHEN (doc_id + i) % 11 = 0 THEN ' javascript' ELSE '' END ||
+              CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END),
+            chr(10)) ||
+          CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = { y };' ELSE '' END
+          AS text FROM tk),
+        sig AS (SELECT doc_id,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          list_filter(string_split(text, chr(10)), l ->
+            len(string_split(l, ' ')) >= 5
+            AND regexp_matches(l, '[.!?"]$')
+            AND NOT contains(lower(l), 'javascript')) AS kept,
+          contains(lower(text), 'lorem ipsum') AS has_lorem,
+          contains(text, '{') AS has_brace
+          FROM rendered)
+        SELECT doc_id, n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          has_lorem, has_brace,
+          NOT has_lorem AND NOT has_brace AND len(kept) >= 3 AS pass
+        FROM sig""")),
+
     // URL canonicalization (the crawl pipeline's FIRST dedup key): each
     // doc synthesizes a deterministic URL with tracking params and
     // fragments; the regexp-subset normalizer (Extract.normalizeUrlLite

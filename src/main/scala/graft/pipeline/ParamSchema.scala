@@ -112,6 +112,8 @@ object ParamSchema {
       "min_line_chars" -> PLong, "full_entities" -> PBool),
     "llm.gopher_filter" -> Map("column" -> PString,
       "annotate_only" -> PBool),
+    "llm.c4_filter" -> Map("column" -> PString, "min_lines" -> PLong,
+      "annotate_only" -> PBool),
     "llm.url_normalize" -> Map("column" -> PString,
       "out_column" -> PString, "dedup" -> PBool, "id" -> PString),
     "llm.dedup_paragraph" -> Map("column" -> PString, "id" -> PString,

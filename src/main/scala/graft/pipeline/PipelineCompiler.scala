@@ -337,6 +337,28 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
       inputOf(a.name).withColumn(out, cleaned)
 
+    // C4 cleaning rules (Raffel et al. 2020 §2.2; params: column,
+    // min_lines, annotate_only). Rewrites the text column to the
+    // surviving lines (terminal punctuation, >= 5 words, no
+    // 'javascript'); drops pages with 'lorem ipsum', '{', or fewer
+    // than min_lines survivors unless annotate_only.
+    case "llm.c4_filter" =>
+      val c = p(a, "column").getOrElse("text")
+      val minLines = p(a, "min_lines").map(_.toLong).getOrElse(3L)
+      val docLines = split(col(c), "\n")
+      val kept = filter(docLines, l =>
+        size(split(l, " ")) >= 5 && l.rlike("[.!?\"]$") &&
+          !lower(l).contains("javascript"))
+      val annotated = inputOf(a.name)
+        .withColumn("c4_has_lorem", lower(col(c)).contains("lorem ipsum"))
+        .withColumn("c4_has_brace", col(c).contains("{"))
+        .withColumn("c4_n_kept_lines", size(kept).cast("long"))
+        .withColumn("c4_pass", !col("c4_has_lorem") &&
+          !col("c4_has_brace") && col("c4_n_kept_lines") >= minLines)
+      if (p(a, "annotate_only").exists(_.toBoolean)) annotated
+      else annotated.filter(col("c4_pass"))
+        .withColumn(c, array_join(kept, "\n")) // survivors only
+
     // Gopher quality rules (Rae et al. 2021 Appendix A; params: column,
     // annotate_only: true = keep all rows with the `gopher_pass`
     // column, else gate). Thresholds are the paper's; the signals ride

@@ -384,6 +384,41 @@ class LlmModulesSpec extends SparkSpec {
     assert(got.startsWith("low low low low low low e r"))
   }
 
+  test("llm.c4_filter actor keeps punctuated prose lines and drops " +
+      "contaminated pages") {
+    val in = Files.createTempDirectory("graft-c4-pipe-").toString + "/in"
+    Seq(
+      (1L, "The first full sentence carries weight.\n" +
+        "Another complete sentence follows it here.\n" +
+        "A third one closes the argument cleanly.\nshort frag"),
+      (2L, "This page mentions lorem ipsum filler.\n" +
+        "It has three good sentences though really.\n" +
+        "And one more to pass the count easily."),
+      (3L, "var f = function() { return 1; };\n" +
+        "Prose sentence number one stands here.\n" +
+        "Prose sentence number two stands here.\n" +
+        "Prose sentence number three stands here."),
+      (4L, "Only two proper sentences exist here.\n" +
+        "This is the second and last one."))
+      .toDF("doc_id", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  c4:  {module: llm.c4_filter, params: {column: text}}
+        |  c4_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [c4]}
+        |  c4:  {connect: [c4_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("c4_out").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    // doc 1 survives with the fragment line cut; 2 = lorem, 3 = brace,
+    // 4 = under min_lines
+    assert(out.keySet == Set(1L))
+    assert(out(1L).split("\n").length == 3 && !out(1L).contains("frag"))
+  }
+
   test("llm.gopher_filter actor gates on the Rae et al. rule set") {
     val in = Files.createTempDirectory("graft-gopher-pipe-").toString + "/in"
     val prose = (1 to 60).map(i => Seq("the", "results", "have", "been",
