@@ -25,7 +25,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_embedding_centroids", "llm_classifier_score", "llm_dup_spans",
     "llm_semdedup", "llm_dup_spans_cut", "llm_decontaminate_cut",
     "llm_span_index", "llm_extract_text", "llm_lm_per_lang",
-    "llm_classifier_train",
+    "llm_classifier_train", "llm_url_normalize", "llm_dedup_paragraph",
+    "llm_gopher_rules", "llm_c4_rules",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats",
     "mm_image_phash_pairs")
 
