@@ -130,17 +130,26 @@ object Bench {
     // best-of-3: single-shot numbers swing ~20% from GC/JIT noise in
     // local mode; min over three runs is the stable cross-round
     // comparator (two left residual swings of ~1.5x between full runs)
-    val results = Headline.map(n =>
+    val passA = Headline.map(n =>
       n -> Seq(runOne(n), runOne(n), runOne(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     Extended.foreach(runOne) // warmup
     // best-of-3 like the headline: BENCH_r01 recorded a 6.5x outlier on a
     // warmed query (driver-box contention) that min-of-2 failed to absorb
     val ext = Extended.map(n => n -> Seq(runOne(n), runOne(n), runOne(n)).min)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // SECOND full headline pass, minutes of wall-clock after the first
+    // (the extended section sits between): consecutive best-of-3 runs
+    // all land inside the same busy-box window, which is exactly how
+    // BENCH_r13 recorded a uniform +22% — min across two time-separated
+    // passes is the protection a single end-of-round driver run lacks
+    val passB = Headline.map(n =>
+      n -> Seq(runOne(n), runOne(n), runOne(n)).min)
+    val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
+      n -> math.min(a, b) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     val skew = skewComparison(spark, sfDir)
     // live-socket ingest throughput (tcp + http through the YAML bind
     // pipeline) — SF-independent, bounded row counts keep it a few

@@ -45,6 +45,16 @@ object QueriesLlm {
     "<li>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</li>" +
     "<li>&amp;lt;double&amp;gt;</li></ul><div>tail</div></body></html>"
 
+  /** Non-ASCII payloads for the llm_extract_charset fixture — each
+    * must round-trip LOSSLESSLY through its charset (Cyrillic ⊂
+    * windows-1251, Han ⊂ GBK, accented Latin ⊂ ISO-8859-1). Shared by
+    * the Spark byte-builder and the oracle SQL (which only ever sees
+    * the decoded text). No single quotes: embeds verbatim in SQL. */
+  private val CsPayload1251 = "Привет мир номер "
+  private val CsPayloadGbk = "今天天气很好编号"
+  private val CsPayload8859 = "Café déjà vu numéro "
+  private val CsPayloadUtf8 = "plain utf-8 text № "
+
   /** The corpus unioned with a full exact copy shifted by DupIdOffset,
     * with the no-collision invariant checked loudly. */
   private def withShiftedDup(docs: DataFrame): DataFrame = {
@@ -345,6 +355,84 @@ n AS (SELECT COUNT(*) AS n FROM documents),
 w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
 ${(1 to ClfIters).map(iter).mkString(",\n")}
 SELECT b, w AS w_micro FROM w$ClfIters"""
+  }
+
+  /** llm_langid_clf fixture: eight planted languages (SORTED — model
+    * order and argmax tie-break key off it), each with a distinctive
+    * phrase sharing no token with any other. ru exercises Cyrillic; zh
+    * has NO spaces at all — only the Unicode tokenizer splits it into
+    * per-character tokens the classifier can learn. No single quotes:
+    * embeds verbatim in SQL. */
+  private val LangClfLabels = Seq("de", "en", "es", "fr", "it", "pt", "ru", "zh")
+  private val LangClfPhrase: Map[String, String] = Map(
+    "de" -> "und nicht welt", "en" -> "hello world friend",
+    "es" -> "hola mundo amigo", "fr" -> "bonjour monde ami",
+    "it" -> "ciao tutto amico", "pt" -> "nao uma coisa boa",
+    "ru" -> "привет мир друг", "zh" -> "天气很好")
+  private val LangClfIters = 2
+  private val LangClfBuckets = 512
+
+  /** DuckDB twin of the llm_langid_clf lifecycle: the planted fixture,
+    * one [[classifierTrainOracle]]-style unrolled chain PER LABEL
+    * (one-vs-rest, y = (lang = l)), then per-label scoring joins and
+    * the argmax CASE in sorted-label order — prediction hash-exact. */
+  private def langClfOracle: String = {
+    val B = LangClfBuckets
+    def caseByIdx(f: String => String): String =
+      "CASE CAST(doc_id % 8 AS INT) " + LangClfLabels.zipWithIndex.map {
+        case (l, i) => s"WHEN $i THEN '${f(l)}'" }.mkString(" ") + " END"
+    def chain(l: String): String = {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) s"w0" else s"w${k - 1}_$l"
+        s"""m${k}_$l AS (SELECT f.doc_id, f.y_$l AS y,
+    CAST(SUM(w.w * f.cnt) AS BIGINT) AS marg
+  FROM feats f JOIN $prev w USING (b) GROUP BY f.doc_id, f.y_$l),
+e${k}_$l AS (SELECT doc_id,
+    greatest(0, least(1000000, 500000 + marg // 4)) - y * 1000000 AS err
+  FROM m${k}_$l),
+g${k}_$l AS (SELECT f.b, CAST(SUM(e.err * f.cnt) AS BIGINT) AS g
+  FROM feats f JOIN e${k}_$l e USING (doc_id) GROUP BY f.b),
+w${k}_$l AS MATERIALIZED (SELECT w.b,
+    CAST(w.w - (1000000 * coalesce(g.g, 0)) // (n.n * 1000000) AS BIGINT) AS w
+  FROM $prev w LEFT JOIN g${k}_$l g USING (b) CROSS JOIN n)"""
+      }
+      (1 to LangClfIters).map(iter).mkString(",\n")
+    }
+    val scores = LangClfLabels.map { l =>
+      s"""sc_$l AS (SELECT f.doc_id, CAST(SUM(w.w * f.cnt) AS BIGINT) AS s
+  FROM feats f JOIN w${LangClfIters}_$l w USING (b)
+  GROUP BY f.doc_id)"""
+    }.mkString(",\n")
+    val gmax = "greatest(" + LangClfLabels.map(l => s"sc_$l.s").mkString(", ") + ")"
+    val argmax = "CASE " + LangClfLabels.dropRight(1).map(l =>
+      s"WHEN sc_$l.s = $gmax THEN '$l'").mkString(" ") +
+      s" ELSE '${LangClfLabels.last}' END"
+    val scoreJoins = LangClfLabels.map(l =>
+      s"JOIN sc_$l ON sc_$l.doc_id = fix.doc_id").mkString("\n  ")
+    s"""WITH fix AS MATERIALIZED (SELECT doc_id,
+    ${caseByIdx(identity)} AS lang,
+    ${caseByIdx(LangClfPhrase)} || ' ' || ${caseByIdx(LangClfPhrase)} ||
+      ' tag' || (doc_id % 7) AS text
+  FROM documents),
+tokr AS (SELECT doc_id, lang,
+    unnest(regexp_extract_all(text, '${TextFunctions.UTokenPattern}')) AS tok
+  FROM fix),
+feats AS MATERIALIZED (SELECT doc_id,
+    ${LangClfLabels.map(l =>
+      s"CAST(lang = '$l' AS BIGINT) AS y_$l").mkString(",\n    ")},
+    ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+     (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+     (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+     (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % $B AS b,
+    COUNT(*) AS cnt
+  FROM tokr GROUP BY ALL),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
+${LangClfLabels.map(chain).mkString(",\n")},
+$scores
+SELECT fix.doc_id, fix.lang, $argmax AS lang_pred
+FROM fix
+  $scoreJoins"""
   }
 
   /** Merge count for llm_bpe_encode: each merge is one unrolled CTE
@@ -1534,6 +1622,35 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
       },
       Some(classifierTrainOracle)),
 
+    // Multi-class language ID, the CCNet-style upgrade of the stopword
+    // heuristic: one-vs-rest hashed-BoW training over EIGHT planted
+    // languages (Classifier.trainMulti) then argmax prediction
+    // (Classifier.predict) — whole lifecycle in one query, hash-exact
+    // against the per-label iteration-unrolled DuckDB twin. zh's
+    // phrase carries no spaces: only the Unicode tokenizer gives the
+    // classifier per-character features to learn from, so this row
+    // also gates the tokenizer → classifier composition.
+    QueryDef("llm_langid_clf",
+      (s, dir) => {
+        def caseByIdx(f: String => String) =
+          LangClfLabels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+            case (acc, (l, i)) =>
+              when(pmod(col("doc_id"), lit(8L)) === i, lit(f(l)))
+                .otherwise(acc)
+          }
+        val fix = t(s, dir, "documents").select(col("doc_id"),
+          caseByIdx(identity).as("lang"),
+          concat(caseByIdx(LangClfPhrase), lit(" "),
+            caseByIdx(LangClfPhrase), lit(" tag"),
+            pmod(col("doc_id"), lit(7L))).as("text"))
+        val models = graft.llm.Classifier.trainMulti(fix, "text", "lang",
+          "doc_id", buckets = LangClfBuckets, iters = LangClfIters)
+        fix.select(col("doc_id"), col("lang"),
+          graft.llm.Classifier.predict(
+            TextFunctions.tokens(col("text")), models).as("lang_pred"))
+      },
+      Some(langClfOracle)),
+
     // exact-substring duplicated-span extraction (the "dedup the span,
     // not the document" pass of Lee et al. 2022, arXiv:2107.06499,
     // re-expressed relationally): every W-token window position is
@@ -1746,11 +1863,13 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             col("ok_symbol") && col("ok_alpha") && col("ok_stops"))
       },
       Some(s"""WITH tk AS (SELECT doc_id, text,
-          string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+          regexp_extract_all(text, '${TextFunctions.UTokenPattern}') AS tk
+          FROM documents),
         m AS (SELECT doc_id,
           CAST(len(tk) AS BIGINT) AS n_words,
           CAST(length(array_to_string(tk, '')) AS BIGINT) AS sum_len,
-          CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(regexp_extract_all(text,
+            '${TextFunctions.AlphaTokenPattern}')) AS BIGINT) AS n_alpha,
           CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
           CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
           CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
@@ -1776,6 +1895,61 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             AND symbol_ppm <= 100000 AND alpha_ppm >= 800000
             AND stop_hits >= 2 AS pass
         FROM sig""")),
+
+    // The same Gopher signals on planted MIXED-SCRIPT text: Han + Thai
+    // runs (scripts with no word spaces) interleaved with English.
+    // Under whitespace tokenization such a doc is "one word" and every
+    // band signal is noise; under UTokenPattern each CJK/Thai codepoint
+    // is a word, so n_words counts characters — the oracle re-derives
+    // the fixture AND the signals from the same shared pattern
+    // constants, proving the Unicode path (not just the arithmetic) is
+    // engine-exact.
+    QueryDef("llm_gopher_rules_cjk",
+      (s, dir) => {
+        val hanPool = "天氣很好今天氣很好今天氣很好今" // 15 Han chars
+        val han = lit(hanPool).substr(lit(1),
+          ((pmod(col("doc_id"), lit(3L)) + 1) * 5).cast("int"))
+        val thai = when(pmod(col("doc_id"), lit(4L)) === 0,
+          lit("สวัสดี")).otherwise(lit(""))
+        val text = concat(
+          lit("the weather report says # conditions hold "),
+          han, lit(" "), thai,
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit(" ...")).
+            otherwise(lit(" done")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), text.as("text"))
+          .select(col("doc_id") +: TextFunctions.gopherSignals(col("text"))
+            .map { case (nm, c) => c.as(nm) }: _*)
+      },
+      Some(s"""WITH rendered AS (SELECT doc_id,
+          'the weather report says # conditions hold ' ||
+          substring('天氣很好今天氣很好今天氣很好今', 1,
+            CAST((doc_id % 3 + 1) * 5 AS INT)) || ' ' ||
+          CASE WHEN doc_id % 4 = 0 THEN 'สวัสดี' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' ...' ELSE ' done' END AS text
+          FROM documents),
+        tk AS (SELECT doc_id, text,
+          regexp_extract_all(text, '${TextFunctions.UTokenPattern}') AS tk
+          FROM rendered),
+        m AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(length(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+          CAST(len(regexp_extract_all(text,
+            '${TextFunctions.AlphaTokenPattern}')) AS BIGINT) AS n_alpha,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+          CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+            '${TextFunctions.wordHitsPattern(TextFunctions.GopherStops)}')) AS BIGINT) AS stop_hits
+          FROM tk)
+        SELECT doc_id, n_words,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE (sum_len * 1000000) // n_words END AS mean_word_len_ppm,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE ((n_hash + n_ell) * 1000000) // n_words END AS symbol_ppm,
+          CASE WHEN n_words = 0 THEN 0
+               ELSE (n_alpha * 1000000) // n_words END AS alpha_ppm,
+          stop_hits
+        FROM m""")),
 
     // C4 cleaning rules (Raffel et al. 2020 §2.2 — the other NAMED
     // filter set): keep lines that end in terminal punctuation, carry
@@ -1808,9 +1982,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         val doc = t(s, dir, "documents")
           .select(col("doc_id"), text.as("text"))
         val docLines = split(col("text"), "\n")
-        val kept = filter(docLines, l =>
-          size(split(l, " ")) >= 5 && l.rlike("[.!?\"]$") &&
-            !lower(l).contains("javascript"))
+        val kept = TextFunctions.c4KeptLines(col("text"))
         doc.select(col("doc_id"),
             size(docLines).cast("long").as("n_lines"),
             size(kept).cast("long").as("n_kept_lines"),
@@ -1821,7 +1993,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             !col("has_lorem") && !col("has_brace") &&
               col("n_kept_lines") >= 3L)
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
           FROM documents),
         rendered AS (SELECT doc_id,
           array_to_string(list_transform(range(0, (len(tk) + 7) // 8),
@@ -1835,8 +2007,8 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         sig AS (SELECT doc_id,
           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
           list_filter(string_split(text, chr(10)), l ->
-            len(string_split(l, ' ')) >= 5
-            AND regexp_matches(l, '[.!?"]$')
+            len(regexp_extract_all(l, '${TextFunctions.UTokenPattern}')) >= 5
+            AND regexp_matches(l, '[.!?"]$$')
             AND NOT contains(lower(l), 'javascript')) AS kept,
           contains(lower(text), 'lorem ipsum') AS has_lorem,
           contains(text, '{') AS has_brace
@@ -1982,6 +2154,62 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             CAST(len(string_split(x, chr(10))) AS INT) AS n_lines,
             ${Extract.mainContentSql("x", 8)} AS main_text
           FROM e"""
+      }),
+
+    // Charset-aware front-door decode (graft.functions.HttpBodyText —
+    // the Warc.documents response path): each document becomes a
+    // synthetic HTTP response whose BYTES are genuinely non-UTF-8
+    // (windows-1251 / GBK via <meta charset> / ISO-8859-1 / plain
+    // UTF-8, rotating by doc_id), built with CharsetEncode; the query
+    // decodes them back through the header→BOM→meta→UTF-8 detection
+    // chain and extracts text. The oracle rebuilds the DECODED page
+    // only (DuckDB cannot decode cp1251 — it never sees the bytes), so
+    // a UTF-8-hard-coded decode would hash-mismatch on every planted
+    // non-ASCII character while a correct one is hash-exact.
+    QueryDef("llm_extract_charset",
+      (s, dir) => {
+        import graft.functions.{CharsetEncode, HttpBodyText}
+        val m = pmod(col("doc_id"), lit(4L))
+        def page(meta: String,
+                 payload: org.apache.spark.sql.Column) = concat(
+          lit("<html><head>" + meta + "</head><body><p>"), payload,
+          lit("</p></body></html>"))
+        def hdr(ct: String) = lit(
+          "HTTP/1.1 200 OK\r\nContent-Type: " + ct + "\r\n\r\n")
+        val p0 = concat(lit(CsPayload1251), col("doc_id"), lit(" далее"))
+        val p1 = concat(lit(CsPayloadGbk), col("doc_id"))
+        val p2 = concat(lit(CsPayload8859), col("doc_id"))
+        val p3 = concat(lit(CsPayloadUtf8), col("doc_id"))
+        val body = when(m === 0, concat(
+            CharsetEncode(hdr("text/html; charset=windows-1251"), "ISO-8859-1"),
+            CharsetEncode(page("", p0), "windows-1251")))
+          .when(m === 1, concat(
+            CharsetEncode(hdr("text/html"), "ISO-8859-1"),
+            CharsetEncode(page("<meta charset=\"gbk\">", p1), "GBK")))
+          .when(m === 2, concat(
+            CharsetEncode(hdr("text/html; charset=iso-8859-1"), "ISO-8859-1"),
+            CharsetEncode(page("", p2), "ISO-8859-1")))
+          .otherwise(concat(
+            CharsetEncode(hdr("text/html"), "ISO-8859-1"),
+            CharsetEncode(page("", p3), "UTF-8")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Extract.extractText(HttpBodyText(body)).as("extracted"))
+      },
+      Some {
+        val x = Extract.extractTextSql("html")
+        s"""WITH h AS (SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN '<html><head></head><body><p>' ||
+                '$CsPayload1251' || doc_id || ' далее' || '</p></body></html>'
+              WHEN 1 THEN '<html><head><meta charset="gbk"></head><body><p>' ||
+                '$CsPayloadGbk' || doc_id || '</p></body></html>'
+              WHEN 2 THEN '<html><head></head><body><p>' ||
+                '$CsPayload8859' || doc_id || '</p></body></html>'
+              ELSE '<html><head></head><body><p>' ||
+                '$CsPayloadUtf8' || doc_id || '</p></body></html>'
+            END AS html FROM documents)
+          SELECT doc_id, $x AS extracted FROM h"""
       }),
 
     // sparse lexical retrieval (BM25-shaped, integer-exact — see

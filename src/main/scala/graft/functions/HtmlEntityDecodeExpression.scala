@@ -56,9 +56,18 @@ object HtmlEntityDecode {
       val c = str.charAt(i)
       if (c != '&') { out.append(c); i += 1 }
       else {
-        val semi = str.indexOf(';', i + 1)
+        // Bounded lookahead: a reference body is ≤ MaxBody chars, so a
+        // ';' can only matter at positions i+2 .. i+1+MaxBody. An
+        // unbounded indexOf would make a ';'-free '&'-run O(n²).
+        var semi = -1
+        var j = i + 2
+        val jMax = math.min(n - 1, i + 1 + MaxBody)
+        while (semi < 0 && j <= jMax) {
+          if (str.charAt(j) == ';') semi = j
+          j += 1
+        }
         val decoded =
-          if (semi < 0 || semi - i - 1 > MaxBody || semi == i + 1) null
+          if (semi < 0) null
           else {
             val body = str.substring(i + 1, semi)
             if (body.charAt(0) == '#') {

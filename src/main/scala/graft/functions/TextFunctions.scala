@@ -13,8 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Character class of scripts written WITHOUT word spaces — Han
+    * (incl. Extension A and the compatibility block), Hiragana,
+    * Katakana, Thai. Text in these scripts tokenizes per codepoint
+    * (the standard fallback every tokenizer applies when no trained
+    * segmenter is available — whitespace splitting would return ONE
+    * "word" per document and turn every word-count signal into noise).
+    * BMP-only ranges, shared verbatim by java.regex and RE2 so the
+    * DuckDB oracles can use the same constant. */
+  val CjkCharClass: String =
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}" +
+      "\\x{f900}-\\x{faff}\\x{0e00}-\\x{0e7f}"
+
+  /** Unicode-aware token pattern: each CJK/Thai codepoint is its own
+    * token; maximal runs of any other non-space characters are one
+    * token. On space-delimited text this is EXACTLY whitespace
+    * tokenization (a maximal non-space run = a whitespace-split word),
+    * so English-corpus oracles are unchanged by construction. */
+  val UTokenPattern: String = s"[$CjkCharClass]|[^\\s$CjkCharClass]+"
+
+  /** Tokens of text: Unicode-aware (see [[UTokenPattern]]); empty or
+    * all-whitespace text yields an EMPTY array (the whitespace-split
+    * form returned [""]). One codegen regexp pass per row. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit(UTokenPattern), lit(0))
 
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
@@ -109,17 +131,29 @@ object TextFunctions {
     * least two of these to pass. */
   val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Pattern matching exactly the [[UTokenPattern]] tokens that contain
+    * at least one ASCII letter: any token with a letter matches once,
+    * starting at its first char and extending (greedy) to its end, so
+    * `regexp_count` = alpha-token count — one codegen regexp scan
+    * instead of an interpreted per-token HOF lambda. Leftmost-first
+    * (java) and leftmost-longest (RE2) agree here because every match
+    * covers a whole maximal run. */
+  val AlphaTokenPattern: String =
+    s"[^\\s$CjkCharClass]*[A-Za-z][^\\s$CjkCharClass]*"
+
   /** The Gopher rule signals, EXACT integer ppm (hash-gateable like
     * every quality signal here): word count, mean word length, symbol
     * ('#' and '...') to word ratio, alphabetic-word ratio, and
-    * required-stopword hits. All codegen column arithmetic except the
-    * alpha-word lambda (interpreted HOF over the token array — the
-    * array is computed once per row). */
+    * required-stopword hits. All codegen column arithmetic — the
+    * token array once per row, the alpha-token count a single
+    * regexp_count scan. Unicode-aware: CJK/Thai codepoints count as
+    * words (see [[UTokenPattern]]), so the word-count band and mean
+    * word length stay meaningful on unsegmented scripts. */
   def gopherSignals(text: Column): Seq[(String, Column)] = {
     val tk = tokens(text)
     val n = size(tk).cast("long")
     val sumLen = length(concat_ws("", tk)).cast("long")
-    val nAlpha = size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nAlpha = regexp_count(text, lit(AlphaTokenPattern)).cast("long")
     val nHash = (length(text) -
       length(regexp_replace(text, "#", ""))).cast("long")
     val nEll = ((length(text) -
@@ -139,4 +173,15 @@ object TextFunctions {
       "alpha_ppm" -> ppm(nAlpha),
       "stop_hits" -> stops)
   }
+
+  /** C4's line-keep rule (Raffel et al. 2020 §2.2) over a document's
+    * `\n` lines: terminal punctuation, >= 5 words, no 'javascript'
+    * mention. The word count is the Unicode-aware [[tokens]] count so
+    * a zh line of >= 5 characters passes the band instead of reading
+    * as "one word" — shared by the llm.c4_filter actor and the
+    * llm_c4_rules oracle so both gates stay identical. */
+  def c4KeptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      size(tokens(l)) >= 5 && l.rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript"))
 }

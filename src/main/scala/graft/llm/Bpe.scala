@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   private def wordsOf(textCol: String) =
-    explode(split(col(textCol), " ")).as("w")
+    explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w")
 
   // ---- GPT-2-style pre-tokenization ------------------------------------
 
@@ -313,8 +313,9 @@ object Bpe {
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame =
     encodeTail(docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .filter(col("w") =!= ""), idCol, merges)
+      .select(col(idCol), posexplode(
+        graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "w"))), idCol, merges)
 
   /** Shared encode tail over an exploded (idCol, pos, w) word frame. */
   private def encodeTail(words: DataFrame, idCol: String,
@@ -383,7 +384,8 @@ object Bpe {
       trim(replace(applyMerges(
         concat(lit(Sep), concat_ws(Sep + Sep, split(w, "")), lit(Sep)), merges),
         lit(Sep + Sep), lit(" ")), Sep)
-    array_join(transform(filter(split(text, " "), w => w =!= ""), perWord), " ")
+    array_join(transform(
+      graft.functions.TextFunctions.tokens(text), perWord), " ")
   }
 
   /** [[encode]] with a rank-lookup KERNEL instead of the replace
@@ -430,12 +432,21 @@ object Bpe {
         org.apache.spark.sql.types.StringType, nullable = true)))
     in.mapPartitions { it =>
         val (rank, mergeArr) = rankBc.value
+        // Plain family: the SAME Java regex Spark's regexp_extract_all
+        // compiles for TextFunctions.tokens, so chain==kernel token
+        // streams agree on Unicode text too.
         val preTok =
           if (usePreTokens) java.util.regex.Pattern.compile(PreTokenPattern)
           else null
+        val plainTok = java.util.regex.Pattern.compile(
+          graft.functions.TextFunctions.UTokenPattern)
         def tokensOf(text: String): Array[String] =
-          if (preTok == null) text.split(" ").filter(_.nonEmpty)
-          else {
+          if (preTok == null) {
+            val m = plainTok.matcher(text)
+            val out = mutable.ArrayBuffer.empty[String]
+            while (m.find()) out += m.group()
+            out.toArray
+          } else {
             val m = preTok.matcher(text)
             val out = mutable.ArrayBuffer.empty[String]
             while (m.find()) out += m.group().replace(" ", SpaceMark)

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * itself, KBs at 4096 buckets, the only driver state). Corpus size
   * never lands on the driver; iterations stream the persisted
   * features. Gradient partials accumulate in ≤ n·1e6·maxTf long
-  * units — within int64 to ~10¹² token occurrences per bucket; past
-  * that, shard the corpus and average models (the standard full-batch
-  * scale-out), or lower lr and subsample.
+  * units — within int64 to ~9.2·10¹² err·count units per bucket
+  * (the Spark-side sum); the driver-side lr step is computed in
+  * BigInt so the weight update itself never wraps. Past the sum
+  * ceiling, shard the corpus and average models (the standard
+  * full-batch scale-out), or lower lr and subsample.
   */
 object Classifier {
 
@@ -81,11 +83,59 @@ object Classifier {
           .groupBy(col("b")).agg(sum(col("err") * col("cnt")).as("g"))
           .as[(Long, Long)].collect()
         grads.foreach { case (b, g) =>
-          w(b.toInt) -= lrPpm * g / (n * 1000000L) // truncating, like div///
+          // BigInt on the driver (≤ buckets rows): lrPpm·g can exceed
+          // int64 once a bucket passes ~9.2e6·1e6/lrPpm occurrences;
+          // BigInt./ truncates toward zero like Long./, div and //,
+          // so the value is unchanged wherever Long didn't overflow.
+          w(b.toInt) -= (BigInt(lrPpm) * g / (BigInt(n) * 1000000L)).toLong
         }
       }
       w
     } finally feats.unpersist()
+  }
+
+  /** One-vs-rest MULTI-CLASS training: one binary weight vector per
+    * distinct label, each trained by [[train]] on y = (label == l),
+    * labels sorted so model order (and the argmax tie-break in
+    * [[predict]]) is deterministic. The label collect is bounded by
+    * the number of LANGUAGES, never corpus size. This is the public
+    * machinery behind a CCNet-style 176-language filter: the model is
+    * KBs per language; at 100-TB scale one trains it on a labeled
+    * SAMPLE (feature building repeats per label here — linear in
+    * #labels, each pass two narrow shuffles) and scores the corpus
+    * map-only via [[predict]] with every vector constant-folded. */
+  def trainMulti(docs: DataFrame, textCol: String, labelCol: String,
+                 idCol: String, buckets: Int, iters: Int,
+                 lrPpm: Long = 1000000L): Seq[(String, Array[Long])] = {
+    val labels = docs.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).filter(_ != null)
+      .sorted.toSeq
+    labels.map { l =>
+      l -> train(
+        docs.withColumn("__y", (col(labelCol) === l).cast("int")),
+        textCol, "__y", idCol, buckets, iters, lrPpm)
+    }
+  }
+
+  /** Argmax prediction over one-vs-rest models: the label whose
+    * [[graft.functions.HashedBowScore]] margin over `toks` is highest,
+    * ties broken by model order (sorted labels — first winner, the
+    * rule a chained SQL CASE reproduces exactly). Map-only inference;
+    * pass a MATERIALIZED token-array column when scoring at scale
+    * (each margin references `toks`, and CollapseProject re-derives an
+    * aliased expression per reference). */
+  def predict(toks: Column,
+              models: Seq[(String, Array[Long])]): Column = {
+    require(models.nonEmpty, "predict needs at least one model")
+    val margins = models.map { case (l, w) =>
+      l -> graft.functions.HashedBowScore(toks, weightsColumn(w)) }
+    val top = margins.map(_._2) match {
+      case Seq(one) => one
+      case ms       => greatest(ms: _*)
+    }
+    margins.dropRight(1).foldRight(lit(margins.last._1): Column) {
+      case ((l, m), acc) => when(m === top, lit(l)).otherwise(acc)
+    }
   }
 
   /** Trained weights as a (bucket, w_micro) frame — the

@@ -73,7 +73,7 @@ object Lm {
     * over a recomputed split — the interpreted-HOF trap). */
   private def pairRows(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
-    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), tk.as("tk"))
       .select(col("doc_id"), posexplode(zip_with(
         col("tk"),
@@ -93,7 +93,7 @@ object Lm {
     * never needs a positional self-join. */
   private def tripleRows(docs: DataFrame, textCol: String,
                          idCol: String): DataFrame = {
-    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
     val nul = lit(null).cast("string")
     docs.select(col(idCol).as("doc_id"), tk.as("tk"))
       .select(col("doc_id"), posexplode(zip_with(
@@ -122,7 +122,7 @@ object Lm {
     * so it rides the explode unchanged). */
   private def pairRowsLang(docs: DataFrame, textCol: String, idCol: String,
                            langCol: String): DataFrame = {
-    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"), tk.as("tk"))
       .select(col("doc_id"), col("lang"), posexplode(zip_with(
         col("tk"),
@@ -240,7 +240,7 @@ object Lm {
       if (unknown.isEmpty) Nil
       else Seq(docs.filter(col(langCol).isInCollection(unknown))
         .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-          size(filter(split(col(textCol), " "), x => x =!= ""))
+          size(graft.functions.TextFunctions.tokens(col(textCol)))
             .cast("long").as("ntok"),
           lit(0L).as("lm_score_ppm"))
         .filter(col("ntok") > 0)
@@ -377,7 +377,7 @@ object Lm {
     * trap pairRows documents. */
   private def kRows(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
-    val tk = filter(split(col(textCol), " "), x => x =!= "")
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
     val nul = lit(null).cast("string")
     // zip_with pads the shorter side with nulls, so each level's extra
     // trailing entries carry term = null and drop at the filter
@@ -692,7 +692,7 @@ object Lm {
     val t = meta.getLong(0) + v.deltas._1
     import spark.implicits._
     val batchTerms = docs
-      .select(explode(filter(split(col(textCol), " "), x => x =!= "")).as("w1"))
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w1"))
       .distinct()
       .localCheckpoint(true) // feeds the bucket collect and every semi-join
     val hitBuckets = batchTerms.select(bucket(col("w1")).as("pt"))

@@ -41,11 +41,13 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Tokenize `textCol` exactly like the rest of the text stack: split
-    * on single spaces, drop empties. */
+  /** Tokenize `textCol` exactly like the rest of the text stack:
+    * [[graft.functions.TextFunctions.tokens]] — Unicode-aware (CJK/Thai
+    * codepoints are single terms, so a zh query matches zh postings),
+    * identical to whitespace splitting on space-delimited text. */
   private def tokens(df: DataFrame, id: String, textCol: String) =
-    df.select(col(id), explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
+    df.select(col(id),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
 
   /** Top-`k` documents per query under integer-exact BM25-shaped
     * scoring.

@@ -121,7 +121,11 @@ object ParamSchema {
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
-      "keep" -> PString), // comma-separated allowlist
+      "keep" -> PString, // comma-separated allowlist
+      // classifier upgrade: labeled sample -> one-vs-rest hashed BoW
+      "labeled_path" -> PString, "labeled_text_column" -> PString,
+      "label_column" -> PString, "labeled_id_column" -> PString,
+      "buckets" -> PLong, "train_iters" -> PLong, "lr_ppm" -> PLong),
     "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
       "merges_path" -> PString, "pieces_column" -> PString,
       "count_column" -> PString),

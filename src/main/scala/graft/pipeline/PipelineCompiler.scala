@@ -345,10 +345,7 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case "llm.c4_filter" =>
       val c = p(a, "column").getOrElse("text")
       val minLines = p(a, "min_lines").map(_.toLong).getOrElse(3L)
-      val docLines = split(col(c), "\n")
-      val kept = filter(docLines, l =>
-        size(split(l, " ")) >= 5 && l.rlike("[.!?\"]$") &&
-          !lower(l).contains("javascript"))
+      val kept = graft.functions.TextFunctions.c4KeptLines(col(c))
       val annotated = inputOf(a.name)
         .withColumn("c4_has_lorem", lower(col(c)).contains("lorem ipsum"))
         .withColumn("c4_has_brace", col(c).contains("{"))
@@ -404,7 +401,13 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       val deduped = graft.llm.Dedup.dedupParagraphs(in, c, idc, sep)
         .select(col("doc_id").as(idc), col("n_paras"), col("n_kept"),
           col("clean_text"))
-      in.drop(c).join(deduped, Seq(idc))
+      // LEFT join: an empty/all-separator text yields zero paragraph
+      // rows, so an inner join would silently drop the doc from the
+      // pipeline — annotation must keep every input row.
+      in.drop(c).join(deduped, Seq(idc), "left")
+        .withColumn("n_paras", coalesce(col("n_paras"), lit(0L)))
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
         .withColumnRenamed("clean_text", c)
 
     // quality gate: score text, keep rows >= min_quality
@@ -550,12 +553,32 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
 
     // language annotate/gate (params: column, lang_column, keep: optional
-    // comma-separated allowlist — absent = annotate only)
+    // comma-separated allowlist — absent = annotate only).
+    // With labeled_path (a parquet of (text, <label_column>) examples,
+    // the CCNet posture: label a SAMPLE, score the corpus), prediction
+    // upgrades from the stopword vote to a one-vs-rest hashed-BoW
+    // classifier trained in-pipeline (Classifier.trainMulti — buckets/
+    // train_iters/lr_ppm tune it); the heuristic stays the zero-model
+    // fallback. Inference is map-only either way (trained weight
+    // vectors constant-fold into the scan).
     case "llm.langid" =>
       val c = p(a, "column").getOrElse("text")
       val langCol = p(a, "lang_column").getOrElse("lang")
-      val annotated = inputOf(a.name)
-        .withColumn(langCol, graft.functions.TextFunctions.langId(col(c)))
+      val pred = p(a, "labeled_path") match {
+        case Some(path) =>
+          val labeled = spark.read.parquet(path)
+          val models = graft.llm.Classifier.trainMulti(
+            labeled, p(a, "labeled_text_column").getOrElse("text"),
+            p(a, "label_column").getOrElse("lang"),
+            p(a, "labeled_id_column").getOrElse("doc_id"),
+            buckets = p(a, "buckets").map(_.toInt).getOrElse(4096),
+            iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
+            lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L))
+          graft.llm.Classifier.predict(
+            graft.functions.TextFunctions.tokens(col(c)), models)
+        case None => graft.functions.TextFunctions.langId(col(c))
+      }
+      val annotated = inputOf(a.name).withColumn(langCol, pred)
       p(a, "keep") match {
         case Some(keep) =>
           annotated.filter(col(langCol).isin(keep.split(",").map(_.trim): _*))

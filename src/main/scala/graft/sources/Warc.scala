@@ -67,6 +67,11 @@ object Warc {
         val in = new BufferedInputStream(
           if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
           else raw, 1 << 16)
+        // A consumer that stops early (limit/take) never reaches the
+        // iterator's clean-EOF close — release the handle at task end.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
         recordIterator(name, in, maxBodyBytes)
       }
     spark.createDataFrame(rows)
@@ -118,7 +123,19 @@ object Warc {
       }
     }
 
-    private def advance(): Unit = {
+    /** Parse the next record; on ANY parse failure close the stream
+      * before rethrowing (the loud-failure contract must not leak the
+      * file handle for the rest of the task). */
+    private def advance(): Unit =
+      try advanceInner()
+      catch {
+        case e: Throwable =>
+          done = true
+          try in.close() catch { case _: java.io.IOException => () }
+          throw e
+      }
+
+    private def advanceInner(): Unit = {
       if (done) return
       // skip inter-record blank lines (the two CRLFs after each body)
       var line = readLine()
@@ -180,6 +197,15 @@ object Warc {
     }
   }
 
+  /** A GZIPOutputStream whose native Deflater can be released without
+    * closing the underlying stream — one member per record needs
+    * finish()+end(), never close(). (`def` is the protected Deflater
+    * field; it's a Scala keyword, hence the backticks.) */
+  private[graft] class MemberGzip(out: java.io.OutputStream)
+      extends java.util.zip.GZIPOutputStream(out) {
+    def endDeflater(): Unit = `def`.end()
+  }
+
   /** UTF-8 text of a record body column. */
   def bodyText(body: Column): Column = decode(body, "UTF-8")
 
@@ -233,33 +259,43 @@ object Warc {
               "Content-Type: text/plain",
               s"Content-Length: ${body.length}",
               "", "").mkString("\r\n")
-            val gz = new java.util.zip.GZIPOutputStream(out)
-            gz.write(hdr.getBytes("UTF-8"))
-            gz.write(body)
-            gz.write("\r\n\r\n".getBytes("UTF-8"))
-            gz.finish()
+            // One gzip member per record (the CommonCrawl layout).
+            // finish() flushes the member but keeps the native
+            // Deflater alive; end() it explicitly or millions of
+            // records pile up un-released native memory until GC.
+            val gz = new Warc.MemberGzip(out)
+            try {
+              gz.write(hdr.getBytes("UTF-8"))
+              gz.write(body)
+              gz.write("\r\n\r\n".getBytes("UTF-8"))
+              gz.finish()
+            } finally gz.endDeflater()
           } finally out.close()
         }
       }
   }
 
   /** The assembled front door: WARC/WET files → one row per document
-    * with `doc_id` (record id), `url`, and `text` — HTML responses
-    * run through [[graft.llm.Extract.extractText]], WET conversion
-    * records pass their pre-extracted text straight through. This
-    * output is schema-compatible with the `documents` table the whole
-    * curation surface operates on. */
+    * with `doc_id` (record id), `url`, and `text` — HTML responses are
+    * CHARSET-AWARE decoded ([[graft.functions.HttpBodyText]]: HTTP
+    * `Content-Type` header → BOM → `<meta charset>` prescan → UTF-8,
+    * so the ~quarter of a real crawl that isn't UTF-8 enters the
+    * pipeline as text, not mojibake) then run through
+    * [[graft.llm.Extract.extractText]]; WET conversion records are
+    * UTF-8 by the WET spec and pass their pre-extracted text straight
+    * through. This output is schema-compatible with the `documents`
+    * table the whole curation surface operates on. */
   def documents(spark: SparkSession, path: String,
                 maxBodyBytes: Int = 16 << 20): DataFrame = {
     val recs = records(spark, path, maxBodyBytes)
-    val txt = bodyText(col("body"))
     recs
       .filter(col("warc_type").isin("response", "conversion"))
       .select(
         col("record_id").as("doc_id"),
         col("target_uri").as("url"),
         when(col("warc_type") === "response",
-          graft.llm.Extract.extractText(httpPayload(txt)))
-          .otherwise(txt).as("text"))
+          graft.llm.Extract.extractText(
+            graft.functions.HttpBodyText(col("body"))))
+          .otherwise(bodyText(col("body"))).as("text"))
   }
 }

@@ -97,6 +97,77 @@ class ClassifierSpec extends SparkSpec {
     assert(kept == (0L until 40L).filter(_ % 2 == 1).toSet)
   }
 
+  test("extreme learning rates update exactly (the BigInt step): a " +
+      "Long product would wrap and flip the weight's sign") {
+    val one = Seq((1L, 1, "zzcue zzcue zzcue")).toDF("doc_id", "y", "text")
+    // n=1, one bucket with cnt=3: err = -5e5, g = -1.5e6;
+    // lrPpm*g = -7.5e23 overflows int64 (would wrap positive) — the
+    // exact update is w -= lrPpm*g/(n*1e6) = +7.5e17
+    val w = Classifier.train(one, "text", "y", "doc_id",
+      buckets = 8, iters = 1, lrPpm = 500000000000000000L)
+    val b = HashedBowScore.bucket("zzcue".getBytes("UTF-8"), 8)
+    assert(w(b) == 750000000000000000L, s"got ${w(b)}")
+    assert(w.zipWithIndex.filter(_._2 != b).forall(_._1 == 0L))
+  }
+
+  test("trainMulti one-vs-rest + predict: argmax recovers every " +
+      "planted label; label order is deterministic and ties break to " +
+      "the first sorted label") {
+    val langs = Seq("aa", "bb", "cc", "dd")
+    val docs = (0L until 40L).map { i =>
+      val l = langs((i % 4).toInt)
+      (i, l, s"${l}tok1 ${l}tok2 ${l}tok1 shared${i % 3}")
+    }.toDF("doc_id", "lang", "text")
+    val models = Classifier.trainMulti(docs, "text", "lang", "doc_id",
+      buckets = 512, iters = 2)
+    assert(models.map(_._1) == langs) // sorted label order
+    val preds = docs.withColumn("pred", Classifier.predict(
+        TextFunctions.tokens($"text"), models))
+      .select($"lang", $"pred").as[(String, String)].collect()
+    assert(preds.forall { case (l, p) => l == p },
+      s"mispredictions: ${preds.filter(x => x._1 != x._2).toSeq}")
+    // all-zero models tie every margin at 0 -> first sorted label wins
+    val zeros = langs.map(_ -> Array.fill(8)(0L))
+    val tied = docs.limit(1).select(Classifier.predict(
+      TextFunctions.tokens($"text"), zeros).as("p")).as[String].head()
+    assert(tied == "aa")
+  }
+
+  test("llm.langid actor with labeled_path trains the classifier and " +
+      "gates on predicted languages") {
+    val labeled = (0L until 24L).map { i =>
+      val l = Seq("en", "ru", "zh")((i % 3).toInt)
+      val phr = Map("en" -> "hello world friend",
+        "ru" -> "привет мир друг", "zh" -> "天气很好")(l)
+      (i, l, s"$phr $phr")
+    }.toDF("doc_id", "lang", "text")
+    val lp = java.nio.file.Files
+      .createTempDirectory("graft-langid-clf-").toString + "/labeled"
+    labeled.write.parquet(lp)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-langid-clf-").toString + "/in"
+    Seq((100L, "hello friend of the world"),
+        (101L, "мир и привет другу"),
+        (102L, "天气很好")) // no spaces: Unicode tokenizer territory
+      .toDF("doc_id", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  lid:  {module: llm.langid, params: {column: text,
+        |         labeled_path: "$lp", buckets: "512", train_iters: "2",
+        |         keep: "ru,zh"}}
+        |  langid_clf_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [lid]}
+        |  lid: {connect: [langid_clf_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("langid_clf_out")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    assert(out == Map(101L -> "ru", 102L -> "zh"), s"got $out")
+  }
+
   test("llm.classifier actor trains in-pipeline and gates perfectly " +
       "(train -> HashedBowScore -> gate composition)") {
     val in = java.nio.file.Files

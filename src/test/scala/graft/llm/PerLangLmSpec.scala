@@ -97,6 +97,31 @@ class PerLangLmSpec extends SparkSpec {
     assert(out == Seq((901L, "yy", 3L, 0L)))
   }
 
+  test("classifier-predicted labels compose end-to-end: langid " +
+      "classifier -> per-lang LM scoring equals the true-label run") {
+    // CCNet posture: the true labels exist only on the TRAINING sample;
+    // the scored corpus gets its lang from the classifier
+    val models = Classifier.trainMulti(train, "text", "lang", "doc_id",
+      buckets = 512, iters = 2)
+    val predicted = scoredDocs.drop("lang")
+      .withColumn("lang", Classifier.predict(
+        graft.functions.TextFunctions.tokens($"text"), models))
+    // disjoint vocabularies separate perfectly — every prediction true
+    val preds = predicted.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    val truth = scoredDocs.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    assert(preds == truth, s"langid mispredicted: ${preds.toSeq.sorted}")
+    // and the per-lang LM pipeline downstream is label-source-agnostic
+    val viaPred = Lm.lmScorePerLang(train, predicted, "text", "doc_id", "lang")
+      .select($"doc_id", $"lang", $"ntok", $"lm_score_ppm")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val viaTrue = Lm.lmScorePerLang(train, scoredDocs, "text", "doc_id", "lang")
+      .select($"doc_id", $"lang", $"ntok", $"lm_score_ppm")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(viaPred == viaTrue)
+  }
+
   test("a scored language absent from training scores zero, not the " +
       "majority model's numbers") {
     val ghost = Seq((900L, "yy", "totally unseen tongue")).toDF(

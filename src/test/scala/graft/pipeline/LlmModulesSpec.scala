@@ -459,7 +459,9 @@ class LlmModulesSpec extends SparkSpec {
     Seq(
       (1L, "HTTP://E.com:80/a?utm_source=x", "shared header\nunique one"),
       (2L, "http://e.com/a#frag", "shared header\nunique two"),
-      (3L, "http://e.com/b", "unique three"))
+      (3L, "http://e.com/b", "unique three"),
+      (4L, "http://e.com/c", ""), // zero paragraphs — must NOT vanish
+      (5L, "http://e.com/d", "\n\n")) // all-separator — ditto
       .toDF("doc_id", "url", "text").write.parquet(in)
     val yaml =
       s"""actors:
@@ -474,12 +476,18 @@ class LlmModulesSpec extends SparkSpec {
         |""".stripMargin
     new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
     val out = spark.table("url_pipe_out")
-    // doc 2 is a URL-variant of doc 1 -> dropped by the canonical key
-    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // doc 2 is a URL-variant of doc 1 -> dropped by the canonical key;
+    // docs 4/5 have zero paragraph rows yet must survive annotation
+    assert(out.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 4L, 5L))
     val texts = out.select($"doc_id", $"text").as[(Long, String)]
       .collect().toMap
     assert(texts(1L) == "shared header\nunique one")
     assert(texts(3L) == "unique three")
+    assert(texts(4L) == "" && texts(5L) == "")
+    val nKept = out.select($"doc_id", $"n_kept").as[(Long, Long)]
+      .collect().toMap
+    assert(nKept(4L) == 0L && nKept(5L) == 0L)
     assert(out.columns.contains("norm_url") &&
       out.columns.contains("n_kept"))
   }

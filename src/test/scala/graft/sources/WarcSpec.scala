@@ -331,4 +331,65 @@ class WarcSpec extends SparkSpec {
       .withColumn("q", graft.functions.TextFunctions.qualityScore($"text"))
     assert(gated.count() == 3 && gated.schema("q").dataType.typeName == "double")
   }
+
+  test("documents() decodes non-UTF-8 responses via Content-Type " +
+      "charset, <meta charset> prescan, BOM, and UTF-8 default") {
+    def response(payload: String, cs: String,
+                 declare: Boolean): Array[Byte] = {
+      val body = payload.getBytes(java.nio.charset.Charset.forName(cs))
+      val ct = if (declare) s"text/html; charset=$cs" else "text/html"
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    }
+    val ru = "<p>Привет, мир — кодировка</p>"
+    val zh = "<html><head><meta charset=\"gbk\"></head>" +
+      "<body><p>今天天气很好</p></body></html>"
+    val de = "<p>Größe läßt grüßen</p>"
+    val bomText = "\uFEFF<p>utf-8 with BOM §</p>"
+    val warc =
+      record("response", "http://ru.example/1",
+        response(ru, "windows-1251", declare = true),
+        "application/http; msgtype=response") ++
+      record("response", "http://zh.example/2",
+        response(zh, "GBK", declare = false), // header silent, meta decides
+        "application/http; msgtype=response") ++
+      record("response", "http://de.example/3",
+        response(de, "ISO-8859-1", declare = true),
+        "application/http; msgtype=response") ++
+      record("response", "http://bom.example/4",
+        response(bomText, "UTF-8", declare = false), // BOM decides
+        "application/http; msgtype=response") ++
+      record("response", "http://plain.example/5",
+        response("<p>plain ascii</p>", "UTF-8", declare = false),
+        "application/http; msgtype=response")
+    val path = tmpFile("charset.warc", warc)
+    val docs = Warc.documents(spark, path).orderBy($"url")
+      .select($"url", $"text").as[(String, String)].collect().toMap
+    assert(docs("http://ru.example/1") == "Привет, мир — кодировка")
+    assert(docs("http://zh.example/2") == "今天天气很好")
+    assert(docs("http://de.example/3") == "Größe läßt grüßen")
+    assert(docs("http://bom.example/4") == "utf-8 with BOM §")
+    assert(docs("http://plain.example/5") == "plain ascii")
+    // a UTF-8-hard-coded decode would have produced mojibake for all
+    // three single-byte/GBK pages — pin that the OLD path really differs
+    val mojibake = new String(ru.getBytes(
+      java.nio.charset.Charset.forName("windows-1251")), UTF_8)
+    assert(mojibake != ru) // the planted fixture is genuinely non-UTF-8
+  }
+
+  test("HttpBodyText is lenient: truncated multi-byte tails replace, " +
+      "unknown charset labels fall back to UTF-8, non-HTTP bodies " +
+      "decode whole") {
+    import graft.functions.HttpBodyText
+    val cut = ("HTTP/1.1 200 OK\r\n\r\nab" + "é").getBytes(UTF_8)
+      .dropRight(1) // é is 2 UTF-8 bytes; keep the first — malformed tail
+    val unknown = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+      "charset=x-no-such-cs\r\n\r\nplain").getBytes(UTF_8)
+    val raw = "no header block at all".getBytes(UTF_8)
+    val out = Seq(cut, unknown, raw).toDF("body")
+      .select(HttpBodyText($"body").as("t")).as[String].collect()
+    assert(out(0) == "ab�")
+    assert(out(1) == "plain")
+    assert(out(2) == "no header block at all")
+  }
 }
