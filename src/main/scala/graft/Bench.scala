@@ -56,7 +56,11 @@ object Bench {
     // classifier training, and per-language LM scoring + tiers
     "llm_extract_text", "llm_classifier_train", "llm_lm_per_lang",
     "llm_url_normalize", "llm_dedup_paragraph", "llm_gopher_rules",
-    "llm_c4_rules")
+    "llm_c4_rules",
+    // round 14: charset-aware front door, CJK-aware quality signals,
+    // trained language ID, and the unigram tokenizer lifecycle
+    "llm_extract_charset", "llm_gopher_rules_cjk", "llm_langid_clf",
+    "llm_unigram_encode", "llm_unigram_encode_fast")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{DupNgramPpm, HashFunctions, HashedBowScore, TextFunctions}
-import graft.llm.{Bpe, Dedup, Extract, Lm, Multimodal, Retrieval, Sampling, Similarity}
+import graft.llm.{Bpe, Dedup, Extract, Lm, Multimodal, Retrieval, Sampling, Similarity, Unigram}
 
 /** LLM training-data pipeline surface: dedup family, similarity search,
   * text analysis. Thresholds chosen from the measured similarity
@@ -433,6 +433,87 @@ $scores
 SELECT fix.doc_id, fix.lang, $argmax AS lang_pred
 FROM fix
   $scoreJoins"""
+  }
+
+  /** DuckDB twin of the [[graft.llm.Unigram]] lifecycle
+    * (llm_unigram_encode): substring seed counts, [[graft.llm.Unigram
+    * .EmIters]] unrolled hard-EM blocks — each a Viterbi pass rendered
+    * as a `list_reduce` whose accumulator IS the dp table (one
+    * (n_pieces, score, segmentation) struct per position) — then the
+    * final encode over distinct document words. Generated from the
+    * SAME constants (MaxPieceLen, SeedK, EmIters, UTokenPattern) so
+    * the engines cannot drift on the candidate order, the
+    * (fewest-pieces, max-score, longest-piece) tie-break, or the
+    * seed's (count desc, piece asc) top-K. */
+  private def unigramOracle: String = {
+    val P = graft.llm.Unigram.MaxPieceLen
+    val K = graft.llm.Unigram.SeedK
+    val iters = graft.llm.Unigram.EmIters
+    def cand(l: Int): String = {
+      val pc = s"substr(w, len(acc)-$l+1, $l)"
+      val dpi = s"acc[len(acc)-$l+1]"
+      val sc = s"vc[list_position(vp, $pc)]"
+      s"CASE WHEN len(acc) >= $l AND $sc IS NOT NULL THEN " +
+        s"{'n': struct_extract($dpi, 'n') + 1, " +
+        s"'sc': struct_extract($dpi, 'sc') + $sc, " +
+        s"'seg': struct_extract($dpi, 'seg') || " +
+        s"(CASE WHEN struct_extract($dpi, 'seg') = '' THEN '' ELSE ' ' END)" +
+        s" || $pc} ELSE NULL END"
+    }
+    val best = (2 to P).foldLeft(cand(1)) { (b, l) =>
+      val c = cand(l)
+      s"CASE WHEN ($c) IS NOT NULL AND " +
+        s"(struct_extract($c, 'n') < struct_extract($b, 'n') OR " +
+        s"(struct_extract($c, 'n') = struct_extract($b, 'n') AND " +
+        s"struct_extract($c, 'sc') >= struct_extract($b, 'sc'))) " +
+        s"THEN ($c) ELSE ($b) END"
+    }
+    val vit = s"""struct_extract(list_reduce(
+      list_prepend(
+        [{'n': CAST(0 AS BIGINT), 'sc': CAST(0 AS BIGINT), 'seg': ''}],
+        list_transform(range(1, length(w)+1),
+          x -> CAST([] AS STRUCT(n BIGINT, sc BIGINT, seg VARCHAR)[]))),
+      (acc, x) -> list_append(acc, $best))[length(w)+1], 'seg')"""
+    def vrow(v: String) =
+      s"(SELECT list(p ORDER BY p) AS vp, list(c ORDER BY p) AS vc FROM $v)"
+    def emBlock(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""seg$k AS MATERIALIZED (SELECT w, freq, $vit AS seg
+  FROM hist CROSS JOIN ${vrow(prev)}),
+u$k AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(string_split(seg, ' ')) AS p FROM seg$k) t
+  GROUP BY p),
+v$k AS MATERIALIZED (
+  SELECT ch.p, CAST(coalesce(u.c, 0) AS BIGINT) AS c
+  FROM (SELECT p FROM v0 WHERE length(p) = 1) ch LEFT JOIN u$k u USING (p)
+  UNION ALL SELECT p, c FROM u$k WHERE length(p) >= 2)"""
+    }
+    s"""WITH hist AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text,
+      '${TextFunctions.UTokenPattern}')) AS w FROM documents) t
+  GROUP BY w),
+subs AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, substr(w, CAST(i AS INT), CAST(l AS INT)) AS p
+    FROM (SELECT w, freq, unnest(range(1, length(w)+1)) AS i FROM hist) z,
+         (SELECT unnest(range(1, $P+1)) AS l) ll
+    WHERE i + l - 1 <= length(w)) s GROUP BY p),
+v0 AS MATERIALIZED (
+  SELECT p, c FROM subs WHERE length(p) = 1
+  UNION ALL
+  SELECT p, c FROM (SELECT p, c FROM subs WHERE length(p) >= 2
+                    ORDER BY c DESC, p LIMIT $K) q),
+${(1 to iters).map(emBlock).mkString(",\n")},
+wpos AS (SELECT doc_id, i AS pos, tk[CAST(i AS INT)] AS w
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS i
+        FROM (SELECT doc_id, regexp_extract_all(text,
+            '${TextFunctions.UTokenPattern}') AS tk FROM documents) d) e),
+segF AS (SELECT w, $vit AS seg
+  FROM (SELECT DISTINCT w FROM wpos) dw CROSS JOIN ${vrow(s"v$iters")}),
+enc AS (SELECT doc_id, pos, s.seg FROM wpos JOIN segF s USING (w))
+SELECT doc_id, COUNT(*) AS n_words,
+  CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS n_pieces,
+  string_agg(seg, ' ' ORDER BY pos) AS pieces
+FROM enc GROUP BY doc_id"""
   }
 
   /** Merge count for llm_bpe_encode: each merge is one unrolled CTE
@@ -1645,9 +1726,11 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             pmod(col("doc_id"), lit(7L))).as("text"))
         val models = graft.llm.Classifier.trainMulti(fix, "text", "lang",
           "doc_id", buckets = LangClfBuckets, iters = LangClfIters)
-        fix.select(col("doc_id"), col("lang"),
-          graft.llm.Classifier.predict(
-            TextFunctions.tokens(col("text")), models).as("lang_pred"))
+        val pred = // empty corpus trains zero models — and yields zero rows
+          if (models.isEmpty) lit(null).cast("string")
+          else graft.llm.Classifier.predict(
+            TextFunctions.tokens(col("text")), models)
+        fix.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       },
       Some(langClfOracle)),
 
@@ -2346,6 +2429,29 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     (s, dir) => Bpe.trainEncodePre(t(s, dir, "documents"), "doc_id", "text",
       numMerges = BpeMerges),
     Some(bpeOracleSql(BpeMerges, PreTkSql))) :+ QueryDef(
+    // UNIGRAM-LM (SentencePiece-style) tokenizer — the other trained
+    // tokenizer family (Kudo 2018): seed substring vocabulary, hard-EM
+    // refitting over the word histogram, Viterbi encode under the
+    // final piece scores. Whole lifecycle in one query; the oracle
+    // unrolls the SAME seed/EM/encode steps with the Viterbi rendered
+    // as a list_reduce dp — hash-exact because every comparison is an
+    // integer and the (fewest-pieces, max-score, longest-piece)
+    // tie-break is shared by construction.
+    "llm_unigram_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Unigram.encode(docs, "doc_id", "text", Unigram.train(docs, "text"))
+    },
+    Some(unigramOracle)) :+ QueryDef(
+    // the compiled Viterbi kernel (bulk path) must be ROW-IDENTICAL to
+    // the expression rendering — it reuses the unrolled oracle
+    // VERBATIM, the llm_bpe_encode_fast discipline.
+    "llm_unigram_encode_fast",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Unigram.encodeFast(docs, "doc_id", "text", Unigram.train(docs, "text"))
+    },
+    Some(unigramOracle)) :+ QueryDef(
     // the hot-term df/N cap (Retrieval.bm25SearchIndex maxDfFrac): terms
     // present in more than 78.5% of the corpus are skipped FROM THE
     // STATS SLICE ALONE — their postings never open — and the capped

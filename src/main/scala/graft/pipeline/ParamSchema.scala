@@ -129,6 +129,9 @@ object ParamSchema {
     "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
       "merges_path" -> PString, "pieces_column" -> PString,
       "count_column" -> PString),
+    "llm.unigram_encode" -> Map("column" -> PString, "em_iters" -> PLong,
+      "vocab_path" -> PString, "pieces_column" -> PString,
+      "count_column" -> PString, "id" -> PString),
     "llm.weighted_sample" -> Map("id" -> PString, "weight_column" -> PString,
       "k" -> PLong, "group" -> PString, "seed" -> PString),
     "llm.classifier" -> Map("column" -> PString, "buckets" -> PLong,

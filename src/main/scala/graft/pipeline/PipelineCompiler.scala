@@ -493,6 +493,32 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       in.withColumn(piecesCol, graft.llm.Bpe.piecesColumn(col(c), merges))
         .withColumn(nCol, size(split(col(piecesCol), " ")))
 
+    // Unigram-LM tokenization annotate — the SentencePiece-style twin
+    // of llm.bpe_encode (params: column, pieces_column, count_column,
+    // and EITHER vocab_path — a persisted Unigram.saveVocab table —
+    // OR em_iters to self-train on the flowing batch). Each message
+    // gains its Viterbi piece sequence and piece count.
+    case "llm.unigram_encode" =>
+      val c = p(a, "column").getOrElse("text")
+      val piecesCol = p(a, "pieces_column").getOrElse("pieces")
+      val nCol = p(a, "count_column").getOrElse("n_pieces")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val in = inputOf(a.name)
+      val vocab = p(a, "vocab_path") match {
+        case Some(path) => graft.llm.Unigram.loadVocab(spark, path)
+        case None => graft.llm.Unigram.train(in, c,
+          iters = p(a, "em_iters").map(_.toInt).getOrElse(
+            graft.llm.Unigram.EmIters))
+      }
+      val enc = graft.llm.Unigram.encodeFast(in, idc, c, vocab)
+        .select(col(idc), col("pieces").as(piecesCol),
+          col("n_pieces").as(nCol))
+      // left join + empty-piece defaults: zero-token messages survive
+      // annotation (the dedup_paragraph lesson)
+      in.join(enc, Seq(idc), "left")
+        .withColumn(piecesCol, coalesce(col(piecesCol), lit("")))
+        .withColumn(nCol, coalesce(col(nCol), lit(0L)))
+
     // n-gram LM quality annotate/gate (params: column, id, score_column,
     // min_score_ppm: optional — absent = annotate only, and EITHER
     // model_path — a persisted Lm.lmBuildIndex model, the standing-

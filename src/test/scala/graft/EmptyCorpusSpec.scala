@@ -26,7 +26,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_semdedup", "llm_dup_spans_cut", "llm_decontaminate_cut",
     "llm_span_index", "llm_extract_text", "llm_lm_per_lang",
     "llm_classifier_train", "llm_url_normalize", "llm_dedup_paragraph",
-    "llm_gopher_rules", "llm_c4_rules",
+    "llm_gopher_rules", "llm_c4_rules", "llm_gopher_rules_cjk",
+    "llm_extract_charset", "llm_langid_clf", "llm_unigram_encode",
+    "llm_unigram_encode_fast",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats",
     "mm_image_phash_pairs")
 

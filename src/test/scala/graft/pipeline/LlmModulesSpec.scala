@@ -492,6 +492,32 @@ class LlmModulesSpec extends SparkSpec {
       out.columns.contains("n_kept"))
   }
 
+  test("llm.unigram_encode actor annotates piece sequences; zero-token " +
+      "messages survive with empty pieces") {
+    val in = Files.createTempDirectory("graft-unigram-pipe-").toString + "/in"
+    Seq((1L, "the cat sat on the mat"),
+        (2L, "the mat the cat"),
+        (3L, "")).toDF("doc_id", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  ug:  {module: llm.unigram_encode, params: {column: text, em_iters: "2"}}
+        |  unigram_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [ug]}
+        |  ug:  {connect: [unigram_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("unigram_pipe_out")
+      .select($"doc_id", $"pieces", $"n_pieces")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L)._2 == "" && out(3L)._3 == 0L)
+    // pieces re-glue to the original text (lossless segmentation)
+    assert(out(1L)._2.replace(" ", "") == "thecatsatonthemat")
+    assert(out(1L)._3 >= 6L)
+  }
+
   test("llm.lm_score actor with per_lang scores each language against " +
       "its own model") {
     val in = Files.createTempDirectory("graft-lm-perlang-").toString + "/in"
