@@ -60,7 +60,8 @@ object Bench {
     // round 14: charset-aware front door, CJK-aware quality signals,
     // trained language ID, and the unigram tokenizer lifecycle
     "llm_extract_charset", "llm_gopher_rules_cjk", "llm_langid_clf",
-    "llm_unigram_encode", "llm_unigram_encode_fast")
+    "llm_unigram_encode", "llm_unigram_encode_fast",
+    "llm_curation_scorecard")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

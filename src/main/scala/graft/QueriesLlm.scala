@@ -1536,6 +1536,101 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         FROM ranked WHERE rn = 1"""
       }),
 
+    // Curation SCORECARD (llm.Curation / the llm.curation_scorecard
+    // actor): the canonical gauntlet gopher → c4 → classifier → LM →
+    // exact dedup with CUMULATIVE per-stage survivor counts — the
+    // health dashboard a production curation run reports. Every stage
+    // is an already-verified operator; the oracle joins the same
+    // verified SQL pieces (gopher signals from the shared pattern
+    // constants, the c4 line lambda, the md5-bucket stand-in
+    // classifier, lmOracleSql in its train-on-all form) and re-counts.
+    // Fixture planted so EVERY stage differentiates: most docs gain
+    // terminal punctuation (C4's line rule needs it), every 17th gains
+    // a 'lorem ipsum' contamination, and every 10th-mod-2 doc is
+    // duplicated under a shifted id so the dedup stage has real work.
+    QueryDef("llm_curation_scorecard",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3L)) > 0, lit("."))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(17L)) === 0, lit(" lorem ipsum"))
+              .otherwise(lit(""))).as("text"))
+        val fix = planted.unionByName(
+          planted.filter(pmod(col("doc_id"), lit(10L)) === 2)
+            .withColumn("doc_id", col("doc_id") + lit(100000L)))
+        graft.llm.Curation.stageCounts(
+          graft.llm.Curation.scorecard(fix, "text", "doc_id"))
+      },
+      Some {
+        val u = TextFunctions.UTokenPattern
+        val bucket =
+          """((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 4096"""
+        s"""WITH docs2 AS (SELECT doc_id,
+    text || CASE WHEN doc_id % 3 > 0 THEN '.' ELSE '' END ||
+      CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END AS text
+  FROM documents),
+fix AS MATERIALIZED (SELECT * FROM docs2
+  UNION ALL SELECT doc_id + 100000, text FROM docs2 WHERE doc_id % 10 = 2),
+gm AS (SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_words,
+    CAST(length(array_to_string(tk, '')) AS BIGINT) AS sum_len,
+    CAST(len(regexp_extract_all(text,
+      '${TextFunctions.AlphaTokenPattern}')) AS BIGINT) AS n_alpha,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+    CAST(len(regexp_extract_all(' ' || lower(text) || ' ',
+      '${TextFunctions.wordHitsPattern(TextFunctions.GopherStops)}')) AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, text, regexp_extract_all(text, '$u') AS tk
+        FROM fix) g0),
+gp AS (SELECT doc_id,
+    (n_words BETWEEN 50 AND 100000)
+    AND ((CASE WHEN n_words = 0 THEN 0
+          ELSE (sum_len * 1000000) // n_words END)
+         BETWEEN 3000000 AND 10000000)
+    AND (CASE WHEN n_words = 0 THEN 0
+         ELSE ((n_hash + n_ell) * 1000000) // n_words END) <= 100000
+    AND (CASE WHEN n_words = 0 THEN 0
+         ELSE (n_alpha * 1000000) // n_words END) >= 800000
+    AND stop_hits >= 2 AS gopher_pass
+  FROM gm),
+cp AS (SELECT doc_id,
+    NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+    AND CAST(len(list_filter(string_split(text, chr(10)), l ->
+      len(regexp_extract_all(l, '$u')) >= 5
+      AND regexp_matches(l, '[.!?"]$$')
+      AND NOT contains(lower(l), 'javascript'))) AS BIGINT) >= 1 AS c4_pass
+  FROM fix),
+clf AS (SELECT t.doc_id, COALESCE(sc.score, 0) > 0 AS clf_pass
+  FROM fix t LEFT JOIN (
+    SELECT doc_id, CAST(SUM(b % 1001 - 500) AS BIGINT) AS score FROM (
+      SELECT doc_id, $bucket AS b
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$u')) AS tok
+            FROM fix) tr) hb
+    GROUP BY doc_id) sc ON sc.doc_id = t.doc_id),
+lmp AS (SELECT d.doc_id, COALESCE(l.lm_score_ppm, 0) >= 32000 AS lm_pass
+  FROM fix d LEFT JOIN (${lmOracleSqlOver("TRUE", "fix")}) l
+    ON l.doc_id = d.doc_id),
+ann AS (SELECT d.doc_id, d.text, gp.gopher_pass, cp.c4_pass,
+    clf.clf_pass, lmp.lm_pass
+  FROM fix d JOIN gp USING (doc_id) JOIN cp USING (doc_id)
+  JOIN clf USING (doc_id) JOIN lmp USING (doc_id)),
+keepers AS (SELECT min(doc_id) AS doc_id FROM ann
+  WHERE gopher_pass AND c4_pass AND clf_pass AND lm_pass GROUP BY text)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+  CAST(COALESCE(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gopher,
+  CAST(COALESCE(SUM(CASE WHEN gopher_pass AND c4_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_c4,
+  CAST(COALESCE(SUM(CASE WHEN gopher_pass AND c4_pass AND clf_pass
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clf,
+  CAST(COALESCE(SUM(CASE WHEN gopher_pass AND c4_pass AND clf_pass
+    AND lm_pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lm,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM keepers) AS n_kept
+FROM ann"""
+      }),
+
     // corpus term statistics: top-5 terms per source via the custom
     // TopKPerKey operator (map-side capping; an LLM-ops consumer of the
     // §2.5 custom-operator stack).
@@ -2929,11 +3024,18 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
     * lockstep-unnest token positions, prev via a pos-1 self-join, the
     * same three-branch fixed-point contribution, floor division
     * everywhere (`//` == Spark `div` on nonnegative operands). */
-  private def lmOracleSql: String =
-    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+  private def lmOracleSql: String = lmOracleSqlOver("doc_id % 2 = 0")
+
+  /** [[lmOracleSql]] with a configurable training-set predicate and
+    * source relation — ("TRUE", fixture) is the self-scoring form
+    * (train = score = the whole corpus) the curation scorecard's LM
+    * stage uses. */
+  private def lmOracleSqlOver(trainFilter: String,
+                              src: String = "documents"): String =
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM $src),
       rs AS (SELECT doc_id, term, pos FROM (
           SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
-      tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
+      tr AS (SELECT * FROM rs WHERE $trainFilter),
       uni AS (SELECT term, COUNT(*) AS c1 FROM tr GROUP BY 1),
       tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t FROM uni),
       bi AS (SELECT a.term AS prev, b.term AS term, COUNT(*) AS c2

@@ -85,9 +85,10 @@ object ParamSchema {
       "bind" -> PString,
       "channel" -> PString, // push channel fed (default: actor name)
       "silent" -> PBool, // tcp: suppress per-record OK/THROTTLED replies
-      "capacity" -> PLong), // channel buffer bound (default 65,536)
+      "capacity" -> PLong, // channel buffer bound (default 65,536)
+      "journal_dir" -> PString), // durable replayable channel journal
     "core.push_receiver" -> Map("channel" -> PString,
-      "maxMsgsPerTrigger" -> PLong),
+      "maxMsgsPerTrigger" -> PLong, "journal_dir" -> PString),
     "core.mux" -> Map.empty[String, ParamType],
     "core.router" -> Map("key" -> PString, "routes" -> PStringList,
       "dead_letter" -> PString),
@@ -120,6 +121,9 @@ object ParamSchema {
       "separator" -> PString),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
+    "llm.curation_scorecard" -> Map("column" -> PString, "id" -> PString,
+      "c4_min_lines" -> PLong, "clf_min_score" -> PLong,
+      "lm_min_score_ppm" -> PLong, "annotate_only" -> PBool),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
       "keep" -> PString, // comma-separated allowlist
       // classifier upgrade: labeled sample -> one-vs-rest hashed BoW

@@ -85,6 +85,20 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     * boundPort/close work on the instance the caller holds. */
   private val listeners = scala.collection.mutable.Map.empty[String, NetReceivers.Handle]
 
+  /** Batch-mode scorecard observations, actor name -> Observation;
+    * read after runBatch via [[scorecardCounts]]. */
+  private val scorecardObservations =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.Observation]
+
+  /** Per-stage survivor counts a batch run's llm.curation_scorecard
+    * actor observed (n_input, n_gopher, n_c4, n_clf, n_lm, n_kept).
+    * Valid after runBatch evaluated the pipeline. */
+  def scorecardCounts(actor: String): Map[String, Long] =
+    scorecardObservations(actor).get.map {
+      case (k, v: java.lang.Long) => k -> v.longValue()
+      case (k, v) => k -> v.toString.toLong
+    }
+
   private def channelOf(a: ActorDef): String =
     p(a, "channel").getOrElse(a.name)
 
@@ -94,6 +108,9 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     val channel = channelOf(a)
     if (!listeners.contains(a.name)) {
       p(a, "capacity").foreach(c => PushReceiver.configure(channel, c.toInt))
+      // durable journal: acked messages survive driver restarts and
+      // re-serve into the checkpointed stream (PushReceiver scaladoc)
+      p(a, "journal_dir").foreach(d => PushReceiver.configureJournal(channel, d))
       val bind = p(a, "bind").get
       val handle = bind match {
         case s if s.startsWith("tcp://") =>
@@ -184,7 +201,10 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     // snapshots what has been pushed so far; the streaming runner
     // overrides this with the DSv2 stream.
     case "core.push_receiver" =>
-      pushSnapshot(p(a, "channel").getOrElse("default"))
+      val channel = p(a, "channel").getOrElse("default")
+      p(a, "journal_dir").foreach(d =>
+        PushReceiver.configureJournal(channel, d))
+      pushSnapshot(channel)
 
     case "core.mux" => inputOf(a.name) // fan-in is implicit; node is a no-op marker
 
@@ -355,6 +375,43 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       if (p(a, "annotate_only").exists(_.toBoolean)) annotated
       else annotated.filter(col("c4_pass"))
         .withColumn(c, array_join(kept, "\n")) // survivors only
+
+    // Curation SCORECARD: the whole quality gauntlet (gopher → c4 →
+    // classifier → LM score → exact dedup) as ONE actor, annotating
+    // each stage's verdict and counting survivors per stage — the
+    // counters ride Dataset.observe on the SAME evaluation the sink
+    // consumes (zero extra passes; batch counts via scorecardCounts,
+    // streaming counts via the StatusCollector listener). Params:
+    // column, id, c4_min_lines, clf_min_score, lm_min_score_ppm,
+    // annotate_only (absent = gate to `keep`).
+    case "llm.curation_scorecard" =>
+      val c = p(a, "column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val knobs = graft.llm.Curation.Knobs(
+        c4MinLines = p(a, "c4_min_lines").map(_.toLong).getOrElse(1L),
+        clfMinScore = p(a, "clf_min_score").map(_.toLong).getOrElse(0L),
+        lmMinScorePpm =
+          p(a, "lm_min_score_ppm").map(_.toLong).getOrElse(32000L))
+      val annotated =
+        graft.llm.Curation.scorecard(inputOf(a.name), c, idc, knobs)
+      val es = graft.llm.Curation.stageCountExprs()
+      val observed =
+        if (annotated.isStreaming)
+          annotated.observe(s"${a.name}_scorecard", es.head, es.tail: _*)
+        else {
+          val obs = org.apache.spark.sql.Observation()
+          scorecardObservations(a.name) = obs
+          annotated.observe(obs, es.head, es.tail: _*)
+        }
+      // slim to the verdict flags: the signal columns (lm_score_ppm,
+      // clf_score, the gopher ppm set) would collide with downstream
+      // annotate actors re-deriving them; the CollectMetrics node sits
+      // below the projection, so counters still evaluate
+      val slim = observed.drop("n_words", "mean_word_len_ppm",
+        "symbol_ppm", "alpha_ppm", "stop_hits", "clf_score",
+        "lm_score_ppm")
+      if (p(a, "annotate_only").exists(_.toBoolean)) slim
+      else slim.filter(col("keep"))
 
     // Gopher quality rules (Rae et al. 2021 Appendix A; params: column,
     // annotate_only: true = keep all rows with the `gopher_pass`

@@ -44,6 +44,7 @@ object PushReceiver {
 
   private val channels = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
   private val capacities = new ConcurrentHashMap[String, Integer]()
+  private val journals = new ConcurrentHashMap[String, Journal]()
 
   private def buf(channel: String): ArrayBuffer[Msg] =
     channels.computeIfAbsent(channel, _ => ArrayBuffer.empty[Msg])
@@ -53,30 +54,189 @@ object PushReceiver {
   def configure(channel: String, capacity: Int): Unit =
     capacities.put(channel, capacity)
 
+  /** Switch a channel to DURABLE journal mode: every push appends a
+    * length-framed record to `<dir>/<channel>.log` and is flushed to
+    * the OS before its offset is acked, so offsets stay stable across
+    * driver restarts and a restarted query RE-SERVES every acked but
+    * uncommitted message from disk — the missing exactly-once leg of
+    * the in-memory buffer (Structured Streaming's checkpoint already
+    * replays offset ranges; this makes the data behind those offsets
+    * survive the process). Calling it again on an existing journal
+    * RECOVERS it: complete records are re-indexed; a torn tail from a
+    * crash mid-append is truncated away — that push was never acked,
+    * so at-least-once holds from the sender's view, exactly-once from
+    * the ack's. At production scale this seat belongs to Kafka (SURVEY
+    * §2.1); the journal is the same contract for single-driver
+    * deployments and tests. */
+  def configureJournal(channel: String, dir: String): Unit = {
+    val j = new Journal(java.nio.file.Paths.get(dir, s"$channel.log"))
+    j.recover()
+    val old = journals.put(channel, j)
+    if (old != null) old.close()
+  }
+
   /** Push one message; returns its offset in the channel, or -1 if the
-    * channel is at capacity (rejected, reference buffer-full path). */
+    * channel is at capacity (rejected, reference buffer-full path).
+    * In journal mode the returned offset is an ACK: the record is on
+    * disk (flushed) before this returns. */
   def push(channel: String, body: Array[Byte],
            meta: Map[String, String] = Map.empty,
            tsMicros: Long = System.currentTimeMillis() * 1000L): Long = {
-    val b = buf(channel)
     val cap = Option(capacities.get(channel)).map(_.intValue).getOrElse(DefaultCapacity)
-    b.synchronized {
-      if (b.size >= cap) -1L
-      else { b += Msg(body, meta, tsMicros); b.size.toLong }
+    val j = journals.get(channel)
+    if (j != null) j.synchronized {
+      if (j.count >= cap) -1L else j.append(Msg(body, meta, tsMicros))
+    } else {
+      val b = buf(channel)
+      b.synchronized {
+        if (b.size >= cap) -1L
+        else { b += Msg(body, meta, tsMicros); b.size.toLong }
+      }
     }
   }
 
-  def size(channel: String): Long = { val b = buf(channel); b.synchronized(b.size.toLong) }
+  def size(channel: String): Long = {
+    val j = journals.get(channel)
+    if (j != null) j.synchronized(j.count)
+    else { val b = buf(channel); b.synchronized(b.size.toLong) }
+  }
 
   /** Snapshot of everything pushed so far (batch-mode consumption). */
   def snapshot(channel: String): Seq[Msg] = slice(channel, 0L, size(channel))
 
   private[sources] def slice(channel: String, from: Long, until: Long): Seq[Msg] = {
-    val b = buf(channel)
-    b.synchronized(b.slice(from.toInt, until.toInt).toVector)
+    val j = journals.get(channel)
+    if (j != null) j.synchronized(j.read(from, until))
+    else {
+      val b = buf(channel)
+      b.synchronized(b.slice(from.toInt, until.toInt).toVector)
+    }
   }
 
-  def clear(channel: String): Unit = { val b = buf(channel); b.synchronized(b.clear()) }
+  def clear(channel: String): Unit = {
+    val j = journals.remove(channel)
+    if (j != null) j.delete()
+    val b = buf(channel); b.synchronized(b.clear())
+  }
+
+  /** Test hook: drop EVERY in-memory trace of a channel — buffer,
+    * journal handle, offset index — exactly what a driver crash loses.
+    * The journal FILE survives; the next [[configureJournal]] recovers
+    * from it. */
+  private[graft] def simulateCrash(channel: String): Unit = {
+    val j = journals.remove(channel)
+    if (j != null) j.close()
+    channels.remove(channel)
+  }
+
+  /** Append-only length-framed record log with torn-tail-safe recovery.
+    * Layout per record: bodyLen(int) body metaCount(int)
+    * (writeUTF key, writeUTF value)* tsMicros(long). The offset index
+    * (one long per record) lives in memory and is rebuilt by a single
+    * forward scan on recovery. */
+  private final class Journal(path: java.nio.file.Path) {
+    private val positions = ArrayBuffer[Long]()
+    private var end: Long = 0L
+    private var out: java.io.DataOutputStream = _
+
+    def count: Long = positions.size.toLong
+
+    def recover(): Unit = {
+      java.nio.file.Files.createDirectories(path.getParent)
+      positions.clear(); end = 0L
+      if (java.nio.file.Files.exists(path)) {
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(path), 1 << 16))
+        try {
+          var pos = 0L
+          var ok = true
+          while (ok) {
+            try {
+              val bodyLen = in.readInt()
+              val body = new Array[Byte](bodyLen)
+              in.readFully(body)
+              var rec = 4L + bodyLen
+              val nMeta = in.readInt(); rec += 4
+              for (_ <- 0 until nMeta) {
+                val k = in.readUTF(); val v = in.readUTF()
+                rec += 4 + utfLen(k) + utfLen(v) // same measure as append
+              }
+              in.readLong(); rec += 8
+              positions += pos
+              pos += rec
+            } catch { case _: java.io.EOFException => ok = false }
+          }
+          end = pos
+        } finally in.close()
+        // torn tail from a crash mid-append: drop the un-acked bytes
+        val fileLen = java.nio.file.Files.size(path)
+        if (fileLen > end) {
+          val ch = java.nio.channels.FileChannel.open(path,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.truncate(end) finally ch.close()
+        }
+      }
+      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(path,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND), 1 << 16))
+    }
+
+    /** writeUTF's length accounting assumes ASCII-safe sizes only when
+      * measured the same way on recovery — both sides measure the
+      * MODIFIED-UTF-8 byte length writeUTF actually emits. */
+    def append(msg: Msg): Long = {
+      out.writeInt(msg.body.length)
+      out.write(msg.body)
+      out.writeInt(msg.meta.size)
+      msg.meta.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
+      out.writeLong(msg.tsMicros)
+      out.flush()
+      positions += end
+      end = recordEnd(msg)
+      positions.size.toLong
+    }
+
+    private def recordEnd(msg: Msg): Long =
+      end + 4L + msg.body.length + 4L + msg.meta.map { case (k, v) =>
+        4L + utfLen(k) + utfLen(v) }.sum + 8L
+
+    // writeUTF emits MODIFIED UTF-8 (nulls and astral chars inflate);
+    // meta keys/values here are short header-ish strings, measured
+    // exactly the way recovery re-measures them
+    private def utfLen(s: String): Long = {
+      var n = 0L
+      s.foreach { c =>
+        n += (if (c >= 0x0001 && c <= 0x007f) 1
+              else if (c <= 0x07ff) 2 else 3)
+      }
+      n
+    }
+
+    def read(from: Long, until: Long): Seq[Msg] = {
+      if (from >= until) return Vector.empty
+      val raf = new java.io.RandomAccessFile(path.toFile, "r")
+      try {
+        raf.seek(positions(from.toInt))
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(raf.getFD), 1 << 16))
+        (from until math.min(until, count)).map { _ =>
+          val body = new Array[Byte](in.readInt())
+          in.readFully(body)
+          val nMeta = in.readInt()
+          val meta = (0 until nMeta).map(_ => in.readUTF() -> in.readUTF()).toMap
+          Msg(body, meta, in.readLong())
+        }.toVector
+      } finally raf.close()
+    }
+
+    def close(): Unit = if (out != null) { out.close(); out = null }
+
+    def delete(): Unit = {
+      close()
+      java.nio.file.Files.deleteIfExists(path)
+    }
+  }
 }
 
 /** `spark.readStream.format(classOf[PushReceiverProvider].getName)

@@ -82,7 +82,8 @@ object StreamingBm25Ingest {
                      indexDir: String, compactEvery: Int = 0,
                      onBatch: (Long, Long, Boolean) => Unit =
                        (_, _, _) => (),
-                     streamId: String = ""): StreamingQuery =
+                     streamId: String = "",
+                     checkpointDir: String = ""): StreamingQuery =
     Streams.runForeachBatch(docs.toDF(), (raw, batchId) => {
       val spark = raw.sparkSession
       val batch = spark.createDataFrame(raw.rdd, raw.schema)
@@ -102,5 +103,6 @@ object StreamingBm25Ingest {
           Retrieval.bm25IndexCompact(spark, indexDir)
         onBatch(batchId, n, applied)
       }
-    })
+    }, if (checkpointDir.isEmpty) Streams.newCheckpointDir()
+       else checkpointDir)
 }

@@ -77,10 +77,17 @@ object Streams {
   }
 
   /** Run a streaming DF through foreachBatch with Trigger.AvailableNow. */
-  def runForeachBatch(df: DataFrame, fn: (DataFrame, Long) => Unit): StreamingQuery = {
+  def runForeachBatch(df: DataFrame, fn: (DataFrame, Long) => Unit): StreamingQuery =
+    runForeachBatch(df, fn, newCheckpointDir())
+
+  /** [[runForeachBatch]] under a CALLER-OWNED checkpoint — the restart
+    * form: a second run with the same dir resumes from the committed
+    * offsets (the replayable-ingest specs drive kill/restart with it). */
+  def runForeachBatch(df: DataFrame, fn: (DataFrame, Long) => Unit,
+                      checkpointDir: String): StreamingQuery = {
     val q = df.writeStream
       .foreachBatch(fn)
-      .option("checkpointLocation", newCheckpointDir())
+      .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

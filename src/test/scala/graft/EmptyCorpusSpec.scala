@@ -28,7 +28,7 @@ class EmptyCorpusSpec extends SparkSpec {
     "llm_classifier_train", "llm_url_normalize", "llm_dedup_paragraph",
     "llm_gopher_rules", "llm_c4_rules", "llm_gopher_rules_cjk",
     "llm_extract_charset", "llm_langid_clf", "llm_unigram_encode",
-    "llm_unigram_encode_fast",
+    "llm_unigram_encode_fast", "llm_curation_scorecard",
     "mm_image_meta", "mm_resize", "mm_frame_sample", "mm_audio_stats",
     "mm_image_phash_pairs")
 
@@ -46,7 +46,7 @@ class EmptyCorpusSpec extends SparkSpec {
     // global aggregates legitimately return one all-zero summary row;
     // the classifier trainer always emits its buckets-sized zero model
     val fixedRows = Map("llm_curation_pipeline" -> 1L,
-      "llm_classifier_train" -> 512L)
+      "llm_classifier_train" -> 512L, "llm_curation_scorecard" -> 1L)
     queries.foreach { name =>
       val n = SparkEntry.queries(name)(spark, dir).count()
       val want = fixedRows.getOrElse(name, 0L)

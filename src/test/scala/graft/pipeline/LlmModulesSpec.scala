@@ -492,6 +492,55 @@ class LlmModulesSpec extends SparkSpec {
       out.columns.contains("n_kept"))
   }
 
+  test("llm.curation_scorecard actor gates through the full gauntlet " +
+      "and its per-stage drop counters surface via observe()") {
+    val in = Files.createTempDirectory("graft-scorecard-").toString + "/in"
+    // 60 gopher-passable base words with stopwords; variants:
+    //  - doc 1..6: pass everything (1 and 4 are exact duplicates)
+    //  - doc 7: too few words (fails gopher)
+    //  - doc 8: no terminal punctuation (fails c4)
+    //  - doc 9: lorem ipsum contamination (fails c4)
+    val base = (1 to 10).map(i =>
+      s"word$i the data and more of that with good text here").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base steady one."),
+      (2L, s"$base steady two."),
+      (3L, s"$base steady three."),
+      (4L, s"$base steady one."), // dup of 1
+      (5L, s"$base steady five."),
+      (6L, s"$base steady six."),
+      (7L, "too short the and."),
+      (8L, s"$base no punctuation here"),
+      (9L, s"$base lorem ipsum trailing."))
+    docs.toDF("doc_id", "text").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  card: {module: llm.curation_scorecard, params: {column: text,
+        |         id: doc_id, lm_min_score_ppm: "1",
+        |         clf_min_score: "-999999999999"}}
+        |  scorecard_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src:  {connect: [card]}
+        |  card: {connect: [scorecard_out]}
+        |""".stripMargin
+    val compiler = new PipelineCompiler(spark, PipelineConfig.parse(yaml))
+    compiler.runBatch()
+    val kept = spark.table("scorecard_out")
+      .select($"doc_id").as[Long].collect().toSet
+    // gated output: gauntlet survivors minus the later duplicate (doc 4
+    // is doc 1's exact copy — min-id dedup keeps 1)
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L), s"kept $kept")
+    // the observe() counters describe every stage's cut
+    val counts = compiler.scorecardCounts("card")
+    assert(counts("n_input") == 9L)
+    assert(counts("n_gopher") == 8L) // doc 7 out (word-count band)
+    assert(counts("n_c4") == 6L) // docs 8 (no punct) and 9 (lorem) out
+    assert(counts("n_clf") == 6L) // permissive floor: all pass
+    assert(counts("n_lm") == 6L) // every doc's tokens were trained on
+    assert(counts("n_kept") == 5L) // dup pair collapsed
+  }
+
   test("llm.unigram_encode actor annotates piece sequences; zero-token " +
       "messages survive with empty pieces") {
     val in = Files.createTempDirectory("graft-unigram-pipe-").toString + "/in"

@@ -84,6 +84,92 @@ class PushReceiverSpec extends SparkSpec {
       s"exactly-once violated: $got")
   }
 
+  test("journal mode: offsets, bodies and meta survive a simulated " +
+      "driver crash; torn tails truncate away un-acked records") {
+    val ch = "t-journal"
+    PushReceiver.clear(ch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-journal-").toString
+    PushReceiver.configureJournal(ch, dir)
+    (1 to 4).foreach(i => PushReceiver.push(ch, s"j$i".getBytes("UTF-8"),
+      Map("seq" -> i.toString, "é" -> "ünï"), tsMicros = 1000L + i))
+    assert(PushReceiver.size(ch) == 4)
+    // process death: all in-memory state gone, the file remains
+    PushReceiver.simulateCrash(ch)
+    // append a TORN record (a crash mid-write): must not count
+    val log = java.nio.file.Paths.get(dir, s"$ch.log")
+    val lenBefore = java.nio.file.Files.size(log)
+    java.nio.file.Files.write(log, Array[Byte](0, 0, 0, 99, 1, 2, 3),
+      java.nio.file.StandardOpenOption.APPEND)
+    PushReceiver.configureJournal(ch, dir) // recovery
+    assert(PushReceiver.size(ch) == 4)
+    assert(java.nio.file.Files.size(log) == lenBefore) // tail truncated
+    val msgs = PushReceiver.snapshot(ch)
+    assert(msgs.map(m => new String(m.body, "UTF-8")) ==
+      Seq("j1", "j2", "j3", "j4"))
+    assert(msgs.map(_.tsMicros) == Seq(1001L, 1002L, 1003L, 1004L))
+    assert(msgs.forall(_.meta("é") == "ünï")) // non-ASCII meta intact
+    // appends continue at the recovered offset
+    assert(PushReceiver.push(ch, "j5".getBytes("UTF-8")) == 5L)
+    assert(new String(PushReceiver.snapshot(ch).last.body, "UTF-8") == "j5")
+    PushReceiver.clear(ch)
+    assert(!java.nio.file.Files.exists(log))
+  }
+
+  test("journaled push -> exactly-once BM25 ingest: a crash between " +
+      "append and checkpoint commit loses nothing and doubles nothing") {
+    val ch = "t-journal-xo"
+    PushReceiver.clear(ch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jxo-").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-jxo-idx-")
+      .toString + "/index"
+    val ckpt = Streams.newCheckpointDir()
+    PushReceiver.configureJournal(ch, dir)
+    (1 to 6).foreach(i => PushReceiver.push(ch,
+      s"uniq$i shared words here".getBytes("UTF-8"), Map("id" -> i.toString)))
+
+    def docs() = spark.readStream
+      .format(classOf[PushReceiverProvider].getName)
+      .option("channel", ch).option("maxMsgsPerTrigger", "3").load()
+      .selectExpr("CAST(meta['id'] AS BIGINT) AS doc_id",
+        "CAST(body AS STRING) AS text")
+
+    // run 1: batch 0 APPLIES its index side effect, then the driver
+    // dies before the checkpoint commit (throw from onBatch = after
+    // the append, before foreachBatch returns)
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingBm25Ingest.runExactlyOnce(
+        docs(), "text", "doc_id", idx,
+        onBatch = (batchId, _, _) =>
+          if (batchId == 0) sys.error("driver died mid-commit"),
+        streamId = "jxo", checkpointDir = ckpt)
+    }
+    assert(boom.getMessage.contains("driver died") ||
+      boom.getCause.getMessage.contains("driver died"))
+    // full process loss + journal recovery; more messages arrive
+    PushReceiver.simulateCrash(ch)
+    PushReceiver.configureJournal(ch, dir)
+    (7 to 9).foreach(i => PushReceiver.push(ch,
+      s"uniq$i shared words here".getBytes("UTF-8"), Map("id" -> i.toString)))
+    // run 2, SAME checkpoint: batch 0 re-serves FROM THE JOURNAL and
+    // the IncLog marker skips its duplicate append (applied=false)
+    var redelivered = Option.empty[Boolean]
+    graft.streaming.StreamingBm25Ingest.runExactlyOnce(
+      docs(), "text", "doc_id", idx,
+      onBatch = (batchId, _, applied) =>
+        if (batchId == 0) redelivered = Some(applied),
+      streamId = "jxo", checkpointDir = ckpt)
+    assert(redelivered.contains(false), s"batch 0 should skip: $redelivered")
+    // every doc indexed EXACTLY once: each unique term has df 1 and its
+    // one-term query hits exactly its own doc
+    val queries = (1 to 9).map(i => (i.toLong, s"uniq$i"))
+      .toDF("query_id", "qtext")
+    val hits = graft.llm.Retrieval.bm25SearchIndex(queries, idx, k = 5)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits.sorted == (1 to 9).map(i => (i.toLong, i.toLong)),
+      s"index contents wrong: $hits")
+    PushReceiver.clear(ch)
+  }
+
   test("observed metrics reach the status collector per batch") {
     val ch = "t-metrics"
     PushReceiver.clear(ch)
