@@ -178,4 +178,31 @@ object Classifier {
     rows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
     w
   }
+
+  /** Persist a [[trainMulti]] model family: one (label, b, w_micro)
+    * parquet, #labels × buckets rows — KBs. The train-once/score-many
+    * artifact for the language-ID path. */
+  def saveMulti(spark: org.apache.spark.sql.SparkSession,
+                models: Seq[(String, Array[Long])], path: String): Unit = {
+    import spark.implicits._
+    models.flatMap { case (l, w) =>
+      w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (l, b.toLong, wt) }
+    }.toDF("label", "b", "w_micro").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted model family, labels sorted (the [[predict]]
+    * tie-break order) — a model-sized collect by construction. */
+  def loadMulti(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Array[Long])] = {
+    val rows = spark.read.parquet(path)
+      .select(col("label"), col("b"), col("w_micro")).collect()
+    require(rows.nonEmpty, s"empty multi-class model at $path")
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (l, rs) =>
+      val buckets = rs.map(_.getLong(1)).max.toInt + 1
+      val w = new Array[Long](buckets)
+      rs.foreach(r => w(r.getLong(1).toInt) = r.getLong(2))
+      l -> w
+    }
+  }
 }

@@ -126,10 +126,12 @@ object ParamSchema {
       "lm_min_score_ppm" -> PLong, "annotate_only" -> PBool),
     "llm.langid" -> Map("column" -> PString, "lang_column" -> PString,
       "keep" -> PString, // comma-separated allowlist
-      // classifier upgrade: labeled sample -> one-vs-rest hashed BoW
+      // classifier upgrade: labeled sample -> one-vs-rest hashed BoW;
+      // model_path persists (with labeled_path) or loads (without)
       "labeled_path" -> PString, "labeled_text_column" -> PString,
       "label_column" -> PString, "labeled_id_column" -> PString,
-      "buckets" -> PLong, "train_iters" -> PLong, "lr_ppm" -> PLong),
+      "buckets" -> PLong, "train_iters" -> PLong, "lr_ppm" -> PLong,
+      "model_path" -> PString),
     "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
       "merges_path" -> PString, "pieces_column" -> PString,
       "count_column" -> PString),

@@ -647,8 +647,8 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case "llm.langid" =>
       val c = p(a, "column").getOrElse("text")
       val langCol = p(a, "lang_column").getOrElse("lang")
-      val pred = p(a, "labeled_path") match {
-        case Some(path) =>
+      val pred = (p(a, "labeled_path"), p(a, "model_path")) match {
+        case (Some(path), savePath) =>
           val labeled = spark.read.parquet(path)
           val models = graft.llm.Classifier.trainMulti(
             labeled, p(a, "labeled_text_column").getOrElse("text"),
@@ -657,9 +657,16 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
             buckets = p(a, "buckets").map(_.toInt).getOrElse(4096),
             iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
             lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L))
+          // with both params, training also PERSISTS the model family —
+          // later label-less runs predict from it (train-once/score-many)
+          savePath.foreach(graft.llm.Classifier.saveMulti(spark, models, _))
           graft.llm.Classifier.predict(
             graft.functions.TextFunctions.tokens(col(c)), models)
-        case None => graft.functions.TextFunctions.langId(col(c))
+        case (None, Some(path)) =>
+          graft.llm.Classifier.predict(
+            graft.functions.TextFunctions.tokens(col(c)),
+            graft.llm.Classifier.loadMulti(spark, path))
+        case (None, None) => graft.functions.TextFunctions.langId(col(c))
       }
       val annotated = inputOf(a.name).withColumn(langCol, pred)
       p(a, "keep") match {

@@ -150,12 +150,14 @@ class ClassifierSpec extends SparkSpec {
         (101L, "мир и привет другу"),
         (102L, "天气很好")) // no spaces: Unicode tokenizer territory
       .toDF("doc_id", "text").write.parquet(in)
+    val mp = java.nio.file.Files
+      .createTempDirectory("graft-langid-clf-").toString + "/model"
     val yaml =
       s"""actors:
         |  src:  {module: core.receiver, params: {path: "$in"}}
         |  lid:  {module: llm.langid, params: {column: text,
-        |         labeled_path: "$lp", buckets: "512", train_iters: "2",
-        |         keep: "ru,zh"}}
+        |         labeled_path: "$lp", model_path: "$mp",
+        |         buckets: "512", train_iters: "2", keep: "ru,zh"}}
         |  langid_clf_out: {module: core.sink, params: {format: memory}}
         |pipeline:
         |  src: {connect: [lid]}
@@ -166,6 +168,24 @@ class ClassifierSpec extends SparkSpec {
     val out = spark.table("langid_clf_out")
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
     assert(out == Map(101L -> "ru", 102L -> "zh"), s"got $out")
+    // train-once/score-many: a label-LESS run predicts from the
+    // persisted model family identically (no labeled data in reach)
+    val yaml2 =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  lid:  {module: llm.langid, params: {column: text,
+        |         model_path: "$mp"}}
+        |  langid_model_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [lid]}
+        |  lid: {connect: [langid_model_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml2)).runBatch()
+    val out2 = spark.table("langid_model_out")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    assert(out2 == Map(100L -> "en", 101L -> "ru", 102L -> "zh"),
+      s"got $out2")
   }
 
   test("llm.classifier actor trains in-pipeline and gates perfectly " +
