@@ -55,6 +55,18 @@ object QueriesLlm {
   private val CsPayload8859 = "Café déjà vu numéro "
   private val CsPayloadUtf8 = "plain utf-8 text № "
 
+  /** Blocklists of the llm_url_filter fixture — registrable domains
+    * (cover every subdomain), exact hosts, and URL keywords. Shared by
+    * the Spark builder and the oracle SQL (plain lowercase ASCII: embed
+    * verbatim in SQL literals and regexp alternations). */
+  private val UrlBlockDomains = Seq("tracker0.com", "tracker1.com",
+    "blog1.co.uk")
+  private val UrlBlockHosts = Seq("shop2.example.com")
+  private val UrlBlockKeywords = Seq("casino")
+
+  /** Word list of the llm_badwords fixture (C4-style page gate). */
+  private val BadWordList = Seq("jackpot", "roulette")
+
   /** The corpus unioned with a full exact copy shifted by DupIdOffset,
     * with the no-collision invariant checked loudly. */
   private def withShiftedDup(docs: DataFrame): DataFrame = {
@@ -2244,6 +2256,108 @@ FROM ann"""
           SELECT n.doc_id, n.url, n.norm_url, c.n_variants
           FROM n JOIN c USING (norm_url)"""
       }),
+
+    // URL/domain blocklist filter (the stage RefinedWeb/FineWeb apply
+    // FIRST, before a byte of content is parsed): host extraction,
+    // registrable-domain derivation (multi-part ccTLD suffixes take
+    // three labels), blocklist hit on domain OR exact host, and a URL
+    // keyword rule. Five URL shapes rotate by doc_id — www subdomains
+    // (must still hit via the registrable domain), userinfo@ + co.uk
+    // (three-label domain), an explicit port (must not leak into the
+    // host), a keyword path, and an exact-host entry that must block
+    // one host without touching its siblings. The oracle re-derives
+    // host/domain through the SQL twins generated from the SAME pattern
+    // constants.
+    QueryDef("llm_url_filter",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(5L))
+        val url = when(m === 0, concat(lit("http://www.site"),
+            pmod(col("doc_id"), lit(7L)), lit(".example.com/p/"),
+            col("doc_id")))
+          .when(m === 1, concat(lit("https://user@blog"),
+            pmod(col("doc_id"), lit(3L)), lit(".co.uk/post?id="),
+            col("doc_id")))
+          .when(m === 2, concat(lit("http://ads.tracker"),
+            pmod(col("doc_id"), lit(2L)), lit(".com:8080/banner"),
+            col("doc_id")))
+          .when(m === 3, concat(lit("https://news.example.org/casino/page"),
+            col("doc_id")))
+          .otherwise(concat(lit("http://shop"), pmod(col("doc_id"), lit(4L)),
+            lit(".example.com/item"), col("doc_id")))
+        val host = Extract.urlHost(col("url"))
+        val dom = Extract.registrableDomain(col("host"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("host", host)
+          .withColumn("domain", dom)
+          .withColumn("reason",
+            when(col("domain").isin(UrlBlockDomains: _*) ||
+              col("host").isin(UrlBlockHosts: _*), "blocklist")
+              .when(lower(col("url")).rlike(
+                Extract.wordListPattern(UrlBlockKeywords)), "keyword")
+              .otherwise(lit(null).cast("string")))
+          .withColumn("kept", col("reason").isNull)
+      },
+      Some {
+        val urlSql = """CASE doc_id % 5
+            WHEN 0 THEN 'http://www.site' || (doc_id % 7) ||
+              '.example.com/p/' || doc_id
+            WHEN 1 THEN 'https://user@blog' || (doc_id % 3) ||
+              '.co.uk/post?id=' || doc_id
+            WHEN 2 THEN 'http://ads.tracker' || (doc_id % 2) ||
+              '.com:8080/banner' || doc_id
+            WHEN 3 THEN 'https://news.example.org/casino/page' || doc_id
+            ELSE 'http://shop' || (doc_id % 4) || '.example.com/item' || doc_id
+            END"""
+        val domList = UrlBlockDomains.map(d => s"'$d'").mkString(", ")
+        val hostList = UrlBlockHosts.map(h => s"'$h'").mkString(", ")
+        s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+          h AS (SELECT doc_id, url,
+            ${Extract.urlHostSql("url")} AS host FROM u),
+          d AS (SELECT doc_id, url, host,
+            ${Extract.registrableDomainSql("host")} AS domain FROM h)
+          SELECT doc_id, url, host, domain,
+            CASE WHEN domain IN ($domList) OR host IN ($hostList)
+                 THEN 'blocklist'
+                 WHEN regexp_matches(lower(url),
+                   '${Extract.wordListPattern(UrlBlockKeywords)}')
+                 THEN 'keyword'
+                 ELSE NULL END AS reason,
+            (CASE WHEN domain IN ($domList) OR host IN ($hostList)
+                 THEN 'blocklist'
+                 WHEN regexp_matches(lower(url),
+                   '${Extract.wordListPattern(UrlBlockKeywords)}')
+                 THEN 'keyword'
+                 ELSE NULL END) IS NULL AS kept
+          FROM d"""
+      }),
+
+    // word-list gate (the C4 "bad words" filter: any listed word,
+    // whole-word case-insensitive, drops the page — kept as a COUNT so
+    // ppm thresholds compose). Words plant by doc_id residue, including
+    // a case variant and a punctuation-adjacent hit that only a \b
+    // boundary (not space-delimited matching) catches.
+    QueryDef("llm_badwords",
+      (s, dir) => {
+        val planted = when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" JACKPOT now")))
+          .when(pmod(col("doc_id"), lit(7L)) === 1,
+            concat(col("text"), lit(" win roulette, today")))
+          .otherwise(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), planted.as("text"))
+          .withColumn("n_bad",
+            Extract.badwordCount(col("text"), BadWordList))
+          .withColumn("kept", col("n_bad") === 0L)
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' JACKPOT now'
+               WHEN doc_id % 7 = 1 THEN text || ' win roulette, today'
+               ELSE text END AS text FROM documents)
+        SELECT doc_id, text,
+          ${Extract.badwordCountSql("text", BadWordList)} AS n_bad,
+          ${Extract.badwordCountSql("text", BadWordList)} = 0 AS kept
+        FROM p""")),
 
     // paragraph-granular exact dedup (the MassiveText/Gopher "remove
     // duplicated paragraphs" pass, Dedup.dedupParagraphs): documents

@@ -171,6 +171,78 @@ object Extract {
     rr(noTrack, UrlTrailPattern, "''")
   }
 
+  // ---- URL host / domain filtering (the blocklist stage a curation
+  // run applies before fetching or extracting anything: RefinedWeb
+  // §3.1 and FineWeb both gate on UT1-style domain blocklists plus
+  // URL keyword rules) ---------------------------------------------
+
+  /** Host of an absolute URL: the authority minus userinfo and port.
+    * Group 1 of the match; empty string for scheme-less input. */
+  val UrlHostPattern =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+
+  /** A 2-letter ccTLD preceded by one of the common second-level
+    * registry labels: the registrable domain spans THREE labels
+    * (co.uk, com.au, ac.jp, …). A deliberate approximation of the
+    * public-suffix list — the handful of second-level registries that
+    * dominate real crawl traffic, kept regexp-small so the DuckDB twin
+    * stays token-identical; a production deployment swaps in the full
+    * PSL as a broadcast lookup without touching callers. */
+  val MultiSuffixPattern =
+    "\\.(?:co|com|net|org|ac|gov|edu|mil|sch)\\.[a-z]{2}$"
+
+  /** Lowercased host of a URL column ("" when not an absolute URL). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, UrlHostPattern, 1))
+
+  /** DuckDB twin of [[urlHost]] (RE2 takes every pattern above; DuckDB
+    * regexp_extract returns '' on no match, same as Spark). */
+  def urlHostSql(urlExpr: String): String =
+    s"lower(regexp_extract($urlExpr, '$UrlHostPattern', 1))"
+
+  /** Registrable domain of a host: last two labels, or last three
+    * under a [[MultiSuffixPattern]] suffix. Hosts with fewer labels
+    * pass through whole ([[org.apache.spark.sql.functions.substring_index]]
+    * semantics). Blocklist matching keys on this column so one entry
+    * covers every subdomain. */
+  def registrableDomain(host: Column): Column =
+    when(host.rlike(MultiSuffixPattern), substring_index(host, ".", -3))
+      .otherwise(substring_index(host, ".", -2))
+
+  /** DuckDB twin of [[registrableDomain]] — negative list slices are
+    * DuckDB's substring_index-from-the-right. */
+  def registrableDomainSql(hostExpr: String): String =
+    s"CASE WHEN regexp_matches($hostExpr, '$MultiSuffixPattern') " +
+      s"THEN array_to_string(string_split($hostExpr, '.')[-3:], '.') " +
+      s"ELSE array_to_string(string_split($hostExpr, '.')[-2:], '.') END"
+
+  /** Regex-escape a literal word for embedding in an alternation (the
+    * word lists are caller-supplied config, not trusted patterns). */
+  private def reQuote(w: String): String =
+    w.flatMap(c =>
+      if (c.isLetterOrDigit) c.toString else "\\" + c)
+
+  /** Case-insensitive whole-word alternation pattern for a word list —
+    * shared by [[badwordCount]] and its SQL twin. ASCII word
+    * boundaries: Java and RE2 agree on `\b` for ASCII lists. */
+  def wordListPattern(words: Seq[String]): String =
+    "(?i)\\b(?:" + words.map(reQuote).mkString("|") + ")\\b"
+
+  /** Occurrences of any listed word in `text` (whole-word,
+    * case-insensitive). The C4 "bad words" gate is `badwordCount > 0`;
+    * keeping the count (not a flag) lets callers threshold by ppm for
+    * softer policies. One codegen regexp scan. */
+  def badwordCount(text: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0L)
+    else regexp_count(text, lit(wordListPattern(words))).cast("long")
+
+  /** DuckDB twin of [[badwordCount]] (len ∘ regexp_extract_all — the
+    * engine's regexp_count form). */
+  def badwordCountSql(textExpr: String, words: Seq[String]): String =
+    if (words.isEmpty) "CAST(0 AS BIGINT)"
+    else s"CAST(len(regexp_extract_all($textExpr, " +
+      s"'${wordListPattern(words)}')) AS BIGINT)"
+
   /** DuckDB oracle twin of [[extractText]] over SQL expression
     * `htmlExpr` — built from the SAME pattern constants so the two
     * engines cannot drift. RE2 accepts every pattern above; newline

@@ -121,6 +121,15 @@ object ParamSchema {
       "separator" -> PString),
     "llm.quality_filter" -> Map("column" -> PString,
       "min_quality" -> PDouble, "score_column" -> PString),
+    "llm.url_filter" -> Map("url_column" -> PString,
+      "blocklist" -> PString, // comma-separated domains/hosts
+      "blocklist_path" -> PString, "keywords" -> PString,
+      "annotate_only" -> PBool, "host_column" -> PString,
+      "domain_column" -> PString, "reason_column" -> PString),
+    "llm.badwords_filter" -> Map("column" -> PString,
+      "words" -> PString, // comma-separated word list
+      "count_column" -> PString, "max_count" -> PLong,
+      "annotate_only" -> PBool),
     "llm.curation_scorecard" -> Map("column" -> PString, "id" -> PString,
       "c4_min_lines" -> PLong, "clf_min_score" -> PLong,
       "lm_min_score_ppm" -> PLong, "annotate_only" -> PBool),

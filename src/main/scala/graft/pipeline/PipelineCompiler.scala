@@ -467,6 +467,71 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
         .withColumnRenamed("clean_text", c)
 
+    // URL/domain blocklist filter — the stage a curation run applies
+    // FIRST, before parsing a byte of content (params: url_column,
+    // blocklist: comma list of registrable domains or exact hosts,
+    // blocklist_path: parquet with a `domain` column for
+    // UT1-scale lists, keywords: comma list matched whole-word
+    // case-insensitive against the URL, annotate_only; host_column/
+    // domain_column/reason_column rename the annotations). Blocked =
+    // registrable domain or host on a list, or a keyword hit;
+    // annotate_only keeps every row with the reason column, otherwise
+    // blocked rows drop and the reason column with them.
+    case "llm.url_filter" =>
+      val uc = p(a, "url_column").getOrElse("url")
+      val hostCol = p(a, "host_column").getOrElse("host")
+      val domCol = p(a, "domain_column").getOrElse("domain")
+      val reasonCol = p(a, "reason_column").getOrElse("url_reason")
+      val entries = p(a, "blocklist").toSeq.flatMap(_.split(","))
+        .map(_.trim.toLowerCase).filter(_.nonEmpty)
+      val kws = p(a, "keywords").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      val in0 = inputOf(a.name)
+        .withColumn(hostCol, graft.llm.Extract.urlHost(col(uc)))
+        .withColumn(domCol,
+          graft.llm.Extract.registrableDomain(col(hostCol)))
+      val (in1, pathHit) = p(a, "blocklist_path") match {
+        case Some(bp) =>
+          val bl = spark.read.parquet(bp)
+            .select(lower(col("domain")).as("_bl_domain")).distinct()
+            .withColumn("_bl_hit", lit(true))
+          // domain blocklists are dimension-sized (UT1 ~4M rows, tens
+          // of MB): counted broadcast gate with a shuffle-join
+          // fallback past the budget — the house join discipline
+          val blG = if (bl.count() <= 4000000L) broadcast(bl) else bl
+          (in0.join(blG, col(domCol) === col("_bl_domain"), "left")
+            .drop("_bl_domain"),
+            coalesce(col("_bl_hit"), lit(false)))
+        case None => (in0, lit(false))
+      }
+      val listHit =
+        if (entries.isEmpty) lit(false)
+        else col(domCol).isin(entries: _*) || col(hostCol).isin(entries: _*)
+      val kwHit =
+        if (kws.isEmpty) lit(false)
+        else lower(col(uc)).rlike(graft.llm.Extract.wordListPattern(kws))
+      val annotated = in1
+        .withColumn(reasonCol, when(listHit || pathHit, "blocklist")
+          .when(kwHit, "keyword").otherwise(lit(null).cast("string")))
+        .drop("_bl_hit")
+      if (p(a, "annotate_only").exists(_.toBoolean)) annotated
+      else annotated.filter(col(reasonCol).isNull).drop(reasonCol)
+
+    // word-list page gate (the C4 "bad words" filter; params: column,
+    // words: comma list, count_column, max_count — a page survives at
+    // most max_count whole-word case-insensitive hits, default 0 =
+    // any hit drops it; annotate_only keeps all rows with the count)
+    case "llm.badwords_filter" =>
+      val c = p(a, "column").getOrElse("text")
+      val words = p(a, "words").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      val cc = p(a, "count_column").getOrElse("n_badwords")
+      val maxC = p(a, "max_count").map(_.toLong).getOrElse(0L)
+      val ann = inputOf(a.name).withColumn(cc,
+        graft.llm.Extract.badwordCount(col(c), words))
+      if (p(a, "annotate_only").exists(_.toBoolean)) ann
+      else ann.filter(col(cc) <= maxC)
+
     // quality gate: score text, keep rows >= min_quality
     // (params: column, min_quality, score_column)
     case "llm.quality_filter" =>

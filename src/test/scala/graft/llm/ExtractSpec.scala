@@ -70,6 +70,42 @@ class ExtractSpec extends SparkSpec {
       "café & bar")
   }
 
+  test("urlHost strips scheme/userinfo/port and lowercases; " +
+      "registrableDomain takes 2 labels, 3 under multi-part suffixes") {
+    val cases = Seq(
+      "http://www.Site.Example.COM/p?q=1#f" ->
+        ("www.site.example.com", "example.com"),
+      "https://user:pw@blog.co.uk:8443/x" -> ("blog.co.uk", "blog.co.uk"),
+      "ftp://a.b.ac.jp/f" -> ("a.b.ac.jp", "b.ac.jp"),
+      "http://localhost/x" -> ("localhost", "localhost"),
+      "relative/path" -> ("", ""),
+      "" -> ("", ""))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Extract.urlHost(col("url")).as("h"))
+      .select(col("url"), col("h"),
+        Extract.registrableDomain(col("h")).as("d"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (u, exp) =>
+      assert(got(u) == exp, s"$u: got ${got(u)}, want $exp")
+    }
+  }
+
+  test("badwordCount is whole-word and case-insensitive; empty list " +
+      "counts zero") {
+    val df = Seq(
+      "win the JACKPOT, now",   // case + punctuation boundary
+      "jackpots are compound",  // NOT a whole-word hit
+      "roulette and jackpot",   // two hits
+      "").toDF("t")
+    val n = df.select(Extract.badwordCount(col("t"),
+      Seq("jackpot", "roulette")).as("n")).as[Long].collect().toSeq
+    assert(n == Seq(1L, 0L, 2L, 0L), s"got $n")
+    val z = df.select(Extract.badwordCount(col("t"), Nil).as("n"))
+      .as[Long].collect().toSeq
+    assert(z == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("interpreted eval agrees with codegen") {
     val df = Seq("&#65;&amp;&#x1F600;&bogus; tail").toDF("x")
     val viaCodegen = df.select(HtmlEntityDecode($"x")).as[String].head()

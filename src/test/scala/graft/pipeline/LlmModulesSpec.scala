@@ -658,4 +658,64 @@ class LlmModulesSpec extends SparkSpec {
     assert(tiers.filter(_._2 == "head").keySet ==
       scores.filter(_._2 >= c1).keySet)
   }
+
+  test("llm.url_filter actor blocks via a parquet domain blocklist " +
+      "(subdomains included), inline hosts, and URL keywords; " +
+      "llm.badwords_filter gates on whole-word hits") {
+    val dir = Files.createTempDirectory("graft-urlf-pipe-").toString
+    val in = dir + "/in"
+    Seq(
+      (1L, "http://www.news.example.com/a", "clean prose here"),
+      (2L, "https://user@spam.tracker.com:443/x", "clean prose here"),
+      (3L, "http://blog.co.uk/post", "clean prose here"),
+      (4L, "https://site.example.org/casino/page", "clean prose"),
+      (5L, "http://shop.example.com/ok", "win the JACKPOT, now"),
+      (6L, "relative/path", "no host at all"))
+      .toDF("doc_id", "url", "text").write.parquet(in)
+    // registrable-domain blocklist: tracker.com must catch the
+    // spam.tracker.com SUBDOMAIN; blog.co.uk is a three-label
+    // registrable domain (multi-part ccTLD suffix)
+    Seq("tracker.com", "blog.co.uk").toDF("domain")
+      .write.parquet(dir + "/bl")
+    val yaml =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  urlf: {module: llm.url_filter, params: {
+        |         blocklist_path: "${dir + "/bl"}", keywords: casino}}
+        |  badw: {module: llm.badwords_filter, params: {
+        |         words: "jackpot,poker"}}
+        |  urlf_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src:  {connect: [urlf]}
+        |  urlf: {connect: [badw]}
+        |  badw: {connect: [urlf_pipe_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml)).runBatch()
+    val out = spark.table("urlf_pipe_out")
+    // 2,3 blocklisted; 4 keyword-blocked; 5 dropped by the word gate
+    // (JACKPOT hits case-insensitively THROUGH the comma — \b, not
+    // space-splitting); 6 has no host and must pass through
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 6L))
+    assert(out.columns.contains("host") && out.columns.contains("domain")
+      && !out.columns.contains("url_reason"))
+
+    // annotate_only: every row survives, carrying the reason
+    val yaml2 =
+      s"""actors:
+        |  src:  {module: core.receiver, params: {path: "$in"}}
+        |  urlf: {module: llm.url_filter, params: {annotate_only: "true",
+        |         blocklist: "tracker.com,blog.co.uk", keywords: casino}}
+        |  urlf_ann_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src:  {connect: [urlf]}
+        |  urlf: {connect: [urlf_ann_out]}
+        |""".stripMargin
+    new PipelineCompiler(spark, PipelineConfig.parse(yaml2)).runBatch()
+    val reasons = spark.table("urlf_ann_out")
+      .select($"doc_id", $"url_reason").as[(Long, String)]
+      .collect().toMap
+    assert(reasons == Map(1L -> null, 2L -> "blocklist",
+      3L -> "blocklist", 4L -> "keyword", 5L -> null, 6L -> null),
+      s"got $reasons")
+  }
 }
