@@ -79,6 +79,7 @@ object ParamSchema {
       // comma-separated column list, split by the receiver itself
       "ts_nanos_to_micros" -> PString,
       "schema_from" -> PString, // streaming schema inference (Flowd --stream)
+      "dedup_digest" -> PBool, // warc: drop repeated payload digests
       // network transport by URI scheme (receiver_factory.go:10-37):
       // tcp://[host]:port, udp://[host]:port, unix:///path,
       // http://[host]:port[/endpoint]; port 0 = ephemeral

@@ -184,8 +184,14 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       // WARC/WET crawl containers resolve through the streaming
       // per-file kernel, not a DataSource format — the raw-crawl front
       // door (records) or the assembled documents frame
-      if (format == "warc")
-        return graft.sources.Warc.documents(spark, path)
+      if (format == "warc") {
+        // dedup_digest drops CommonCrawl-repeated payloads from the
+        // header columns alone, before extraction runs
+        return if (p(a, "dedup_digest").exists(_.toBoolean))
+          graft.sources.Warc.documentsMeta(spark, path,
+            dedupDigest = true).drop("digest")
+        else graft.sources.Warc.documents(spark, path)
+      }
       if (format == "warc_records")
         return graft.sources.Warc.records(spark, path)
       // listed ts columns are normalized schema-adaptively: parquet

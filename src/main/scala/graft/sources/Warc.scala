@@ -48,6 +48,7 @@ object Warc {
       record_id: String,
       target_uri: String,
       content_type: String,
+      payload_digest: String,
       content_length: Long,
       truncated: Boolean,
       body: Array[Byte])
@@ -181,6 +182,7 @@ object Warc {
             headers.getOrElse("warc-record-id", ""),
             headers.getOrElse("warc-target-uri", ""),
             headers.getOrElse("content-type", ""),
+            headers.getOrElse("warc-payload-digest", ""),
             len, len > keep, body)
           idx += 1
       }
@@ -275,6 +277,29 @@ object Warc {
       }
   }
 
+  /** Crawl-level exact dedup by `WARC-Payload-Digest` — the dedup
+    * CommonCrawl itself performs across recrawls (a `revisit` record
+    * replaces the repeated payload; response records still repeat
+    * within and across segments). Keeps the FIRST copy of each digest
+    * in (file, rec_index) order — deterministic however the scan is
+    * partitioned — and passes digest-less rows through untouched (a
+    * missing header must never collapse unrelated records).
+    *
+    * Scale shape: one shuffle on the digest (the same md5-key
+    * discipline as [[graft.llm.Dedup.dedupExact]], but keyed on the
+    * digest ALREADY IN THE HEADERS — no body hashing, so the pass
+    * never reads a payload byte and runs on the header-projected
+    * column-pruned scan). */
+  def dedupByDigest(recs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("payload_digest"))
+      .orderBy(col("file"), col("rec_index"))
+    val withDigest = recs.filter(col("payload_digest") =!= "")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    recs.filter(col("payload_digest") === "").unionByName(withDigest)
+  }
+
   /** The assembled front door: WARC/WET files → one row per document
     * with `doc_id` (record id), `url`, and `text` — HTML responses are
     * CHARSET-AWARE decoded ([[graft.functions.HttpBodyText]]: HTTP
@@ -286,16 +311,30 @@ object Warc {
     * through. This output is schema-compatible with the `documents`
     * table the whole curation surface operates on. */
   def documents(spark: SparkSession, path: String,
-                maxBodyBytes: Int = 16 << 20): DataFrame = {
-    val recs = records(spark, path, maxBodyBytes)
-    recs
+                maxBodyBytes: Int = 16 << 20): DataFrame =
+    documentsMeta(spark, path, maxBodyBytes).drop("digest")
+
+  /** [[documents]] plus crawl metadata (`digest` =
+    * `WARC-Payload-Digest`, empty when absent) and optional
+    * digest-level dedup: `dedupDigest = true` routes through
+    * [[dedupByDigest]] BEFORE extraction, so repeated payloads are
+    * dropped from the header columns alone and never pay the decode +
+    * extraction chain. `revisit` records (CommonCrawl's own recrawl
+    * markers) are excluded here like every non-response type — they
+    * carry no payload to extract. */
+  def documentsMeta(spark: SparkSession, path: String,
+                    maxBodyBytes: Int = 16 << 20,
+                    dedupDigest: Boolean = false): DataFrame = {
+    val recs0 = records(spark, path, maxBodyBytes)
       .filter(col("warc_type").isin("response", "conversion"))
-      .select(
-        col("record_id").as("doc_id"),
-        col("target_uri").as("url"),
-        when(col("warc_type") === "response",
-          graft.llm.Extract.extractText(
-            graft.functions.HttpBodyText(col("body"))))
-          .otherwise(bodyText(col("body"))).as("text"))
+    val recs = if (dedupDigest) dedupByDigest(recs0) else recs0
+    recs.select(
+      col("record_id").as("doc_id"),
+      col("target_uri").as("url"),
+      when(col("warc_type") === "response",
+        graft.llm.Extract.extractText(
+          graft.functions.HttpBodyText(col("body"))))
+        .otherwise(bodyText(col("body"))).as("text"),
+      col("payload_digest").as("digest"))
   }
 }

@@ -28,16 +28,17 @@ class WarcSpec extends SparkSpec {
 
   private def record(warcType: String, uri: String, body: Array[Byte],
                      contentType: String = "text/plain",
-                     eol: String = "\r\n"): Array[Byte] = {
+                     eol: String = "\r\n",
+                     extraHeaders: Seq[String] = Nil): Array[Byte] = {
     // plain concatenation: triple-quoted strings leave \r as two chars
-    val headers = Seq(
+    val headers = (Seq(
       "WARC/1.0",
       s"WARC-Type: $warcType",
       s"WARC-Record-ID: <urn:uuid:$warcType-${uri.hashCode.toHexString}>",
       s"WARC-Target-URI: $uri",
       s"Content-Type: $contentType",
-      s"Content-Length: ${body.length}",
-      "", "").mkString(eol)
+      s"Content-Length: ${body.length}") ++ extraHeaders ++
+      Seq("", "")).mkString(eol)
     headers.getBytes(UTF_8) ++ body ++ (eol + eol).getBytes(UTF_8)
   }
 
@@ -391,5 +392,44 @@ class WarcSpec extends SparkSpec {
     assert(out(0) == "ab�")
     assert(out(1) == "plain")
     assert(out(2) == "no header block at all")
+  }
+
+  test("payload-digest dedup keeps the first copy per digest, every " +
+      "digest-less record, and skips extraction for the dropped copies") {
+    val dupBody = httpResponse("<p>same payload both times</p>")
+    val warc =
+      record("response", "http://a.com/1", dupBody,
+        "application/http; msgtype=response",
+        extraHeaders = Seq("WARC-Payload-Digest: sha1:AAA")) ++
+      record("response", "http://a.com/2", dupBody,
+        "application/http; msgtype=response",
+        extraHeaders = Seq("WARC-Payload-Digest: sha1:AAA")) ++
+      record("response", "http://a.com/3",
+        httpResponse("<p>unique payload</p>"),
+        "application/http; msgtype=response",
+        extraHeaders = Seq("WARC-Payload-Digest: sha1:BBB")) ++
+      record("response", "http://a.com/4",
+        httpResponse("<p>no digest header</p>"),
+        "application/http; msgtype=response") ++
+      record("response", "http://a.com/5",
+        httpResponse("<p>also digest-less</p>"),
+        "application/http; msgtype=response")
+    val path = tmpFile("digests.warc", warc)
+    // records(): digest surfaces; dedupByDigest keeps first-by-
+    // (file, rec_index) of AAA, BBB, and BOTH digest-less rows
+    val kept = Warc.dedupByDigest(Warc.records(spark, path))
+      .select($"target_uri").as[String].collect().toSet
+    assert(kept == Set("http://a.com/1", "http://a.com/3",
+      "http://a.com/4", "http://a.com/5"), s"got $kept")
+    // documentsMeta(dedupDigest = true): same keeper set, digest rides
+    val docs = Warc.documentsMeta(spark, path, dedupDigest = true)
+      .select($"url", $"digest").as[(String, String)].collect().toMap
+    assert(docs.keySet == kept)
+    assert(docs("http://a.com/1") == "sha1:AAA" &&
+      docs("http://a.com/4") == "")
+    // documents() stays 3-column and un-deduped (compat surface)
+    assert(Warc.documents(spark, path).columns.toSeq ==
+      Seq("doc_id", "url", "text"))
+    assert(Warc.documents(spark, path).count() == 5)
   }
 }
