@@ -55,6 +55,20 @@ object QueriesLlm {
   private val CsPayload8859 = "Café déjà vu numéro "
   private val CsPayloadUtf8 = "plain utf-8 text № "
 
+  /** Page fragments of the llm_main_content fixture: a link-dense nav
+    * block, a short heading, a prose paragraph carrying the document
+    * text plus ONE inline link (low density when the text is long,
+    * over-dense when it is short — both branches exercised by real
+    * variation in the corpus), and a link-only footer. No single
+    * quotes: embeds verbatim in SQL. */
+  private val MceFragA = "<html><body><div><a href=/>Home</a> | " +
+    "<a href=/a>About</a> | <a href=/c>Contact us today</a></div>" +
+    "<h1>Title "
+  private val MceFragB = "</h1><p>"
+  private val MceFragC = " <a href=/ref>inline reference link</a> " +
+    "closing words of the paragraph.</p>" +
+    "<div><a href=/p>Privacy</a> <a href=/t>Terms</a></div></body></html>"
+
   /** Blocklists of the llm_url_filter fixture — registrable domains
     * (cover every subdomain), exact hosts, and URL keywords. Shared by
     * the Spark builder and the oracle SQL (plain lowercase ASCII: embed
@@ -2255,6 +2269,56 @@ FROM ann"""
           c AS (SELECT norm_url, COUNT(*) AS n_variants FROM n GROUP BY 1)
           SELECT n.doc_id, n.url, n.norm_url, c.n_variants
           FROM n JOIN c USING (norm_url)"""
+      }),
+
+    // link-density boilerplate classification (jusText-style,
+    // Extract.mainContentBlocks): blocks explode to rows, classify by
+    // integer length/link-density thresholds, reassemble in document
+    // order — nav/footer link clusters drop, prose survives, and the
+    // paragraph's own inline link flips the density verdict when the
+    // document text is short (both branches live in the corpus). The
+    // oracle re-derives the marked-text chain via the shared pattern
+    // constants and the SAME integer arithmetic.
+    QueryDef("llm_main_content",
+      (s, dir) => {
+        val html = concat(lit(MceFragA), col("doc_id"), lit(MceFragB),
+          col("text"), lit(MceFragC))
+        Extract.mainContentBlocks(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "html", "doc_id")
+      },
+      Some {
+        val marked = Extract.markedTextSql("html")
+        val stripm = "regexp_replace(block, '[\\x02\\x03]', '', 'g')"
+        val nonlink = "regexp_replace(regexp_replace(block, " +
+          "'(?s)\\x02.*?\\x03', '', 'g'), '[\\x02\\x03]', '', 'g')"
+        s"""WITH h AS (SELECT doc_id,
+            '$MceFragA' || doc_id || '$MceFragB' || text || '$MceFragC'
+              AS html FROM documents),
+          m AS (SELECT doc_id, $marked AS marked FROM h),
+          b AS (SELECT doc_id,
+              unnest(string_split(marked, chr(1))) AS block,
+              unnest(range(len(string_split(marked, chr(1))))) AS pos
+            FROM m),
+          f AS (SELECT doc_id, pos,
+              regexp_replace($stripm, '^\\s+|\\s+$$', '', 'g') AS clean,
+              length($stripm) AS raw_len,
+              length($stripm) - length($nonlink) AS link_len
+            FROM b),
+          cl AS (SELECT *, (length(clean) >= 25 AND
+              link_len * 1000 <= 300 * raw_len) AS good
+            FROM f WHERE length(clean) > 0),
+          agg AS (SELECT doc_id,
+              COUNT(*) AS n_blocks,
+              CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_good,
+              coalesce(string_agg(CASE WHEN good THEN clean END,
+                chr(10) ORDER BY pos), '') AS main_text
+            FROM cl GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(a.n_blocks, 0) AS n_blocks,
+            coalesce(a.n_good, 0) AS n_good,
+            coalesce(a.main_text, '') AS main_text
+          FROM documents d LEFT JOIN agg a USING (doc_id)"""
       }),
 
     // URL/domain blocklist filter (the stage RefinedWeb/FineWeb apply

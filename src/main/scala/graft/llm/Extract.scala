@@ -171,6 +171,125 @@ object Extract {
     rr(noTrack, UrlTrailPattern, "''")
   }
 
+  // ---- link-density boilerplate classification (jusText-style,
+  // Pomikálek 2011 simplified): navigation/footer/related-links blocks
+  // are short AND link-dense; running prose is long and link-sparse.
+  // The whole pass is block-granular, so instead of per-element
+  // interpreted HOF lambdas the operator EXPLODES blocks to rows —
+  // every regexp below then runs as a codegen row expression — and
+  // reassembles with one doc-keyed shuffle (the dedupParagraphs
+  // shape, bounded by document length). ------------------------------
+
+  /** Sentinel characters marking structure inside the stripped text:
+    * C0 controls that cannot legally appear in HTML text (any
+    * pre-existing occurrences are scrubbed first so crawl garbage
+    * cannot forge block or anchor boundaries). */
+  val SentinelScrubPattern = "[\\x01-\\x03]"
+
+  /** `<a …>` open / `</a>` close → anchor markers (x02/x03), BEFORE
+    * the generic tag strip so link-text extents survive it. */
+  val AnchorOpenPattern = "(?is)<a\\b[^>]*>"
+  val AnchorClosePattern = "(?i)</a\\s*>"
+
+  /** A complete anchor span (non-greedy: nested/malformed anchors
+    * degrade to zero-length spans, never swallow the document). */
+  val LinkSpanPattern = "(?s)\\x02.*?\\x03"
+
+  /** Leftover anchor markers (unpaired spans across block breaks). */
+  val MarkerPattern = "[\\x02\\x03]"
+
+  /** The marked text of an HTML column: comments/script/style gone,
+    * anchors bracketed by x02/x03, block boundaries as x01, other tags
+    * stripped, entities decoded, whitespace normalized — one codegen
+    * regexp chain, the [[extractText]] pipeline with structure
+    * sentinels riding through it. */
+  def markedText(html: Column): Column = {
+    val noComments = regexp_replace(html, CommentPattern, "")
+    val noScript = regexp_replace(noComments, ScriptPattern, "")
+    val noStyle = regexp_replace(noScript, StylePattern, "")
+    val scrubbed = regexp_replace(noStyle, SentinelScrubPattern, "")
+    val aOpen = regexp_replace(scrubbed, AnchorOpenPattern, "\u0002")
+    val aClose = regexp_replace(aOpen, AnchorClosePattern, "\u0003")
+    val broken = regexp_replace(aClose, BlockBreakPattern, "\u0001")
+    val noTags = regexp_replace(broken, TagPattern, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (ent, repl)) =>
+      regexp_replace(c, ent, repl)
+    }
+    val hspace = regexp_replace(decoded, HspacePattern, " ")
+    regexp_replace(hspace, LineBreakPattern, "\n")
+  }
+
+  /** Block-granular main-content extraction: classify each block by
+    * length and link density, keep the good ones, reassemble in
+    * document order. A block is GOOD iff its visible text is at least
+    * `minChars` characters AND `link_len * 1000 <= maxLinkDensityPm *
+    * text_len` — integer arithmetic throughout, so the DuckDB twin is
+    * hash-exact. Returns one row per input row (the dedup_paragraph
+    * left-join contract: empty/all-boilerplate docs keep an explicit
+    * row with `main_text = ""`): `(idCol, n_blocks, n_good,
+    * main_text)`.
+    *
+    * Scale shape: marked-text chain and per-block features are codegen
+    * row expressions (blocks are EXPLODED, not HOF-mapped); the only
+    * shuffle is the doc-keyed reassembly, partition size bounded by
+    * document length — the same budget as every other per-doc rewrite
+    * in this package. */
+  def mainContentBlocks(df: org.apache.spark.sql.DataFrame,
+                        htmlCol: String, idCol: String,
+                        minChars: Int = 25,
+                        maxLinkDensityPm: Int = 300)
+      : org.apache.spark.sql.DataFrame = {
+    val marked = df.select(col(idCol),
+      split(markedText(col(htmlCol)), "\\x01").as("_blocks"))
+    val exploded = marked.select(col(idCol),
+      posexplode(col("_blocks")).as(Seq("pos", "block")))
+    val stripped = regexp_replace(col("block"), MarkerPattern, "")
+    val nonlink = regexp_replace(
+      regexp_replace(col("block"), LinkSpanPattern, ""),
+      MarkerPattern, "")
+    val clean = regexp_replace(stripped, EdgePattern, "")
+    val feats = exploded.select(col(idCol), col("pos"),
+      clean.as("clean"),
+      length(stripped).as("raw_len"),
+      (length(stripped) - length(nonlink)).as("link_len"))
+      .filter(length(col("clean")) > 0)
+    val classified = feats.withColumn("good",
+      length(col("clean")) >= minChars &&
+        col("link_len") * 1000 <= lit(maxLinkDensityPm) * col("raw_len"))
+    val agg = classified.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+      array_join(transform(array_sort(collect_list(
+        when(col("good"), struct(col("pos"), col("clean"))))),
+        s => s.getField("clean")), "\n").as("main_text"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .withColumn("n_blocks", coalesce(col("n_blocks"), lit(0L)))
+      .withColumn("n_good", coalesce(col("n_good"), lit(0L)))
+      .withColumn("main_text", coalesce(col("main_text"), lit("")))
+  }
+
+  /** DuckDB twin of [[markedText]] — generated from the SAME pattern
+    * constants; sentinels render as chr(1)/chr(2)/chr(3) in rewrite
+    * position and as RE2 `\x01` escapes inside patterns. */
+  def markedTextSql(htmlExpr: String): String = {
+    def rr(x: String, pat: String, repl: String) =
+      s"regexp_replace($x, '$pat', $repl, 'g')"
+    val noComments = rr(htmlExpr, CommentPattern, "''")
+    val noScript = rr(noComments, ScriptPattern, "''")
+    val noStyle = rr(noScript, StylePattern, "''")
+    val scrubbed = rr(noStyle, SentinelScrubPattern, "''")
+    val aOpen = rr(scrubbed, AnchorOpenPattern, "chr(2)")
+    val aClose = rr(aOpen, AnchorClosePattern, "chr(3)")
+    val broken = rr(aClose, BlockBreakPattern, "chr(1)")
+    val noTags = rr(broken, TagPattern, "' '")
+    val decoded = Entities.foldLeft(noTags) { case (x, (ent, repl)) =>
+      val r = if (repl == "'") "''" else repl
+      s"replace($x, '$ent', '$r')"
+    }
+    val hspace = rr(decoded, HspacePattern, "' '")
+    rr(hspace, LineBreakPattern, "chr(10)")
+  }
+
   // ---- URL host / domain filtering (the blocklist stage a curation
   // run applies before fetching or extracting anything: RefinedWeb
   // §3.1 and FineWeb both gate on UT1-style domain blocklists plus

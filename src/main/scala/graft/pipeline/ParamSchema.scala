@@ -112,6 +112,9 @@ object ParamSchema {
       "version" -> PString, "delete_flag" -> PString),
     "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
       "min_line_chars" -> PLong, "full_entities" -> PBool),
+    "llm.main_content" -> Map("column" -> PString,
+      "text_column" -> PString, "id" -> PString, "min_chars" -> PLong,
+      "max_link_density_pm" -> PLong),
     "llm.gopher_filter" -> Map("column" -> PString,
       "annotate_only" -> PBool),
     "llm.c4_filter" -> Map("column" -> PString, "min_lines" -> PLong,

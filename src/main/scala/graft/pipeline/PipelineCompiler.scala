@@ -363,6 +363,23 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       }
       inputOf(a.name).withColumn(out, cleaned)
 
+    // link-density boilerplate extraction (jusText-style; params:
+    // column = raw HTML in, text_column = main text out, id,
+    // min_chars, max_link_density_pm). Block-granular: nav/footer
+    // link clusters drop, prose survives; every input row keeps an
+    // explicit output row (n_blocks/n_good annotations ride along).
+    case "llm.main_content" =>
+      val c = p(a, "column").getOrElse("html")
+      val out = p(a, "text_column").getOrElse("text")
+      val idc = p(a, "id").getOrElse("doc_id")
+      val in = inputOf(a.name)
+      val blocks = graft.llm.Extract.mainContentBlocks(in, c, idc,
+        minChars = p(a, "min_chars").map(_.toInt).getOrElse(25),
+        maxLinkDensityPm =
+          p(a, "max_link_density_pm").map(_.toInt).getOrElse(300))
+      in.drop(out)
+        .join(blocks.withColumnRenamed("main_text", out), Seq(idc), "left")
+
     // C4 cleaning rules (Raffel et al. 2020 §2.2; params: column,
     // min_lines, annotate_only). Rewrites the text column to the
     // surviving lines (terminal punctuation, >= 5 words, no

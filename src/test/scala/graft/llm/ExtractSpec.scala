@@ -106,6 +106,68 @@ class ExtractSpec extends SparkSpec {
     assert(z == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("mainContentBlocks keeps prose, drops link-dense nav/footer, " +
+      "and never loses a document row") {
+    val prose = "This is a long enough paragraph of running prose " +
+      "that should comfortably clear the minimum character bound."
+    val df = Seq(
+      (1L, "<html><body><div><a href=/>Home</a> <a href=/a>About</a>" +
+        "</div><p>" + prose + "</p>" +
+        "<div><a href=/p>Privacy</a></div></body></html>"),
+      (2L, "<html><body><div><a>Only</a> <a>Links</a> <a>Here</a>" +
+        "</div></body></html>"), // all boilerplate -> empty main_text
+      (3L, ""),                  // empty doc -> explicit empty row
+      // anchor spanning a block break: the open marker lands in one
+      // block, the close in the next — both degrade to linkLen 0
+      (4L, "<p>Before the split <a href=/x>link text begins here" +
+        "</p><p>and ends over here</a> with plenty of trailing prose " +
+        "to clear the length bound.</p>"),
+      // sentinel forgery: raw \u0001/\u0002 bytes in crawl garbage
+      // must be scrubbed, not honored as structure
+      (5L, "<p>Forged \u0001 and \u0002 sentinels inside otherwise " +
+        "acceptable running prose long enough to keep.</p>"))
+      .toDF("doc_id", "html")
+    val out = Extract.mainContentBlocks(df, "html", "doc_id")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == prose, s"got ${byId(1L)._4}")
+    assert(byId(1L)._2 == 3L && byId(1L)._3 == 1L) // nav, prose, footer
+    assert(byId(2L)._4 == "" && byId(2L)._3 == 0L)
+    assert(byId(3L) == ((3L, 0L, 0L, "")))
+    assert(byId(4L)._3 == 2L, s"got ${byId(4L)}") // both halves survive
+    assert(byId(5L)._4.contains("Forged") &&
+      !byId(5L)._4.contains("\u0001") && !byId(5L)._4.contains("\u0002"))
+  }
+
+  test("llm.main_content actor rewrites html to block-classified text") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mce-pipe-").toString + "/in"
+    val prose = "A paragraph of sustained prose that is long enough " +
+      "to survive the block classifier without any trouble at all."
+    Seq((1L, "<div><a href=/>Nav</a> <a href=/b>Bar</a></div><p>" +
+        prose + "</p>"),
+      (2L, "<div><a>Only</a><a>Links</a></div>"))
+      .toDF("doc_id", "html").write.parquet(dir)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$dir"}}
+        |  mce: {module: llm.main_content, params: {column: html}}
+        |  mce_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [mce]}
+        |  mce: {connect: [mce_pipe_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    val rows = spark.table("mce_pipe_out")
+      .select($"doc_id", $"text", $"n_good").as[(Long, String, Long)]
+      .collect().map { case (id, t, g) => id -> ((t, g)) }.toMap
+    assert(rows(1L) == ((prose, 1L)))
+    assert(rows(2L) == (("", 0L)))
+  }
+
   test("interpreted eval agrees with codegen") {
     val df = Seq("&#65;&amp;&#x1F600;&bogus; tail").toDF("x")
     val viaCodegen = df.select(HtmlEntityDecode($"x")).as[String].head()
