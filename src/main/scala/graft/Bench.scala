@@ -61,7 +61,9 @@ object Bench {
     // trained language ID, and the unigram tokenizer lifecycle
     "llm_extract_charset", "llm_gopher_rules_cjk", "llm_langid_clf",
     "llm_unigram_encode", "llm_unigram_encode_fast",
-    "llm_curation_scorecard")
+    "llm_curation_scorecard",
+    // round 14: the pre-fetch URL gates and block-granular boilerplate
+    "llm_url_filter", "llm_badwords", "llm_main_content")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

@@ -285,11 +285,13 @@ object Warc {
     * partitioned — and passes digest-less rows through untouched (a
     * missing header must never collapse unrelated records).
     *
-    * Scale shape: one shuffle on the digest (the same md5-key
-    * discipline as [[graft.llm.Dedup.dedupExact]], but keyed on the
-    * digest ALREADY IN THE HEADERS — no body hashing, so the pass
-    * never reads a payload byte and runs on the header-projected
-    * column-pruned scan). */
+    * Scale shape: one shuffle of the record rows keyed on the digest
+    * — the same cost class as [[graft.llm.Dedup.dedupExact]]'s md5
+    * shuffle (bodies ride the exchange either way because downstream
+    * needs them). What the digest buys is no body hashing and dedup
+    * BEFORE the decode + extraction chain, which is where the per-row
+    * cost actually lives; digest-less rows bypass the exchange on a
+    * narrow leg. */
   def dedupByDigest(recs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("payload_digest"))
