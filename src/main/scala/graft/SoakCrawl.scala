@@ -107,6 +107,53 @@ object SoakCrawl {
       s"truncation failed: $big")
     println(s"[soak-crawl] 8 MB record truncated to 64 KB, framing intact")
 
+    // ---- 2b) crawl-level digest dedup at drain rate ------------------
+    // Re-read with a planted digest scheme: every record whose r is
+    // even shares a digest with its r+1 neighbor IN THE SAME FILE, so
+    // exactly half the even-r pairs collapse; odd fixture arithmetic
+    // keeps the expectation exact without a second corpus. The digest
+    // rides the header columns, so the dedup pass costs one shuffle of
+    // the records and zero extraction work for the dropped copies.
+    val t1b = System.nanoTime()
+    val recs = graft.sources.Warc.records(spark, s"$dir/seg*.warc.gz")
+      .withColumn("payload_digest",
+        concat(lit("sha1:"), regexp_extract(col("record_id"),
+          ":([0-9]+)-", 1), lit("-"),
+          (regexp_extract(col("record_id"), "-([0-9]+)>", 1)
+            .cast("long") / 2).cast("long")))
+    val deduped = graft.sources.Warc.dedupByDigest(recs).count()
+    val dedupSec = (System.nanoTime() - t1b) / 1e9
+    val expectKeep = nFiles.toLong * ((perFile + 1) / 2)
+    require(deduped == expectKeep,
+      s"digest dedup kept $deduped, want $expectKeep")
+    println(f"[soak-crawl] digest dedup ${nFiles * perFile} -> " +
+      f"$deduped records in $dedupSec%.1f s = " +
+      f"${nFiles.toLong * perFile / dedupSec}%.0f rec/s")
+
+    // ---- 2c) block-granular boilerplate at drain rate ----------------
+    // The jusText-style pass over the RAW pages (markedText chain +
+    // explode + doc-keyed reassembly): nav/footer links in the
+    // synthetic pages drop, the paragraph survives — planted
+    // expectations keep it self-checking at any scale.
+    val rawPages = recs.select(col("record_id").as("doc_id"),
+      graft.functions.HttpBodyText(col("body")).as("html"))
+      .localCheckpoint(true)
+    val t1c = System.nanoTime()
+    val blocks = graft.llm.Extract.mainContentBlocks(
+      rawPages, "html", "doc_id")
+    val nGoodTotal = blocks.agg(sum(col("n_good"))).head().getLong(0)
+    val blockSec = (System.nanoTime() - t1c) / 1e9
+    require(nGoodTotal == nFiles.toLong * perFile,
+      s"expected one good block per page, got $nGoodTotal")
+    val mainSample = blocks.filter(col("doc_id") === "<urn:doc:0-1>")
+      .select(col("main_text")).as[String].head()
+    require(mainSample.contains("& tail goodsig") &&
+      !mainSample.contains("H 0 1"),
+      s"block classification wrong: ${mainSample.take(120)}")
+    println(f"[soak-crawl] mainContentBlocks over $n pages in " +
+      f"$blockSec%.1f s = ${n / blockSec}%.0f pages/s " +
+      f"(n_good=$nGoodTotal, headings/nav dropped)")
+
     // ---- 3) classifier training over the extracted corpus -----------
     val labeled = docs.withColumn("y",
       when(col("text").contains("goodsig"), 1L).otherwise(0L))

@@ -34,9 +34,18 @@ object TextFunctions {
 
   /** Tokens of text: Unicode-aware (see [[UTokenPattern]]); empty or
     * all-whitespace text yields an EMPTY array (the whitespace-split
-    * form returned [""]). One codegen regexp pass per row. */
-  def tokens(text: Column): Column =
-    regexp_extract_all(text, lit(UTokenPattern), lit(0))
+    * form returned [""]).
+    *
+    * Evaluated by the [[UnicodeTokens]] codegen expression — a single
+    * regex-free character scan with the EXACT `regexp_extract_all(
+    * UTokenPattern)` semantics (spec-pinned byte-identical on
+    * adversarial inputs). The round-14 bench caught the regexp
+    * alternation form costing 1.3–2.3× on every token-heavy query —
+    * tokenization IS the hot loop of the classifier/zipf/LM/BPE paths
+    * at 100 TB — and the scanner restores the pre-Unicode cost while
+    * keeping the CJK semantics. The DuckDB oracles keep using
+    * [[UTokenPattern]]: same tokens, independently derived. */
+  def tokens(text: Column): Column = UnicodeTokens(text)
 
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -432,20 +432,15 @@ object Bpe {
         org.apache.spark.sql.types.StringType, nullable = true)))
     in.mapPartitions { it =>
         val (rank, mergeArr) = rankBc.value
-        // Plain family: the SAME Java regex Spark's regexp_extract_all
-        // compiles for TextFunctions.tokens, so chain==kernel token
-        // streams agree on Unicode text too.
+        // Plain family: the SAME scanner TextFunctions.tokens compiles
+        // to (UnicodeTokens), so chain==kernel token streams agree by
+        // construction — and the kernel skips the per-row NFA.
         val preTok =
           if (usePreTokens) java.util.regex.Pattern.compile(PreTokenPattern)
           else null
-        val plainTok = java.util.regex.Pattern.compile(
-          graft.functions.TextFunctions.UTokenPattern)
         def tokensOf(text: String): Array[String] =
           if (preTok == null) {
-            val m = plainTok.matcher(text)
-            val out = mutable.ArrayBuffer.empty[String]
-            while (m.find()) out += m.group()
-            out.toArray
+            graft.functions.UnicodeTokens.tokenizeStrings(text)
           } else {
             val m = preTok.matcher(text)
             val out = mutable.ArrayBuffer.empty[String]

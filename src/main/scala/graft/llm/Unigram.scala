@@ -252,19 +252,20 @@ object Unigram {
       org.apache.spark.sql.types.StructField("pieces",
         org.apache.spark.sql.types.StringType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val tokPat = java.util.regex.Pattern.compile(TextFunctions.UTokenPattern)
     in.mapPartitions { it =>
       val vmap = vocabBc.value
       it.flatMap { row =>
         val text = row.getString(1)
         if (text == null) None
         else {
-          val m = tokPat.matcher(text)
+          // the same scanner TextFunctions.tokens compiles to — token
+          // parity with the expression rendering by construction
+          val toks = graft.functions.UnicodeTokens.tokenizeStrings(text)
           var nWords = 0L
           var nPieces = 0L
           val sb = new java.lang.StringBuilder()
-          while (m.find()) {
-            val (np, seg) = viterbiWord(m.group(), vmap)
+          toks.foreach { tk =>
+            val (np, seg) = viterbiWord(tk, vmap)
             nWords += 1; nPieces += np
             if (sb.length > 0) sb.append(' ')
             sb.append(seg)

@@ -77,4 +77,31 @@ class TextFunctionsSpec extends SparkSpec {
     scores.foreach(s => assert(s >= 0.0 && s <= 1.0))
     assert(scores.head > scores(1))
   }
+
+  test("UnicodeTokens scanner is byte-identical to the UTokenPattern " +
+      "regexp on adversarial inputs (codegen, interpreted, and kernel)") {
+    val cases = Seq(
+      "", " ", "\t\n\f\r", "plain english words here",
+      "  padded   out  ", "tab\tand\nnewline splits",
+      "今天天气很好", "mixed 中文 and english 词",
+      "中x中", "ภาษาไทยไม่มีช่องว่าง", "ひらがなカタカナ混在",
+      "edge中", "中edge", "astral 😀😀 pair", "punct!!! runs???",
+      "　ideographic space is NOT a separator　",
+      "a" * 500 + "中" + "b" * 500)
+    val df = cases.map(Tuple1(_)).toDF("t")
+    val viaExpr = df.select(UnicodeTokens($"t")).as[Seq[String]].collect()
+    val viaRegex = df.select(regexp_extract_all($"t",
+      lit(TextFunctions.UTokenPattern), lit(0))).as[Seq[String]].collect()
+    viaExpr.zip(viaRegex).zip(cases).foreach { case ((a, b), c) =>
+      assert(a == b, s"'${c.take(40)}': scanner $a != regexp $b")
+    }
+    // interpreted eval (filter predicate path) agrees with codegen
+    cases.foreach { c =>
+      val direct = UnicodeTokens
+        .tokenizeStrings(c).toSeq
+      val viaKernelPath = UnicodeTokens.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(c))
+      assert(viaKernelPath.numElements() == direct.size)
+    }
+  }
 }

@@ -394,6 +394,58 @@ class WarcSpec extends SparkSpec {
     assert(out(2) == "no header block at all")
   }
 
+  test("llm_fineweb example: the whole crawl-to-curated recipe — digest " +
+      "dedup, URL gates, word gate, langid, gopher, c4, exact dedup") {
+    val prose = "The committee released its final report on Tuesday " +
+      "and the findings were consistent with earlier research across " +
+      "the field. Reviewers noted that the methods were sound and " +
+      "that the data had been collected carefully over three years. " +
+      "Further work is planned for the coming months and a public " +
+      "summary will follow shortly. Questions from the public are " +
+      "welcome at any time."
+    def page(text: String) = httpResponse(
+      s"<html><body><p>$text</p></body></html>")
+    val rt = "application/http; msgtype=response"
+    val dir = java.nio.file.Paths.get("/tmp/graft-example-fineweb")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("crawl.warc.gz"), gzipMembers(
+      warcinfo,
+      // the keeper
+      record("response", "http://news.example.com/story", page(prose),
+        rt, extraHeaders = Seq("WARC-Payload-Digest: sha1:KEEP")),
+      // same digest elsewhere -> dropped before decode
+      record("response", "http://mirror.example.com/story", page(prose),
+        rt, extraHeaders = Seq("WARC-Payload-Digest: sha1:KEEP")),
+      // blocklisted domain (as a subdomain) and a keyword URL
+      record("response", "http://x.spam-tracker.net/page", page(prose), rt),
+      record("response", "http://ok.example.com/casino/promo",
+        page(prose), rt),
+      // word-list gate: otherwise-clean prose with a planted hit
+      record("response", "http://ok.example.com/promo",
+        page(prose + " Also try our jackpot tonight."), rt),
+      // language gate
+      record("response", "http://es.example.com/nota",
+        page("el informe fue publicado el martes por la comision y " +
+          "los resultados fueron consistentes con los estudios " +
+          "anteriores segun las personas cerca del proceso"), rt),
+      // same TEXT, different digest -> survives to the text dedup,
+      // which collapses it into the keeper
+      record("response", "http://copy.example.com/story", page(prose),
+        rt, extraHeaders = Seq("WARC-Payload-Digest: sha1:OTHER"))))
+    val yaml = Files.readString(
+      java.nio.file.Paths.get("examples/llm_fineweb.yml"))
+    val counts = new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    assert(counts("fineweb_out") == 1L, s"got $counts")
+    val kept = spark.table("fineweb_out")
+      .select($"url", $"text").as[(String, String)].collect()
+    // the exact-dedup keeper is min record-id (a uri-hash string), so
+    // either story URL may represent the pair — the CONTENT is pinned
+    assert(Set("http://news.example.com/story",
+      "http://copy.example.com/story")(kept.head._1), s"got ${kept.head._1}")
+    assert(kept.head._2.contains("committee released its final report"))
+  }
+
   test("payload-digest dedup keeps the first copy per digest, every " +
       "digest-less record, and skips extraction for the dropped copies") {
     val dupBody = httpResponse("<p>same payload both times</p>")
