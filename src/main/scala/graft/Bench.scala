@@ -63,7 +63,8 @@ object Bench {
     "llm_unigram_encode", "llm_unigram_encode_fast",
     "llm_curation_scorecard",
     // round 14: the pre-fetch URL gates and block-granular boilerplate
-    "llm_url_filter", "llm_badwords", "llm_main_content")
+    "llm_url_filter", "llm_badwords", "llm_main_content",
+    "llm_meta_robots")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

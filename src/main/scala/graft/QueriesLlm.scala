@@ -2321,6 +2321,47 @@ FROM ann"""
           FROM documents d LEFT JOIN agg a USING (doc_id)"""
       }),
 
+    // meta-robots consent (the page's own indexing directives —
+    // Extract.metaRobotsDirectives/metaNoindex/metaNofollow): four
+    // page shapes rotate — no robots meta, name-first double-quoted
+    // noindex, content-first BARE-value noindex,nofollow (attribute
+    // order and quoting must not matter), and an UPPERCASE
+    // index,follow control (the \b test must not read 'follow' as
+    // 'nofollow' or 'index' as 'noindex'). Oracle from the same
+    // pattern constants.
+    QueryDef("llm_meta_robots",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(4L))
+        val head = when(m === 1,
+            lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(m === 2, lit("<meta content=noindex,nofollow name=robots>"))
+          .when(m === 3, lit("<META NAME=ROBOTS CONTENT=\"INDEX, FOLLOW\">"))
+          .otherwise(lit("<meta charset=utf-8>"))
+        val html = concat(lit("<html><head>"), head,
+          lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            Extract.metaRobotsDirectives(col("html")).as("directives"),
+            Extract.metaNoindex(col("html")).as("noindex"),
+            Extract.metaNofollow(col("html")).as("nofollow"))
+      },
+      Some {
+        s"""WITH h AS (SELECT doc_id, '<html><head>' ||
+            CASE doc_id % 4
+              WHEN 1 THEN '<meta name="robots" content="noindex">'
+              WHEN 2 THEN '<meta content=noindex,nofollow name=robots>'
+              WHEN 3 THEN '<META NAME=ROBOTS CONTENT="INDEX, FOLLOW">'
+              ELSE '<meta charset=utf-8>' END ||
+            '</head><body><p>' || text || '</p></body></html>' AS html
+          FROM documents)
+          SELECT doc_id,
+            ${Extract.metaRobotsDirectivesSql("html")} AS directives,
+            ${Extract.metaNoindexSql("html")} AS noindex,
+            ${Extract.metaNofollowSql("html")} AS nofollow
+          FROM h"""
+      }),
+
     // URL/domain blocklist filter (the stage RefinedWeb/FineWeb apply
     // FIRST, before a byte of content is parsed): host extraction,
     // registrable-domain derivation (multi-part ccTLD suffixes take

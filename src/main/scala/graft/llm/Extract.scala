@@ -290,6 +290,45 @@ object Extract {
     rr(hspace, LineBreakPattern, "chr(10)")
   }
 
+  // ---- meta-robots directives (the page's own indexing consent: a
+  // `noindex` page told every indexer to drop it, and a curation
+  // pipeline building a public corpus honors that exactly like a
+  // crawler honors robots.txt) --------------------------------------
+
+  /** `<meta name=robots content="...">`, either attribute order,
+    * quoted or bare values. Group 1 = the directive list. (?i) covers
+    * the class; both patterns stay in the java.regex∩RE2 subset. */
+  val MetaRobotsNameFirst: String =
+    "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b[^>]*" +
+      "\\bcontent\\s*=\\s*[\"']?([a-z, ]*)"
+  val MetaRobotsContentFirst: String =
+    "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']?([a-z, ]*)[\"']?" +
+      "[^>]*\\bname\\s*=\\s*[\"']?robots\\b"
+
+  /** The page's robots directives, lowercased, both attribute orders
+    * folded ("" when the page has no robots meta). */
+  def metaRobotsDirectives(html: Column): Column = lower(concat_ws(",",
+    regexp_extract(html, MetaRobotsNameFirst, 1),
+    regexp_extract(html, MetaRobotsContentFirst, 1)))
+
+  /** Whole-word directive test over [[metaRobotsDirectives]]. */
+  def metaNoindex(html: Column): Column =
+    metaRobotsDirectives(html).rlike("\\bnoindex\\b")
+  def metaNofollow(html: Column): Column =
+    metaRobotsDirectives(html).rlike("\\bnofollow\\b")
+
+  /** DuckDB twins, generated from the SAME pattern constants. */
+  def metaRobotsDirectivesSql(htmlExpr: String): String = {
+    def esc(p: String) = p.replace("'", "''")
+    s"lower(concat_ws(',', " +
+      s"regexp_extract($htmlExpr, '${esc(MetaRobotsNameFirst)}', 1), " +
+      s"regexp_extract($htmlExpr, '${esc(MetaRobotsContentFirst)}', 1)))"
+  }
+  def metaNoindexSql(htmlExpr: String): String =
+    s"regexp_matches(${metaRobotsDirectivesSql(htmlExpr)}, '\\bnoindex\\b')"
+  def metaNofollowSql(htmlExpr: String): String =
+    s"regexp_matches(${metaRobotsDirectivesSql(htmlExpr)}, '\\bnofollow\\b')"
+
   // ---- URL host / domain filtering (the blocklist stage a curation
   // run applies before fetching or extracting anything: RefinedWeb
   // §3.1 and FineWeb both gate on UT1-style domain blocklists plus

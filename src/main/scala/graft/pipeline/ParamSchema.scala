@@ -111,7 +111,8 @@ object ParamSchema {
     "core.upsert" -> Map("base" -> PString, "keys" -> PStringList,
       "version" -> PString, "delete_flag" -> PString),
     "llm.extract" -> Map("column" -> PString, "text_column" -> PString,
-      "min_line_chars" -> PLong, "full_entities" -> PBool),
+      "min_line_chars" -> PLong, "full_entities" -> PBool,
+      "drop_noindex" -> PBool),
     "llm.main_content" -> Map("column" -> PString,
       "text_column" -> PString, "id" -> PString, "min_chars" -> PLong,
       "max_link_density_pm" -> PLong),

@@ -361,7 +361,14 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
         case Some(n) => graft.llm.Extract.mainContent(extracted, n)
         case None    => extracted
       }
-      inputOf(a.name).withColumn(out, cleaned)
+      // a noindex page told every indexer to drop it — honor it
+      // BEFORE paying extraction when asked to
+      val base = inputOf(a.name)
+      val gated =
+        if (p(a, "drop_noindex").exists(_.toBoolean))
+          base.filter(!graft.llm.Extract.metaNoindex(col(c)))
+        else base
+      gated.withColumn(out, cleaned)
 
     // link-density boilerplate extraction (jusText-style; params:
     // column = raw HTML in, text_column = main text out, id,

@@ -168,6 +168,35 @@ class ExtractSpec extends SparkSpec {
     assert(rows(2L) == (("", 0L)))
   }
 
+  test("llm.extract drop_noindex honors the page's robots consent " +
+      "before extraction; attribute order and case do not matter") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft-noindex-pipe-").toString + "/in"
+    Seq(
+      (1L, "<head><meta charset=utf-8></head><p>kept page</p>"),
+      (2L, "<head><meta name=\"robots\" content=\"noindex\"></head>" +
+        "<p>dropped</p>"),
+      (3L, "<head><meta content=NOINDEX,nofollow name=robots></head>" +
+        "<p>dropped too</p>"),
+      (4L, "<head><META NAME=ROBOTS CONTENT=\"index, follow\"></head>" +
+        "<p>follow is not nofollow</p>"))
+      .toDF("doc_id", "html").write.parquet(in)
+    val yaml =
+      s"""actors:
+        |  src: {module: core.receiver, params: {path: "$in"}}
+        |  ex:  {module: llm.extract, params: {column: html,
+        |        drop_noindex: "true"}}
+        |  noindex_pipe_out: {module: core.sink, params: {format: memory}}
+        |pipeline:
+        |  src: {connect: [ex]}
+        |  ex:  {connect: [noindex_pipe_out]}
+        |""".stripMargin
+    new graft.pipeline.PipelineCompiler(spark,
+      graft.pipeline.PipelineConfig.parse(yaml)).runBatch()
+    assert(spark.table("noindex_pipe_out")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("interpreted eval agrees with codegen") {
     val df = Seq("&#65;&amp;&#x1F600;&bogus; tail").toDF("x")
     val viaCodegen = df.select(HtmlEntityDecode($"x")).as[String].head()
