@@ -251,4 +251,45 @@ class PlanShapeSpec extends SparkSpec {
         "a postings scan lost the term_pt partition filter:\n" + s.take(800))
     }
   }
+
+  test("URL gates are map-only: host/domain/keyword/badwords all " +
+      "evaluate without a shuffle") {
+    Seq("llm_url_filter", "llm_badwords", "llm_meta_robots").foreach { q =>
+      val plan = planOf(q)
+      // these run before a byte of content is parsed at 100 TB — any
+      // exchange here would shuffle the whole crawl for a row filter
+      assert(!plan.contains("Exchange"), s"$q:\n" + plan.take(2000))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n" + plan.take(2000))
+    }
+  }
+
+  test("mainContentBlocks explodes blocks to rows: per-block regexps " +
+      "ride a Generate+Project, never an array-lambda over raw HTML") {
+    val df = SparkEntry.queries("llm_main_content")(spark, dir)
+    df.collect() // settle AQE to the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the block stage is a posexplode Generate; the ONLY lambda in the
+    // plan is the tiny sorted-reassembly transform over already-
+    // classified blocks (the interpreted-HOF-over-raw-HTML shape this
+    // operator exists to avoid would show block regexps inside a
+    // lambda instead)
+    assert(plan.contains("Generate posexplode"), plan.take(2000))
+    val lambdaIdx = plan.indexOf("lambdafunction")
+    if (lambdaIdx >= 0) {
+      val window = plan.substring(lambdaIdx,
+        math.min(plan.length, lambdaIdx + 400))
+      assert(!window.contains("regexp_replace"),
+        "block regexps leaked into an interpreted lambda:\n" + window)
+    }
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("tokens() compiles to the UnicodeTokens scanner, not a regexp " +
+      "alternation, in the classifier scoring plan") {
+    val df = SparkEntry.queries("llm_classifier_score")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("unicodetokens"), plan.take(2000))
+    assert(!plan.contains("regexp_extract_all"), plan.take(2000))
+  }
 }
