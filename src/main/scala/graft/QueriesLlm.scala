@@ -1802,6 +1802,58 @@ FROM ann"""
           sc.score > 0 AS positive
         FROM toks t JOIN sc ON t.doc_id = sc.doc_id""")),
 
+    // multi-class prediction + confidence margin (Classifier.predict /
+    // predictMargin — the CCNet-style "drop ambiguous-language pages"
+    // gate): three deterministic stand-in models (per-label weight
+    // formulas over the same md5 buckets — scoring/argmax/margin are
+    // the operators under test; training has its own oracles), argmax
+    // with sorted-label first-winner ties, margin = best − second in
+    // exact micro integers. The oracle re-derives each label's score
+    // digit-by-digit and the margin via the greatest/least identity
+    // (second-best of 3 = sum − best − least).
+    QueryDef("llm_langid_margin",
+      (s, dir) => {
+        val models = Seq("de", "en", "fr").zipWithIndex.map { case (l, j) =>
+          l -> Array.tabulate(4096)(b =>
+            ((b.toLong * (2 * j + 3)) % 1001L) - 500L)
+        }
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            graft.llm.Classifier.predict(col("toks"), models).as("lang"),
+            graft.llm.Classifier.predictMargin(col("toks"), models)
+              .as("margin_micro"))
+          .withColumn("confident", col("margin_micro") >= 1000L)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        hb AS (SELECT doc_id,
+          ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) % 4096 AS b
+          FROM tok_rows),
+        sc AS (SELECT doc_id,
+            CAST(SUM((b * 3) % 1001 - 500) AS BIGINT) AS s_de,
+            CAST(SUM((b * 5) % 1001 - 500) AS BIGINT) AS s_en,
+            CAST(SUM((b * 7) % 1001 - 500) AS BIGINT) AS s_fr
+          FROM hb GROUP BY doc_id),
+        m AS (SELECT doc_id, s_de, s_en, s_fr,
+            greatest(s_de, s_en, s_fr) AS best,
+            least(s_de, s_en, s_fr) AS worst
+          FROM sc)
+        SELECT t.doc_id,
+          CASE WHEN m.s_de = m.best THEN 'de'
+               WHEN m.s_en = m.best THEN 'en'
+               ELSE 'fr' END AS lang,
+          m.best - (m.s_de + m.s_en + m.s_fr - m.best - m.worst)
+            AS margin_micro,
+          m.best - (m.s_de + m.s_en + m.s_fr - m.best - m.worst) >= 1000
+            AS confident
+        FROM toks t JOIN m ON t.doc_id = m.doc_id""")),
+
     // hashed-BoW classifier TRAINING (llm.Classifier): deterministic
     // full-batch gradient descent in exact integer micro/ppm fixed
     // point over the same md5-bucket features HashedBowScore reads.

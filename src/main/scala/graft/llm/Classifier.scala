@@ -138,6 +138,27 @@ object Classifier {
     }
   }
 
+  /** Confidence margin of [[predict]]: best score minus second-best
+    * (micro units, exact integers) — the CCNet-style gate for
+    * ambiguous-language pages (a near-zero margin means two models
+    * scored the page almost identically; language routing, per-lang
+    * LM shards and mix weights should not trust it). With one model
+    * the margin IS its score. Map-only like predict; pass a
+    * MATERIALIZED token column at scale for the same CollapseProject
+    * reason. */
+  def predictMargin(toks: Column,
+                    models: Seq[(String, Array[Long])]): Column = {
+    require(models.nonEmpty, "predictMargin needs at least one model")
+    val ms = models.map { case (_, w) =>
+      graft.functions.HashedBowScore(toks, weightsColumn(w)) }
+    ms match {
+      case Seq(one) => one
+      case _ =>
+        val sorted = array_sort(array(ms: _*))
+        element_at(sorted, -1) - element_at(sorted, -2)
+    }
+  }
+
   /** Trained weights as a (bucket, w_micro) frame — the
     * llm_classifier_train output shape, and the literal-array source
     * for a [[graft.functions.HashedBowScore]] scoring pass. */

@@ -145,7 +145,9 @@ object ParamSchema {
       "labeled_path" -> PString, "labeled_text_column" -> PString,
       "label_column" -> PString, "labeled_id_column" -> PString,
       "buckets" -> PLong, "train_iters" -> PLong, "lr_ppm" -> PLong,
-      "model_path" -> PString),
+      "model_path" -> PString,
+      // confidence gate: margin = best − second-best model score
+      "margin_column" -> PString, "min_margin" -> PLong),
     "llm.bpe_encode" -> Map("column" -> PString, "num_merges" -> PLong,
       "merges_path" -> PString, "pieces_column" -> PString,
       "count_column" -> PString),

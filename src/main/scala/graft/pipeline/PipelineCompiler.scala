@@ -742,28 +742,46 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     case "llm.langid" =>
       val c = p(a, "column").getOrElse("text")
       val langCol = p(a, "lang_column").getOrElse("lang")
-      val pred = (p(a, "labeled_path"), p(a, "model_path")) match {
-        case (Some(path), savePath) =>
-          val labeled = spark.read.parquet(path)
-          val models = graft.llm.Classifier.trainMulti(
-            labeled, p(a, "labeled_text_column").getOrElse("text"),
-            p(a, "label_column").getOrElse("lang"),
-            p(a, "labeled_id_column").getOrElse("doc_id"),
-            buckets = p(a, "buckets").map(_.toInt).getOrElse(4096),
-            iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
-            lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L))
-          // with both params, training also PERSISTS the model family —
-          // later label-less runs predict from it (train-once/score-many)
-          savePath.foreach(graft.llm.Classifier.saveMulti(spark, models, _))
-          graft.llm.Classifier.predict(
-            graft.functions.TextFunctions.tokens(col(c)), models)
-        case (None, Some(path)) =>
-          graft.llm.Classifier.predict(
-            graft.functions.TextFunctions.tokens(col(c)),
-            graft.llm.Classifier.loadMulti(spark, path))
-        case (None, None) => graft.functions.TextFunctions.langId(col(c))
+      val modelsOpt: Option[Seq[(String, Array[Long])]] =
+        (p(a, "labeled_path"), p(a, "model_path")) match {
+          case (Some(path), savePath) =>
+            val labeled = spark.read.parquet(path)
+            val models = graft.llm.Classifier.trainMulti(
+              labeled, p(a, "labeled_text_column").getOrElse("text"),
+              p(a, "label_column").getOrElse("lang"),
+              p(a, "labeled_id_column").getOrElse("doc_id"),
+              buckets = p(a, "buckets").map(_.toInt).getOrElse(4096),
+              iters = p(a, "train_iters").map(_.toInt).getOrElse(3),
+              lrPpm = p(a, "lr_ppm").map(_.toLong).getOrElse(1000000L))
+            // with both params, training also PERSISTS the model family —
+            // later label-less runs predict from it (train-once/score-many)
+            savePath.foreach(graft.llm.Classifier.saveMulti(spark, models, _))
+            Some(models)
+          case (None, Some(path)) =>
+            Some(graft.llm.Classifier.loadMulti(spark, path))
+          case (None, None) => None
+        }
+      val pred = modelsOpt match {
+        case Some(models) => graft.llm.Classifier.predict(
+          graft.functions.TextFunctions.tokens(col(c)), models)
+        case None => graft.functions.TextFunctions.langId(col(c))
       }
-      val annotated = inputOf(a.name).withColumn(langCol, pred)
+      val annotated0 = inputOf(a.name).withColumn(langCol, pred)
+      // margin_column / min_margin: the confidence gate — classifier
+      // paths only (the stopword heuristic has no score to margin)
+      val annotated = (p(a, "margin_column"), p(a, "min_margin")) match {
+        case (None, None) => annotated0
+        case (mc, mm) =>
+          val models = modelsOpt.getOrElse(sys.error(s"${a.name}: " +
+            "margin needs a trained model (labeled_path or model_path)"))
+          val margin = graft.llm.Classifier.predictMargin(
+            graft.functions.TextFunctions.tokens(col(c)), models)
+          val marginCol = mc.getOrElse("lang_margin")
+          val withM = annotated0.withColumn(marginCol, margin)
+          val gated = mm.map(v => withM.filter(col(marginCol) >= v.toLong))
+            .getOrElse(withM)
+          if (mc.isEmpty) gated.drop(marginCol) else gated
+      }
       p(a, "keep") match {
         case Some(keep) =>
           annotated.filter(col(langCol).isin(keep.split(",").map(_.trim): _*))
