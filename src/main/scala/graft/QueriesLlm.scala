@@ -478,7 +478,13 @@ FROM fix
     def cand(l: Int): String = {
       val pc = s"substr(w, len(acc)-$l+1, $l)"
       val dpi = s"acc[len(acc)-$l+1]"
-      val sc = s"vc[list_position(vp, $pc)]"
+      // l == 1 carries the engine's UNK-as-char fallback (unseen single
+      // chars segment as their own piece, score 0) — vacuous when the
+      // fixtures encode the training corpus, pinned here so the twin
+      // cannot drift if a fixture ever encodes disjoint text
+      val sc0 = s"vc[list_position(vp, $pc)]"
+      val sc =
+        if (l == 1) s"coalesce($sc0, CAST(0 AS BIGINT))" else sc0
       s"CASE WHEN len(acc) >= $l AND $sc IS NOT NULL THEN " +
         s"{'n': struct_extract($dpi, 'n') + 1, " +
         s"'sc': struct_extract($dpi, 'sc') + $sc, " +

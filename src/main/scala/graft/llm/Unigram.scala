@@ -88,8 +88,11 @@ object Unigram {
     * up-to-`MaxPieceLen` suffix pieces; a longer candidate replaces
     * the incumbent on (fewer pieces) or (equal pieces AND score >=) —
     * the ties-to-longer rule the DuckDB twin reproduces with the same
-    * nested CASE. Single chars are always in the vocabulary, so dp
-    * never strands. Interpreted HOF (per-word cost O(len·maxLen)) —
+    * nested CASE. Single chars segment even when absent from the
+    * vocabulary (UNK-as-char fallback, score 0), so dp never strands —
+    * even on text disjoint from the training corpus (new punctuation,
+    * emoji, unseen scripts). Interpreted HOF (per-word cost
+    * O(len·maxLen)) —
     * the oracle/EM path; bulk encode uses [[encodeFast]]'s kernel. */
   def viterbiCol(w: Column, vocab: Seq[(String, Long)]): Column = {
     // empty-corpus guard: a zero-entry map literal can't be built; ""
@@ -105,8 +108,18 @@ object Unigram {
       def cand(l: Int): Column = {
         val piece = w.substr((j - l + 1).cast("int"), lit(l))
         val dpI = element_at(acc, j - l + 1) // dp(j-l), 1-based index
-        val score = element_at(vmap, piece)
-        when(j >= l && score.isNotNull,
+        // UNSEEN-CHAR FALLBACK: a single char absent from the vocab is
+        // emitted as its own piece with score 0 (an UNK-as-char rule),
+        // so dp never strands on out-of-vocabulary characters — the
+        // "single chars always in vocab" guarantee only holds when
+        // encoding the training corpus itself. Multi-char candidates
+        // additionally require a REACHED dp(j-l) (vacuous now that
+        // cand(1) is total, kept as defense-in-depth mirrored in
+        // [[viterbiWord]] so the two paths stay identical).
+        val score =
+          if (l == 1) coalesce(element_at(vmap, piece), lit(0L))
+          else element_at(vmap, piece)
+        when(j >= l && score.isNotNull && dpI.isNotNull,
           struct((dpI.getField("n") + 1L).as("n"),
             (dpI.getField("sc") + score).as("sc"),
             concat(dpI.getField("seg"),
@@ -198,7 +211,21 @@ object Unigram {
   private[graft] def viterbiWord(w: String,
                                  vocab: java.util.HashMap[String, Long])
       : (Int, String) = {
-    val n = w.length
+    // dp over CODEPOINTS, not UTF-16 units: Spark `length`/`substr`
+    // (hence [[viterbiCol]] and the seedVocab pieces) count codepoints,
+    // so a UTF-16 dp would split surrogate pairs (emoji) into lone
+    // surrogates and diverge from the expression path. bounds(i) is
+    // the UTF-16 offset of the i-th codepoint.
+    val u = w.length
+    val bounds = new Array[Int](u + 1)
+    var n = 0
+    var off = 0
+    while (off < u) {
+      bounds(n) = off
+      off += Character.charCount(w.codePointAt(off))
+      n += 1
+    }
+    bounds(n) = u
     val dpN = new Array[Long](n + 1)
     val dpSc = new Array[Long](n + 1)
     val dpSeg = new Array[String](n + 1)
@@ -208,12 +235,17 @@ object Unigram {
       var bestN = -1L; var bestSc = 0L; var bestSeg: String = null
       var l = 1
       while (l <= MaxPieceLen) {
-        if (l <= j) {
-          val piece = w.substring(j - l, j)
+        if (l <= j && dpSeg(j - l) != null) {
+          val piece = w.substring(bounds(j - l), bounds(j))
           // containsKey first: get() returns null for absent keys and
-          // a Long-typed val would NPE on unboxing
-          if (vocab.containsKey(piece)) {
-            val sc: Long = vocab.get(piece)
+          // a Long-typed val would NPE on unboxing. Single chars absent
+          // from the vocab fall back to score 0 (UNK-as-char — see
+          // [[viterbiCol]]) so dp never strands on unseen characters;
+          // the dpSeg null guard above is then vacuous, kept as
+          // defense-in-depth mirroring the expression path.
+          val has = vocab.containsKey(piece)
+          if (has || l == 1) {
+            val sc: Long = if (has) vocab.get(piece) else 0L
             val cn = dpN(j - l) + 1
             val cs = dpSc(j - l) + sc
             if (bestN < 0 || cn < bestN || (cn == bestN && cs >= bestSc)) {

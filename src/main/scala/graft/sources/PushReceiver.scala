@@ -176,30 +176,52 @@ object PushReceiver {
           try ch.truncate(end) finally ch.close()
         }
       }
-      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      out = openAppend()
+    }
+
+    private def openAppend(): java.io.DataOutputStream =
+      new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         java.nio.file.Files.newOutputStream(path,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND), 1 << 16))
-    }
 
-    /** writeUTF's length accounting assumes ASCII-safe sizes only when
-      * measured the same way on recovery — both sides measure the
-      * MODIFIED-UTF-8 byte length writeUTF actually emits. */
+    /** Appends are ALL-OR-NOTHING: the record is serialized off-stream
+      * first, so a writeUTF failure (UTFDataFormatException on a meta
+      * value whose modified-UTF-8 form exceeds 64 KB) rejects the push
+      * before a single byte reaches the file, and a mid-write
+      * IOException triggers a truncate back to `end` — partial record
+      * bytes can never sit between `end` and the next append's start,
+      * which would shift every later record's offset and corrupt
+      * already-acked reads. `end` advances by the exact byte count
+      * written, the same measure recovery's forward scan re-derives. */
     def append(msg: Msg): Long = {
-      out.writeInt(msg.body.length)
-      out.write(msg.body)
-      out.writeInt(msg.meta.size)
-      msg.meta.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
-      out.writeLong(msg.tsMicros)
-      out.flush()
+      val bos = new java.io.ByteArrayOutputStream(msg.body.length + 64)
+      val rec = new java.io.DataOutputStream(bos)
+      rec.writeInt(msg.body.length)
+      rec.write(msg.body)
+      rec.writeInt(msg.meta.size)
+      msg.meta.foreach { case (k, v) => rec.writeUTF(k); rec.writeUTF(v) }
+      rec.writeLong(msg.tsMicros)
+      val bytes = bos.toByteArray
+      try {
+        out.write(bytes)
+        out.flush()
+      } catch {
+        case e: java.io.IOException =>
+          // the buffered stream may hold an unknown partial prefix:
+          // drop it, cut the file back to the last acked record, and
+          // reopen so later pushes land at the recorded end
+          try out.close() catch { case _: java.io.IOException => () }
+          val ch = java.nio.channels.FileChannel.open(path,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.truncate(end) finally ch.close()
+          out = openAppend()
+          throw e
+      }
       positions += end
-      end = recordEnd(msg)
+      end += bytes.length
       positions.size.toLong
     }
-
-    private def recordEnd(msg: Msg): Long =
-      end + 4L + msg.body.length + 4L + msg.meta.map { case (k, v) =>
-        4L + utfLen(k) + utfLen(v) }.sum + 8L
 
     // writeUTF emits MODIFIED UTF-8 (nulls and astral chars inflate);
     // meta keys/values here are short header-ish strings, measured

@@ -115,6 +115,41 @@ class UnigramSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unseen characters never strand the dp: encoding a corpus " +
+      "DISJOINT from the training corpus emits unknown chars as their " +
+      "own pieces, expression and kernel row-identical") {
+    // train on plain ASCII; encode text whose characters (emoji, CJK,
+    // Cyrillic, novel punctuation) never appeared in training — the
+    // train-once/encode-many path where the 'single chars always in
+    // vocab' guarantee does NOT hold
+    val vocab = Unigram.train(corpus, "text")
+    assert(!vocab.exists(_._1 == "好"))
+    val fresh = Seq(
+      (1L, "天气很好"),                  // space-less CJK, all unseen
+      (2L, "héllo wörld ¿qué?"),    // accented latin + ¿
+      (3L, "mix the cat 好 mix"),        // seen words + one unseen char
+      (4L, "😀😀"),  // emoji (surrogate pairs)
+      (5L, "пример текст")).toDF("doc_id", "text")
+    val a = Unigram.encode(fresh, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val b = Unigram.encodeFast(fresh, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(a == b, s"chain/kernel divergence:\n${a.diff(b)}\n${b.diff(a)}")
+    // nothing null or empty; segmentation stays lossless
+    assert(a.forall(r => r._4 != null && r._4.nonEmpty))
+    val glued = a.map(r => r._1 -> r._4.replace(" ", "")).toMap
+    val orig = fresh.select($"doc_id",
+      regexp_replace($"text", " ", "").as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(glued == orig)
+    // an all-unseen word segments as one piece per character
+    val zh = a.find(_._1 == 1L).get
+    assert(zh._4.split(" ").length == zh._3.toInt)
+    // seen words still encode with the learned pieces
+    val mixed = a.find(_._1 == 3L).get
+    assert(mixed._4.split(" ").contains("the"))
+  }
+
   test("degenerate corpora: empty corpus trains an empty vocabulary " +
       "and encodes to zero rows; empty-text docs vanish like Bpe") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

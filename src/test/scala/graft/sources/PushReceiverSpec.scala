@@ -115,6 +115,39 @@ class PushReceiverSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(log))
   }
 
+  test("journal append is all-or-nothing: an oversized meta value " +
+      "(writeUTF > 64KB) rejects the push with ZERO bytes written — " +
+      "later appends, reads and recovery stay offset-exact") {
+    val ch = "t-journal-atomic"
+    PushReceiver.clear(ch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jatomic-").toString
+    PushReceiver.configureJournal(ch, dir)
+    PushReceiver.push(ch, "a1".getBytes("UTF-8"), Map("k" -> "v"))
+    val log = java.nio.file.Paths.get(dir, s"$ch.log")
+    val lenAfterFirst = java.nio.file.Files.size(log)
+    // meta value whose modified-UTF-8 form exceeds writeUTF's 64 KB
+    // frame: the old streaming append wrote bodyLen+body+metaCount and
+    // PART of the entry before throwing, leaving phantom bytes ahead
+    // of `end` that shifted every later record's offset
+    val huge = "x" * 70000
+    intercept[java.io.UTFDataFormatException] {
+      PushReceiver.push(ch, "poison".getBytes("UTF-8"), Map("k" -> huge))
+    }
+    assert(java.nio.file.Files.size(log) == lenAfterFirst) // zero bytes
+    assert(PushReceiver.size(ch) == 1)
+    // the journal keeps accepting and serving records at exact offsets
+    PushReceiver.push(ch, "a2".getBytes("UTF-8"), Map("k2" -> "v2"))
+    val msgs = PushReceiver.snapshot(ch)
+    assert(msgs.map(m => new String(m.body, "UTF-8")) == Seq("a1", "a2"))
+    assert(msgs(1).meta("k2") == "v2")
+    // recovery re-derives the same offsets from the file alone
+    PushReceiver.simulateCrash(ch)
+    PushReceiver.configureJournal(ch, dir)
+    assert(PushReceiver.snapshot(ch).map(m =>
+      new String(m.body, "UTF-8")) == Seq("a1", "a2"))
+    PushReceiver.clear(ch)
+  }
+
   test("journaled push -> exactly-once BM25 ingest: a crash between " +
       "append and checkpoint commit loses nothing and doubles nothing") {
     val ch = "t-journal-xo"
