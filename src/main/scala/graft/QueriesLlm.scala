@@ -92,10 +92,24 @@ object QueriesLlm {
     docs.unionByName(docs.withColumn("doc_id", col("doc_id") + DupIdOffset))
   }
 
+  /** DuckDB twin of [[TextFunctions.tokens]] (the UnicodeTokens
+    * scanner): ONE regexp_extract_all over the same published pattern
+    * both engines derive from. Every token-consuming oracle tokenizes
+    * through THIS — a string_split twin only gates the engine while
+    * fixtures stay single-space ASCII; this form gates the
+    * tokenization the engine actually runs (CJK char-tokens, tabs,
+    * newlines, runs of spaces) and yields no empty tokens. */
+  private def utokSql(col: String = "text"): String =
+    s"regexp_extract_all($col, '${TextFunctions.UTokenPattern}')"
+
+  /** DuckDB twin of [[TextFunctions.tokenCount]]. */
+  private def utokCountSql(col: String = "text"): String =
+    s"len(${utokSql(col)})"
+
   /** DuckDB twin of Dedup.ngramJaccardPairs (word 3-gram shingles) over
     * an arbitrary (doc_id, text) relation. */
   private def jaccardOracleOver(src: String) =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+    s"""WITH toks AS (SELECT doc_id, ${utokSql()} AS tk FROM $src),
       sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
         FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -128,9 +142,9 @@ object QueriesLlm {
     val stopHits =
       s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
         s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
-    """WITH m AS (SELECT doc_id,
+    s"""WITH m AS (SELECT doc_id,
       CAST(length(text) AS DOUBLE) AS n_chars,
-      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+      CAST(${utokCountSql()} AS DOUBLE) AS n_tok,
       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
       CAST(""" + stopHits + """ AS DOUBLE) AS stop
@@ -154,7 +168,7 @@ object QueriesLlm {
   private def clustersOracleWith(keeperJoin: String,
                                  keeperOrder: String): String =
     s"""WITH RECURSIVE
-      toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      toks AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
       sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
         FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -369,7 +383,7 @@ w$k AS MATERIALIZED (SELECT w.b,
                  ELSE ' quuxneg quuxneg' END AS text
   FROM documents),
 tokr AS (SELECT doc_id, y,
-    unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM docs2),
+    unnest(${utokSql()}) AS tok FROM docs2),
 feats AS MATERIALIZED (SELECT doc_id, y,
     ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
      (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 +
@@ -571,7 +585,10 @@ FROM enc GROUP BY doc_id"""
     * pairs (true for any real text corpus; Bpe.trainMerges stops early
     * on tiny vocabularies, the oracle would diverge there by design). */
   private def bpeOracleSql(k: Int,
-                           tkExpr: String = "string_split(text, ' ')"): String = {
+                           tkExpr: String = null): String = {
+    // default: the Unicode tokenizer twin — Bpe's plain family
+    // tokenizes through TextFunctions.tokens
+    val tk = if (tkExpr != null) tkExpr else utokSql()
     val c1 = "chr(1)"
     val cc = "(chr(1) || chr(1))"
     def step(n: Int): String = {
@@ -593,7 +610,7 @@ FROM enc GROUP BY doc_id"""
         s"replace($acc, $c1 || m$n.l || $cc || m$n.r || $c1, $c1 || m$n.l || m$n.r || $c1)"
     }
     val crossJoins = (1 to k).map(n => s"CROSS JOIN m$n").mkString(" ")
-    s"""WITH tk AS MATERIALIZED (SELECT doc_id, $tkExpr AS tk FROM documents),
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, $tk AS tk FROM documents),
       hist AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM
         (SELECT unnest(tk) AS w FROM tk) x WHERE w <> '' GROUP BY w),
       s0 AS MATERIALIZED (SELECT freq,
@@ -709,7 +726,7 @@ FROM enc GROUP BY doc_id"""
         Dedup.lshIndexMatches(docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", idx,
           threshold = 0.5)
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
           FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -734,10 +751,10 @@ FROM enc GROUP BY doc_id"""
     QueryDef("llm_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxDist = 3)
         .select(col("id_a"), col("id_b")),
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
         toks AS (
           SELECT doc_id, i, tk[i] AS tok
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents) z,
+          FROM (SELECT doc_id, ${utokSql()} AS tk FROM documents) z,
                LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
         ),
         hs(doc_id, i, tok, pos, h) AS (
@@ -1109,7 +1126,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             array_join(slice(col("tk"), col("start") + 1, lit(chunk)), " ").as("chunk_text"),
             least(size(col("tk")) - col("start"), lit(chunk)).as("n_tokens"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
         chunks AS (SELECT doc_id,
           unnest(range(0, greatest(len(tk) - 10, 1), 40)) AS start, tk FROM toks)
         SELECT doc_id, start,
@@ -1159,8 +1176,8 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tok")).cast("long").as("bin_tokens"))
       },
-      Some("""WITH h AS (SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      Some(s"""WITH h AS (SELECT doc_id,
+          CAST(${utokCountSql()} AS BIGINT) AS n_tok,
           md5(CAST(doc_id AS VARCHAR)) AS hx,
           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
         FROM documents),
@@ -1234,8 +1251,8 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           .agg(count_distinct(col("s")).as("shared_ngrams"))
           .withColumn("contaminated", col("shared_ngrams") >= 20)
       },
-      Some("""WITH toks AS (SELECT doc_id, source,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+          ${utokSql()} AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, source,
             array_to_string(tk[i:i+7], ' ') AS s
           FROM (SELECT doc_id, source, tk,
@@ -1269,8 +1286,8 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           .withColumn("novel_ppm",
             expr("unique_shingles * 1000000 div n_shingles"))
       },
-      Some("""WITH toks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
           FROM (SELECT doc_id, tk,
                 unnest(range(1, greatest(len(tk)-1, 2))) AS i FROM toks) z),
@@ -1315,7 +1332,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         .groupBy(length(bin(col("c"))).as("freq_bucket"))
         .agg(count(lit(1)).as("n_terms"),
           sum(col("c")).cast("long").as("n_occurrences")),
-      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      Some(s"""WITH t AS (SELECT unnest(${utokSql()}) AS tok
           FROM documents),
         c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok)
         SELECT CAST(length(bin(c)) AS INT) AS freq_bucket,
@@ -1355,8 +1372,8 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           .agg(expr("max(c) * 1000000 div sum(c)").as("top_2gram_ppm"))
         base.join(topg, "doc_id")
       },
-      Some("""WITH base AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      Some(s"""WITH base AS (
+          SELECT doc_id, ${utokSql()} AS toks
           FROM documents),
         g AS (SELECT doc_id, toks,
           list_transform(range(0, greatest(len(toks)-2,0)+1),
@@ -1392,9 +1409,11 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
             .as("chars_per_token"),
           TextFunctions.fingerprint(col("text")).as("fingerprint")),
       Some(s"""SELECT doc_id, length(text) AS n_chars,
-        CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+        CAST(${utokCountSql()} AS INT) AS n_tokens,
         CAST(len(regexp_extract_all(text, '${TextFunctions.LexTokenPattern}')) AS INT) AS n_lex_tokens,
-        round(CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6) AS chars_per_token,
+        CASE WHEN ${utokCountSql()} = 0 THEN NULL
+          ELSE round(CAST(length(text) AS DOUBLE) / CAST(${utokCountSql()} AS DOUBLE), 6)
+        END AS chars_per_token,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
           (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
@@ -1526,12 +1545,12 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
         val stopHits =
           s"len(regexp_extract_all(' ' || lower(text) || ' ', " +
             s"'${TextFunctions.wordHitsPattern(TextFunctions.StopwordsEn)}'))"
-        """WITH RECURSIVE m AS (SELECT doc_id, text,
+        s"""WITH RECURSIVE m AS (SELECT doc_id, text,
           CAST(length(text) AS DOUBLE) AS n_chars,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+          CAST(${utokCountSql()} AS DOUBLE) AS n_tok,
           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
-          CAST(""" + stopHits + """ AS DOUBLE) AS stop
+          CAST(""" + stopHits + s""" AS DOUBLE) AS stop
           FROM documents),
         q AS (SELECT doc_id, text, n_tok, round(
           least(n_chars / 200.0, 1.0) * 0.25
@@ -1543,7 +1562,7 @@ SELECT vec_id, neighbor_id, adc_dist, knn_rank FROM (
           + least((CASE WHEN n_tok = 0 THEN 0.0 ELSE stop / n_tok END) * 4.0, 1.0) * 0.15,
           6) AS quality FROM m),
         fdocs AS (SELECT doc_id, text, n_tok, quality FROM q WHERE quality >= 0.5),
-        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM fdocs),
+        toks AS (SELECT doc_id, ${utokSql()} AS tk FROM fdocs),
         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
           FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 2))) AS i FROM toks) z),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1793,8 +1812,8 @@ FROM ann"""
             HashedBowScore(col("toks"), weights).as("score"))
           .withColumn("positive", col("score") > 0L)
       },
-      Some("""WITH toks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
         hb AS (SELECT doc_id,
           ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
@@ -1832,8 +1851,8 @@ FROM ann"""
               .as("margin_micro"))
           .withColumn("confident", col("margin_micro") >= 1000L)
       },
-      Some("""WITH toks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         tok_rows AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
         hb AS (SELECT doc_id,
           ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 +
@@ -1928,8 +1947,8 @@ FROM ann"""
     // odds at any corpus the driver runs. Implementation: Dedup.dupSpans.
     QueryDef("llm_dup_spans",
       (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), w = 8),
-      Some("""WITH toks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         wins AS (SELECT doc_id, i - 1 AS pos,
             array_to_string(tk[i:i+7], ' ') AS w
           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
@@ -2008,11 +2027,11 @@ FROM ann"""
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"), w = 8)
       },
-      Some("""WITH etoks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk
+      Some(s"""WITH etoks AS (SELECT doc_id,
+          ${utokSql()} AS tk
           FROM documents WHERE source = 'src0'),
         ttoks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk
+          ${utokSql()} AS tk
           FROM documents WHERE source <> 'src0'),
         ewins AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS w
           FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
@@ -2052,10 +2071,10 @@ FROM ann"""
           .withColumn("doc_id", col("doc_id") + lit(100000L))
         Dedup.spanIndexMatches(batch, "doc_id", "text", idx)
       },
-      Some("""WITH ctoks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH ctoks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         btoks AS (SELECT doc_id + 100000 AS doc_id,
-          string_split_regex(trim(text), '\s+') AS tk
+          ${utokSql()} AS tk
           FROM documents WHERE doc_id % 10 = 0),
         cwins AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS w
           FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
@@ -2079,8 +2098,8 @@ FROM ann"""
     // Dedup.cutDupSpans for the position-level keep/cut rule.
     QueryDef("llm_dup_spans_cut",
       (s, dir) => Dedup.cutDupSpans(t(s, dir, "documents"), w = 8),
-      Some("""WITH toks AS (SELECT doc_id,
-          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id,
+          ${utokSql()} AS tk FROM documents),
         wins AS (SELECT doc_id, i - 1 AS pos,
             array_to_string(tk[i:i+7], ' ') AS w
           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
@@ -2483,13 +2502,13 @@ FROM ann"""
             CASE WHEN domain IN ($domList) OR host IN ($hostList)
                  THEN 'blocklist'
                  WHEN regexp_matches(lower(url),
-                   '${Extract.wordListPattern(UrlBlockKeywords)}')
+                   ${Extract.wordListPatternSqlLit(UrlBlockKeywords)})
                  THEN 'keyword'
                  ELSE NULL END AS reason,
             (CASE WHEN domain IN ($domList) OR host IN ($hostList)
                  THEN 'blocklist'
                  WHEN regexp_matches(lower(url),
-                   '${Extract.wordListPattern(UrlBlockKeywords)}')
+                   ${Extract.wordListPatternSqlLit(UrlBlockKeywords)})
                  THEN 'keyword'
                  ELSE NULL END) IS NULL AS kept
           FROM d"""
@@ -2678,10 +2697,10 @@ FROM ann"""
         val docs = t(s, dir, "documents")
         val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
           .select(col("doc_id").as("query_id"),
-            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+            array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " ").as("qtext"))
         Retrieval.bm25TopK(docs, queries, k = 10)
       },
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      Some(s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
         post AS (SELECT doc_id, term, COUNT(*) AS tf
           FROM (SELECT doc_id, unnest(tk) AS term FROM tk) x
           WHERE term <> '' GROUP BY doc_id, term),
@@ -2758,7 +2777,7 @@ FROM ann"""
       Retrieval.bm25IndexCompact(s, idx)
       val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " ").as("qtext"))
       Retrieval.bm25SearchIndex(queries, idx, k = 10)
     },
     baseDefs.find(_.name == "llm_bm25_topk")
@@ -2840,10 +2859,10 @@ FROM ann"""
       Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
       val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " ").as("qtext"))
       Retrieval.bm25SearchIndex(queries, idx, k = 10, maxDfFrac = 0.785)
     },
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    Some(s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
       post AS (SELECT doc_id, term, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest(tk) AS term FROM tk) x
         WHERE term <> '' GROUP BY doc_id, term),
@@ -2879,7 +2898,7 @@ FROM ann"""
       val docs = t(s, dir, "documents")
       val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 2, 3), " ").as("qtext"))
       Retrieval.phraseTopK(docs, queries, k = 10)
     },
     Some(phraseOracleSql)) :+ QueryDef(
@@ -2899,7 +2918,7 @@ FROM ann"""
       Retrieval.bm25BuildIndex(docs, "text", "doc_id", idx)
       val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " ").as("qtext"))
       Retrieval.bm25SearchIndexMaxScore(queries, idx, k = 10, hotDfFrac = 0.5)
     },
     baseDefs.find(_.name == "llm_bm25_topk")
@@ -2921,7 +2940,7 @@ FROM ann"""
       require(Retrieval.phraseIndexRecover(s, idx), "complete positions index expected")
       val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 2, 3), " ").as("qtext"))
       Retrieval.phraseSearchIndex(queries, idx, k = 10)
     },
     Some(phraseOracleSql)) :+ QueryDef(
@@ -2936,7 +2955,7 @@ FROM ann"""
       Retrieval.phraseBuildIndex(docs, "text", "doc_id", idx)
       val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 2, 3), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 2, 3), " ").as("qtext"))
       Retrieval.phraseSearchIndexSelective(queries, idx, k = 10)
     },
     Some(phraseOracleSql)) :+ QueryDef(
@@ -3115,7 +3134,7 @@ FROM ann"""
         "text", "doc_id", "lang")
       Lm.lmTiersPerLang(scored, 3).withColumn("tier", col("tier").cast("int"))
     },
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
         SELECT doc_id, 'orig' AS lang, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, 'zq',
@@ -3123,7 +3142,7 @@ FROM ann"""
             t -> 'zq' || t), ' ')
         FROM documents WHERE doc_id % 10 = 0),
       tk AS (SELECT doc_id, lang,
-        list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM base),
+        ${utokSql()} AS tk FROM base),
       rs AS (SELECT doc_id, lang, term, pos FROM (
           SELECT doc_id, lang, unnest(tk) AS term,
             unnest(range(len(tk))) AS pos FROM tk) x),
@@ -3175,7 +3194,7 @@ FROM ann"""
         "a folded batch must be skipped via the summary watermark")
       val queries = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id").as("query_id"),
-          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5), " ").as("qtext"))
       Retrieval.bm25SearchIndex(queries, idx, k = 10)
     },
     baseDefs.find(_.name == "llm_bm25_topk")
@@ -3187,7 +3206,7 @@ FROM ann"""
     * (factor 0.4^j in ppm per level skipped), floor division
     * everywhere. */
   private def lm5OracleSql: String =
-    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+    s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
       rs AS (SELECT doc_id, term, pos FROM (
           SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
       tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
@@ -3260,7 +3279,7 @@ FROM ann"""
     * pos self-joins, the five-branch two-level backoff CASE, floor
     * division everywhere. */
   private def lm3OracleSql: String =
-    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+    s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
       rs AS (SELECT doc_id, term, pos FROM (
           SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
       tr AS (SELECT * FROM rs WHERE doc_id % 2 = 0),
@@ -3309,7 +3328,7 @@ FROM ann"""
     * stage uses. */
   private def lmOracleSqlOver(trainFilter: String,
                               src: String = "documents"): String =
-    s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM $src),
+    s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM $src),
       rs AS (SELECT doc_id, term, pos FROM (
           SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x),
       tr AS (SELECT * FROM rs WHERE $trainFilter),
@@ -3336,7 +3355,7 @@ FROM ann"""
   /** def, not val: referenced from the `defs` initializer above — a val
     * declared below it would still be null at that point. */
   private def phraseOracleSql: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""WITH tk AS (SELECT doc_id, ${utokSql()} AS tk FROM documents),
       posts AS (SELECT * FROM (
           SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM tk) x
         WHERE term <> ''),

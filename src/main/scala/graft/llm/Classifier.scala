@@ -94,27 +94,90 @@ object Classifier {
     } finally feats.unpersist()
   }
 
-  /** One-vs-rest MULTI-CLASS training: one binary weight vector per
-    * distinct label, each trained by [[train]] on y = (label == l),
-    * labels sorted so model order (and the argmax tie-break in
-    * [[predict]]) is deterministic. The label collect is bounded by
-    * the number of LANGUAGES, never corpus size. This is the public
-    * machinery behind a CCNet-style 176-language filter: the model is
-    * KBs per language; at 100-TB scale one trains it on a labeled
-    * SAMPLE (feature building repeats per label here — linear in
-    * #labels, each pass two narrow shuffles) and scores the corpus
-    * map-only via [[predict]] with every vector constant-folded. */
+  /** One-vs-rest MULTI-CLASS training in ONE pass structure: features
+    * are label-independent, so the corpus is hashed ONCE and every
+    * label's margins and gradients compute in the SAME two narrow
+    * shuffles per iteration that [[train]] pays for one label — the
+    * weight table broadcasts as one array<long> per bucket (L longs; a
+    * 176-language CCNet-shape model is still ~720k small rows, KBs per
+    * language) and the per-label sums ride as L aggregate columns.
+    * Corpus-scan count is INDEPENDENT of #labels (1 feature build +
+    * 2 scans of the persisted features per iteration, vs the old
+    * per-label loop's L× repeats). The math is bit-identical to
+    * `labels.map(l => train(docs, y = label==l))` — margins, the
+    * hard-sigmoid error, gradient sums and the BigInt driver step are
+    * the same exact-integer quantities, just computed side by side —
+    * so persisted models and the llm_langid_clf oracle hash stay
+    * EXACT (pinned by ClassifierSpec's per-label-equality test).
+    * Labels sorted so model order (and the argmax tie-break in
+    * [[predict]]) is deterministic; the label collect is bounded by
+    * the number of LANGUAGES, never corpus size. */
   def trainMulti(docs: DataFrame, textCol: String, labelCol: String,
                  idCol: String, buckets: Int, iters: Int,
                  lrPpm: Long = 1000000L): Seq[(String, Array[Long])] = {
+    require(buckets > 0 && iters >= 0 && lrPpm > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val labels = docs.select(col(labelCol).cast("string"))
       .distinct().collect().map(_.getString(0)).filter(_ != null)
       .sorted.toSeq
-    labels.map { l =>
-      l -> train(
-        docs.withColumn("__y", (col(labelCol) === l).cast("int")),
-        textCol, "__y", idCol, buckets, iters, lrPpm)
-    }
+    val nLabels = labels.size
+    if (nLabels == 0) return Seq.empty
+    // (doc, true-label, bucket, cnt): built once, streamed per iteration
+    val feats = docs
+      .select(col(idCol).as("doc_id"),
+        col(labelCol).cast("string").as("lbl"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("lbl"), bucketCol(col("tok"), buckets).as("b"))
+      .groupBy(col("doc_id"), col("lbl"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = docs.count()
+    val w = Array.fill(nLabels)(new Array[Long](buckets))
+    try {
+      if (n == 0) return labels.zip(w).toSeq
+      for (_ <- 0 until iters) {
+        val wDf = broadcast(
+          (0 until buckets).map { b =>
+            (b.toLong, (0 until nLabels).map(l => w(l)(b)))
+          }.toDF("b", "w"))
+        // margins by doc (micro), one column per label, then the
+        // hard-sigmoid error in ppm — the exact [[train]] quantities
+        val marg = feats.join(wDf, Seq("b"))
+          .groupBy(col("doc_id"), col("lbl"))
+          .agg(
+            sum(element_at(col("w"), 1) * col("cnt")).as("m0"),
+            (1 until nLabels).map(l =>
+              sum(element_at(col("w"), l + 1) * col("cnt")).as(s"m$l")): _*)
+        val err = marg.select(
+          col("doc_id") +: (0 until nLabels).map { l =>
+            (greatest(lit(0L), least(lit(1000000L),
+              lit(500000L) + expr(s"m$l div 4"))) -
+              when(col("lbl") === labels(l), lit(1000000L))
+                .otherwise(lit(0L))).as(s"e$l")
+          }: _*)
+        // bucket gradients: exact integer Σ err·cnt per label —
+        // ≤ buckets rows, nLabels columns
+        val grads = feats.join(err, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg(
+            sum(col("e0") * col("cnt")).as("g0"),
+            (1 until nLabels).map(l =>
+              sum(col(s"e$l") * col("cnt")).as(s"g$l")): _*)
+          .collect()
+        grads.foreach { r =>
+          val b = r.getLong(0).toInt
+          var l = 0
+          while (l < nLabels) {
+            // same BigInt-exact step as [[train]]
+            w(l)(b) -= (BigInt(lrPpm) * r.getLong(l + 1) /
+              (BigInt(n) * 1000000L)).toLong
+            l += 1
+          }
+        }
+      }
+      labels.zip(w).toSeq
+    } finally feats.unpersist()
   }
 
   /** Argmax prediction over one-vs-rest models: the label whose

@@ -382,9 +382,26 @@ object Extract {
 
   /** Case-insensitive whole-word alternation pattern for a word list —
     * shared by [[badwordCount]] and its SQL twin. ASCII word
-    * boundaries: Java and RE2 agree on `\b` for ASCII lists. */
-  def wordListPattern(words: Seq[String]): String =
+    * boundaries: Java and RE2 agree on `\b` for ASCII lists — which is
+    * exactly why the alphabet is RESTRICTED to printable ASCII here:
+    * `\x`-escapes of non-ASCII letters are where the two engines'
+    * escape sets can disagree, and `\b` itself is ASCII-word-only in
+    * RE2. Word lists are caller config; reject the out-of-contract
+    * alphabet loudly instead of diverging silently. */
+  def wordListPattern(words: Seq[String]): String = {
+    words.foreach { w =>
+      require(w.nonEmpty && w.forall(c => c >= 0x20 && c < 0x7f),
+        s"word list entries must be non-empty printable ASCII, got: '$w'")
+    }
     "(?i)\\b(?:" + words.map(reQuote).mkString("|") + ")\\b"
+  }
+
+  /** [[wordListPattern]] as a single-quoted SQL literal — the regex
+    * layer escapes metacharacters, but the SQL quoting layer needs its
+    * own discipline (a word containing `'` would otherwise break or
+    * inject into the generated statement). */
+  def wordListPatternSqlLit(words: Seq[String]): String =
+    "'" + wordListPattern(words).replace("'", "''") + "'"
 
   /** Occurrences of any listed word in `text` (whole-word,
     * case-insensitive). The C4 "bad words" gate is `badwordCount > 0`;
@@ -399,7 +416,7 @@ object Extract {
   def badwordCountSql(textExpr: String, words: Seq[String]): String =
     if (words.isEmpty) "CAST(0 AS BIGINT)"
     else s"CAST(len(regexp_extract_all($textExpr, " +
-      s"'${wordListPattern(words)}')) AS BIGINT)"
+      s"${wordListPatternSqlLit(words)})) AS BIGINT)"
 
   /** DuckDB oracle twin of [[extractText]] over SQL expression
     * `htmlExpr` — built from the SAME pattern constants so the two

@@ -133,6 +133,33 @@ class ClassifierSpec extends SparkSpec {
     assert(tied == "aa")
   }
 
+  test("one-pass trainMulti is BIT-IDENTICAL to the per-label train " +
+      "loop (same margins, errors, gradients, BigInt steps — only the " +
+      "pass structure differs)") {
+    val langs = Seq("aa", "bb", "cc")
+    val docs = (0L until 30L).map { i =>
+      val l = langs((i % 3).toInt)
+      (i, l, s"${l}cue ${l}cue shared${i % 5} filler${i % 7}")
+    }.toDF("doc_id", "lang", "text")
+    val onePass = Classifier.trainMulti(docs, "text", "lang", "doc_id",
+      buckets = 256, iters = 3)
+    val perLabel = langs.sorted.map { l =>
+      l -> Classifier.train(
+        docs.withColumn("__y", (col("lang") === l).cast("int")),
+        "text", "__y", "doc_id", buckets = 256, iters = 3)
+    }
+    assert(onePass.map(_._1) == perLabel.map(_._1))
+    onePass.zip(perLabel).foreach { case ((l, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b), s"weights diverge for '$l'")
+    }
+    // degenerate shapes hold: zero labels, zero iterations
+    assert(Classifier.trainMulti(docs.filter(lit(false)), "text", "lang",
+      "doc_id", 16, 2).isEmpty)
+    val z = Classifier.trainMulti(docs, "text", "lang", "doc_id", 16, 0)
+    assert(z.map(_._1) == langs.sorted &&
+      z.forall(_._2.forall(_ == 0L)))
+  }
+
   test("llm.langid actor with labeled_path trains the classifier and " +
       "gates on predicted languages") {
     val labeled = (0L until 24L).map { i =>

@@ -106,6 +106,29 @@ class ExtractSpec extends SparkSpec {
     assert(z == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("word lists are validated (printable ASCII only) and their SQL " +
+      "literal form doubles single quotes — no injection, no " +
+      "Java/RE2 escape drift") {
+    // the alphabet contract rejects loudly instead of diverging
+    intercept[IllegalArgumentException](Extract.wordListPattern(Seq("")))
+    intercept[IllegalArgumentException](Extract.wordListPattern(Seq("naïve")))
+    intercept[IllegalArgumentException](Extract.wordListPattern(Seq("a\tb")))
+    // a single quote is legal ASCII config (e.g. "don't"): the regex
+    // layer escapes it as a metachar-free literal, the SQL layer
+    // doubles it so the generated statement stays one literal
+    val lit = Extract.wordListPatternSqlLit(Seq("don't"))
+    assert(lit.startsWith("'") && lit.endsWith("'"))
+    assert(lit.contains("don\\''t"), lit)
+    val sql = Extract.badwordCountSql("text", Seq("don't"))
+    // balanced quoting: an even number of quote chars in the statement
+    assert(sql.count(_ == '\'') % 2 == 0, sql)
+    // and the Spark side actually matches the quoted word whole-word
+    val df = Seq("i don't care", "donte dont don'tish").toDF("t")
+    val n = df.select(Extract.badwordCount(col("t"), Seq("don't")).as("n"))
+      .as[Long].collect().toSeq
+    assert(n == Seq(1L, 0L), s"got $n")
+  }
+
   test("mainContentBlocks keeps prose, drops link-dense nav/footer, " +
       "and never loses a document row") {
     val prose = "This is a long enough paragraph of running prose " +
