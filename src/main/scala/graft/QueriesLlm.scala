@@ -412,6 +412,23 @@ SELECT b, w AS w_micro FROM w$ClfIters"""
   private val LangClfIters = 2
   private val LangClfBuckets = 512
 
+  /** llm_langid_ngram fixture: three languages with morphology-rich
+    * training phrases; the TEST docs are single UNSEEN words
+    * (tweet-length) that share no token with training, so the
+    * word-level model has nothing to vote with (all margins tie at 0
+    * and the argmax falls to the first sorted label) while their char
+    * 2-5-grams overlap the training morphology (`sch…ung`, doubled
+    * `kk`, `…acao`) and the n-gram model recovers. */
+  private val LangNgLabels = Seq("de", "fi", "pt")
+  private val LangNgTrain: Map[String, String] = Map(
+    "de" -> "schule achtung zeitung schreiben",
+    "fi" -> "kaupunki kukka kakku silakka",
+    "pt" -> "coracao educacao nacao atencao")
+  private val LangNgTest: Map[String, String] = Map(
+    "de" -> "schreibung", "fi" -> "kukkakakku", "pt" -> "aviacao")
+  private val LangNgIters = 2
+  private val LangNgBuckets = 512
+
   /** DuckDB twin of the llm_langid_clf lifecycle: the planted fixture,
     * one [[classifierTrainOracle]]-style unrolled chain PER LABEL
     * (one-vs-rest, y = (lang = l)), then per-label scoring joins and
@@ -472,6 +489,105 @@ ${LangClfLabels.map(chain).mkString(",\n")},
 $scores
 SELECT fix.doc_id, fix.lang, $argmax AS lang_pred
 FROM fix
+  $scoreJoins"""
+  }
+
+  /** DuckDB twin of the llm_langid_ngram DOUBLE lifecycle: the word
+    * and char-n-gram feature families each get one unrolled
+    * one-vs-rest chain per label (the [[langClfOracle]] machinery,
+    * fam-parameterized), then score the short test docs through both
+    * model families; char n-grams render as chained LATERAL unnests
+    * over codepoint positions of the boundary-marked token (`substr`
+    * is codepoint-based in both engines). */
+  private def langNgramOracle: String = {
+    val B = LangNgBuckets
+    def bucketOf(tok: String): String =
+      s"""((instr('0123456789abcdef', substr(md5($tok), 1, 1)) - 1) * 4096 +
+     (instr('0123456789abcdef', substr(md5($tok), 2, 1)) - 1) * 256 +
+     (instr('0123456789abcdef', substr(md5($tok), 3, 1)) - 1) * 16 +
+     (instr('0123456789abcdef', substr(md5($tok), 4, 1)) - 1)) % $B"""
+    def caseByIdx(f: String => String): String =
+      "CASE CAST(doc_id % 3 AS INT) " + LangNgLabels.zipWithIndex.map {
+        case (l, i) => s"WHEN $i THEN '${f(l)}'" }.mkString(" ") + " END"
+    val yFlags = LangNgLabels.map(l =>
+      s"CAST(lang = '$l' AS BIGINT) AS y_$l").mkString(",\n    ")
+    def featsOf(fam: String, tokSrc: String): String =
+      s"""feats_$fam AS MATERIALIZED (SELECT doc_id,
+    $yFlags,
+    ${bucketOf("tok")} AS b,
+    COUNT(*) AS cnt
+  FROM $tokSrc GROUP BY ALL)"""
+    // the 2-5-gram LATERAL pipeline over a boundary-marked token CTE
+    def gramsOf(src: String, cols: String): String =
+      s"""(SELECT $cols, substr(w, CAST(i AS INT), CAST(l AS INT)) AS tok
+  FROM $src,
+       LATERAL (SELECT unnest(range(2, 6)) AS l) ll,
+       LATERAL (SELECT unnest(range(1, length(w) - l + 2)) AS i) ii)"""
+    def chain(fam: String, l: String): String = {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "w0" else s"w${k - 1}_${fam}_$l"
+        s"""m${k}_${fam}_$l AS (SELECT f.doc_id, f.y_$l AS y,
+    CAST(SUM(w.w * f.cnt) AS BIGINT) AS marg
+  FROM feats_$fam f JOIN $prev w USING (b) GROUP BY f.doc_id, f.y_$l),
+e${k}_${fam}_$l AS (SELECT doc_id,
+    greatest(0, least(1000000, 500000 + marg // 4)) - y * 1000000 AS err
+  FROM m${k}_${fam}_$l),
+g${k}_${fam}_$l AS (SELECT f.b, CAST(SUM(e.err * f.cnt) AS BIGINT) AS g
+  FROM feats_$fam f JOIN e${k}_${fam}_$l e USING (doc_id) GROUP BY f.b),
+w${k}_${fam}_$l AS MATERIALIZED (SELECT w.b,
+    CAST(w.w - (1000000 * coalesce(g.g, 0)) // (n.n * 1000000) AS BIGINT) AS w
+  FROM $prev w LEFT JOIN g${k}_${fam}_$l g USING (b) CROSS JOIN n)"""
+      }
+      (1 to LangNgIters).map(iter).mkString(",\n")
+    }
+    def scores(fam: String): String = LangNgLabels.map { l =>
+      s"""sc_${fam}_$l AS (SELECT f.doc_id, CAST(SUM(w.w * f.cnt) AS BIGINT) AS s
+  FROM sfeat_$fam f JOIN w${LangNgIters}_${fam}_$l w USING (b)
+  GROUP BY f.doc_id)""" }.mkString(",\n")
+    def argmax(fam: String): String = {
+      val gmax = "greatest(" +
+        LangNgLabels.map(l => s"sc_${fam}_$l.s").mkString(", ") + ")"
+      "CASE " + LangNgLabels.dropRight(1).map(l =>
+        s"WHEN sc_${fam}_$l.s = $gmax THEN '$l'").mkString(" ") +
+        s" ELSE '${LangNgLabels.last}' END"
+    }
+    val scoreJoins = (for (fam <- Seq("w", "g"); l <- LangNgLabels)
+      yield s"JOIN sc_${fam}_$l ON sc_${fam}_$l.doc_id = fixte.doc_id")
+      .mkString("\n  ")
+    s"""WITH fixtr AS MATERIALIZED (SELECT doc_id,
+    ${caseByIdx(identity)} AS lang,
+    ${caseByIdx(LangNgTrain)} || ' tag' || (doc_id % 7) AS text
+  FROM documents),
+fixte AS MATERIALIZED (SELECT doc_id,
+    ${caseByIdx(identity)} AS lang,
+    ${caseByIdx(LangNgTest)} AS text
+  FROM documents WHERE doc_id % 20 = 0),
+tok_w AS (SELECT doc_id, lang,
+    unnest(regexp_extract_all(text, '${TextFunctions.UTokenPattern}')) AS tok
+  FROM fixtr),
+tokg0 AS (SELECT doc_id, lang, '<' || tok || '>' AS w FROM tok_w),
+tok_g AS ${gramsOf("tokg0", "doc_id, lang")},
+${featsOf("w", "tok_w")},
+${featsOf("g", "tok_g")},
+n AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
+${(for (fam <- Seq("w", "g"); l <- LangNgLabels)
+      yield chain(fam, l)).mkString(",\n")},
+stok_w AS (SELECT doc_id,
+    unnest(regexp_extract_all(text, '${TextFunctions.UTokenPattern}')) AS tok
+  FROM fixte),
+stokg0 AS (SELECT doc_id, '<' || tok || '>' AS w FROM stok_w),
+stok_g AS ${gramsOf("stokg0", "doc_id")},
+sfeat_w AS (SELECT doc_id, ${bucketOf("tok")} AS b, COUNT(*) AS cnt
+  FROM stok_w GROUP BY ALL),
+sfeat_g AS (SELECT doc_id, ${bucketOf("tok")} AS b, COUNT(*) AS cnt
+  FROM stok_g GROUP BY ALL),
+${scores("w")},
+${scores("g")}
+SELECT fixte.doc_id, fixte.lang,
+  ${argmax("w")} AS pred_word,
+  ${argmax("g")} AS pred_ngram
+FROM fixte
   $scoreJoins"""
   }
 
@@ -737,6 +853,66 @@ FROM enc GROUP BY doc_id"""
           round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
         FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
         WHERE round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.5""")),
+
+    // persisted payload-digest dedup index (the crawl-snapshot loop:
+    // CommonCrawl dedups each monthly snapshot against ALL prior ones).
+    // Lifecycle inside the gate: snapshot A builds, compact rewrites
+    // the layout (must not change a row), snapshot B dedups against the
+    // index (pass 1: first-copy-per-new-digest + digest-less bypass),
+    // B's survivors append, then B re-dedups (pass 2: exactly-once —
+    // only the digest-less rows survive). Digest keys derive from
+    // doc_id div 2 so the even/odd snapshot split still collides on
+    // the shared key range 0..49.
+    QueryDef("llm_digest_index",
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-digest-index-").toString + "/idx"
+        val docs = t(s, dir, "documents")
+        def recsOf(parity: Int, mod: Int) =
+          docs.filter(pmod(col("doc_id"), lit(2L)) === parity)
+            .select(
+              concat(lit("f"), pmod(col("doc_id"), lit(4L))).as("file"),
+              col("doc_id").as("rec_index"),
+              when(pmod(col("doc_id"), lit(13L)) === 0, lit(""))
+                .otherwise(md5(pmod(expr("doc_id div 2"), lit(mod.toLong))
+                  .cast("string"))).as("payload_digest"))
+        val snapA = recsOf(0, 50)
+        graft.sources.Warc.digestIndexBuild(snapA, idx, "snapA")
+        // layout rewrite inside the oracle gate: must not change a row
+        graft.sources.Warc.digestIndexCompact(s, idx)
+        val snapB = recsOf(1, 80)
+        // EAGER: pass 1 must freeze before the append below mutates
+        // the index it anti-joins against
+        val pass1 = graft.sources.Warc.dedupByDigestIndexed(snapB, idx)
+          .localCheckpoint(true)
+        graft.sources.Warc.digestIndexAppend(pass1, idx, "snapB")
+        val pass2 = graft.sources.Warc.dedupByDigestIndexed(snapB, idx)
+        pass1.withColumn("pass", lit(1))
+          .unionByName(pass2.withColumn("pass", lit(2)))
+          .select(col("pass"), col("rec_index").as("doc_id"),
+            col("payload_digest").as("digest"))
+      },
+      Some("""WITH a AS (SELECT md5(CAST((doc_id // 2) % 50 AS VARCHAR)) AS digest
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id % 13 <> 0),
+        b AS (SELECT 'f' || (doc_id % 4) AS file, doc_id AS rec_index,
+            CASE WHEN doc_id % 13 = 0 THEN ''
+                 ELSE md5(CAST((doc_id // 2) % 80 AS VARCHAR)) END AS digest
+          FROM documents WHERE doc_id % 2 = 1),
+        bkeep AS (SELECT rec_index, digest FROM (
+            SELECT rec_index, digest,
+              row_number() OVER (PARTITION BY digest
+                ORDER BY file, rec_index) AS rn
+            FROM b WHERE digest <> '') x WHERE rn = 1),
+        p1 AS (
+          SELECT 1 AS pass, rec_index AS doc_id, digest FROM bkeep
+          WHERE digest NOT IN (SELECT digest FROM a)
+          UNION ALL
+          SELECT 1, rec_index, digest FROM b WHERE digest = ''),
+        p2 AS (
+          SELECT 2 AS pass, rec_index AS doc_id, digest
+          FROM b WHERE digest = '')
+        SELECT pass, doc_id, digest FROM p1
+        UNION ALL SELECT pass, doc_id, digest FROM p2""")),
 
     // SimHash near-dup: pairs within hamming<=3 of the 64-bit signature.
     // Hamming-over-simhash is a genuinely different similarity measure than
@@ -1931,6 +2107,47 @@ FROM ann"""
         fix.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       },
       Some(langClfOracle)),
+
+    // char-n-gram language ID (the fastText feature family, Joulin et
+    // al. 2017): word-BoW and char-2-5-gram one-vs-rest models train
+    // side by side on the SAME corpus through the SAME one-pass
+    // trainMulti (only the tokensOf feature extractor differs), then
+    // both score SHORT unseen-word test docs. The word model misroutes
+    // them (no seen token -> 0-margin tie -> first sorted label); the
+    // n-gram model recovers every one. Whole double lifecycle
+    // hash-exact against the iteration-unrolled DuckDB twin.
+    QueryDef("llm_langid_ngram",
+      (s, dir) => {
+        def caseByIdx(f: String => String) =
+          LangNgLabels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+            case (acc, (l, i)) =>
+              when(pmod(col("doc_id"), lit(3L)) === i, lit(f(l)))
+                .otherwise(acc)
+          }
+        val docs = t(s, dir, "documents")
+        val train = docs.select(col("doc_id"),
+          caseByIdx(identity).as("lang"),
+          concat(caseByIdx(LangNgTrain), lit(" tag"),
+            pmod(col("doc_id"), lit(7L))).as("text"))
+        val wordModels = graft.llm.Classifier.trainMulti(train, "text",
+          "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters)
+        val ngModels = graft.llm.Classifier.trainMulti(train, "text",
+          "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters,
+          tokensOf = TextFunctions.charNgrams(_))
+        val tests = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id"), caseByIdx(identity).as("lang"),
+            caseByIdx(LangNgTest).as("text"))
+        val (pw, pg) = // empty corpus trains zero models — zero rows
+          if (wordModels.isEmpty)
+            (lit(null).cast("string"), lit(null).cast("string"))
+          else (graft.llm.Classifier.predict(
+              TextFunctions.tokens(col("text")), wordModels),
+            graft.llm.Classifier.predict(
+              TextFunctions.charNgrams(col("text")), ngModels))
+        tests.select(col("doc_id"), col("lang"),
+          pw.as("pred_word"), pg.as("pred_ngram"))
+      },
+      Some(langNgramOracle)),
 
     // exact-substring duplicated-span extraction (the "dedup the span,
     // not the document" pass of Lee et al. 2022, arXiv:2107.06499,

@@ -50,6 +50,13 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** fastText-style char 2-5-grams of every token with `<`/`>`
+    * boundary markers (see [[CharNgrams]]) — the feature family that
+    * rescues language ID on SHORT or space-less text where the
+    * word-level bag-of-words has no seen tokens to vote with. */
+  def charNgrams(text: Column, minN: Int = 2, maxN: Int = 5): Column =
+    CharNgrams(text, minN, maxN)
+
   /** BPE-ish lexical token count: words / numbers / single punctuation.
     * Pattern kept RE2-compatible so external engines can reproduce it. */
   val LexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

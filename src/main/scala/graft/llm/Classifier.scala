@@ -50,14 +50,16 @@ object Classifier {
     * (gradients are exact integer sums). */
   def train(docs: DataFrame, textCol: String, labelCol: String,
             idCol: String, buckets: Int, iters: Int,
-            lrPpm: Long = 1000000L): Array[Long] = {
+            lrPpm: Long = 1000000L,
+            tokensOf: Column => Column =
+              graft.functions.TextFunctions.tokens(_)): Array[Long] = {
     require(buckets > 0 && iters >= 0 && lrPpm > 0)
     val spark = docs.sparkSession
     import spark.implicits._
     // (doc, y, bucket, cnt): built once, streamed per iteration
     val feats = docs
       .select(col(idCol).as("doc_id"), col(labelCol).cast("long").as("y"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+        explode(tokensOf(col(textCol))).as("tok"))
       .select(col("doc_id"), col("y"), bucketCol(col("tok"), buckets).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -114,7 +116,10 @@ object Classifier {
     * the number of LANGUAGES, never corpus size. */
   def trainMulti(docs: DataFrame, textCol: String, labelCol: String,
                  idCol: String, buckets: Int, iters: Int,
-                 lrPpm: Long = 1000000L): Seq[(String, Array[Long])] = {
+                 lrPpm: Long = 1000000L,
+                 tokensOf: Column => Column =
+                   graft.functions.TextFunctions.tokens(_))
+      : Seq[(String, Array[Long])] = {
     require(buckets > 0 && iters >= 0 && lrPpm > 0)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -127,7 +132,7 @@ object Classifier {
     val feats = docs
       .select(col(idCol).as("doc_id"),
         col(labelCol).cast("string").as("lbl"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+        explode(tokensOf(col(textCol))).as("tok"))
       .select(col("doc_id"), col("lbl"), bucketCol(col("tok"), buckets).as("b"))
       .groupBy(col("doc_id"), col("lbl"), col("b"))
       .agg(count(lit(1)).as("cnt"))

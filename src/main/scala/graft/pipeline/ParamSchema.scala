@@ -80,6 +80,10 @@ object ParamSchema {
       "ts_nanos_to_micros" -> PString,
       "schema_from" -> PString, // streaming schema inference (Flowd --stream)
       "dedup_digest" -> PBool, // warc: drop repeated payload digests
+      // warc: persisted digest index — the snapshot dedups against ALL
+      // prior snapshots' digests (Warc.dedupByDigestIndexed), not just
+      // within itself; subsumes dedup_digest
+      "digest_index_path" -> PString,
       // network transport by URI scheme (receiver_factory.go:10-37):
       // tcp://[host]:port, udp://[host]:port, unix:///path,
       // http://[host]:port[/endpoint]; port 0 = ephemeral

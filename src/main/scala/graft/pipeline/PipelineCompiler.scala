@@ -186,11 +186,22 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
       // door (records) or the assembled documents frame
       if (format == "warc") {
         // dedup_digest drops CommonCrawl-repeated payloads from the
-        // header columns alone, before extraction runs
-        return if (p(a, "dedup_digest").exists(_.toBoolean))
-          graft.sources.Warc.documentsMeta(spark, path,
-            dedupDigest = true).drop("digest")
-        else graft.sources.Warc.documents(spark, path)
+        // header columns alone, before extraction runs;
+        // digest_index_path additionally drops every payload ANY prior
+        // snapshot carried (the persisted digest index) — appending
+        // the accepted snapshot's digests stays the ingest job's
+        // explicit step (Warc.digestIndexAppend), not a compile-time
+        // side effect
+        return p(a, "digest_index_path") match {
+          case Some(ip) =>
+            graft.sources.Warc.documentsMeta(spark, path,
+              dedupDigest = true, digestIndexPath = Some(ip))
+              .drop("digest")
+          case None if p(a, "dedup_digest").exists(_.toBoolean) =>
+            graft.sources.Warc.documentsMeta(spark, path,
+              dedupDigest = true).drop("digest")
+          case None => graft.sources.Warc.documents(spark, path)
+        }
       }
       if (format == "warc_records")
         return graft.sources.Warc.records(spark, path)

@@ -302,6 +302,117 @@ object Warc {
     recs.filter(col("payload_digest") === "").unionByName(withDigest)
   }
 
+  // ---- persisted digest-dedup index (the seventh index family) -------
+  //
+  // [[dedupByDigest]] dedups WITHIN the loaded batch only; real crawls
+  // dedup each monthly snapshot against ALL prior snapshots without
+  // reloading them. The payload-digest SET is the smallest possible
+  // index payload (one short string per unique document body), carried
+  // under the same GenDir/IndexSwap build/append/compact/recover
+  // discipline as the other six families.
+  //
+  // Layout under `dir`:
+  //  - `digests/` partitioned by `d_pt` = pmod(xxhash64(digest), 256):
+  //    (digest, snapshot) rows — snapshot is provenance only, dedup
+  //    keys on digest. Partition pruning lets a small batch read only
+  //    the buckets its own digests hash into.
+
+  private val DigestIdBuckets = 256
+
+  private def digestBucket(d: Column): Column =
+    pmod(xxhash64(d), lit(DigestIdBuckets)).cast("int")
+
+  /** Distinct non-empty digests of a record frame, bucketed for the
+    * partitioned layout. */
+  private def digestRows(recs: DataFrame, snapshot: String): DataFrame =
+    recs.filter(col("payload_digest") =!= "")
+      .select(col("payload_digest").as("digest"))
+      .distinct()
+      .select(col("digest"), lit(snapshot).as("snapshot"),
+        digestBucket(col("digest")).as("d_pt"))
+
+  /** Fresh-build the digest index from a snapshot's records. */
+  def digestIndexBuild(recs: DataFrame, dir: String,
+                       snapshot: String): Unit = {
+    val spark = recs.sparkSession
+    graft.llm.GenDir.resetAll(spark, s"$dir/digests")
+    digestRows(recs, snapshot)
+      .repartition(spark.sparkContext.defaultParallelism, col("d_pt"))
+      .write.mode("overwrite").partitionBy("d_pt")
+      .parquet(s"$dir/digests")
+  }
+
+  /** Append a new snapshot's digests into the live generation —
+    * normally the SURVIVORS of [[dedupByDigestIndexed]], so the index
+    * stays a set; cross-append repeats (two snapshots appended without
+    * dedup between) are tolerated and collapsed by the next
+    * [[digestIndexCompact]], and never change dedup semantics (an
+    * anti-join treats 1 and 2 copies alike). */
+  def digestIndexAppend(recs: DataFrame, dir: String,
+                        snapshot: String): Unit = {
+    val spark = recs.sparkSession
+    digestRows(recs, snapshot)
+      .repartition(spark.sparkContext.defaultParallelism, col("d_pt"))
+      .write.mode("append").partitionBy("d_pt")
+      .parquet(graft.llm.GenDir.live(spark, s"$dir/digests"))
+  }
+
+  /** Rewrite the digest slice into the next generation, collapsing
+    * append-accumulated duplicate digests (keep the FIRST snapshot by
+    * sort — deterministic) and re-clustering small append files. A
+    * layout rewrite only: the digest SET is unchanged. */
+  def digestIndexCompact(spark: SparkSession, dir: String): Unit = {
+    val base = s"$dir/digests"
+    graft.llm.GenDir.heal(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.llm.GenDir.live(spark, base)
+    val next = graft.llm.GenDir.nextGenPath(fs,
+      new org.apache.hadoop.fs.Path(base))
+    spark.read.parquet(live)
+      .groupBy(col("digest"), col("d_pt"))
+      .agg(min(col("snapshot")).as("snapshot"))
+      .select(col("digest"), col("snapshot"), col("d_pt"))
+      .repartition(spark.sparkContext.defaultParallelism, col("d_pt"))
+      .write.mode("overwrite").partitionBy("d_pt").parquet(next.toString)
+    graft.llm.GenDir.commitGen(fs, next)
+    graft.llm.GenDir.gc(fs, new org.apache.hadoop.fs.Path(base))
+  }
+
+  /** Heal crash leftovers (uncommitted generations, interrupted
+    * swaps) — call before trusting the index after a restart. */
+  def digestIndexRecover(spark: SparkSession, dir: String): Unit =
+    graft.llm.GenDir.heal(spark, s"$dir/digests")
+
+  /** [[dedupByDigest]] against the PERSISTED index: within-batch
+    * first-copy dedup, then an anti-join that drops every record whose
+    * digest any prior snapshot already carries. Digest-less rows pass
+    * through on the narrow bypass leg, exactly like [[dedupByDigest]].
+    *
+    * Scale shape: the batch's distinct `d_pt` buckets (≤ 256, a
+    * bounded collect) prune the index read to the partitions the batch
+    * can possibly collide with — a small daily batch against a
+    * billion-digest warehouse reads only its own buckets' slices; the
+    * anti-join is one digest-keyed shuffle of (pruned index slice +
+    * batch), the same cost class as the in-batch window. The caller
+    * appends the survivors' digests ([[digestIndexAppend]]) to close
+    * the admission loop. */
+  def dedupByDigestIndexed(recs: DataFrame, dir: String): DataFrame = {
+    val spark = recs.sparkSession
+    val inBatch = dedupByDigest(recs)
+    val withDigest = inBatch.filter(col("payload_digest") =!= "")
+    val live = graft.llm.GenDir.live(spark, s"$dir/digests")
+    // bounded by construction: <= DigestIdBuckets distinct values
+    val pts = withDigest.select(digestBucket(col("payload_digest")))
+      .distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(live)
+      .filter(col("d_pt").isin(pts.toIndexedSeq: _*))
+      .select(col("digest"))
+    val survivors = withDigest.join(idx,
+      withDigest("payload_digest") === idx("digest"), "left_anti")
+    inBatch.filter(col("payload_digest") === "").unionByName(survivors)
+  }
+
   /** The assembled front door: WARC/WET files → one row per document
     * with `doc_id` (record id), `url`, and `text` — HTML responses are
     * CHARSET-AWARE decoded ([[graft.functions.HttpBodyText]]: HTTP
@@ -326,10 +437,15 @@ object Warc {
     * carry no payload to extract. */
   def documentsMeta(spark: SparkSession, path: String,
                     maxBodyBytes: Int = 16 << 20,
-                    dedupDigest: Boolean = false): DataFrame = {
+                    dedupDigest: Boolean = false,
+                    digestIndexPath: Option[String] = None): DataFrame = {
     val recs0 = records(spark, path, maxBodyBytes)
       .filter(col("warc_type").isin("response", "conversion"))
-    val recs = if (dedupDigest) dedupByDigest(recs0) else recs0
+    val recs = digestIndexPath match {
+      case Some(ip) => dedupByDigestIndexed(recs0, ip) // subsumes in-batch
+      case None if dedupDigest => dedupByDigest(recs0)
+      case None => recs0
+    }
     recs.select(
       col("record_id").as("doc_id"),
       col("target_uri").as("url"),

@@ -104,4 +104,30 @@ class TextFunctionsSpec extends SparkSpec {
       assert(viaKernelPath.numElements() == direct.size)
     }
   }
+
+  test("charNgrams emits boundary-marked 2-5-grams per token over " +
+      "CODEPOINTS; column and kernel agree; degenerate inputs hold") {
+    // one ASCII token: all grams of '<cat>' lengths 2..5
+    val g1 = CharNgrams.ngramStrings("cat", 2, 5).toSeq
+    assert(g1 == Seq("<c", "ca", "at", "t>",
+      "<ca", "cat", "at>", "<cat", "cat>", "<cat>"), g1)
+    // CJK chars are separate tokens -> '<天>' grams only (len 3 < 4)
+    val g2 = CharNgrams.ngramStrings("天气", 2, 5).toSeq
+    assert(g2 == Seq("<天", "天>", "<天>", "<气", "气>", "<气>"), g2)
+    // surrogate pairs count as ONE codepoint: '<😀>' has 3 codepoints
+    val g3 = CharNgrams.ngramStrings("😀", 2, 5).toSeq
+    assert(g3 == Seq("<😀", "😀>", "<😀>"), g3)
+    assert(g3.forall(g => !g.exists(Character.isHighSurrogate) ||
+      g.codePoints().toArray.forall(Character.isValidCodePoint)))
+    // empty / whitespace-only: no tokens, no grams
+    assert(CharNgrams.ngramStrings("", 2, 5).isEmpty)
+    assert(CharNgrams.ngramStrings("  \t", 2, 5).isEmpty)
+    // the Column rendering matches the kernel on a mixed corpus
+    val cases = Seq("hello world", "天气 ok", "😀 mix", "")
+    val viaCol = cases.map(Tuple1(_)).toDF("t")
+      .select(TextFunctions.charNgrams($"t")).as[Seq[String]].collect()
+    viaCol.zip(cases).foreach { case (a, c) =>
+      assert(a == CharNgrams.ngramStrings(c, 2, 5).toSeq, c)
+    }
+  }
 }

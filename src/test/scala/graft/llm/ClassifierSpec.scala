@@ -160,6 +160,40 @@ class ClassifierSpec extends SparkSpec {
       z.forall(_._2.forall(_ == 0L)))
   }
 
+  test("char-n-gram features rescue short unseen-word language ID " +
+      "where the word model ties out to the first sorted label") {
+    val train = (0L until 60L).map { i =>
+      val (lang, phrase) = (i % 3) match {
+        case 0 => ("de", "schule achtung zeitung schreiben")
+        case 1 => ("fi", "kaupunki kukka kakku silakka")
+        case _ => ("pt", "coracao educacao nacao atencao")
+      }
+      (i, lang, s"$phrase tag${i % 7}")
+    }.toDF("doc_id", "lang", "text")
+    val word = Classifier.trainMulti(train, "text", "lang", "doc_id",
+      buckets = 512, iters = 2)
+    val ngram = Classifier.trainMulti(train, "text", "lang", "doc_id",
+      buckets = 512, iters = 2,
+      tokensOf = TextFunctions.charNgrams(_))
+    // SHORT test docs: single words NEVER seen in training, but whose
+    // char 2-5-grams overlap the training morphology
+    val tests = Seq((100L, "de", "schreibung"), (101L, "fi", "kukkakakku"),
+      (102L, "pt", "aviacao")).toDF("doc_id", "lang", "text")
+    val out = tests.select($"lang",
+        Classifier.predict(TextFunctions.tokens($"text"), word)
+          .as("pred_word"),
+        Classifier.predict(TextFunctions.charNgrams($"text"), ngram)
+          .as("pred_ngram"))
+      .as[(String, String, String)].collect()
+    // the n-gram model recovers every language
+    assert(out.forall { case (l, _, pn) => l == pn },
+      s"ngram mispredictions: ${out.toSeq}")
+    // the word model misroutes at least the non-first labels (unseen
+    // word -> all margins 0 -> argmax ties to the first sorted label)
+    assert(out.count { case (l, pw, _) => l != pw } >= 2,
+      s"word model unexpectedly right: ${out.toSeq}")
+  }
+
   test("llm.langid actor with labeled_path trains the classifier and " +
       "gates on predicted languages") {
     val labeled = (0L until 24L).map { i =>

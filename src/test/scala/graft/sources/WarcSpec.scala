@@ -483,5 +483,87 @@ class WarcSpec extends SparkSpec {
     assert(Warc.documents(spark, path).columns.toSeq ==
       Seq("doc_id", "url", "text"))
     assert(Warc.documents(spark, path).count() == 5)
+    // digestIndexPath: a prior snapshot carrying AAA drops BOTH copies
+    // of it here (cross-snapshot dedup), BBB and the digest-less rows
+    // survive — the warc receiver's digest_index_path contract
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-warc-digidx-").toString + "/idx"
+    val prior = Seq(("p0", 0L, "sha1:AAA")).toDF(
+      "file", "rec_index", "payload_digest")
+    Warc.digestIndexBuild(prior, idxDir, "prior")
+    val crossKept = Warc.documentsMeta(spark, path,
+      digestIndexPath = Some(idxDir))
+      .select($"url").as[String].collect().toSet
+    assert(crossKept == Set("http://a.com/3", "http://a.com/4",
+      "http://a.com/5"), s"got $crossKept")
+  }
+
+  test("dedupByDigest's window-top1 rewrites to TopKPerKey under the " +
+      "graft extensions (map-side partial cap before the digest " +
+      "exchange); without them Spark's own WindowGroupLimit caps") {
+    val recs = (0L until 40L).map(i =>
+      (s"f${i % 4}", i, s"d${i % 10}")).toDF(
+      "file", "rec_index", "payload_digest")
+    // extensions absent: vanilla Spark 4 inserts WindowGroupLimit —
+    // a map-side group cap of its own, so the shape is never a full
+    // window sort even on a stock session
+    val vanilla = Warc.dedupByDigest(recs).queryExecution
+      .optimizedPlan.toString
+    assert(vanilla.contains("WindowGroupLimit") ||
+      vanilla.contains("TopKPerKey"), vanilla)
+    graft.plans.GraftExtensions.install(spark)
+    val q = Warc.dedupByDigest(recs)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartialTopK") &&
+      physical.contains("FinalTopK"),
+      s"RewriteWindowTopK did not fire:\n$physical")
+    assert(q.count() == 10)
+  }
+
+  test("persisted digest index: snapshot B dedups against snapshot A " +
+      "without reloading it; append closes the admission loop; compact " +
+      "rewrites layout without changing the set; crash leftovers heal") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-digidx-").toString + "/idx"
+    def recs(ids: Seq[Long], digestOf: Long => String) =
+      ids.map(i => (s"f${i % 3}", i, digestOf(i))).toDF(
+        "file", "rec_index", "payload_digest")
+    // snapshot A: digests d0..d4 (with in-snapshot repeats)
+    val snapA = recs(0L until 10L, i => s"d${i % 5}")
+    Warc.digestIndexBuild(snapA, dir, "2026-07")
+    // snapshot B: d3..d7 overlap d3,d4; plus two digest-less rows
+    val snapB = recs(100L until 110L,
+      i => if (i % 9 == 0) "" else s"d${3 + (i % 5)}")
+    val s1 = Warc.dedupByDigestIndexed(snapB, dir)
+    val kept1 = s1.select($"rec_index", $"payload_digest")
+      .as[(Long, String)].collect().toMap
+    // survivors: first copy of each NEW digest d5,d6,d7 + digest-less
+    assert(kept1.values.filter(_.nonEmpty).toSet == Set("d5", "d6", "d7"),
+      s"got $kept1")
+    assert(kept1.count(_._2 == "") == 1) // rec 108 (the only i%9==0)
+    // append survivors; re-running the same snapshot now drops every
+    // digest-carrying row (exactly-once admission)
+    Warc.digestIndexAppend(s1, dir, "2026-08")
+    val s2 = Warc.dedupByDigestIndexed(snapB, dir)
+    assert(s2.filter($"payload_digest" =!= "").count() == 0)
+    assert(s2.filter($"payload_digest" === "").count() == 1)
+    // compact: a layout rewrite only — the dedup outcome is unchanged
+    Warc.digestIndexCompact(spark, dir)
+    assert(Warc.dedupByDigestIndexed(snapB, dir)
+      .filter($"payload_digest" =!= "").count() == 0)
+    val snapC = recs(200L until 204L, i => s"d${i % 12}")
+    val keptC = Warc.dedupByDigestIndexed(snapC, dir)
+      .select($"payload_digest").as[String].collect().toSet
+    assert(keptC == Set("d8", "d9", "d10", "d11"), s"got $keptC")
+    // crash-heal: a torn uncommitted generation (compactor died
+    // mid-write) is swept by recover and readers never resolve it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/digests.gen-99")
+    fs.mkdirs(torn)
+    Warc.digestIndexRecover(spark, dir)
+    assert(!fs.exists(torn))
+    assert(Warc.dedupByDigestIndexed(snapC, dir)
+      .select($"payload_digest").as[String].collect().toSet == keptC)
   }
 }
