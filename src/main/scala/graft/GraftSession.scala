@@ -21,6 +21,24 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // task-commit renames land directly in the destination instead of
+      // a second sequential job-commit rename pass (half the rename
+      // traffic of every bucket-partitioned index write; the classic
+      // HDFS-scale setting). Safe here by construction: every persisted
+      // artifact in the engine is committed by its OWN marker (GenDir
+      // generation markers, IncLog batch markers, meta-written-last), so
+      // files visible after a failed job are exactly the "torn write"
+      // case those protocols already treat as absent.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // every persisted index family partitions its slices into ≤256
+      // hash-bucket directories (the catalog-pruning contract); the
+      // default threshold (32) turns EVERY slice read's file listing
+      // into a distributed Spark job over those tiny paths — pure
+      // scheduling overhead at any scale (the driver-side listing pool
+      // handles hundreds of dirs in milliseconds). Directories past
+      // this bound (real data-lake partition counts) still list
+      // distributed.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

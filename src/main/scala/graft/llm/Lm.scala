@@ -415,6 +415,41 @@ object Lm {
     (cnts, total)
   }
 
+  /** All orders' counts in ONE corpus pass: each token position emits
+    * its order-1..k grams (order n only where prev_{n-1} exists — the
+    * exact [[kGramCounts]] groups), one shared groupBy aggregates them
+    * all. The result is (ord, gram, c) — model-sized, orders of
+    * magnitude smaller than the corpus — and the index writers persist
+    * it so the k slice writes, the unigram total and the meta totals
+    * re-read the aggregate instead of re-running the tokenize+explode
+    * lineage once per slice (the pre-r15 build paid k+1 full corpus
+    * passes per build/append; guide §1.2/§2.4: remove redundant
+    * passes, do fewer shuffles). Counts per order are bit-identical to
+    * [[kGramCounts]] — same rows, same groups, one shuffle instead of
+    * k. */
+  private def allGramCountsK(train: DataFrame, textCol: String,
+                             idCol: String, k: Int): DataFrame = {
+    val rows = kRows(train, textCol, idCol, k)
+    val variants = (1 to k).map { n =>
+      val gram =
+        if (n == 1) col("term")
+        else when(col(s"prev${n - 1}").isNotNull, concat_ws(" ",
+          ((n - 1) to 1 by -1).map(j => col(s"prev$j")) :+ col("term"): _*))
+      struct(lit(n).as("ord"), gram.as("gram"))
+    }
+    rows.select(explode(array(variants: _*)).as("og"))
+      .filter(col("og.gram").isNotNull)
+      .select(col("og.ord").as("ord"), col("og.gram").as("gram"))
+      .groupBy(col("ord"), col("gram")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Unigram total of a persisted [[allGramCountsK]] frame (the exact
+    * kGramCounts `total`), reading the cached aggregate — no corpus
+    * re-scan. */
+  private def totalFromAll(all: DataFrame): Long =
+    all.filter(col("ord") === 1)
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+
   /** Exact 0.4^j backoff factors in ppm (1e6, 4e5, 1.6e5, 64000,
     * 25600, ...) as a Spark SQL array literal — integer-exact out to
     * j = 8 (4^8 · 10^{-2} = 655.36 would break; ks above 8 are refused
@@ -508,9 +543,19 @@ object Lm {
     // fresh build starts the generation history AND increment log over
     GenDir.resetAll(spark, gramSlices(dir, k): _*)
     IncLog.reset(spark, dir, gramSlices(dir, k))
-    val (cnts, total) = kGramCounts(train, textCol, idCol, k)
-    for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
-    val t = total.head().getLong(0)
+    // ONE corpus pass for all k orders; the slice writes and the
+    // unigram total re-read the model-sized aggregate (DISK_ONLY — the
+    // bm25BuildIndex lesson: never race execution memory at scale).
+    // The k slice writes are independent readers of that cache, so they
+    // run as overlapped jobs (guide §2.6) instead of k sequential
+    // rounds of scheduling + partitioned-write commit latency.
+    val all = allGramCountsK(train, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Par.run((k to 1 by -1).map(n => () =>
+      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
+        s"$dir/grams_$n", "overwrite")))
+    val t = totalFromAll(all)
+    all.unpersist()
     Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -537,9 +582,15 @@ object Lm {
     import spark.implicits._
     GenDir.resetAll(spark, gramSlices(dir, k): _*)
     IncLog.reset(spark, dir, gramSlices(dir, k))
-    val (cnts, total) = kGramCounts(train, textCol, idCol, k)
-    for (n <- k to 1 by -1) writeGramSlice(cnts(n), s"$dir/grams_$n", "overwrite")
-    val t = total.head().getLong(0)
+    // one corpus pass for all k orders, slice writes overlapped — see
+    // [[lmBuildIndexK]]
+    val all = allGramCountsK(train, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Par.run((k to 1 by -1).map(n => () =>
+      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
+        s"$dir/grams_$n", "overwrite")))
+    val t = totalFromAll(all)
+    all.unpersist()
     IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -558,12 +609,16 @@ object Lm {
     val spark = train.sparkSession
     if (IncLog.isApplied(spark, dir, batchId, streamId)) return false
     val ord = readMetaK(spark, dir)._2
-    val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
-    for (n <- ord to 1 by -1)
-      writeGramSlice(cnts(n),
-        IncLog.incPath(s"$dir/grams_$n", batchId, streamId), "overwrite")
-    IncLog.commitBatch(spark, dir, batchId,
-      total.head().getLong(0), train.count(), streamId)
+    // one corpus pass for all ord orders, slice writes overlapped —
+    // see [[lmBuildIndexK]]
+    val all = allGramCountsK(train, textCol, idCol, ord)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Par.run((ord to 1 by -1).map(n => () =>
+      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
+        IncLog.incPath(s"$dir/grams_$n", batchId, streamId), "overwrite")))
+    val t = totalFromAll(all)
+    all.unpersist()
+    IncLog.commitBatch(spark, dir, batchId, t, train.count(), streamId)
     true
   }
 
@@ -607,10 +662,16 @@ object Lm {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
-    val (cnts, total) = kGramCounts(train, textCol, idCol, ord)
-    for (n <- ord to 1 by -1) // into the CURRENT generation of each slice
-      writeGramSlice(cnts(n), GenDir.live(spark, s"$dir/grams_$n"), "append")
-    val batchT = total.head().getLong(0)
+    // one corpus pass for all ord orders, slice writes overlapped —
+    // see [[lmBuildIndexK]]; each write appends into the CURRENT
+    // generation of its own slice (independent directories)
+    val all = allGramCountsK(train, textCol, idCol, ord)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Par.run((ord to 1 by -1).map(n => () =>
+      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
+        GenDir.live(spark, s"$dir/grams_$n"), "append")))
+    val batchT = totalFromAll(all)
+    all.unpersist()
     Seq((oldT + batchT, oldN + train.count(), ord.toLong))
       .toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -633,7 +694,9 @@ object Lm {
     val ord = readMetaK(spark, dir)._2
     val v = IncLog.view(spark, dir)
     val (w0, w, wGen) = IncLog.foldBounds(spark, dir, s"$dir/grams_1", v)
-    for (n <- 1 to ord)
+    // each slice folds within its own GenDir — independent directories,
+    // independent jobs, overlapped from driver threads (guide §2.6)
+    Par.run((1 to ord).map(n => () =>
       IncLog.foldSliceGen(spark, dir, s"$dir/grams_$n", wGen, v,
         GramSchema) { (rows, next) =>
         rows
@@ -643,7 +706,7 @@ object Lm {
           .repartition(col("pt"))
           .sortWithinPartitions(col("gram"))
           .write.mode("overwrite").partitionBy("pt").parquet(next)
-      }
+      }))
     IncLog.finishFold(spark, dir, gramSlices(dir, ord), v, w0, w)
   }
 
@@ -720,6 +783,36 @@ object Lm {
     *
     * Appends lay generation rows beside existing ones (counts are
     * additive; reads fold with sum), so no read-modify-write. */
+  /** [[allGramCountsK]] for the legacy named-column slices: every
+    * order's counts in ONE corpus pass as (ord, prev2, prev, term, c)
+    * — ord 1 rows carry null prev/prev2, ord 2 null prev2. Groups are
+    * bit-identical to [[counts]]/[[triCounts]]. */
+  private def allCounts23(train: DataFrame, textCol: String, idCol: String,
+                          order: Int): DataFrame = {
+    val nul = lit(null).cast("string")
+    val rows =
+      if (order == 3) tripleRows(train, textCol, idCol)
+      else pairRows(train, textCol, idCol).withColumn("prev2", nul)
+    val variants = (1 to order).map { n =>
+      // order-n rows exist only where the deepest context token does
+      val valid = n match {
+        case 1 => col("term")
+        case 2 => when(col("prev").isNotNull, col("term"))
+        case _ => when(col("prev2").isNotNull, col("term"))
+      }
+      struct(lit(n).as("ord"),
+        (if (n >= 3) col("prev2") else nul).as("prev2"),
+        (if (n >= 2) col("prev") else nul).as("prev"),
+        valid.as("term"))
+    }
+    rows.select(explode(array(variants: _*)).as("og"))
+      .filter(col("og.term").isNotNull)
+      .select(col("og.ord").as("ord"), col("og.prev2").as("prev2"),
+        col("og.prev").as("prev"), col("og.term").as("term"))
+      .groupBy(col("ord"), col("prev2"), col("prev"), col("term"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   def lmBuildIndex(train: DataFrame, textCol: String, idCol: String,
                    dir: String, order: Int = 2): Unit = {
     val spark = train.sparkSession
@@ -728,24 +821,41 @@ object Lm {
     // fresh build starts every slice's generation history over
     GenDir.resetAll(spark,
       s"$dir/unigrams", s"$dir/bigrams", s"$dir/trigrams")
-    val (uni, bi, total) = counts(train, textCol, idCol)
-    if (order == 3)
-      triCounts(train, textCol, idCol)
+    // ONE corpus pass for every order (pre-r15: one tokenize+explode
+    // lineage per slice plus one for the total — guide §1.2/§2.4);
+    // slice writes re-read the model-sized aggregate, DISK_ONLY so the
+    // cache never races execution memory (the bm25BuildIndex lesson)
+    val all = allCounts23(train, textCol, idCol, order)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // slice writes target independent directories — overlapped jobs
+    // (guide §2.6); AQE-sized repartitions: the model is vocabulary-
+    // sized and a fixed N-way exchange would mint N x 256 near-empty
+    // bucket files
+    val writeTri = () =>
+      all.filter(col("ord") === 3)
+        .select(col("prev2"), col("prev"), col("term"), col("c").as("c3"))
         .withColumn("prev2_pt", bucket(col("prev2")))
         .repartition(col("prev2_pt"))
         .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
         .write.mode("overwrite").partitionBy("prev2_pt").parquet(s"$dir/trigrams")
-    bi.withColumn("prev_pt", bucket(col("prev")))
-      // AQE-sized: the model is vocabulary-sized — a fixed N-way
-      // exchange would mint N x 256 near-empty bucket files
-      .repartition(col("prev_pt"))
-      .sortWithinPartitions(col("prev"), col("term"))
-      .write.mode("overwrite").partitionBy("prev_pt").parquet(s"$dir/bigrams")
-    uni.withColumn("term_pt", bucket(col("term")))
-      .repartition(col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/unigrams")
-    val t = total.head().getLong(0)
+    val writeBi = () =>
+      all.filter(col("ord") === 2)
+        .select(col("prev"), col("term"), col("c").as("c2"))
+        .withColumn("prev_pt", bucket(col("prev")))
+        .repartition(col("prev_pt"))
+        .sortWithinPartitions(col("prev"), col("term"))
+        .write.mode("overwrite").partitionBy("prev_pt").parquet(s"$dir/bigrams")
+    val writeUni = () =>
+      all.filter(col("ord") === 1)
+        .select(col("term"), col("c").as("c1"))
+        .withColumn("term_pt", bucket(col("term")))
+        .repartition(col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/unigrams")
+    Par.run((if (order == 3) Seq(writeTri) else Seq.empty) ++
+      Seq(writeBi, writeUni))
+    val t = totalFromAll(all)
+    all.unpersist()
     Seq((t, train.count(), order.toLong)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -761,25 +871,39 @@ object Lm {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2))
-    val (uni, bi, total) = counts(train, textCol, idCol)
-    if (ord == 3L) // the model's order rides meta — appends can't drift it
-      triCounts(train, textCol, idCol)
+    // one corpus pass for every order — see [[lmBuildIndex]]
+    val all = allCounts23(train, textCol, idCol, ord.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // overlapped appends into each slice's CURRENT generation — the
+    // model's order rides meta, so appends can't drift it
+    val appendTri = () =>
+      all.filter(col("ord") === 3)
+        .select(col("prev2"), col("prev"), col("term"), col("c").as("c3"))
         .withColumn("prev2_pt", bucket(col("prev2")))
         .repartition(col("prev2_pt"))
         .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
         .write.mode("append").partitionBy("prev2_pt")
         .parquet(GenDir.live(spark, s"$dir/trigrams"))
-    bi.withColumn("prev_pt", bucket(col("prev")))
-      .repartition(col("prev_pt"))
-      .sortWithinPartitions(col("prev"), col("term"))
-      .write.mode("append").partitionBy("prev_pt")
-      .parquet(GenDir.live(spark, s"$dir/bigrams"))
-    uni.withColumn("term_pt", bucket(col("term")))
-      .repartition(col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("append").partitionBy("term_pt")
-      .parquet(GenDir.live(spark, s"$dir/unigrams"))
-    val batchT = total.head().getLong(0)
+    val appendBi = () =>
+      all.filter(col("ord") === 2)
+        .select(col("prev"), col("term"), col("c").as("c2"))
+        .withColumn("prev_pt", bucket(col("prev")))
+        .repartition(col("prev_pt"))
+        .sortWithinPartitions(col("prev"), col("term"))
+        .write.mode("append").partitionBy("prev_pt")
+        .parquet(GenDir.live(spark, s"$dir/bigrams"))
+    val appendUni = () =>
+      all.filter(col("ord") === 1)
+        .select(col("term"), col("c").as("c1"))
+        .withColumn("term_pt", bucket(col("term")))
+        .repartition(col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("append").partitionBy("term_pt")
+        .parquet(GenDir.live(spark, s"$dir/unigrams"))
+    Par.run((if (ord == 3L) Seq(appendTri) else Seq.empty) ++
+      Seq(appendBi, appendUni))
+    val batchT = totalFromAll(all)
+    all.unpersist()
     Seq((oldT + batchT, oldN + train.count(), ord)).toDF("t", "n_docs", "ord")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -795,16 +919,19 @@ object Lm {
     * unigrams are never pruned (backoff mass and T depend on them). */
   def lmIndexCompact(spark: SparkSession, dir: String,
                      minBigramCount: Long = 1L): Unit = {
-    GenDir.rewriteGen(spark, s"$dir/bigrams") { (live, next) =>
-      spark.read.parquet(live)
-        .groupBy(col("prev"), col("term"), col("prev_pt"))
-        .agg(sum(col("c2")).as("c2"))
-        .filter(col("c2") >= minBigramCount)
-        .repartition(col("prev_pt"))
-        .sortWithinPartitions(col("prev"), col("term"))
-        .write.mode("overwrite").partitionBy("prev_pt").parquet(next)
-    }
-    if (GenDir.existsLive(spark, s"$dir/trigrams")) // order-3 models
+    // each slice rewrites within its own GenDir — independent
+    // directories, overlapped jobs (guide §2.6)
+    val foldBi = () =>
+      GenDir.rewriteGen(spark, s"$dir/bigrams") { (live, next) =>
+        spark.read.parquet(live)
+          .groupBy(col("prev"), col("term"), col("prev_pt"))
+          .agg(sum(col("c2")).as("c2"))
+          .filter(col("c2") >= minBigramCount)
+          .repartition(col("prev_pt"))
+          .sortWithinPartitions(col("prev"), col("term"))
+          .write.mode("overwrite").partitionBy("prev_pt").parquet(next)
+      }
+    val foldTri = () =>
       GenDir.rewriteGen(spark, s"$dir/trigrams") { (live, next) =>
         spark.read.parquet(live)
           .groupBy(col("prev2"), col("prev"), col("term"), col("prev2_pt"))
@@ -814,14 +941,18 @@ object Lm {
           .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
           .write.mode("overwrite").partitionBy("prev2_pt").parquet(next)
       }
-    GenDir.rewriteGen(spark, s"$dir/unigrams") { (live, next) =>
-      spark.read.parquet(live)
-        .groupBy(col("term"), col("term_pt"))
-        .agg(sum(col("c1")).as("c1"))
-        .repartition(col("term_pt"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("term_pt").parquet(next)
-    }
+    val foldUni = () =>
+      GenDir.rewriteGen(spark, s"$dir/unigrams") { (live, next) =>
+        spark.read.parquet(live)
+          .groupBy(col("term"), col("term_pt"))
+          .agg(sum(col("c1")).as("c1"))
+          .repartition(col("term_pt"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("term_pt").parquet(next)
+      }
+    Par.run(Seq(foldBi) ++
+      (if (GenDir.existsLive(spark, s"$dir/trigrams")) Seq(foldTri)
+       else Seq.empty) ++ Seq(foldUni))
   }
 
   /** Heal any interrupted compaction (either protocol) and report
