@@ -88,14 +88,19 @@ object Curation {
       .withColumn("lm_score_ppm", coalesce(col("lm_score_ppm"), lit(0L)))
       .withColumn("lm_pass", col("lm_score_ppm") >= knobs.lmMinScorePpm)
     val allPass = Stages.map { case (c, _) => col(c) }.reduce(_ && _)
-    // dedup among full-pass survivors: min-id representative per text
-    val reps = annotated.filter(allPass)
-      .groupBy(md5(col(textCol).cast("binary")).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), lit(true).as("__rep"))
-    annotated.join(reps, Seq(idCol), "left")
-      .withColumn("keep", allPass && coalesce(col("__rep"), lit(false)))
-      .drop("__h", "__rep")
+    // dedup among full-pass survivors: min-id representative per text.
+    // A window over the SAME frame, not a groupBy+self-join — the join
+    // form re-executed the whole annotated subtree (gopher/C4/clf
+    // columns plus the LM scoring join chain) a second time for the
+    // reps branch (r15 plan audit: 54 Exchanges, the annotated lineage
+    // twice). min(id among passers) per text-hash partition is the
+    // identical representative rule in one pass; a row with allPass
+    // true always sees a non-null minimum (itself at worst).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+    annotated
+      .withColumn("keep",
+        allPass && col(idCol) === min(when(allPass, col(idCol))).over(w))
   }
 
   /** One-row cumulative survivor counts over a [[scorecard]]-annotated

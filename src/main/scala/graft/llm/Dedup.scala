@@ -909,12 +909,15 @@ object Dedup {
   def lshIndexCompact(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit = {
     val parts = spark.sparkContext.defaultParallelism
-    genRewrite(spark, s"$dir/shingles")(df =>
-      df.repartition(parts, col("id_pt"))
-        .sortWithinPartitions(col("id"))
-        .write.mode("overwrite").partitionBy("id_pt"))
-    genRewrite(spark, s"$dir/bands")(df =>
-      df.repartition(parts).write.mode("overwrite"))
+    // the two slices rewrite within their own GenDirs — independent
+    // directories, overlapped jobs (guide §2.6)
+    Par.run(Seq(
+      () => genRewrite(spark, s"$dir/shingles")(df =>
+        df.repartition(parts, col("id_pt"))
+          .sortWithinPartitions(col("id"))
+          .write.mode("overwrite").partitionBy("id_pt")),
+      () => genRewrite(spark, s"$dir/bands")(df =>
+        df.repartition(parts).write.mode("overwrite"))))
   }
 
   /** Heal any interrupted compaction swap on a persisted LSH dedup

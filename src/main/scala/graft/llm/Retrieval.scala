@@ -345,18 +345,26 @@ object Retrieval {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    post
-      .withColumn("term_pt", termBucket(col("term")))
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt")
-      .parquet(IncLog.incPath(s"$dir/postings", batchId, streamId))
-    // stats increment ONLY alongside an existing slice — the coverage
-    // invariant (see [[writeStats]] / [[bm25IndexAppend]]) must hold
-    // over live ∪ increments exactly as it does over generations
-    if (GenDir.existsLive(spark, s"$dir/stats"))
+    // both increments are INVISIBLE until the commit marker below lands
+    // (the IncLog contract), so unlike the plain append's ordered
+    // writes they are order-free — overlapped jobs over the persisted
+    // postings (guide §2.6). Stats increment ONLY alongside an existing
+    // slice — the coverage invariant (see [[writeStats]] /
+    // [[bm25IndexAppend]]) must hold over live ∪ increments exactly as
+    // it does over generations.
+    val writePost = () =>
+      post
+        .withColumn("term_pt", termBucket(col("term")))
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt")
+        .parquet(IncLog.incPath(s"$dir/postings", batchId, streamId))
+    val writeStat = () =>
       writeStats(post, IncLog.incPath(s"$dir/stats", batchId, streamId),
         "overwrite")
+    Par.run(Seq(writePost) ++
+      (if (GenDir.existsLive(spark, s"$dir/stats")) Seq(writeStat)
+       else Seq.empty))
     post.unpersist()
     IncLog.commitBatch(spark, dir, batchId, batchLen, docs.count(), streamId)
     true
@@ -850,15 +858,22 @@ object Retrieval {
     val pos = positionalTokens(docs.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id", textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    pos
-      .withColumn("term_pt", termBucket(col("term")))
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt")
-      .parquet(IncLog.incPath(s"$dir/positions", batchId, streamId))
-    if (GenDir.existsLive(spark, s"$dir/stats"))
+    // increments are invisible until the marker lands — order-free,
+    // overlapped writes over the persisted positions (guide §2.6; the
+    // bm25IndexAppendBatch discipline)
+    val writePos = () =>
+      pos
+        .withColumn("term_pt", termBucket(col("term")))
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt")
+        .parquet(IncLog.incPath(s"$dir/positions", batchId, streamId))
+    val writeStat = () =>
       writePhraseStats(pos.select(col("term")),
         IncLog.incPath(s"$dir/stats", batchId, streamId), "overwrite")
+    graft.llm.Par.run(Seq(writePos) ++
+      (if (GenDir.existsLive(spark, s"$dir/stats")) Seq(writeStat)
+       else Seq.empty))
     pos.unpersist()
     IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     true
