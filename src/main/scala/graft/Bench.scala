@@ -64,7 +64,11 @@ object Bench {
     "llm_curation_scorecard",
     // round 14: the pre-fetch URL gates and block-granular boilerplate
     "llm_url_filter", "llm_badwords", "llm_main_content",
-    "llm_meta_robots")
+    "llm_meta_robots",
+    // round 15: the two queries the interrupted round-15 build added
+    // (char-n-gram langid double lifecycle, persisted digest-dedup
+    // index) — measured from this round on
+    "llm_langid_ngram", "llm_digest_index")
 
   /** The two skew answers measured head-to-head on the SAME deliberately
     * skewed shuffled join (~90% of lineitem on one hot key, broadcast

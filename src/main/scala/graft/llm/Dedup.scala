@@ -576,19 +576,28 @@ object Dedup {
     Seq((shingleN, numBands, rowsPerBand))
       .toDF("shingle_n", "num_bands", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    df.repartition(spark.sparkContext.defaultParallelism)
+    // ONE hashing pass into a DISK_ONLY persist; the two slices write
+    // OVERLAPPED from it (guide §2.6 — order-free inside a build:
+    // lshIndexRecover demands meta AND shingles AND bands complete, so
+    // any crash point reads as "no index" whichever slice landed first).
+    // Pre-r15 the band slice re-read the just-written shingles.
+    val hashed = df.repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         HashFunctions.shingleHashes(shingleN)(TextFunctions.tokens(col(textCol))).as("sh"),
         idBucket(col(idCol)).as("id_pt"))
-      // co-locate each id_pt directory's rows before the partitioned
-      // write: a task holding random rows would open up to IndexIdBuckets
-      // files each (tasks x buckets small files); keyed, each directory
-      // is written by the task(s) owning its bucket
-      .repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
-      .sortWithinPartitions(col("id"))
-      .write.mode("overwrite").partitionBy("id_pt").parquet(s"$dir/shingles")
-    writeBandSlice(spark, s"$dir/bands", numBands, rowsPerBand,
-      spark.read.parquet(s"$dir/shingles"), org.apache.spark.sql.SaveMode.Overwrite)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Par.run(Seq(
+      () => hashed
+        // co-locate each id_pt directory's rows before the partitioned
+        // write: a task holding random rows would open up to IndexIdBuckets
+        // files each (tasks x buckets small files); keyed, each directory
+        // is written by the task(s) owning its bucket
+        .repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
+        .sortWithinPartitions(col("id"))
+        .write.mode("overwrite").partitionBy("id_pt").parquet(s"$dir/shingles"),
+      () => writeBandSlice(spark, s"$dir/bands", numBands, rowsPerBand,
+        hashed, org.apache.spark.sql.SaveMode.Overwrite)))
+    hashed.unpersist()
   }
 
   /** Append already-accepted documents to a persisted index — the

@@ -206,31 +206,34 @@ object Retrieval {
     // plain (gen-0) layout the overwrite below creates
     GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
     IncLog.reset(spark, dir, Seq(s"$dir/postings", s"$dir/stats"))
-    // ONE streamed pass over the corpus postings, no caching: the
-    // postings land in their bucket layout directly, and every derived
-    // total comes from what was just written — stats from the (term,
-    // tf)-pruned postings read, total_len = Σ sum_tf over the
-    // vocabulary-sized stats slice (every token lands in exactly one
-    // posting's tf). Earlier shapes either re-aggregated a cached
-    // postings copy (MEMORY_AND_DISK caching raced the partial
-    // aggregation for unified memory — observed AGGREGATE_OUT_OF_MEMORY
-    // at 60M postings on an 8g heap) or paid a second full postings
-    // pass for the length total.
-    postingsWithLen(docs, textCol, idCol)
-      .withColumn("term_pt", termBucket(col("term")))
-      // co-locate each bucket's rows before the partitioned write (the
-      // lshBuildIndex small-files discipline), then sort by term so each
-      // file's row groups carry tight term ranges
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
-    writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
-      s"$dir/stats", "overwrite")
-    val totalLen = spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("sum_tf"))).head() match {
+    // ONE streamed pass over the corpus postings into a DISK_ONLY
+    // persist (the bm25IndexAppend discipline — disk-only never races
+    // the partial aggregation for unified memory, where MEMORY_AND_DISK
+    // caching observed AGGREGATE_OUT_OF_MEMORY at 60M postings on an 8g
+    // heap); postings and stats then write OVERLAPPED from the cache
+    // (guide §2.6 — order-free: meta below is the commit marker, so
+    // everything before it is invisible to recover either way) and
+    // total_len aggregates the cache instead of re-reading the written
+    // stats slice.
+    val post = postingsWithLen(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val writePost = () =>
+      post
+        .withColumn("term_pt", termBucket(col("term")))
+        // co-locate each bucket's rows before the partitioned write (the
+        // lshBuildIndex small-files discipline), then sort by term so each
+        // file's row groups carry tight term ranges
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
+    val writeStat = () =>
+      writeStats(post.select(col("term"), col("tf")), s"$dir/stats", "overwrite")
+    Par.run(Seq(writePost, writeStat))
+    val totalLen = post.agg(sum(col("tf"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    post.unpersist()
     // meta is the COMMIT MARKER and therefore lands LAST (matching
     // bm25IndexAppend's postings-then-meta order): a crash mid-build
     // leaves postings without meta, which the ingest bootstrap treats
@@ -309,18 +312,23 @@ object Retrieval {
     import spark.implicits._
     GenDir.resetAll(spark, s"$dir/postings", s"$dir/stats")
     IncLog.reset(spark, dir, Seq(s"$dir/postings", s"$dir/stats"))
-    postingsWithLen(docs, textCol, idCol)
-      .withColumn("term_pt", termBucket(col("term")))
-      .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
-    writeStats(spark.read.parquet(s"$dir/postings").select(col("term"), col("tf")),
-      s"$dir/stats", "overwrite")
-    val totalLen = spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("sum_tf"))).head() match {
+    // DISK_ONLY persist + overlapped slice writes — see [[bm25BuildIndex]]
+    val post = postingsWithLen(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val writePost = () =>
+      post
+        .withColumn("term_pt", termBucket(col("term")))
+        .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("term_pt").parquet(s"$dir/postings")
+    val writeStat = () =>
+      writeStats(post.select(col("term"), col("tf")), s"$dir/stats", "overwrite")
+    Par.run(Seq(writePost, writeStat))
+    val totalLen = post.agg(sum(col("tf"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+    post.unpersist()
     IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
     Seq((docs.count(), totalLen)).toDF("n", "total_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")

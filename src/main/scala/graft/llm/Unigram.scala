@@ -70,15 +70,15 @@ object Unigram {
       .filter(col("i") + col("l") - 1 <= length(col("w")))
       .select(col("freq"), col("w").substr(col("i"), col("l")).as("p"))
       .groupBy(col("p")).agg(sum(col("freq")).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val chars = subs.filter(length(col("p")) === 1)
-        .as[(String, Long)].collect()
-      val multi = subs.filter(length(col("p")) >= 2)
-        .orderBy(col("c").desc, col("p").asc).limit(seedK)
-        .as[(String, Long)].collect()
-      (chars ++ multi).sortBy(_._1).toSeq
-    } finally subs.unpersist()
+    // ONE collect: all single chars ∪ the top-seedK multis (the union's
+    // two legs share the aggregation subtree — exchange-reused — so the
+    // histogram substring pass runs once and nothing needs persisting;
+    // pre-r15 this was a persist + two collect jobs)
+    (subs.filter(length(col("p")) === 1)
+      .unionByName(subs.filter(length(col("p")) >= 2)
+        .orderBy(col("c").desc, col("p").asc).limit(seedK))
+      .as[(String, Long)].collect())
+      .sortBy(_._1).toSeq
   }
 
   /** Viterbi segmentation of a word column as a pure Column: an
