@@ -2129,11 +2129,14 @@ FROM ann"""
           caseByIdx(identity).as("lang"),
           concat(caseByIdx(LangNgTrain), lit(" tag"),
             pmod(col("doc_id"), lit(7L))).as("text"))
-        val wordModels = graft.llm.Classifier.trainMulti(train, "text",
-          "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters)
-        val ngModels = graft.llm.Classifier.trainMulti(train, "text",
-          "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters,
-          tokensOf = TextFunctions.charNgrams(_))
+        // the two trainings are independent (separate feature frames,
+        // separate driver weight state) — overlapped jobs, guide §2.6
+        val Seq(wordModels, ngModels) = graft.llm.Par.run(Seq(
+          () => graft.llm.Classifier.trainMulti(train, "text",
+            "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters),
+          () => graft.llm.Classifier.trainMulti(train, "text",
+            "lang", "doc_id", buckets = LangNgBuckets, iters = LangNgIters,
+            tokensOf = TextFunctions.charNgrams(_))))
         val tests = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
           .select(col("doc_id"), caseByIdx(identity).as("lang"),
             caseByIdx(LangNgTest).as("text"))
