@@ -24,11 +24,16 @@ object GraftSession {
       // task-commit renames land directly in the destination instead of
       // a second sequential job-commit rename pass (half the rename
       // traffic of every bucket-partitioned index write; the classic
-      // HDFS-scale setting). Safe here by construction: every persisted
-      // artifact in the engine is committed by its OWN marker (GenDir
-      // generation markers, IncLog batch markers, meta-written-last), so
-      // files visible after a failed job are exactly the "torn write"
-      // case those protocols already treat as absent.
+      // HDFS-scale setting). Safe as the DEFAULT because every write
+      // that rides it is committed by its own marker (GenDir generation
+      // markers, IncLog batch markers, meta-written-last, _SUCCESS on
+      // fresh overwrites), so files visible after a failed job are
+      // exactly the "torn write" those protocols already treat as
+      // absent. The one shape v2 cannot protect — mode("append") into
+      // an already-committed directory, whose prior markers stay valid
+      // while partial task commits land — opts back into v1 PER WRITE
+      // via [[graft.llm.GenDir.V1AppendCommitter]] at every in-place
+      // append site.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // every persisted index family partitions its slices into ≤256
       // hash-bucket directories (the catalog-pruning contract); the

@@ -617,7 +617,9 @@ object Dedup {
     hashed.repartition(spark.sparkContext.defaultParallelism, col("id_pt"))
       .sortWithinPartitions(col("id"))
       // appends land in the CURRENT generation (single-writer contract)
-      .write.mode("append").partitionBy("id_pt")
+      // — committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").partitionBy("id_pt")
       .parquet(GenDir.live(spark, s"$dir/shingles"))
     writeBandSlice(spark, GenDir.live(spark, s"$dir/bands"), numBands,
       rowsPerBand, hashed, org.apache.spark.sql.SaveMode.Append)
@@ -631,7 +633,12 @@ object Dedup {
       .withColumn("sig", HashFunctions.minhashSigLongs(numBands * rowsPerBand)(col("sh")))
       .select(col("id"), posexplode(HashFunctions.bandKeys(numBands, rowsPerBand)(col("sig"))))
       .select(col("pos").as("band_idx"), col("col").as("band_key"), col("id"))
-      .write.mode(mode).parquet(path)
+      // committer v1 on appends — see [[GenDir.V1AppendCommitter]]
+      .write.options(
+        if (mode == org.apache.spark.sql.SaveMode.Append)
+          GenDir.V1AppendCommitter
+        else Map.empty[String, String])
+      .mode(mode).parquet(path)
 
   /** Near-dup matches of a batch AGAINST a persisted index (see
     * [[lshBuildIndex]]): (batch_id, corpus_id, jaccard) for every pair at
@@ -890,8 +897,10 @@ object Dedup {
     bHashes.join(seen, Seq("wh"), "left_anti")
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("wh"))
       .sortWithinPartitions(col("wh"))
-      // into the CURRENT generation (single-writer contract)
-      .write.mode("append").parquet(live)
+      // into the CURRENT generation (single-writer contract) —
+      // committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").parquet(live)
   }
 
   // ---- index compaction (the operational close of the append loop) ----

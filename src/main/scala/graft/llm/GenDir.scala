@@ -54,6 +54,23 @@ private[graft] object GenDir {
 
   private val Marker = "_GEN_COMMITTED"
 
+  /** Per-write committer override for IN-PLACE APPENDS (`mode("append")`
+    * into an already-committed directory). The session default is
+    * committer v2 (task commits rename straight into the destination —
+    * half the rename traffic of every marker-protected overwrite /
+    * increment / generation write, whose torn states their own markers
+    * make invisible). A plain append has NO marker of its own: the
+    * prior job's `_SUCCESS` and generation markers stay valid while v2
+    * task commits land partial batch rows, so a mid-job crash would
+    * leave a torn append that [[existsLiveComplete]]/readers bless as
+    * complete. Under v1 every new row stays in `_temporary` until the
+    * single job commit, so a crashed append leaves the directory
+    * row-identical to its pre-append state — the crash contract the
+    * append paths document. Apply with
+    * `.options(GenDir.V1AppendCommitter)` on every in-place append. */
+  val V1AppendCommitter: Map[String, String] =
+    Map("mapreduce.fileoutputcommitter.algorithm.version" -> "1")
+
   /** Committed generations of `base`, ascending (gen, path); the plain
     * base directory, when present, is generation 0. */
   private def committed(fs: FileSystem, base: Path): Seq[(Long, Path)] = {

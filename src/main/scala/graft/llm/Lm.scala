@@ -67,44 +67,35 @@ object Lm {
 
   /** (doc_id, first, prev, term) per token: prev = preceding token
     * AFTER empty removal (adjacency over the cleaned stream), null at
-    * position 0. Built map-side from the token array — zip with its
-    * null-prefixed shift — so no positional self-join ever shuffles.
-    * The zip/slice operators are O(len) per row (no per-element lambda
-    * over a recomputed split — the interpreted-HOF trap). */
+    * position 0. Built map-side by the codegen'd
+    * [[graft.functions.TokenContexts]] kernel (one static call per row
+    * — the pre-r16 zip_with-with-null-prefixed-shift formulation ran
+    * INTERPRETED and broke whole-stage codegen in the hot loop of
+    * every LM pass; GramExpressionsSpec pins row equality), so no
+    * positional self-join ever shuffles. */
   private def pairRows(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), tk.as("tk"))
-      .select(col("doc_id"), posexplode(zip_with(
-        col("tk"),
-        // null-prefixed shift: zip index i pairs token i with token
-        // i-1; the one-longer right array adds a trailing (null, last)
-        // row dropped by the term filter
-        concat(array(lit(null).cast("string")), col("tk")),
-        (t, p) => struct(t.as("term"), p.as("prev")))).as(Seq("p0", "tp")))
-      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TokenContexts(col("tk"), 2))
+          .as(Seq("p0", "tp")))
       .select(col("doc_id"), (col("p0") === 0).as("first"),
-        col("tp.prev").as("prev"), col("tp.term").as("term"))
+        col("tp.prev1").as("prev"), col("tp.term").as("term"))
   }
 
   /** (doc_id, p0, prev2, prev, term) per token — [[pairRows]] extended
-    * one context level (prev2 = token at p0-2, null for p0 < 2), built
-    * by nesting the same null-prefixed zip so the trigram context also
-    * never needs a positional self-join. */
+    * one context level (prev2 = token at p0-2, null for p0 < 2), the
+    * same codegen kernel at k = 3. */
   private def tripleRows(docs: DataFrame, textCol: String,
                          idCol: String): DataFrame = {
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
-    val nul = lit(null).cast("string")
     docs.select(col(idCol).as("doc_id"), tk.as("tk"))
-      .select(col("doc_id"), posexplode(zip_with(
-        zip_with(col("tk"), concat(array(nul), col("tk")),
-          (t, p) => struct(t.as("term"), p.as("prev"))),
-        concat(array(nul, nul), col("tk")),
-        (tp, p2) => struct(tp.getField("term").as("term"),
-          tp.getField("prev").as("prev"), p2.as("prev2")))).as(Seq("p0", "tp")))
-      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TokenContexts(col("tk"), 3))
+          .as(Seq("p0", "tp")))
       .select(col("doc_id"), col("p0"), col("tp.prev2").as("prev2"),
-        col("tp.prev").as("prev"), col("tp.term").as("term"))
+        col("tp.prev1").as("prev"), col("tp.term").as("term"))
   }
 
   /** (unigrams (term, c1), bigrams (prev, term, c2), total (t)) of a
@@ -124,13 +115,11 @@ object Lm {
                            langCol: String): DataFrame = {
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"), tk.as("tk"))
-      .select(col("doc_id"), col("lang"), posexplode(zip_with(
-        col("tk"),
-        concat(array(lit(null).cast("string")), col("tk")),
-        (t, p) => struct(t.as("term"), p.as("prev")))).as(Seq("p0", "tp")))
-      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.functions.TokenContexts(col("tk"), 2))
+          .as(Seq("p0", "tp")))
       .select(col("doc_id"), col("lang"), (col("p0") === 0).as("first"),
-        col("tp.prev").as("prev"), col("tp.term").as("term"))
+        col("tp.prev1").as("prev"), col("tp.term").as("term"))
   }
 
   /** PER-LANGUAGE [[lmScore]] — CCNet's actual configuration (Wenzek
@@ -370,27 +359,19 @@ object Lm {
 
   /** (doc_id, p0, prev1..prev_{k-1}, term) per token — [[pairRows]]
     * generalized: prev_j = the token j positions back after empty
-    * removal (null for p0 < j), built by FOLDING the null-prefixed zip
-    * one context level at a time. Each level is one more top-level
-    * reference to the token array (k × O(len) per row total), never a
-    * per-element lambda over recomputed state — the interpreted-HOF
-    * trap pairRows documents. */
+    * removal (null for p0 < j), one codegen'd
+    * [[graft.functions.TokenContexts]] call per row (the pre-r16
+    * formulation folded k interpreted zip_with levels per row — k
+    * intermediate struct arrays and a lambda call per element per
+    * level, outside whole-stage codegen; GramExpressionsSpec pins row
+    * equality). */
   private def kRows(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     val tk = graft.functions.TextFunctions.tokens(col(textCol))
-    val nul = lit(null).cast("string")
-    // zip_with pads the shorter side with nulls, so each level's extra
-    // trailing entries carry term = null and drop at the filter
-    var acc: Column = transform(col("tk"), t => struct(t.as("term")))
-    for (j <- 1 until k) {
-      val shifted = concat(array(Seq.fill(j)(nul): _*), col("tk"))
-      val fields = "term" +: (1 until j).map(i => s"prev$i")
-      acc = zip_with(acc, shifted, (a, p) =>
-        struct(fields.map(f => a.getField(f).as(f)) :+ p.as(s"prev$j"): _*))
-    }
     docs.select(col(idCol).as("doc_id"), tk.as("tk"))
-      .select(col("doc_id"), posexplode(acc).as(Seq("p0", "tp")))
-      .filter(col("tp.term").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TokenContexts(col("tk"), k))
+          .as(Seq("p0", "tp")))
       .select(col("doc_id") +: col("p0") +:
         (1 until k).map(j => col(s"tp.prev$j").as(s"prev$j")) :+
         col("tp.term").as("term"): _*)
@@ -429,16 +410,13 @@ object Lm {
     * k. */
   private def allGramCountsK(train: DataFrame, textCol: String,
                              idCol: String, k: Int): DataFrame = {
-    val rows = kRows(train, textCol, idCol, k)
-    val variants = (1 to k).map { n =>
-      val gram =
-        if (n == 1) col("term")
-        else when(col(s"prev${n - 1}").isNotNull, concat_ws(" ",
-          ((n - 1) to 1 by -1).map(j => col(s"prev$j")) :+ col("term"): _*))
-      struct(lit(n).as("ord"), gram.as("gram"))
-    }
-    rows.select(explode(array(variants: _*)).as("og"))
-      .filter(col("og.gram").isNotNull)
+    // one codegen'd GramVariants call per document assembles every
+    // order's grams directly from the token array (the pre-r16 chain —
+    // k-level zip_with fold, then explode of k per-position variant
+    // structs — ran interpreted; GramExpressionsSpec pins row equality)
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
+    train.select(tk.as("tk"))
+      .select(explode(graft.functions.GramVariants(col("tk"), k)).as("og"))
       .select(col("og.ord").as("ord"), col("og.gram").as("gram"))
       .groupBy(col("ord"), col("gram")).agg(count(lit(1)).as("c"))
   }
@@ -646,7 +624,12 @@ object Lm {
     cnt.withColumn("pt", bucket(substring_index(col("gram"), " ", 1)))
       .repartition(col("pt")) // AQE-sized: the model is vocabulary-sized
       .sortWithinPartitions(col("gram"))
-      .write.mode(mode).partitionBy("pt").parquet(path)
+      // in-place appends keep committer v1 so a crashed job leaves the
+      // slice row-identical (see [[GenDir.V1AppendCommitter]]); marker-
+      // protected overwrites ride the v2 session default
+      .write.options(if (mode == "append") GenDir.V1AppendCommitter
+                     else Map.empty[String, String])
+      .mode(mode).partitionBy("pt").parquet(path)
 
   /** Append a training batch as a new generation of every slice (reads
     * fold with sum — counts are additive); meta totals advance last. */
@@ -662,14 +645,19 @@ object Lm {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
-    // one corpus pass for all ord orders, slice writes overlapped —
-    // see [[lmBuildIndexK]]; each write appends into the CURRENT
-    // generation of its own slice (independent directories)
+    // one corpus pass for all ord orders; each write appends into the
+    // CURRENT generation of its own slice. Unlike the marker-protected
+    // build/increment writes these appends run SEQUENTIALLY, LOWEST
+    // order first: a crash after any prefix leaves every landed order's
+    // context order fully landed too, preserving the scoring invariant
+    // c_{n-1}(x_n) >= c_n(g_n) the backoff division relies on (appended
+    // higher-order counts without their lower-order contexts would
+    // break it silently — no recover path can see a stale-meta append)
     val all = allGramCountsK(train, textCol, idCol, ord)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    Par.run((ord to 1 by -1).map(n => () =>
+    (1 to ord).foreach(n =>
       writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
-        GenDir.live(spark, s"$dir/grams_$n"), "append")))
+        GenDir.live(spark, s"$dir/grams_$n"), "append"))
     val batchT = totalFromAll(all)
     all.unpersist()
     Seq((oldT + batchT, oldN + train.count(), ord.toLong))
@@ -789,24 +777,12 @@ object Lm {
     * bit-identical to [[counts]]/[[triCounts]]. */
   private def allCounts23(train: DataFrame, textCol: String, idCol: String,
                           order: Int): DataFrame = {
-    val nul = lit(null).cast("string")
-    val rows =
-      if (order == 3) tripleRows(train, textCol, idCol)
-      else pairRows(train, textCol, idCol).withColumn("prev2", nul)
-    val variants = (1 to order).map { n =>
-      // order-n rows exist only where the deepest context token does
-      val valid = n match {
-        case 1 => col("term")
-        case 2 => when(col("prev").isNotNull, col("term"))
-        case _ => when(col("prev2").isNotNull, col("term"))
-      }
-      struct(lit(n).as("ord"),
-        (if (n >= 3) col("prev2") else nul).as("prev2"),
-        (if (n >= 2) col("prev") else nul).as("prev"),
-        valid.as("term"))
-    }
-    rows.select(explode(array(variants: _*)).as("og"))
-      .filter(col("og.term").isNotNull)
+    // one codegen'd GramContexts23 call per document (see
+    // [[allGramCountsK]]; GramExpressionsSpec pins row equality with
+    // the pre-r16 explode-of-variant-structs chain)
+    val tk = graft.functions.TextFunctions.tokens(col(textCol))
+    train.select(tk.as("tk"))
+      .select(explode(graft.functions.GramContexts23(col("tk"), order)).as("og"))
       .select(col("og.ord").as("ord"), col("og.prev2").as("prev2"),
         col("og.prev").as("prev"), col("og.term").as("term"))
       .groupBy(col("ord"), col("prev2"), col("prev"), col("term"))
@@ -874,34 +850,41 @@ object Lm {
     // one corpus pass for every order — see [[lmBuildIndex]]
     val all = allCounts23(train, textCol, idCol, ord.toInt)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // overlapped appends into each slice's CURRENT generation — the
-    // model's order rides meta, so appends can't drift it
-    val appendTri = () =>
-      all.filter(col("ord") === 3)
-        .select(col("prev2"), col("prev"), col("term"), col("c").as("c3"))
-        .withColumn("prev2_pt", bucket(col("prev2")))
-        .repartition(col("prev2_pt"))
-        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
-        .write.mode("append").partitionBy("prev2_pt")
-        .parquet(GenDir.live(spark, s"$dir/trigrams"))
-    val appendBi = () =>
-      all.filter(col("ord") === 2)
-        .select(col("prev"), col("term"), col("c").as("c2"))
-        .withColumn("prev_pt", bucket(col("prev")))
-        .repartition(col("prev_pt"))
-        .sortWithinPartitions(col("prev"), col("term"))
-        .write.mode("append").partitionBy("prev_pt")
-        .parquet(GenDir.live(spark, s"$dir/bigrams"))
+    // SEQUENTIAL appends into each slice's CURRENT generation, LOWEST
+    // order first, each under committer v1 (see [[lmIndexAppendK]] /
+    // [[GenDir.V1AppendCommitter]]): any crash prefix leaves every
+    // landed order's context order fully landed, preserving
+    // c_{n-1}(x_n) >= c_n(g_n); the model's order rides meta, so
+    // appends can't drift it
     val appendUni = () =>
       all.filter(col("ord") === 1)
         .select(col("term"), col("c").as("c1"))
         .withColumn("term_pt", bucket(col("term")))
         .repartition(col("term_pt"))
         .sortWithinPartitions(col("term"))
-        .write.mode("append").partitionBy("term_pt")
+        .write.options(GenDir.V1AppendCommitter)
+        .mode("append").partitionBy("term_pt")
         .parquet(GenDir.live(spark, s"$dir/unigrams"))
-    Par.run((if (ord == 3L) Seq(appendTri) else Seq.empty) ++
-      Seq(appendBi, appendUni))
+    val appendBi = () =>
+      all.filter(col("ord") === 2)
+        .select(col("prev"), col("term"), col("c").as("c2"))
+        .withColumn("prev_pt", bucket(col("prev")))
+        .repartition(col("prev_pt"))
+        .sortWithinPartitions(col("prev"), col("term"))
+        .write.options(GenDir.V1AppendCommitter)
+        .mode("append").partitionBy("prev_pt")
+        .parquet(GenDir.live(spark, s"$dir/bigrams"))
+    val appendTri = () =>
+      all.filter(col("ord") === 3)
+        .select(col("prev2"), col("prev"), col("term"), col("c").as("c3"))
+        .withColumn("prev2_pt", bucket(col("prev2")))
+        .repartition(col("prev2_pt"))
+        .sortWithinPartitions(col("prev2"), col("prev"), col("term"))
+        .write.options(GenDir.V1AppendCommitter)
+        .mode("append").partitionBy("prev2_pt")
+        .parquet(GenDir.live(spark, s"$dir/trigrams"))
+    (Seq(appendUni, appendBi) ++
+      (if (ord == 3L) Seq(appendTri) else Seq.empty)).foreach(_.apply())
     val batchT = totalFromAll(all)
     all.unpersist()
     Seq((oldT + batchT, oldN + train.count(), ord)).toDF("t", "n_docs", "ord")

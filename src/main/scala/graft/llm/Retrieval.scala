@@ -195,7 +195,11 @@ object Retrieval {
       // near-empty bucket files per generation
       .repartition(col("term_pt"))
       .sortWithinPartitions(col("term"))
-      .write.mode(mode).partitionBy("term_pt").parquet(statsPath)
+      // in-place appends keep committer v1 so a crashed job leaves the
+      // slice row-identical (see [[GenDir.V1AppendCommitter]])
+      .write.options(if (mode == "append") GenDir.V1AppendCommitter
+                     else Map.empty[String, String])
+      .mode(mode).partitionBy("term_pt").parquet(statsPath)
 
   def bm25BuildIndex(docs: DataFrame, textCol: String, idCol: String,
                      dir: String): Unit = {
@@ -273,8 +277,10 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       // appends land in the CURRENT generation (single-writer contract;
-      // see [[GenDir]]) so the next compaction folds them forward
-      .write.mode("append").partitionBy("term_pt")
+      // see [[GenDir]]) so the next compaction folds them forward —
+      // committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").partitionBy("term_pt")
       .parquet(GenDir.live(spark, s"$dir/postings"))
     // stats append ONLY onto an existing slice: creating one here on a
     // pre-stats index would cover just this batch, and any search
@@ -764,7 +770,10 @@ object Retrieval {
       .withColumn("term_pt", termBucket(col("term")))
       .repartition(col("term_pt")) // AQE-sized, see writeStats
       .sortWithinPartitions(col("term"))
-      .write.mode(mode).partitionBy("term_pt").parquet(statsPath)
+      // committer v1 on appends — see [[GenDir.V1AppendCommitter]]
+      .write.options(if (mode == "append") GenDir.V1AppendCommitter
+                     else Map.empty[String, String])
+      .mode(mode).partitionBy("term_pt").parquet(statsPath)
 
   def phraseBuildIndex(docs: DataFrame, textCol: String, idCol: String,
                        dir: String): Unit = {
@@ -812,7 +821,9 @@ object Retrieval {
       .repartition(spark.sparkContext.defaultParallelism, col("term_pt"))
       .sortWithinPartitions(col("term"))
       // appends land in the CURRENT generation (single-writer contract)
-      .write.mode("append").partitionBy("term_pt")
+      // — committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").partitionBy("term_pt")
       .parquet(GenDir.live(spark, s"$dir/positions"))
     // append stats ONLY onto an existing slice (the bm25IndexAppend
     // discipline): a batch-only slice on a pre-stats index would feed

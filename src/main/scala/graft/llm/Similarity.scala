@@ -611,8 +611,10 @@ object Similarity {
         quantizer.nearestCells(col("embedding"), 1).getItem(0).as("cell"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
-      // into the CURRENT generation (single-writer contract)
-      .write.mode("append").parquet(GenDir.live(spark, s"$dir/cells"))
+      // into the CURRENT generation (single-writer contract) —
+      // committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").parquet(GenDir.live(spark, s"$dir/cells"))
   }
 
   /** Rewrite a cell-keyed index slice back to the fresh-build layout
@@ -1440,8 +1442,10 @@ object Similarity {
       .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("cell"))
       .sortWithinPartitions(col("cell"))
-      // into the CURRENT generation (single-writer contract)
-      .write.mode("append").parquet(GenDir.live(spark, s"$dir/codes"))
+      // into the CURRENT generation (single-writer contract) —
+      // committer v1 so a crash leaves the slice row-identical
+      .write.options(GenDir.V1AppendCommitter)
+      .mode("append").parquet(GenDir.live(spark, s"$dir/codes"))
   }
 
   /** Compact a persisted IVFADC index's code slices after a run of

@@ -84,16 +84,34 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    // a hidden COMPONENT anywhere under the root (`_temporary/...` from
+    // an in-flight writer, `.stage`/`_commits` protocol dirs) hides the
+    // whole subtree, exactly like Spark's own read path — checking only
+    // the file's basename would count a writer's staged part files
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = fs.makeQualified(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+    }
     val it = fs.listFiles(root, true)
     var n = 0L
     while (it.hasNext) {
       val st = it.next()
-      val nm = st.getPath.getName
-      if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".") &&
-          nm.endsWith(".parquet")) {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try n += r.getRecordCount finally r.close()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !hidden(st.getPath)) {
+        // an unreadable/torn footer (a concurrent writer's in-flight
+        // file) must not fail pipeline compilation — the old lazy
+        // bl.count() would have been consistent with the read path;
+        // report "over any budget" so the gate falls back to the
+        // shuffle join (results identical either way)
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try n += r.getRecordCount finally r.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => return Long.MaxValue
+        }
       }
     }
     n
@@ -1155,7 +1173,11 @@ class PipelineCompiler(spark: SparkSession, cfg0: PipelineConfig) {
           append = true))
       case None => p(a, "format").getOrElse("memory") match {
         case "parquet" | "json" | "csv" =>
-          counted(_.write.mode("append").format(p(a, "format").get)
+          // committer v1 on the user-facing append sink: a crashed
+          // write leaves the sink row-identical instead of v2's
+          // partial task commits (see [[graft.llm.GenDir.V1AppendCommitter]])
+          counted(_.write.options(graft.llm.GenDir.V1AppendCommitter)
+            .mode("append").format(p(a, "format").get)
             .save(p(a, "path").getOrElse(sys.error(s"${a.name}: sink needs path"))))
         case "console" =>
           if (needCount) countedConsole(batch, showRows)

@@ -353,7 +353,10 @@ object Warc {
     val spark = recs.sparkSession
     digestRows(recs, snapshot)
       .repartition(spark.sparkContext.defaultParallelism, col("d_pt"))
-      .write.mode("append").partitionBy("d_pt")
+      // committer v1 on in-place appends — a crashed append must leave
+      // the slice row-identical (see [[graft.llm.GenDir.V1AppendCommitter]])
+      .write.options(graft.llm.GenDir.V1AppendCommitter)
+      .mode("append").partitionBy("d_pt")
       .parquet(graft.llm.GenDir.live(spark, s"$dir/digests"))
   }
 

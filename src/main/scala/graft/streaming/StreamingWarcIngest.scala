@@ -41,7 +41,12 @@ object StreamingWarcIngest {
         .map(_.trim).filter(_.nonEmpty)
       if (files.nonEmpty) {
         Warc.documents(spark, files.mkString(","), maxBodyBytes)
-          .write.mode("append").parquet(outDir)
+          // committer v1: a crashed batch append leaves outDir
+          // row-identical, so the redelivered batch appends ONCE (v2
+          // task commits would leave partial rows the redelivery then
+          // duplicates — see [[graft.llm.GenDir.V1AppendCommitter]])
+          .write.options(graft.llm.GenDir.V1AppendCommitter)
+          .mode("append").parquet(outDir)
         onBatch(batchId, files.length)
       }
     })
