@@ -524,14 +524,11 @@ object Lm {
     // ONE corpus pass for all k orders; the slice writes and the
     // unigram total re-read the model-sized aggregate (DISK_ONLY — the
     // bm25BuildIndex lesson: never race execution memory at scale).
-    // The k slice writes are independent readers of that cache, so they
-    // run as overlapped jobs (guide §2.6) instead of k sequential
-    // rounds of scheduling + partitioned-write commit latency.
+    // All k slices land from ONE staged write job + renames (r15
+    // overlapped k jobs; this removes the other k-1 entirely).
     val all = allGramCountsK(train, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    Par.run((k to 1 by -1).map(n => () =>
-      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
-        s"$dir/grams_$n", "overwrite")))
+    writeGramSlicesStaged(all, k, dir, n => s"$dir/grams_$n")
     val t = totalFromAll(all)
     all.unpersist()
     Seq((t, train.count(), k.toLong)).toDF("t", "n_docs", "ord")
@@ -560,13 +557,11 @@ object Lm {
     import spark.implicits._
     GenDir.resetAll(spark, gramSlices(dir, k): _*)
     IncLog.reset(spark, dir, gramSlices(dir, k))
-    // one corpus pass for all k orders, slice writes overlapped — see
-    // [[lmBuildIndexK]]
+    // one corpus pass for all k orders, one staged slice-write job —
+    // see [[lmBuildIndexK]]
     val all = allGramCountsK(train, textCol, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    Par.run((k to 1 by -1).map(n => () =>
-      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
-        s"$dir/grams_$n", "overwrite")))
+    writeGramSlicesStaged(all, k, dir, n => s"$dir/grams_$n")
     val t = totalFromAll(all)
     all.unpersist()
     IncLog.commitBatch(spark, dir, batchId, 0L, 0L, streamId)
@@ -587,13 +582,14 @@ object Lm {
     val spark = train.sparkSession
     if (IncLog.isApplied(spark, dir, batchId, streamId)) return false
     val ord = readMetaK(spark, dir)._2
-    // one corpus pass for all ord orders, slice writes overlapped —
-    // see [[lmBuildIndexK]]
+    // one corpus pass for all ord orders, one staged slice-write job
+    // into the batch's increment dirs (idempotent: the stage rename
+    // deletes a redelivered batch's leftovers first; nothing is
+    // visible until the commit marker below) — see [[lmBuildIndexK]]
     val all = allGramCountsK(train, textCol, idCol, ord)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    Par.run((ord to 1 by -1).map(n => () =>
-      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
-        IncLog.incPath(s"$dir/grams_$n", batchId, streamId), "overwrite")))
+    writeGramSlicesStaged(all, ord, dir,
+      n => IncLog.incPath(s"$dir/grams_$n", batchId, streamId))
     val t = totalFromAll(all)
     all.unpersist()
     IncLog.commitBatch(spark, dir, batchId, t, train.count(), streamId)
@@ -618,6 +614,98 @@ object Lm {
     * with no order-n grams) reads as zero rows instead of failing
     * inference. */
   private val GramSchema = Some("gram STRING, c BIGINT, pt INT")
+
+  /** Write EVERY order's slice from one persisted [[allGramCountsK]]
+    * frame as ONE Spark job: a single (ord, pt)-partitioned write into
+    * a dot-prefixed staging dir beside the model, then a per-order
+    * directory RENAME into each slice destination (same filesystem —
+    * metadata ops) plus the `_SUCCESS` marker the gen-0 completeness
+    * check keys on. Replaces k overlapped write jobs — k scheduling
+    * rounds and k partitioned-write commits — with one job and k
+    * renames (guide §1.2: fewer jobs/passes; §6: one commit). The
+    * explicit (ord, pt, gram) sort satisfies the dynamic-partition
+    * writer's required ordering, so no extra sort is planned and files
+    * stay gram-sorted exactly like the per-slice writes. Crash points:
+    * dying inside the staged write leaves only the dot-dir (invisible
+    * to readers and to every protocol listing); dying mid-renames
+    * leaves some destinations complete and others absent with the
+    * caller's own commit marker (meta / IncLog batch marker) still
+    * unwritten — the torn build/increment state recover already treats
+    * as absent. Callers own the destinations (fresh build after
+    * resetAll, a batch's own increment dirs, uncommitted next
+    * generations). */
+  private def writeGramSlicesStaged(all: DataFrame, k: Int,
+                                    stagingBase: String,
+                                    destFor: Int => String): Unit = {
+    val spark = all.sparkSession
+    val staging = s"$stagingBase/.stage-${java.util.UUID.randomUUID()}"
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      all.withColumn("pt", bucket(substring_index(col("gram"), " ", 1)))
+        .repartition(col("ord"), col("pt"))
+        .sortWithinPartitions(col("ord"), col("pt"), col("gram"))
+        .write.mode("overwrite").partitionBy("ord", "pt").parquet(staging)
+      (1 to k).foreach { n =>
+        val src = new org.apache.hadoop.fs.Path(s"$staging/ord=$n")
+        val dst = new org.apache.hadoop.fs.Path(destFor(n))
+        fs.delete(dst, true)
+        Option(dst.getParent).foreach(fs.mkdirs)
+        if (fs.exists(src))
+          require(fs.rename(src, dst), s"rename $src -> $dst failed")
+        else fs.mkdirs(dst) // an order with zero grams: empty slice
+        fs.create(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"), true).close()
+      }
+    } finally fs.delete(stagingP, true)
+  }
+
+  /** The staged ONE-JOB write for PLAIN APPENDS: stage all orders in
+    * one (ord, pt)-partitioned job (fresh dot-dir — a crash there is
+    * invisible), then MOVE the staged files into each live slice,
+    * LOWEST ORDER FIRST. The move order is the crash contract: counts
+    * are additive, so a crash after any prefix of the moves leaves
+    * every landed order-n gram's context order fully landed —
+    * c_{n-1}(x_n) >= c_n(g_n) holds at ANY granularity (whole slices,
+    * or a partial file subset of the highest landed order), exactly
+    * the invariant the sequential per-slice appends guaranteed — while
+    * meta (written after, as always) stays the stale-totals marker.
+    * Staged part filenames carry the job's UUID, so moves into a live
+    * bucket can never collide with prior generations' files. */
+  private def appendGramSlicesStaged(all: DataFrame, k: Int,
+                                     stagingBase: String,
+                                     liveFor: Int => String): Unit = {
+    val spark = all.sparkSession
+    val staging = s"$stagingBase/.stage-${java.util.UUID.randomUUID()}"
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      all.withColumn("pt", bucket(substring_index(col("gram"), " ", 1)))
+        .repartition(col("ord"), col("pt"))
+        .sortWithinPartitions(col("ord"), col("pt"), col("gram"))
+        .write.mode("overwrite").partitionBy("ord", "pt").parquet(staging)
+      (1 to k).foreach { n => // ascending: the crash-prefix invariant
+        val src = new org.apache.hadoop.fs.Path(s"$staging/ord=$n")
+        if (fs.exists(src)) {
+          val dstBase = new org.apache.hadoop.fs.Path(liveFor(n))
+          fs.listStatus(src).filter(_.isDirectory).foreach { ptDir =>
+            val dstPt = new org.apache.hadoop.fs.Path(
+              dstBase, ptDir.getPath.getName)
+            if (!fs.exists(dstPt))
+              require(fs.rename(ptDir.getPath, dstPt),
+                s"rename ${ptDir.getPath} -> $dstPt failed")
+            else fs.listStatus(ptDir.getPath)
+              .filter(st => !st.getPath.getName.startsWith("_"))
+              .foreach { f =>
+                val dstF = new org.apache.hadoop.fs.Path(
+                  dstPt, f.getPath.getName)
+                require(fs.rename(f.getPath, dstF),
+                  s"rename ${f.getPath} -> $dstF failed")
+              }
+          }
+        }
+      }
+    } finally fs.delete(stagingP, true)
+  }
 
   private def writeGramSlice(cnt: DataFrame, path: String,
                              mode: String): Unit =
@@ -645,19 +733,19 @@ object Lm {
     val meta0 = spark.read.parquet(s"$dir/meta").head()
     val (oldT, oldN, ord) =
       (meta0.getLong(0), meta0.getLong(1), meta0.getLong(2).toInt)
-    // one corpus pass for all ord orders; each write appends into the
-    // CURRENT generation of its own slice. Unlike the marker-protected
-    // build/increment writes these appends run SEQUENTIALLY, LOWEST
-    // order first: a crash after any prefix leaves every landed order's
-    // context order fully landed too, preserving the scoring invariant
-    // c_{n-1}(x_n) >= c_n(g_n) the backoff division relies on (appended
-    // higher-order counts without their lower-order contexts would
-    // break it silently — no recover path can see a stale-meta append)
+    // one corpus pass for all ord orders, ONE staged write job, then
+    // lowest-order-first moves into each slice's CURRENT generation —
+    // the move order is the crash contract (see
+    // [[appendGramSlicesStaged]]): any crash prefix leaves every
+    // landed order's context order fully landed, preserving the
+    // scoring invariant c_{n-1}(x_n) >= c_n(g_n) the backoff division
+    // relies on (appended higher-order counts without their
+    // lower-order contexts would break it silently — no recover path
+    // can see a stale-meta append)
     val all = allGramCountsK(train, textCol, idCol, ord)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    (1 to ord).foreach(n =>
-      writeGramSlice(all.filter(col("ord") === n).select(col("gram"), col("c")),
-        GenDir.live(spark, s"$dir/grams_$n"), "append"))
+    appendGramSlicesStaged(all, ord, dir,
+      n => GenDir.live(spark, s"$dir/grams_$n"))
     val batchT = totalFromAll(all)
     all.unpersist()
     Seq((oldT + batchT, oldN + train.count(), ord.toLong))
@@ -682,19 +770,23 @@ object Lm {
     val ord = readMetaK(spark, dir)._2
     val v = IncLog.view(spark, dir)
     val (w0, w, wGen) = IncLog.foldBounds(spark, dir, s"$dir/grams_1", v)
-    // each slice folds within its own GenDir — independent directories,
-    // independent jobs, overlapped from driver threads (guide §2.6)
-    Par.run((1 to ord).map(n => () =>
-      IncLog.foldSliceGen(spark, dir, s"$dir/grams_$n", wGen, v,
-        GramSchema) { (rows, next) =>
-        rows
-          .groupBy(col("gram"), col("pt"))
-          .agg(sum(col("c")).as("c"))
-          .filter(if (n == 1) lit(true) else col("c") >= minCount)
-          .repartition(col("pt"))
-          .sortWithinPartitions(col("gram"))
-          .write.mode("overwrite").partitionBy("pt").parquet(next)
-      }))
+    // ONE fold job for every slice (was k overlapped jobs): union each
+    // slice's foldable rows under its ord tag, one shared groupBy, one
+    // staged (ord, pt)-partitioned write renamed into each slice's
+    // next generation; per-slice watermarks/markers/GC unchanged, so
+    // readers still flip atomically per slice (pt is a pure function
+    // of the gram, so recomputing it in the staged write reproduces
+    // the stored bucket exactly)
+    IncLog.foldSlicesGen(spark, dir, gramSlices(dir, ord), wGen, v,
+      GramSchema) { (rowsPerSlice, nextPaths) =>
+      val all = rowsPerSlice.zipWithIndex.map { case (df, i) =>
+        df.select(lit(i + 1).as("ord"), col("gram"), col("c"))
+      }.reduce(_ unionByName _)
+      val folded = all
+        .groupBy(col("ord"), col("gram")).agg(sum(col("c")).as("c"))
+        .filter(col("ord") === 1 || col("c") >= minCount)
+      writeGramSlicesStaged(folded, ord, dir, n => nextPaths(n - 1))
+    }
     IncLog.finishFold(spark, dir, gramSlices(dir, ord), v, w0, w)
   }
 
