@@ -34,7 +34,10 @@ object GraftSession {
       // while partial task commits land — opts back into v1 PER WRITE
       // via [[graft.llm.GenDir.V1AppendCommitter]] at every in-place
       // append site.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // (env-overridable for idle-box A/B isolation of the setting —
+      // defaults are the shipping values)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_FOC_VERSION", "2"))
       // every persisted index family partitions its slices into ≤256
       // hash-bucket directories (the catalog-pruning contract); the
       // default threshold (32) turns EVERY slice read's file listing
@@ -43,7 +46,8 @@ object GraftSession {
       // handles hundreds of dirs in milliseconds). Directories past
       // this bound (real data-lake partition counts) still list
       // distributed.
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

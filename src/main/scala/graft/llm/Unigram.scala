@@ -58,10 +58,16 @@ object Unigram {
     * (count desc, piece asc) — a deterministic total order. Returns
     * (piece, count) sorted by piece. The collect is vocabulary-sized
     * (seedK + alphabet), never corpus-sized. */
-  def seedVocab(hist: DataFrame, maxLen: Int = MaxPieceLen,
-                seedK: Int = SeedK): Seq[(String, Long)] = {
-    val spark = hist.sparkSession
-    import spark.implicits._
+  /** The one-collect seed frame: all single chars ∪ the top-seedK
+    * multis. The union's two legs share the aggregation subtree —
+    * exchange-reused, so the histogram substring pass runs once and
+    * nothing needs persisting (pre-r15 this was a persist + two
+    * collect jobs). UnigramSpec asserts the ReusedExchange is actually
+    * in the executed plan — if a Spark upgrade ever diverges the legs
+    * under AQE replanning, that spec (not a silent 2x histogram pass)
+    * is what fails. */
+  private[llm] def seedVocabFrame(hist: DataFrame, maxLen: Int = MaxPieceLen,
+                                  seedK: Int = SeedK): DataFrame = {
     val subs = hist
       .select(col("freq"), col("w"), explode(sequence(lit(1),
         greatest(length(col("w")), lit(1)))).as("i"))
@@ -70,14 +76,17 @@ object Unigram {
       .filter(col("i") + col("l") - 1 <= length(col("w")))
       .select(col("freq"), col("w").substr(col("i"), col("l")).as("p"))
       .groupBy(col("p")).agg(sum(col("freq")).as("c"))
-    // ONE collect: all single chars ∪ the top-seedK multis (the union's
-    // two legs share the aggregation subtree — exchange-reused — so the
-    // histogram substring pass runs once and nothing needs persisting;
-    // pre-r15 this was a persist + two collect jobs)
-    (subs.filter(length(col("p")) === 1)
+    subs.filter(length(col("p")) === 1)
       .unionByName(subs.filter(length(col("p")) >= 2)
         .orderBy(col("c").desc, col("p").asc).limit(seedK))
-      .as[(String, Long)].collect())
+  }
+
+  def seedVocab(hist: DataFrame, maxLen: Int = MaxPieceLen,
+                seedK: Int = SeedK): Seq[(String, Long)] = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    seedVocabFrame(hist, maxLen, seedK)
+      .as[(String, Long)].collect()
       .sortBy(_._1).toSeq
   }
 

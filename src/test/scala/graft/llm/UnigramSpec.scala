@@ -163,4 +163,24 @@ class UnigramSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(out == Set(3L))
   }
+
+  test("seedVocab's union legs share ONE aggregation exchange (the " +
+      "one-collect form relies on reuse, not a persist)") {
+    // r15 dropped the persist + second collect on the claim that the
+    // union's legs reuse the substring-histogram aggregation exchange;
+    // the r15 advisor flagged that claim as unverified (AQE replanning
+    // could diverge the legs and silently run the corpus-scale pass
+    // twice). Pin it: collect through the SAME Dataset (clones leave
+    // isFinalPlan=false) and demand a ReusedExchange/ReusedQueryStage
+    // in the FINAL plan.
+    val hist = Unigram.histogram(corpus, "text")
+    val frame = Unigram.seedVocabFrame(hist)
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"no exchange reuse in the final plan:\n$plan")
+  }
 }
