@@ -48,6 +48,13 @@ object GraftSession {
       // distributed.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
+      // the DISK_ONLY persisted aggregates of every index build (gram
+      // counts, postings) are highly-compressible short strings; at
+      // scale the persist write/read is postings-scale I/O, so block
+      // compression trades cheap CPU for it (guide §2.3). Local A/B
+      // (ProfileLmIndex, OPTIMIZATION_r16.md §6) shows no regression.
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
